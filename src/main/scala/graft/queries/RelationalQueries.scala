@@ -1,0 +1,437 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.functions.FP
+import graft.operators.Aggregates
+
+/** Relational operator coverage (SURVEY.md §2.2–§2.7) expressed over the
+  * test tables, each with a DuckDB oracle.
+  *
+  * Conventions shared with the oracles: money/quantity aggregates use
+  * fixed-point longs ([[graft.functions.FP]]); integer outputs are LongType
+  * (DuckDB BIGINT); every result carries a total ORDER BY on its key.
+  */
+object RelationalQueries extends QueryModule {
+
+  // ---- q01: TPC-H-Q1-style pricing summary (A1/A9: groupBy + sums) ------
+  private def q01(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1999-06-30").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(FP.cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(FP.cents(col("l_extendedprice"))).as("sum_base_c"),
+        sum(FP.micro(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_u"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q01Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       | CAST(sum(${FP.sqlCents("l_quantity")}) AS BIGINT) AS sum_qty_c,
+       | CAST(sum(${FP.sqlCents("l_extendedprice")}) AS BIGINT) AS sum_base_c,
+       | CAST(sum(${FP.sqlMicro("l_extendedprice*(1.0-l_discount)")}) AS BIGINT) AS sum_disc_u,
+       | count(*) AS n_rows
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-06-30'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- q02: filter + project + cast (F1–F3, P1, P5) ---------------------
+  private def q02(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate").between(
+        lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp"))
+        && col("l_discount") > 0.05 && col("l_returnflag") === "R")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        FP.cents(col("l_quantity")).as("qty_c"),
+        FP.cents(col("l_extendedprice")).as("price_c"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val q02Sql =
+    s"""SELECT l_orderkey, l_linenumber,
+       | ${FP.sqlCents("l_quantity")} AS qty_c,
+       | ${FP.sqlCents("l_extendedprice")} AS price_c
+       |FROM lineitem
+       |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+       |  AND l_discount > 0.05 AND l_returnflag = 'R'
+       |ORDER BY 1, 2""".stripMargin
+
+  // ---- q03: dictionary join (J3/P4: broadcast dim decode) ---------------
+  private def q03(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy("n_nationkey")
+
+  private val q03Sql =
+    """SELECT n_nationkey, n_name, r_name
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY 1""".stripMargin
+
+  // ---- q04: group-first (A4/J4: first row per key, deterministic) -------
+  private def q04(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(min(struct(col("o_orderdate"), col("o_orderkey"))).as("f"))
+      .select(col("o_custkey"), col("f.o_orderdate").as("first_date"),
+        col("f.o_orderkey").as("first_okey"))
+      .orderBy("o_custkey")
+
+  private val q04Sql =
+    """WITH m AS (
+      |  SELECT o_custkey, min(o_orderdate) AS first_date FROM orders GROUP BY 1)
+      |SELECT m.o_custkey, m.first_date,
+      |  CAST(min(o.o_orderkey) AS BIGINT) AS first_okey
+      |FROM m JOIN orders o
+      |  ON o.o_custkey = m.o_custkey AND o.o_orderdate = m.first_date
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  // ---- q05: distinct (A5) ------------------------------------------------
+  private def q05(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_nationkey"))
+      .distinct()
+      .orderBy("c_mktsegment", "c_nationkey")
+
+  private val q05Sql =
+    """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer ORDER BY 1, 2""".stripMargin
+
+  // ---- q06: union-all (U1) ----------------------------------------------
+  private def q06(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey").as("key"), lit("customer").as("src"))
+      .unionByName(
+        Tables.orders(s, d).select(col("o_custkey").as("key"), lit("orders").as("src")))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("key")).as("n_keys"))
+      .orderBy("src")
+
+  private val q06Sql =
+    """SELECT src, count(*) AS n_rows, count(DISTINCT key) AS n_keys
+      |FROM (
+      |  SELECT c_custkey AS key, 'customer' AS src FROM customer
+      |  UNION ALL
+      |  SELECT o_custkey AS key, 'orders' AS src FROM orders)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q07: per-group ordinal (W1: the reference's IPROF,
+  //           /root/reference/src/argostats/toctools.py:172-175) ----------
+  private def q07(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .withColumn("iprof", row_number().over(w).cast(LongType))
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("iprof"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val q07Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS iprof
+      |FROM lineitem
+      |WHERE l_orderkey % 100 = 0
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---- q08: histogram by date part (A7 + X1) ----------------------------
+  private def q08(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(
+        year(col("o_orderdate")).cast(LongType).as("yr"),
+        month(col("o_orderdate")).cast(LongType).as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(FP.cents(col("o_totalprice"))).as("rev_c"))
+      .orderBy("yr", "mo")
+
+  private val q08Sql =
+    s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       | CAST(month(o_orderdate) AS BIGINT) AS mo,
+       | count(*) AS n_orders,
+       | CAST(sum(${FP.sqlCents("o_totalprice")}) AS BIGINT) AS rev_c
+       |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- q09: global scalar aggregates (A8/A9) -----------------------------
+  private def q09(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).agg(
+      max(col("o_orderdate")).as("last_date"),
+      min(col("o_orderdate")).as("first_date"),
+      countDistinct(col("o_custkey")).as("n_cust"),
+      count(lit(1)).as("n_orders"),
+      sum(FP.cents(col("o_totalprice"))).as("total_c"))
+
+  private val q09Sql =
+    s"""SELECT max(o_orderdate) AS last_date, min(o_orderdate) AS first_date,
+       | count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders,
+       | CAST(sum(${FP.sqlCents("o_totalprice")}) AS BIGINT) AS total_c
+       |FROM orders""".stripMargin
+
+  // ---- q10: product-combine QC reduce (A6, custom Aggregator;
+  //           reference truth table: any 0 ⟹ 0) ---------------------------
+  private def q10(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("qc", (col("l_linenumber") % 5).cast(LongType))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        Aggregates.productLong(col("qc")).as("flag_prod"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_orderkey")
+
+  private val q10Sql =
+    """SELECT l_orderkey,
+      |  CAST(round(product(l_linenumber % 5)) AS BIGINT) AS flag_prod,
+      |  count(*) AS n_items
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q11: all-/any-match predicate agg (A10) ---------------------------
+  private def q11(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        min(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("all_n"),
+        max(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("any_n"))
+      .orderBy("l_orderkey")
+
+  private val q11Sql =
+    """SELECT l_orderkey,
+      |  CAST(min(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS all_n,
+      |  CAST(max(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS any_n
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q12: top-1 per group / argmax (W4) --------------------------------
+  private def q12(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_nationkey"), col("c_custkey"),
+        FP.cents(col("c_acctbal")).as("acctbal_c"))
+      .orderBy("c_nationkey")
+  }
+
+  private val q12Sql =
+    s"""SELECT c_nationkey, c_custkey, ${FP.sqlCents("c_acctbal")} AS acctbal_c
+       |FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+       |  FROM customer)
+       |WHERE rn = 1 ORDER BY 1""".stripMargin
+
+  // ---- q13: multi-way join + agg (general equi-join surface) ------------
+  private def q13(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(FP.cents(col("o_totalprice"))).as("rev_c"),
+        countDistinct(col("c_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("n_name")
+
+  private val q13Sql =
+    s"""SELECT n_name,
+       | CAST(sum(${FP.sqlCents("o_totalprice")}) AS BIGINT) AS rev_c,
+       | count(DISTINCT c_custkey) AS n_cust, count(*) AS n_orders
+       |FROM customer
+       | JOIN orders ON c_custkey = o_custkey
+       | JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q14: semi/anti join (free capability, SURVEY §2.4 note) -----------
+  private def q14(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val active = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_active"))
+    val inactive = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_inactive"))
+    active.join(inactive, Seq("c_nationkey"), "full_outer")
+      .select(col("c_nationkey"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_inactive"), lit(0L)).as("n_inactive"))
+      .orderBy("c_nationkey")
+  }
+
+  private val q14Sql =
+    """WITH a AS (
+      |  SELECT c_nationkey, count(*) AS n_active FROM customer c
+      |  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |  GROUP BY 1),
+      |b AS (
+      |  SELECT c_nationkey, count(*) AS n_inactive FROM customer c
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |  GROUP BY 1)
+      |SELECT c_nationkey,
+      |  COALESCE(n_active, 0) AS n_active,
+      |  COALESCE(n_inactive, 0) AS n_inactive
+      |FROM a FULL OUTER JOIN b USING (c_nationkey)
+      |ORDER BY 1""".stripMargin
+
+  // ---- q15: running total (W2 distributed analog) ------------------------
+  private def q15(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("price_c", FP.cents(col("o_totalprice")))
+      .withColumn("run_c", sum(col("price_c")).over(w))
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"), col("run_c"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val q15Sql =
+    s"""SELECT o_custkey, o_orderkey,
+       | CAST(sum(${FP.sqlCents("o_totalprice")}) OVER (
+       |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_c
+       |FROM orders WHERE o_custkey < 200
+       |ORDER BY 1, 2""".stripMargin
+
+  // ---- q16: lag / finite difference (W3 distributed analog) --------------
+  private def q16(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        coalesce(datediff(col("o_orderdate"), col("prev_date")).cast(LongType), lit(-1L))
+          .as("gap_days"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val q16Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  COALESCE(date_diff('day',
+      |    lag(o_orderdate, 1) OVER (
+      |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |    o_orderdate), -1) AS gap_days
+      |FROM orders ORDER BY 1, 2""".stripMargin
+
+  // ---- q17: as-of join (J2/J6 general form): for each purchase, the last
+  //           click at-or-before it by the same user ----------------------
+  private def q17(s: SparkSession, d: String): DataFrame = {
+    // ts is LongType epoch-nanos; compare in µs — DuckDB's parquet reader
+    // truncates nanosecond timestamps to microseconds. Integral `div`, not
+    // `/`: double division loses precision above 2^53.
+    val ev = Tables.events(s, d)
+      .withColumn("ts_us", expr("ts div 1000"))
+    graft.operators.AsOf.lastAtOrBefore(
+        left = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us"), col("event_id")),
+        right = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us").as("click_us")),
+        key = "user_id", leftTs = "ts_us", rightTs = "click_us")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        coalesce(col("click_us"), lit(-1L)).as("last_click_us"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  private val q17Sql =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tsn, event_type, event_id
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id, tsn, 1 AS tag, event_id, CAST(NULL AS BIGINT) AS c_ts
+      |  FROM ev WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, tsn, 0 AS tag, CAST(NULL AS BIGINT), tsn
+      |  FROM ev WHERE event_type = 'click'),
+      |w AS (
+      |  SELECT user_id, tsn, tag, event_id,
+      |    max(c_ts) OVER (PARTITION BY user_id ORDER BY tsn, tag
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+      |  FROM u)
+      |SELECT user_id, tsn AS ts_us, event_id,
+      |  COALESCE(last_click, -1) AS last_click_us
+      |FROM w WHERE tag = 1 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---- q18: ranked top-k per group ---------------------------------------
+  private def q18(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .select(col("c_mktsegment"), col("rnk"), col("c_custkey"),
+        FP.cents(col("c_acctbal")).as("acctbal_c"))
+      .orderBy("c_mktsegment", "rnk")
+  }
+
+  private val q18Sql =
+    s"""SELECT c_mktsegment, rnk, c_custkey, ${FP.sqlCents("c_acctbal")} AS acctbal_c
+       |FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk
+       |  FROM customer)
+       |WHERE rnk <= 3 ORDER BY 1, 2""".stripMargin
+
+  // ---- q19: date-part extraction (X1) ------------------------------------
+  private def q19(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast(LongType).as("yr"),
+        quarter(col("o_orderdate")).cast(LongType).as("qtr"),
+        month(col("o_orderdate")).cast(LongType).as("mo"),
+        dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
+        dayofyear(col("o_orderdate")).cast(LongType).as("doy"))
+      .orderBy("o_orderkey")
+
+  private val q19Sql =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+      |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+      |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+      |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy
+      |FROM orders WHERE o_orderkey % 50 = 0 ORDER BY 1""".stripMargin
+
+  // ---- q22: profile validity gate, relational part (F7 analog over
+  //           per-group sample stats) -------------------------------------
+  private def q22(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        countDistinct(col("l_quantity")).as("n_distinct"),
+        FP.cents(min(col("l_quantity"))).as("min_q_c"),
+        FP.cents(max(col("l_quantity"))).as("max_q_c"))
+      .withColumn("valid",
+        when(col("n_samples") >= 5 && col("n_distinct") >= 5, 1L).otherwise(0L))
+      .orderBy("l_orderkey")
+
+  private val q22Sql =
+    s"""SELECT l_orderkey, count(*) AS n_samples,
+       | count(DISTINCT l_quantity) AS n_distinct,
+       | ${FP.sqlCents("min(l_quantity)")} AS min_q_c,
+       | ${FP.sqlCents("max(l_quantity)")} AS max_q_c,
+       | CAST(CASE WHEN count(*) >= 5 AND count(DISTINCT l_quantity) >= 5
+       |      THEN 1 ELSE 0 END AS BIGINT) AS valid
+       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def defs: Map[String, QueryDef] = Map(
+    "q01_pricing_summary" -> QueryDef(q01, Some(q01Sql)),
+    "q02_filter_project" -> QueryDef(q02, Some(q02Sql)),
+    "q03_dict_join" -> QueryDef(q03, Some(q03Sql)),
+    "q04_group_first" -> QueryDef(q04, Some(q04Sql)),
+    "q05_distinct" -> QueryDef(q05, Some(q05Sql)),
+    "q06_union_all" -> QueryDef(q06, Some(q06Sql)),
+    "q07_row_number" -> QueryDef(q07, Some(q07Sql)),
+    "q08_histogram_year" -> QueryDef(q08, Some(q08Sql)),
+    "q09_global_agg" -> QueryDef(q09, Some(q09Sql)),
+    "q10_product_combine" -> QueryDef(q10, Some(q10Sql)),
+    "q11_all_match" -> QueryDef(q11, Some(q11Sql)),
+    "q12_top1_per_group" -> QueryDef(q12, Some(q12Sql)),
+    "q13_join_agg" -> QueryDef(q13, Some(q13Sql)),
+    "q14_semi_anti" -> QueryDef(q14, Some(q14Sql)),
+    "q15_window_cumsum" -> QueryDef(q15, Some(q15Sql)),
+    "q16_lag_diff" -> QueryDef(q16, Some(q16Sql)),
+    "q17_asof_join" -> QueryDef(q17, Some(q17Sql)),
+    "q18_rank_topk" -> QueryDef(q18, Some(q18Sql)),
+    "q19_date_parts" -> QueryDef(q19, Some(q19Sql)),
+    "q22_profile_gate" -> QueryDef(q22, Some(q22Sql)))
+}
