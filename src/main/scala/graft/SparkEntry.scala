@@ -13,7 +13,8 @@ import graft.queries._
   */
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
-    RelationalQueries)
+    RelationalQueries,
+    TextQueries)
 
   private lazy val all: Map[String, QueryDef] =
     modules.flatMap(_.defs).toMap

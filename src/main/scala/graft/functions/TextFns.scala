@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline primitives shared between the Spark queries and their
+  * DuckDB oracles.
+  *
+  * Everything here is built from codegen'd higher-order functions
+  * (`transform`/`filter`/`aggregate`) over array columns — no UDFs — so the
+  * hot path stays inside whole-stage codegen and the exact same arithmetic
+  * can be written as DuckDB SQL (`list_transform`/`list_filter`/
+  * `list_reduce`). Each Spark helper has a `sql*` twin generating the oracle
+  * fragment from the SAME constants, so the two engines cannot drift.
+  *
+  * Scale note: all operators below are per-row (narrow) until an explicit
+  * groupBy/join; at 100 TB they run map-side with zero shuffle.
+  */
+object TextFns {
+  /** Modulus for the canonical polynomial char hash: a prime below 1e15 so
+    * `acc*31 + code` (< 3.2e16) never overflows a signed 64-bit long. */
+  val HashMod = 999999999999989L
+  val HashMult = 31L
+  val HashSeed = 7L
+
+  /** MinHash parameterization: K permutations h_j(x) = (a_j·x + b_j) mod P,
+    * banded into BANDS groups of ROWS for LSH bucketing. */
+  val MinHashK = 8
+  val MinHashBands = 4
+  val MinHashRows: Int = MinHashK / MinHashBands
+  def permA(j: Int): Long = 2L * j + 3L // odd, tiny: a·x < 2e16 stays in Long
+  def permB(j: Int): Long = 12345L * j + 678L
+
+  /** SimHash over the low `SimHashBits` bits of the char hash (our hash is
+    * < 1e15 ≈ 2^50, so higher bits carry no signal). */
+  val SimHashBits = 48
+  /** Hamming-LSH: split the fingerprint into chunks; near-dups (small
+    * Hamming distance) must agree on at least one chunk. */
+  val SimHashChunkBits = 12
+  val SimHashChunks: Int = SimHashBits / SimHashChunkBits
+
+  // ---- canonical char hash ------------------------------------------------
+
+  /** Polynomial rolling hash of a string: fold (acc·31 + codepoint) mod P
+    * over the characters. Deterministic, engine-portable (ASCII + BMP). */
+  def charHash(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), c => ascii(c).cast("long")),
+      lit(HashSeed),
+      (acc, c) => (acc * HashMult + c) % HashMod)
+
+  /** DuckDB twin of [[charHash]] for an SQL expression `e`. */
+  def sqlCharHash(e: String): String =
+    s"list_reduce(list_prepend(CAST($HashSeed AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(acc, c) -> (acc * $HashMult + c) % $HashMod)"
+
+  // ---- tokenization -------------------------------------------------------
+
+  /** Lowercased whitespace tokens. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  def sqlTokens(e: String): String = s"string_split_regex(lower($e), '\\s+')"
+
+  /** Word k-shingles joined by a single space. */
+  def shingles(words: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), greatest(size(words) - k, lit(-1))),
+      i => concat_ws(" ", (0 until k).map(o => element_at(words, i + o + 1)): _*))
+
+  /** DuckDB twin: `w` must be a list expression (1-based indexing). */
+  def sqlShingles(w: String, k: Int): String = {
+    val parts = (0 until k).map(o => s"$w[i + $o]").mkString(" || ' ' || ")
+    s"list_transform(range(1, len($w) - ${k - 2}), i -> $parts)"
+  }
+
+  // ---- minhash ------------------------------------------------------------
+
+  /** MinHash signature j (0-based): min over shingle hashes of the j-th
+    * permutation. `hashes` is an array<long> of shingle char-hashes. */
+  def minhash(hashes: Column, j: Int): Column =
+    array_min(transform(hashes, x => (x * permA(j) + permB(j)) % HashMod))
+
+  def sqlMinhash(hashesExpr: String, j: Int): String =
+    s"list_min(list_transform($hashesExpr, x -> (x * ${permA(j)} + ${permB(j)}) % $HashMod))"
+
+  // ---- simhash ------------------------------------------------------------
+
+  /** Intra-row SimHash of an array of token hashes: bit b of the fingerprint
+    * is set iff more than half the tokens have bit b set.
+    * (`call_function` because the Scala `shiftright` helper only accepts a
+    * literal shift; the underlying SQL expression takes any column.) */
+  def simhash(hashes: Column): Column =
+    aggregate(
+      sequence(lit(0), lit(SimHashBits - 1)),
+      lit(0L),
+      (acc, b) =>
+        acc + when(
+          size(filter(hashes,
+            h => call_function("shiftright", h, b) % 2 === 1)) * 2
+            > size(hashes),
+          call_function("shiftleft", lit(1L), b)).otherwise(0L))
+
+  def sqlSimhash(hashesExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, $SimHashBits), " +
+      s"b -> CASE WHEN 2 * len(list_filter($hashesExpr, h -> (h >> b) % 2 = 1)) " +
+      s"> len($hashesExpr) THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)), " +
+      s"(acc, x) -> acc + x)"
+
+  /** Chunk c of a SimHash fingerprint for Hamming-LSH bucketing. */
+  def simhashChunk(sig: Column, c: Int): Column =
+    shiftright(sig, c * SimHashChunkBits) % (1 << SimHashChunkBits)
+
+  def sqlSimhashChunk(sigExpr: String, c: Int): String =
+    s"(($sigExpr >> ${c * SimHashChunkBits}) % ${1 << SimHashChunkBits})"
+
+  /** Hamming distance between two fingerprints (popcount of XOR). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  def sqlHamming(a: String, b: String): String = s"bit_count(xor($a, $b))"
+}

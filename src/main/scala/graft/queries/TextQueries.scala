@@ -1,0 +1,309 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.functions.{FP, TextFns => T}
+
+/** Training-data text pipeline over the `documents` table: exact and
+  * near deduplication (MinHash+LSH, SimHash, n-gram Jaccard), language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * Scale design: every per-document computation is a narrow map built from
+  * codegen'd higher-order array functions (no UDFs, no shuffle). Pairwise
+  * similarity NEVER does an unblocked self-join: candidates come from LSH
+  * band buckets (MinHash) or fingerprint chunks (SimHash), so the shuffle
+  * volume is O(docs × bands), not O(docs²) — at 100 TB the difference
+  * between a job and an outage.
+  */
+object TextQueries extends QueryModule {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+
+  // ---- q30: exact dedup by content hash (hash-groupBy) -------------------
+  private def q30(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  private val q30Sql =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+      | count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY 2""".stripMargin
+
+  // ---- q31: token counting (whitespace + BPE-ish regex) ------------------
+  private val BpePat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  private def q31(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id"),
+      size(T.tokens(col("text"))).cast(LongType).as("n_ws_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit(BpePat), lit(0)))
+        .cast(LongType).as("n_bpe_tokens"),
+      length(col("text")).cast(LongType).as("n_chars_measured"))
+      .orderBy("doc_id")
+
+  private val q31Sql =
+    s"""SELECT doc_id,
+       | len(${T.sqlTokens("text")}) AS n_ws_tokens,
+       | len(regexp_extract_all(lower(text), '$BpePat')) AS n_bpe_tokens,
+       | length(text) AS n_chars_measured
+       |FROM documents ORDER BY 1""".stripMargin
+
+  // ---- q32: quality scoring (length / punct / stopword ratios) -----------
+  private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is")
+
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    val toks = T.tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopRatio =
+      size(filter(toks, w => w.isInCollection(Stopwords))).cast("double") / nTok
+    val alphaRatio =
+      length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double") /
+        length(col("text")).cast("double")
+    val meanTokLen =
+      aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") / nTok
+    // Monotone quality heuristic: long docs, mostly-alpha, moderate stopword
+    // density, plausible word lengths score high.
+    val quality = least(nTok / 100.0, lit(1.0)) * 0.4 +
+      alphaRatio * 0.3 + stopRatio * 0.2 + least(meanTokLen / 8.0, lit(1.0)) * 0.1
+    docs(s, d).select(
+      col("doc_id"),
+      FP.micro(stopRatio).as("stop_ratio_u"),
+      FP.micro(alphaRatio).as("alpha_ratio_u"),
+      FP.micro(meanTokLen).as("mean_tok_len_u"),
+      FP.micro(quality).as("quality_u"))
+      .orderBy("doc_id")
+  }
+
+  private val q32Sql = {
+    val toks = T.sqlTokens("text")
+    val inList = Stopwords.map(w => s"'$w'").mkString(", ")
+    val stop = s"len(list_filter($toks, w -> w IN ($inList)))::DOUBLE / len($toks)"
+    val alpha = "length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / length(text)"
+    val mtl = s"list_sum(list_transform($toks, w -> length(w)))::DOUBLE / len($toks)"
+    s"""SELECT doc_id,
+       | ${FP.sqlMicro(stop)} AS stop_ratio_u,
+       | ${FP.sqlMicro(alpha)} AS alpha_ratio_u,
+       | ${FP.sqlMicro(mtl)} AS mean_tok_len_u,
+       | ${FP.sqlMicro(s"least(len($toks)/100.0, 1.0)*0.4 + ($alpha)*0.3 + ($stop)*0.2 + least(($mtl)/8.0, 1.0)*0.1")} AS quality_u
+       |FROM documents ORDER BY 1""".stripMargin
+  }
+
+  // ---- q33: language ID by function-word markers -------------------------
+  // A real corpus would use char-n-gram profiles (same plan shape: narrow
+  // map + argmax over per-language scores); the marker sets keep the oracle
+  // engine-portable.
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ein", "zu"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los", "y"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"))
+
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    val toks = T.tokens(col("text"))
+    val scores = Markers.map { case (lang, ws) =>
+      lang -> size(filter(toks, w => w.isInCollection(ws))).cast(LongType)
+    }
+    // Deterministic argmax: first language (alphabetical) achieving the max.
+    val maxScore = greatest(scores.map(_._2): _*)
+    val predOrdered = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, sc)) =>
+      when(sc === maxScore && maxScore > 0, lang).otherwise(acc)
+    }
+    docs(s, d).select(
+      (col("doc_id") +: scores.map { case (l, c) => c.as(s"score_$l") } :+
+        predOrdered.as("pred_lang") :+ col("lang").as("labeled_lang")): _*)
+      .orderBy("doc_id")
+  }
+
+  private val q33Sql = {
+    val toks = T.sqlTokens("text")
+    def sc(ws: Seq[String]) =
+      s"len(list_filter($toks, w -> w IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+    val cols = Markers.map { case (l, ws) => s"${sc(ws)} AS score_$l" }
+    val maxE = s"greatest(${Markers.map(m => s"score_${m._1}").mkString(", ")})"
+    val caseE = Markers.map { case (l, _) =>
+      s"WHEN score_$l = $maxE AND $maxE > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT doc_id, ${Markers.map(m => s"score_${m._1}").mkString(", ")},
+       | CASE $caseE ELSE 'und' END AS pred_lang, lang AS labeled_lang
+       |FROM (SELECT doc_id, lang, ${cols.mkString(", ")} FROM documents)
+       |ORDER BY 1""".stripMargin
+  }
+
+  // ---- q34: MinHash + LSH near-duplicate pairs ---------------------------
+  private val JaccardThreshold = 0.5
+
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    // repartition = explicit Exchange: stops Catalyst's CollapseProject from
+    // inlining the expensive shingle-hash array into each of the 8 minhash
+    // expressions downstream (each would re-tokenize + re-hash the text).
+    // The LSH self-join needs a shuffle anyway, so this costs nothing extra.
+    val base = docs(s, d).select(
+      col("doc_id"),
+      array_distinct(transform(T.shingles(T.tokens(col("text")), 3),
+        sh => T.charHash(sh))).as("hs"))
+      .repartition(col("doc_id"))
+    val withSigs = base.select(
+      (col("doc_id") +: col("hs") +:
+        (0 until T.MinHashK).map(j => T.minhash(col("hs"), j).as(s"sig$j"))): _*)
+      .repartition(col("doc_id"))
+    // band key = the signature slice, stringified (portable join key)
+    val bands = withSigs.select(
+      col("doc_id"), col("hs"),
+      explode(array((0 until T.MinHashBands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(":", (0 until T.MinHashRows)
+            .map(r => col(s"sig${b * T.MinHashRows + r}")): _*).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("hs"), col("bk.band"), col("bk.key"))
+    val l = bands.select(col("band"), col("key"),
+      col("doc_id").as("d1"), col("hs").as("hs1"))
+    val r = bands.select(col("band"), col("key"),
+      col("doc_id").as("d2"), col("hs").as("hs2"))
+    val cand = l.join(r, Seq("band", "key")).filter(col("d1") < col("d2"))
+      .select("d1", "d2", "hs1", "hs2").distinct()
+    cand.select(
+      col("d1"), col("d2"),
+      FP.micro(size(array_intersect(col("hs1"), col("hs2"))).cast("double") /
+        size(array_union(col("hs1"), col("hs2"))).cast("double")).as("jaccard_u"))
+      .filter(col("jaccard_u") >= (JaccardThreshold * 1e6).toLong)
+      .orderBy("d1", "d2")
+  }
+
+  private val q34Sql = {
+    val sigExprs = (0 until T.MinHashK)
+      .map(j => s"${T.sqlMinhash("hs", j)} AS sig$j").mkString(",\n    ")
+    val bandSelects = (0 until T.MinHashBands).map { b =>
+      val key = (0 until T.MinHashRows)
+        .map(r => s"sig${b * T.MinHashRows + r}").mkString(" || ':' || ")
+      s"SELECT doc_id, hs, $b AS band, $key AS key FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      ${T.sqlShingles(s"(${T.sqlTokens("text")})", 3)},
+       |      sh -> ${T.sqlCharHash("sh")})) AS hs
+       |  FROM documents),
+       |sigs AS (SELECT doc_id, hs, $sigExprs FROM base),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.hs AS hs1, b.hs AS hs2
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT d1, d2,
+       |  ${FP.sqlMicro("len(list_intersect(hs1, hs2))::DOUBLE / len(list_distinct(list_concat(hs1, hs2)))")} AS jaccard_u
+       |FROM cand
+       |WHERE ${FP.sqlMicro("len(list_intersect(hs1, hs2))::DOUBLE / len(list_distinct(list_concat(hs1, hs2)))")} >= ${(JaccardThreshold * 1e6).toLong}
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---- q35: SimHash near-duplicate pairs (Hamming LSH) -------------------
+  private val MaxHamming = 8
+
+  // SimHash over 3-shingles, not single tokens: with a small vocabulary,
+  // token-set fingerprints collapse (every doc shares the common words);
+  // shingles restore discriminative power, keeping the chunk-LSH join
+  // selective — essential at scale, where a degenerate fingerprint would
+  // turn the bucket join quadratic.
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    // Two Exchange barriers (see q34): `hs` must be an attribute before it
+    // feeds simhash (whose 48-bit fold references it ~100 times — passing
+    // the raw expression would re-hash every shingle per reference), and
+    // `sig` must be an attribute before the 4-way chunk fan-out.
+    val hashed = docs(s, d).select(
+      col("doc_id"),
+      array_distinct(transform(T.shingles(T.tokens(col("text")), 3),
+        sh => T.charHash(sh))).as("hs"))
+      .repartition(col("doc_id"))
+    val sigs = hashed.select(col("doc_id"), T.simhash(col("hs")).as("sig"))
+      .repartition(col("doc_id"))
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until T.SimHashChunks).map { c =>
+        struct(lit(c).as("c"), T.simhashChunk(col("sig"), c).as("v"))
+      }: _*)).as("ck"))
+      .select(col("doc_id"), col("sig"), col("ck.c"), col("ck.v"))
+    val l = chunks.select(col("c"), col("v"), col("doc_id").as("d1"), col("sig").as("sig1"))
+    val r = chunks.select(col("c"), col("v"), col("doc_id").as("d2"), col("sig").as("sig2"))
+    l.join(r, Seq("c", "v")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), T.hamming(col("sig1"), col("sig2")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= MaxHamming)
+      .orderBy("d1", "d2")
+  }
+
+  private val q35Sql = {
+    val chunkSelects = (0 until T.SimHashChunks).map { c =>
+      s"SELECT doc_id, sig, $c AS c, ${T.sqlSimhashChunk("sig", c)} AS v FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sigs AS (
+       |  SELECT doc_id,
+       |    ${T.sqlSimhash(s"list_distinct(list_transform(${T.sqlShingles(s"(${T.sqlTokens("text")})", 3)}, w -> ${T.sqlCharHash("w")}))")} AS sig
+       |  FROM documents),
+       |chunks AS (
+       |  $chunkSelects)
+       |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |  ${T.sqlHamming("a.sig", "b.sig")} AS hamming
+       |FROM chunks a JOIN chunks b ON a.c = b.c AND a.v = b.v
+       |WHERE a.doc_id < b.doc_id AND ${T.sqlHamming("a.sig", "b.sig")} <= $MaxHamming
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---- q36: blocked n-gram Jaccard (exact, within source blocks) ---------
+  private def q36(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(
+      col("doc_id"), col("source"),
+      array_distinct(T.shingles(T.tokens(col("text")), 2)).as("gs"))
+      .repartition(col("source"))
+    val l = base.select(col("source"), col("doc_id").as("d1"), col("gs").as("g1"))
+    val r = base.select(col("source"), col("doc_id").as("d2"), col("gs").as("g2"))
+    l.join(r, Seq("source")).filter(col("d1") < col("d2"))
+      .select(col("source"), col("d1"), col("d2"),
+        FP.micro(size(array_intersect(col("g1"), col("g2"))).cast("double") /
+          size(array_union(col("g1"), col("g2"))).cast("double")).as("jaccard_u"))
+      .filter(col("jaccard_u") >= 200000L)
+      .orderBy("source", "d1", "d2")
+  }
+
+  private val q36Sql = {
+    val j = "len(list_intersect(g1, g2))::DOUBLE / len(list_distinct(list_concat(g1, g2)))"
+    s"""WITH base AS (
+       |  SELECT doc_id, source,
+       |    list_distinct(${T.sqlShingles(s"(${T.sqlTokens("text")})", 2)}) AS gs
+       |  FROM documents)
+       |SELECT a.source, a.doc_id AS d1, b.doc_id AS d2,
+       |  ${FP.sqlMicro(j.replace("g1", "a.gs").replace("g2", "b.gs"))} AS jaccard_u
+       |FROM base a JOIN base b ON a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE ${FP.sqlMicro(j.replace("g1", "a.gs").replace("g2", "b.gs"))} >= 200000
+       |ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  // ---- q37: document fingerprint (rolling hash) + dedup groups -----------
+  private def q37(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"),
+        T.charHash(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .orderBy("keep_id")
+
+  private val q37Sql =
+    s"""SELECT ${T.sqlCharHash("regexp_replace(lower(text), '\\s+', ' ', 'g')")} AS fp,
+       | min(doc_id) AS keep_id, count(*) AS n_docs
+       |FROM documents GROUP BY 1 ORDER BY 2""".stripMargin
+
+  def defs: Map[String, QueryDef] = Map(
+    "q30_exact_dedup" -> QueryDef(q30, Some(q30Sql)),
+    "q31_token_count" -> QueryDef(q31, Some(q31Sql)),
+    "q32_quality_score" -> QueryDef(q32, Some(q32Sql)),
+    "q33_lang_id" -> QueryDef(q33, Some(q33Sql)),
+    "q34_minhash_lsh" -> QueryDef(q34, Some(q34Sql)),
+    "q35_simhash_neardup" -> QueryDef(q35, Some(q35Sql)),
+    "q36_ngram_jaccard" -> QueryDef(q36, Some(q36Sql)),
+    "q37_fingerprint" -> QueryDef(q37, Some(q37Sql)))
+}
