@@ -14,7 +14,8 @@ import graft.queries._
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     RelationalQueries,
-    TextQueries)
+    TextQueries,
+    EmbeddingQueries)
 
   private lazy val all: Map[String, QueryDef] =
     modules.flatMap(_.defs).toMap

@@ -33,6 +33,12 @@ object FP {
   def fixed(c: Column, scale: Double): Column =
     round(c * lit(scale)).cast(LongType)
 
+  /** Scala-side half-away-from-zero rounding, matching SQL `round()` in
+    * both Spark and DuckDB (`math.round` would round ties toward +∞ and
+    * drift on negative ties). For kernels and Aggregators. */
+  def roundHalfAway(d: Double): Long =
+    if (d >= 0) math.floor(d + 0.5).toLong else math.ceil(d - 0.5).toLong
+
   /** SQL fragments for the DuckDB oracle mirroring the above. */
   def sqlCents(e: String): String = sqlFixed(e, "100")
   def sqlMicro(e: String): String = sqlFixed(e, "1e6")

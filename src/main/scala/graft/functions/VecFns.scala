@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector primitives over `array<float>` embedding columns.
+  *
+  * All arithmetic is done in Double after an explicit element cast (float →
+  * double is exact), with left-to-right fold order, so Spark and the DuckDB
+  * oracles produce bit-identical results. Built from codegen'd higher-order
+  * functions — no UDFs in the hot path.
+  */
+object VecFns {
+  /** Dot product of two array<double> columns (left-to-right fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** DuckDB twin: `a`,`b` are list expressions of the same length `n`. */
+  def sqlDot(a: String, b: String, n: Int): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, ${n + 1}), i -> " +
+      s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def sqlNorm(a: String, n: Int): String = s"sqrt(${sqlDot(a, a, n)})"
+
+  /** Signed ±1.0 pseudo-random hyperplane component for plane `p`, dim `i`
+    * (1-based column): parity of an affine hash. Deterministic and portable
+    * — the "random" planes are a pure function of (p, i). */
+  def planeSign(p: Int, i: Column): Column =
+    when(((i * lit(2L * p + 3L) + lit(97L * p + 13L)) % TextFns.HashMod) % 2 === 1,
+      lit(1.0)).otherwise(lit(-1.0))
+
+  def sqlPlaneSign(p: Int, i: String): String =
+    s"CASE WHEN (($i * ${2L * p + 3L} + ${97L * p + 13L}) % ${TextFns.HashMod}) % 2 = 1 " +
+      "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END"
+
+  /** Projection of the vector onto pseudo-random hyperplane `p`. */
+  def planeProj(vec: Column, p: Int, n: Int): Column =
+    aggregate(sequence(lit(1), lit(n)), lit(0.0),
+      (acc, i) => acc + element_at(vec, i) * planeSign(p, i))
+
+  def sqlPlaneProj(vec: String, p: Int, n: Int): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, ${n + 1}), i -> " +
+      s"CAST($vec[i] AS DOUBLE) * ${sqlPlaneSign(p, "i")})), (acc, x) -> acc + x)"
+
+  /** Random-hyperplane LSH bucket: `bits` sign bits packed into a long.
+    * Collision probability rises with cosine similarity — the standard
+    * SimHash-for-vectors scheme. At scale this turns all-pairs similarity
+    * into an equi-join on bucket. */
+  def lshBucket(vec: Column, bits: Int, n: Int): Column =
+    (0 until bits).map(p =>
+      when(planeProj(vec, p, n) > 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  def sqlLshBucket(vec: String, bits: Int, n: Int): String =
+    (0 until bits).map(p =>
+      s"CASE WHEN ${sqlPlaneProj(vec, p, n)} > 0 THEN ${1L << p} ELSE 0 END")
+      .mkString("(", " + ", ")")
+}

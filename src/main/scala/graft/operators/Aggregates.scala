@@ -46,7 +46,7 @@ object Aggregates {
         var i = 0
         val m = math.min(n, xs.length)
         while (i < m) {
-          b(i) += w * math.round(xs(i).toDouble * 1e9)
+          b(i) += w * graft.functions.FP.roundHalfAway(xs(i).toDouble * 1e9)
           i += 1
         }
         b(n) += w
@@ -95,4 +95,7 @@ object Aggregates {
   /** Column-API handles. */
   def productLong(c: Column): Column = udaf(new ProductLong).apply(c)
   def simhash64(c: Column): Column = udaf(new SimHash64).apply(c)
+  def weightedArrayMeanFP(n: Int)(w: Column, xs: Column): Column =
+    udaf(new WeightedArrayMeanFP(n),
+      ExpressionEncoder[(Long, Seq[Float])]()).apply(w, xs)
 }
