@@ -15,7 +15,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     RelationalQueries,
     TextQueries,
-    EmbeddingQueries)
+    EmbeddingQueries,
+    GeoQueries)
 
   private lazy val all: Map[String, QueryDef] =
     modules.flatMap(_.defs).toMap

@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.functions.FP
+
+/** The reference's spatial-climatology dataflow re-expressed as Spark
+  * relational algebra (SURVEY.md §2.4 J1/J2, §2.5 A1/A2, §2.3 F4/F5/F8):
+  * grid generation, binned neighborhood join, kernel-weighted per-cell
+  * means, and the two-pass anomaly ("EAPE-shaped") aggregation.
+  *
+  * The testdata tables carry no coordinates, so profiles get deterministic
+  * pseudo lat/lon from integer arithmetic on keys — the OPERATORS under
+  * test are exactly the production ones.
+  *
+  * Scale design (what replaces the reference's tiles/halos,
+  * /root/reference/src/argostats/atlas.py:327-338,497-514):
+  *  - each profile is assigned ONE spatial bin; the (small) grid side
+  *    explodes to its 3×3 bin neighborhood; the two meet in a shuffle
+  *    equi-join on bin key. Shuffle volume is O(profiles + 9·cells), never
+  *    O(cells × profiles).
+  *  - per-(cell) aggregation uses fixed-point per-row contributions so the
+  *    distributed sum is order-independent (map-side partial agg safe).
+  *  - kernel weights use a pure-arithmetic cos approximation + rational
+  *    falloff: IEEE-exact, bit-reproducible across engines (the
+  *    trig/exp variants live in [[graft.functions.Geo]] and are unit-tested
+  *    against known distances instead).
+  */
+object GeoQueries extends QueryModule {
+  /** Grid resolution (degrees); bin width == resolution, radius == reso/2,
+    * so a 3×3 neighborhood is provably sufficient. */
+  private val Reso = 10.0
+  private val NLon = 36
+  private val NLat = 18
+  private val Radius2 = (Reso / 2) * (Reso / 2) // degrees², squared cutoff
+
+  // ---- deterministic pseudo-coordinates from integer keys ----------------
+  private def pLon(key: Column): Column =
+    ((key * 7919L) % 36000L).cast("double") / 100.0 - 180.0
+  private def pLat(key: Column): Column =
+    ((key * 104729L) % 18000L).cast("double") / 100.0 - 90.0
+
+  private def sqlPLon(k: String) = s"((($k * 7919) % 36000)::DOUBLE / 100.0 - 180.0)"
+  private def sqlPLat(k: String) = s"((($k * 104729) % 18000)::DOUBLE / 100.0 - 90.0)"
+
+  /** 4-term Taylor cos on degrees — pure +,*,/ so both engines agree bitwise
+    * (|err| < 3e-4 for |lat| ≤ 90°, irrelevant for a weight kernel). */
+  private def cosDeg(deg: Column): Column = {
+    val x = deg * (math.Pi / 180.0)
+    val x2 = x * x
+    lit(1.0) - x2 / 2.0 + x2 * x2 / 24.0 - x2 * x2 * x2 / 720.0
+  }
+
+  private def sqlCosDeg(deg: String) = {
+    val x = s"(($deg) * ${math.Pi / 180.0})"
+    val x2 = s"($x * $x)"
+    s"(1.0 - $x2 / 2.0 + $x2 * $x2 / 24.0 - $x2 * $x2 * $x2 / 720.0)"
+  }
+
+  // ---- profiles: orders with pseudo-positions ----------------------------
+  private def profiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey").as("pk"),
+      pLon(col("o_orderkey")).as("lon"),
+      pLat(col("o_orderkey")).as("lat"),
+      col("o_totalprice").as("x"))
+
+  private val sqlProfiles =
+    s"""SELECT o_orderkey AS pk, ${sqlPLon("o_orderkey")} AS lon,
+       | ${sqlPLat("o_orderkey")} AS lat, o_totalprice AS x
+       |FROM orders""".stripMargin
+
+  // ---- grid: generated cells with centers --------------------------------
+  /** Cell (i,j), i∈[0,36), j∈[0,18); center at lo + (i+0.5)·reso. */
+  private def grid(s: SparkSession): DataFrame =
+    s.range(NLon.toLong * NLat)
+      .select((col("id") % NLon).cast("int").as("ci"),
+        (col("id") / NLon).cast("int").as("cj"))
+      .select(col("ci"), col("cj"),
+        (col("ci") * Reso - 180.0 + Reso / 2).as("clon"),
+        (col("cj") * Reso - 90.0 + Reso / 2).as("clat"))
+
+  private val sqlGrid =
+    s"""SELECT (id % $NLon)::INT AS ci, (id // $NLon)::INT AS cj,
+       | CAST((id % $NLon) * $Reso - 180.0 + ${Reso / 2} AS DOUBLE) AS clon,
+       | CAST((id // $NLon) * $Reso - 90.0 + ${Reso / 2} AS DOUBLE) AS clat
+       |FROM range(0, ${NLon * NLat}) t(id)""".stripMargin
+
+  /** Deterministic "land" mask on cells (stand-in for the reference's bathy
+    * grid, bathy/bathy.py:67-82): a small dimension broadcast-joined to
+    * prune grid cells before any heavy work. */
+  private def landExpr(ci: Column, cj: Column): Column =
+    (ci * 31 + cj * 17) % 5 === 0
+
+  private val sqlLand = "(ci * 31 + cj * 17) % 5 = 0"
+
+  // ---- the binned neighborhood join (J1) ---------------------------------
+  /** (cell × profile) pairs within Radius, with fixed-point contributions.
+    * Profiles get one bin; sea cells explode to 9 neighbor bins. */
+  private def pairs(s: SparkSession, d: String): DataFrame = {
+    val p = profiles(s, d).select(col("pk"), col("lon"), col("lat"), col("x"),
+      floor((col("lon") + 180.0) / Reso).cast("int").as("bi"),
+      floor((col("lat") + 90.0) / Reso).cast("int").as("bj"))
+    val cells = grid(s).filter(!landExpr(col("ci"), col("cj")))
+    val exploded = cells
+      .select(col("ci"), col("cj"), col("clon"), col("clat"),
+        explode(array((-1 to 1).flatMap(di => (-1 to 1).map(dj =>
+          struct(((col("ci") + di + NLon) % NLon).as("bi"),
+            (col("cj") + dj).as("bj")))): _*)).as("nb"))
+      .select(col("ci"), col("cj"), col("clon"), col("clat"),
+        col("nb.bi"), col("nb.bj"))
+    val dlon = col("lon") - col("clon")
+    val dlat = col("lat") - col("clat")
+    val d2 = dlat * dlat + (dlon * cosDeg(col("clat"))) * (dlon * cosDeg(col("clat")))
+    p.join(broadcast(exploded), Seq("bi", "bj"))
+      .withColumn("d2", d2)
+      .filter(col("d2") <= Radius2)
+      .withColumn("w_u", FP.micro(lit(1.0) / (lit(1.0) + col("d2"))))
+      .withColumn("wx_u", FP.micro(col("x") / (lit(1.0) + col("d2"))))
+  }
+
+  private val sqlPairs =
+    s"""prof AS (
+       |  SELECT pk, lon, lat, x,
+       |    CAST(floor((lon + 180.0) / $Reso) AS INT) AS bi,
+       |    CAST(floor((lat + 90.0) / $Reso) AS INT) AS bj
+       |  FROM ($sqlProfiles)),
+       |cells AS (SELECT * FROM ($sqlGrid) WHERE NOT $sqlLand),
+       |nbr AS (
+       |  SELECT ci, cj, clon, clat,
+       |    (ci + di.x + $NLon) % $NLon AS bi, cj + dj.x AS bj
+       |  FROM cells,
+       |    (SELECT unnest([-1, 0, 1]) AS x) di,
+       |    (SELECT unnest([-1, 0, 1]) AS x) dj),
+       |pairs AS (
+       |  SELECT ci, cj, clon, clat, pk, x,
+       |    (lat - clat) * (lat - clat)
+       |      + ((lon - clon) * ${sqlCosDeg("clat")}) * ((lon - clon) * ${sqlCosDeg("clat")}) AS d2
+       |  FROM prof JOIN nbr USING (bi, bj)),
+       |wpairs AS (
+       |  SELECT ci, cj, clon, clat, pk, x, d2,
+       |    ${FP.sqlMicro("1.0 / (1.0 + d2)")} AS w_u,
+       |    ${FP.sqlMicro("x / (1.0 + d2)")} AS wx_u
+       |  FROM pairs WHERE d2 <= $Radius2)""".stripMargin
+
+  // ---- q50: kernel-weighted per-cell mean (J1 + A1) ----------------------
+  private def q50(s: SparkSession, d: String): DataFrame =
+    pairs(s, d)
+      .groupBy(col("ci"), col("cj"))
+      .agg(sum(col("wx_u")).as("swx"), sum(col("w_u")).as("sw"),
+        count(lit(1)).as("n_prof"))
+      .filter(col("sw") > 0)
+      .select(col("ci"), col("cj"),
+        round(col("swx").cast("double") / col("sw").cast("double") * 100.0)
+          .cast(LongType).as("wmean_c"),
+        col("n_prof"))
+      .orderBy("ci", "cj")
+
+  private val q50Sql =
+    s"""WITH $sqlPairs
+       |SELECT ci, cj,
+       |  CAST(round(sum(wx_u)::DOUBLE / sum(w_u)::DOUBLE * 100.0) AS BIGINT) AS wmean_c,
+       |  count(*) AS n_prof
+       |FROM wpairs GROUP BY 1, 2 HAVING sum(w_u) > 0 ORDER BY 1, 2""".stripMargin
+
+  // ---- q51: two-pass anomaly aggregation (A2's dataflow shape) -----------
+  // Pass 1: per-cell weighted mean. Join means back onto the SAME pairs.
+  // Pass 2: weighted mean of squared anomaly — the reference's EAPE pipeline
+  // with ρ-displacement replaced by a pure-arithmetic anomaly (the TEOS-10
+  // kernels are exercised by their own unit suite).
+  private def q51(s: SparkSession, d: String): DataFrame = {
+    val pr = pairs(s, d)
+    val means = pr.groupBy(col("ci"), col("cj"))
+      .agg(sum(col("wx_u")).as("swx"), sum(col("w_u")).as("sw"))
+      .filter(col("sw") > 0)
+      .select(col("ci"), col("cj"),
+        (col("swx").cast("double") / col("sw").cast("double")).as("xbar"))
+    pr.join(broadcast(means), Seq("ci", "cj"))
+      .withColumn("a2w_u",
+        FP.micro((col("x") - col("xbar")) * (col("x") - col("xbar"))
+          / (lit(1.0) + col("d2")) / 1e6))
+      .groupBy(col("ci"), col("cj"))
+      .agg(sum(col("a2w_u")).as("sa"), sum(col("w_u")).as("sw"),
+        count(lit(1)).as("n_prof"))
+      .select(col("ci"), col("cj"),
+        round(col("sa").cast("double") / col("sw").cast("double") * 1e6)
+          .cast(LongType).as("anom2_u"),
+        col("n_prof"))
+      .orderBy("ci", "cj")
+  }
+
+  private val q51Sql =
+    s"""WITH $sqlPairs,
+       |means AS (
+       |  SELECT ci, cj, sum(wx_u)::DOUBLE / sum(w_u)::DOUBLE AS xbar
+       |  FROM wpairs GROUP BY 1, 2 HAVING sum(w_u) > 0),
+       |second AS (
+       |  SELECT w.ci, w.cj,
+       |    ${FP.sqlMicro("(w.x - m.xbar) * (w.x - m.xbar) / (1.0 + w.d2) / 1e6")} AS a2w_u,
+       |    w.w_u
+       |  FROM wpairs w JOIN means m ON w.ci = m.ci AND w.cj = m.cj)
+       |SELECT ci, cj,
+       |  CAST(round(sum(a2w_u)::DOUBLE / sum(w_u)::DOUBLE * 1e6) AS BIGINT) AS anom2_u,
+       |  count(*) AS n_prof
+       |FROM second GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- q52: nearest-cell lookup by index arithmetic (J2) + mask (F8) -----
+  private def q52(s: SparkSession, d: String): DataFrame =
+    profiles(s, d)
+      .select(col("pk"), col("x"),
+        least(floor((col("lon") + 180.0) / Reso).cast("int"), lit(NLon - 1)).as("ci"),
+        least(floor((col("lat") + 90.0) / Reso).cast("int"), lit(NLat - 1)).as("cj"))
+      .filter(!landExpr(col("ci"), col("cj")))
+      .groupBy(col("ci"), col("cj"))
+      .agg(count(lit(1)).as("n_prof"), sum(FP.cents(col("x"))).as("sum_x_c"))
+      .orderBy("ci", "cj")
+
+  private val q52Sql =
+    s"""WITH prof AS (
+       |  SELECT pk, x,
+       |    least(CAST(floor((lon + 180.0) / $Reso) AS INT), ${NLon - 1}) AS ci,
+       |    least(CAST(floor((lat + 90.0) / $Reso) AS INT), ${NLat - 1}) AS cj
+       |  FROM ($sqlProfiles))
+       |SELECT ci, cj, count(*) AS n_prof,
+       |  CAST(sum(${FP.sqlCents("x")}) AS BIGINT) AS sum_x_c
+       |FROM prof WHERE NOT $sqlLand
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  def defs: Map[String, QueryDef] = Map(
+    "q50_grid_climatology" -> QueryDef(q50, Some(q50Sql)),
+    "q51_two_pass_anomaly" -> QueryDef(q51, Some(q51Sql)),
+    "q52_nearest_cell" -> QueryDef(q52, Some(q52Sql)))
+}
