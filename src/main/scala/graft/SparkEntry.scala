@@ -16,7 +16,8 @@ object SparkEntry {
     RelationalQueries,
     TextQueries,
     EmbeddingQueries,
-    GeoQueries)
+    GeoQueries,
+    KernelQueries)
 
   private lazy val all: Map[String, QueryDef] =
     modules.flatMap(_.defs).toMap

@@ -1,0 +1,125 @@
+package graft.functions
+
+/** Seawater thermodynamics kernels (SURVEY.md §2.8 X5/X7).
+  *
+  * Pure scalar functions on doubles: deterministic, branch-free where the
+  * reference is branch-free, safe to wrap as Spark UDFs (and to promote to
+  * codegen'd Catalyst expressions later — they are single-expression
+  * chains of arithmetic and `math.pow`).
+  *
+  * The equation of state is PLUGGABLE ([[SeawaterEos]]): the reference
+  * delegates ρ to the external GSW library (TEOS-10 75-term polynomial,
+  * /root/reference/src/argostats/interpolation.py:200-210 via `gsw`);
+  * this engine ships [[SimplifiedEos]] — the simplified-EOS functional
+  * form of Roquet et al. 2015 ("Defining a simplified yet realistic
+  * equation of state", Ocean Modelling) with representative coefficients —
+  * and any TEOS-10 implementation can be dropped in behind the same trait
+  * without touching the pipeline.
+  */
+trait SeawaterEos {
+  /** In-situ density, kg/m³.
+    * @param sr reference-composition salinity, g/kg
+    * @param ct conservative temperature, °C
+    * @param p  sea pressure, dbar (≈ depth in m) */
+  def rho(sr: Double, ct: Double, p: Double): Double
+}
+
+/** Simplified EOS (S-EOS form): linear-ish in (CT, SR) with cabbeling and
+  * thermobaric correction terms. */
+object SimplifiedEos extends SeawaterEos {
+  val Rho0 = 1026.0
+  val A0 = 1.6550e-1 // thermal expansion, kg/m³/K
+  val B0 = 7.6554e-1 // haline contraction, kg/m³/(g/kg)
+  val Lambda1 = 5.9520e-2 // cabbeling (T²)
+  val Lambda2 = 5.4914e-4 // cabbeling (S²)
+  val Mu1 = 1.4970e-4 // thermobaric (T·z)
+  val Mu2 = 1.1090e-5 // thermobaric (S·z)
+  val Nu = 2.4341e-3 // cabbeling (T·S)
+
+  def rho(sr: Double, ct: Double, p: Double): Double = {
+    val ta = ct - 10.0
+    val sa = sr - 35.0
+    val z = p // 1 dbar ≈ 1 m
+    Rho0 -
+      A0 * (1.0 + 0.5 * Lambda1 * ta + Mu1 * z) * ta +
+      B0 * (1.0 - 0.5 * Lambda2 * sa - Mu2 * z) * sa -
+      Nu * ta * sa
+  }
+}
+
+object Seawater {
+  /** SP → SR scale factor: 35.16504 g/kg per 35 psu (TEOS-10 definition;
+    * the reference applies the same constant via gsw `SR_from_SP`,
+    * interpolation.py:205-208). */
+  val UPS: Double = 35.16504 / 35.0
+
+  def srFromSp(sp: Double): Double = sp * UPS
+
+  /** Lorenz reference-density profile and its hydrostatic pressure, from
+    * the analytical World-Ocean-Atlas fit of Tailleux 2020; constants as
+    * published in the reference
+    * (/root/reference/src/argostats/lorenz/lorenz_state.py:35-60). */
+  object Lorenz {
+    val a = 4.56016575
+    val b = -1.24898501
+    val c = 0.00439778209
+    val d = 1030.99373
+    val e = 8.32218903
+    val Grav = 9.81
+    // precomputed composites (lorenz_state.py:86-88)
+    val A: Double = a / ((b + 1) * (b + 2))
+    val D: Double = A * math.pow(e, b + 2)
+    val C: Double = c / 2
+
+    /** ρ_ref(z), kg/m³, z = depth ≥ 0 in m (lorenz_state.py:63-79). */
+    def rhoRef(z: Double): Double =
+      a / (b + 1) * math.pow(z + e, b + 1) + c * z + d
+
+    /** Hydrostatic pressure at depth z, dbar (lorenz_state.py:94-95). */
+    def pr(z: Double): Double =
+      (Grav / 1e4) * (A * math.pow(z + e, b + 2) + C * z * z + d * z - D)
+
+    // Poly8 pressure correction, Horner form; x normalized by
+    // (p - 1440)/1470 (lorenz_state.py:47-55,100,177-183)
+    private val P = Array(6.431, 6.677, -0.08414, -0.03696, 0.06807,
+      -0.06387, 0.03216, -0.008056, 0.0007824)
+
+    def poly8(x: Double): Double = {
+      var acc = P(8)
+      var i = 7
+      while (i >= 0) { acc = acc * x + P(i); i -= 1 }
+      acc
+    }
+  }
+
+  /** Thermodynamic neutral density γ_T and the reference depth/pressure/
+    * density of a water parcel — fixed 30-iteration branch-free bisection
+    * solving ρ_ref(z_ref) = ρ(sr, ct, p_r(z_ref)), then the Poly8
+    * correction; algorithm and constants per the reference
+    * (lorenz_state.py:115-185). Deterministic: iteration count is fixed,
+    * no convergence test, so the plan is codegen-friendly.
+    *
+    * @return (gammat, zref, pref, sigref)
+    */
+  def gammatAnalytic(sr: Double, ct: Double,
+                     eos: SeawaterEos = SimplifiedEos): (Double, Double, Double, Double) = {
+    var ztop = 0.0
+    var zbot = 6000.0
+    var zref = 2000.0
+    var i = 0
+    while (i < 30) {
+      val buoy = Lorenz.rhoRef(zref) - eos.rho(sr, ct, Lorenz.pr(zref))
+      val ss = math.signum(buoy)
+      val zrefNew = 0.25 * (1.0 + ss) * (ztop + zref) + 0.25 * (1.0 - ss) * (zbot + zref)
+      val ztopNew = 0.5 * (1 + ss) * ztop + 0.5 * (1 - ss) * zref
+      val zbotNew = 0.5 * (1 - ss) * zbot + 0.5 * (1 + ss) * zref
+      ztop = ztopNew; zbot = zbotNew; zref = zrefNew
+      i += 1
+    }
+    val pref = Lorenz.pr(zref)
+    val x = (pref - 1440.0) / 1470.0
+    val sigref = eos.rho(sr, ct, pref) - 1000.0
+    val gammat = sigref - Lorenz.poly8(x)
+    (gammat, zref, pref, sigref)
+  }
+}
