@@ -1,0 +1,280 @@
+package graft.argo
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Geo, Interp, Seawater, SeawaterEos, SimplifiedEos}
+
+/** Stage 3: gridded climatology (SURVEY.md §3.3; reference atlas.py).
+  *
+  * The reference walks every grid point of every tile and scans the
+  * cropped profile array per point (atlas.py:256-308) — O(cells ×
+  * profiles) with hand-rolled tiles/halos for memory. Here the
+  * neighborhood search is an equi-join:
+  *
+  *  - profiles are assigned ONE (lonBin, latBin) spatial bin;
+  *  - grid cells explode to every bin within the kernel cutoff (3×… in
+  *    latitude, widening with 1/cos φ in longitude, wrapping at ±180°);
+  *  - pairs meet in a shuffle hash join on the bin key, then the exact
+  *    `haversine_arg < dcritical` filter (F5) and `exp(−arg)` weight (X3)
+  *    — weight on the ARG, not the distance (atlas.py:104-108).
+  *
+  * Shuffle volume is O(profiles + cells·neighborhood); tiles, halos and
+  * subdomain stitching (atlas.py:327-371,497-514) have no equivalent —
+  * partitioning does that job.
+  *
+  * Per-cell statistics aggregate whole 64-level arrays in a typed
+  * [[Aggregator]] (A1): map-side partial aggregation shuffles one buffer
+  * per (partition × cell), not one row per (profile × level).
+  */
+class Atlas(
+    val box: (Double, Double, Double, Double), // lon1, lon2, lat1, lat2
+    val reso: Double,
+    val smoothingFactor: Double = 4.0,
+    val eos: SeawaterEos = SimplifiedEos,
+    val landMask: (Double, Double) => Boolean = (_, _) => false) extends Serializable {
+
+  import ArgoSchemas.{NLevels, Pref}
+
+  /** X4: sin²(deg2rad(sf·reso)/2) — the cutoff lives in haversine-ARG
+    * space (atlas.py:311-313). */
+  val dCritical: Double = {
+    val d0 = math.toRadians(smoothingFactor * reso)
+    val s = math.sin(d0 / 2)
+    s * s
+  }
+
+  /** Angular search radius in degrees (arg < dcritical ⟺ separation
+    * < sf·reso degrees of arc). */
+  val radiusDeg: Double = smoothingFactor * reso
+
+  // ---- grid (X11: mylinspace ≡ sequence arithmetic, atlas.py:83-90) ------
+  def grid(s: SparkSession): DataFrame = {
+    val (lon1, lon2, lat1, lat2) = box
+    val nlon = ((lon2 - lon1) / reso).toInt
+    val nlat = ((lat2 - lat1) / reso).toInt
+    val maskUdf = udf(landMask)
+    s.range(nlon.toLong * nlat)
+      .select((col("id") % nlon).cast("int").as("gi"),
+        (col("id") / nlon).cast("int").as("gj"))
+      .select(col("gi"), col("gj"),
+        (lit(lon1) + col("gi") * reso).as("glon"),
+        (lit(lat1) + col("gj") * reso).as("glat"))
+      // F8/S10: land-mask prune BEFORE any join work (atlas.py:266-270)
+      .filter(!maskUdf(col("glon"), col("glat")))
+  }
+
+  // ---- F4: crop_data — prune profiles to box + margin (atlas.py:234-253)
+  def crop(profiles: DataFrame): DataFrame = {
+    val (lon1, lon2, lat1, lat2) = box
+    val m = radiusDeg
+    profiles
+      .filter(col("FLAG") === 1 && col("DATA_MODE") === 1)
+      .filter(col("LATITUDE").between(lat1 - m, lat2 + m))
+      // longitude margin widens with latitude; keep simple conservative
+      // bound (exact distance is re-checked in the join)
+      .filter(col("LONGITUDE").between(lon1 - 4 * m, lon2 + 4 * m) ||
+        lit(lon2 - lon1 >= 360 - 8 * m))
+  }
+
+  // ---- J1: the binned neighborhood join ----------------------------------
+  /** (cell × profile) pairs with weight `w = exp(−haversine_arg)`.
+    * Cached by callers that aggregate twice (TS then EAPE — the
+    * reference's kdx/coef/N reuse, atlas.py:289-306). */
+  def pairs(s: SparkSession, profiles: DataFrame): DataFrame = {
+    val binW = radiusDeg // bin width = search radius → ±1 bin in latitude
+    val p = crop(profiles)
+      .select(col("LONGITUDE").as("plon"), col("LATITUDE").as("plat"),
+        col("CT"), col("SR"), col("IDX"))
+      .withColumn("bi", floor((col("plon") + 180.0) / binW).cast("int"))
+      .withColumn("bj", floor((col("plat") + 90.0) / binW).cast("int"))
+    val nBi = math.ceil(360.0 / binW).toInt
+    // longitude neighborhood widens as 1/cos φ; evaluate at the cell's
+    // worst-case |lat| edge, cap at half the bins (pole-safe)
+    val latEdge = least(lit(89.0), greatest(abs(col("glat") - reso), abs(col("glat") + reso)))
+    val kLon = least(lit(nBi / 2),
+      ceil(lit(1.0) / cos(radians(latEdge)))).cast("int")
+    val g = grid(s)
+      .withColumn("ki", explode(sequence(-kLon, kLon)))
+      .withColumn("kj", explode(sequence(lit(-1), lit(1))))
+      .select(col("gi"), col("gj"), col("glon"), col("glat"),
+        pmod(floor((col("glon") + 180.0) / binW).cast("int") + col("ki"), lit(nBi)).as("bi"),
+        (floor((col("glat") + 90.0) / binW).cast("int") + col("kj")).as("bj"))
+    p.join(g, Seq("bi", "bj"))
+      .withColumn("arg", Geo.haversineArg(col("plon"), col("plat"),
+        col("glon"), col("glat")))
+      .filter(col("arg") < dCritical) // F5
+      .withColumn("w", exp(-col("arg"))) // X3: weight on the arg
+      .drop("bi", "bj", "ki", "kj", "arg")
+  }
+
+  // ---- A1: per-cell weighted profile mean --------------------------------
+  def climTS(s: SparkSession, profiles: DataFrame): DataFrame = {
+    val pr = pairs(s, profiles)
+    val cellMeans = Atlas.aggTS(pr)
+    explodeLevels(cellMeans, Seq("CT_m" -> "CT", "SR_m" -> "SR"))
+  }
+
+  /** A2 (R14) / A3 (T25): two chained aggregations sharing one pair set.
+    * @param algo "R14" or "T25" */
+  def climEAPE(s: SparkSession, profiles: DataFrame, algo: String = "R14"): DataFrame = {
+    require(algo == "R14" || algo == "T25", s"unknown EAPE algo $algo")
+    val pr = pairs(s, profiles).persist() // reuse across both passes (§4)
+    try {
+      val eosB = eos
+      // pass 1: cell means → RHO (+ CF for R14, GAMMAT for T25)
+      val rhoUdf = udf((srm: Seq[Float], ctm: Seq[Float]) =>
+        Pref.indices.map(k => eosB.rho(srm(k), ctm(k), Pref(k)).toFloat))
+      val cfUdf = udf((srm: Seq[Float], ctm: Seq[Float], rho: Seq[Float]) =>
+        Atlas.computeCF(srm.toArray.map(_.toDouble),
+          ctm.toArray.map(_.toDouble), rho.toArray.map(_.toDouble), eosB)
+          .map(_.toFloat).toSeq)
+      val gammatArr = udf((sr: Seq[Float], ct: Seq[Float]) =>
+        Pref.indices.map { k =>
+          Seawater.gammatAnalytic(sr(k), ct(k), eosB)._1.toFloat
+        })
+      val means0 = Atlas.aggTS(pr)
+      val means = algo match {
+        case "R14" =>
+          val m = means0.withColumn("RHO", rhoUdf(col("SR_m"), col("CT_m")))
+            .withColumn("CF", cfUdf(col("SR_m"), col("CT_m"), col("RHO")))
+          // SIGSTAR = RHO·CF − 1000 (atlas.py:296)
+          m.withColumn("SIG", zip_with(col("RHO"), col("CF"),
+            (r, c) => (r * c - 1000.0).cast("float")))
+        case "T25" =>
+          means0.withColumn("RHO", rhoUdf(col("SR_m"), col("CT_m")))
+            .withColumn("CF", array_repeat(lit(1.0f), NLevels))
+            .withColumn("SIG", gammatArr(col("SR_m"), col("CT_m")))
+      }
+      // pass 2: per-pair EAPE against the cell stats, weighted mean again
+      val eapeUdf = udf((ct: Seq[Float], sr: Seq[Float], idx: Seq[Byte],
+                         rhoM: Seq[Float], cf: Seq[Float]) =>
+        Atlas.eapeProfile(ct.toArray, sr.toArray, idx.toArray,
+          rhoM.toArray, cf.toArray, eosB, algo).toSeq)
+      val withEape = pr
+        .join(broadcast(means.select(col("gi"), col("gj"), col("glon"),
+          col("glat"), col("RHO"), col("CF"), col("SIG"))), Seq("gi", "gj", "glon", "glat"))
+        .withColumn("EAPE_p",
+          eapeUdf(col("CT"), col("SR"), col("IDX"), col("RHO"), col("CF")))
+      val agg = withEape.groupBy(col("gi"), col("gj"), col("glon"), col("glat"))
+        .agg(Atlas.profileMean(col("w"), col("EAPE_p"), col("IDX")).as("EAPE_m"),
+          first(col("SIG")).as("SIG_m"))
+      explodeLevels(agg, Seq("EAPE_m" -> "EAPE", "SIG_m" -> "SIGSTAR"))
+    } finally pr.unpersist(blocking = false)
+  }
+
+  /** Dense (cell, level) long-format output (S9: the atlas "NetCDF" sink is
+    * any Spark sink over this frame). */
+  private def explodeLevels(cells: DataFrame, cols0: Seq[(String, String)]): DataFrame = {
+    val prefCol = lit(Pref.map(_.toFloat))
+    cells
+      .withColumn("lev", explode(sequence(lit(0), lit(NLevels - 1))))
+      .select(Seq(col("glon").cast("float").as("lon"),
+        col("glat").cast("float").as("lat"),
+        element_at(prefCol, col("lev") + 1).as("pres")) ++
+        cols0.map { case (src, dst) =>
+          element_at(col(src), col("lev") + 1).as(dst)
+        }: _*)
+  }
+}
+
+object Atlas {
+  import ArgoSchemas.{NLevels, Pref}
+
+  /** Weighted per-level profile mean (reference `mean`, atlas.py:93-96):
+    * coef = w·idx per level, mean = Σ(coef·x)/Σcoef where Σcoef > 0 else 0.
+    * Buffer packs [Σcoef·x ×64, Σcoef ×64]. */
+  class ProfileMean extends Aggregator[(Double, Seq[Float], Seq[Byte]), Array[Double], Seq[Float]] {
+    def zero: Array[Double] = new Array[Double](2 * NLevels)
+    def reduce(b: Array[Double], a: (Double, Seq[Float], Seq[Byte])): Array[Double] = {
+      val (w, xs, idx) = a
+      if (xs != null && idx != null) {
+        var k = 0
+        while (k < NLevels) {
+          if (k < idx.length && idx(k) == 1) {
+            b(k) += w * xs(k)
+            b(NLevels + k) += w
+          }
+          k += 1
+        }
+      }
+      b
+    }
+    def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+      var k = 0
+      while (k < 2 * NLevels) { b1(k) += b2(k); k += 1 }
+      b1
+    }
+    def finish(b: Array[Double]): Seq[Float] =
+      (0 until NLevels).map { k =>
+        if (b(NLevels + k) > 0) (b(k) / b(NLevels + k)).toFloat else 0.0f
+      }
+    def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+    def outputEncoder: Encoder[Seq[Float]] = ExpressionEncoder[Seq[Float]]()
+  }
+
+  def profileMean(w: Column, xs: Column, idx: Column): Column =
+    udaf(new ProfileMean,
+      ExpressionEncoder[(Double, Seq[Float], Seq[Byte])]()).apply(w, xs, idx)
+
+  private[argo] def aggTS(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("gi"), col("gj"), col("glon"), col("glat"))
+      .agg(profileMean(col("w"), col("CT"), col("IDX")).as("CT_m"),
+        profileMean(col("w"), col("SR"), col("IDX")).as("SR_m"))
+
+  /** Compressibility factor CF (atlas.py:320-324): midpoint sound speed,
+    * cumulative integral, exp(−·) — the reference's W2/W3 window/scan as
+    * an intra-row array kernel. */
+  private[argo] def computeCF(sr: Array[Double], ct: Array[Double],
+                              rho: Array[Double], eos: SeawaterEos): Array[Double] = {
+    val dbar = 1e4
+    val cf = new Array[Double](NLevels)
+    var acc = 0.0
+    cf(0) = 1.0
+    var k = 1
+    while (k < NLevels) {
+      val sm = 0.5 * (sr(k - 1) + sr(k))
+      val tm = 0.5 * (ct(k - 1) + ct(k))
+      val pm = 0.5 * (Pref(k - 1) + Pref(k))
+      val rm = 0.5 * (rho(k - 1) + rho(k))
+      val c = Seawater.soundSpeed(sm, tm, pm)
+      acc += dbar * (Pref(k) - Pref(k - 1)) / (rm * c * c)
+      cf(k) = math.exp(-acc)
+      k += 1
+    }
+    cf
+  }
+
+  /** EAPE unit factor (atlas.py:145-149): dbar/ρ₀²·cm² = 100. */
+  val EapeUnit: Double = 1e4 / (1e3 * 1e3) * 1e4
+
+  /** Per-profile EAPE levels (atlas.py:152-231): parcel density, isopycnal
+    * displacement p (R14: compensated-density lookup on the cell profile —
+    * the J6 `np.interp`; T25: analytic gammat reference pressure), then
+    * ½·unit·(ρ−RHO)(p−PREF). */
+  private[argo] def eapeProfile(ct: Array[Float], sr: Array[Float],
+                                idx: Array[Byte], rhoM: Array[Float], cf: Array[Float],
+                                eos: SeawaterEos, algo: String): Array[Float] = {
+    val out = new Array[Float](NLevels)
+    val rhoCf = new Array[Double](NLevels)
+    var k = 0
+    while (k < NLevels) { rhoCf(k) = rhoM(k).toDouble * cf(k); k += 1 }
+    k = 0
+    while (k < NLevels) {
+      if (idx(k) == 1) {
+        // f4 like the reference end-to-end (README.md:173-174): the parcel
+        // density must round exactly like the cell RHO or the float
+        // truncation masquerades as a density anomaly
+        val rho = eos.rho(sr(k), ct(k), Pref(k)).toFloat.toDouble
+        val p =
+          if (algo == "R14") Interp.linear(rhoCf, Pref, rho * cf(k))
+          else Seawater.gammatAnalytic(sr(k), ct(k), eos)._3
+        out(k) = (0.5 * EapeUnit * (rho - rhoM(k)) * (p - Pref(k))).toFloat
+      }
+      k += 1
+    }
+    out
+  }
+}

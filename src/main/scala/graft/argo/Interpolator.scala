@@ -1,0 +1,133 @@
+package graft.argo
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Interp, Seawater}
+
+/** Stage 2: raw sample arrays → TEOS-10 variables cubic-interpolated onto
+  * the 64 reference levels (SURVEY.md §3.2; reference
+  * interpolation.py:51-151).
+  *
+  * The reference forks a process pool over floats, each worker writing its
+  * byte range of one shared pre-allocated file (README.md:153-158). Here
+  * the whole stage is one narrow per-row pipeline — filter → kernel UDF →
+  * equi-join — that Spark schedules per partition; the offset arithmetic
+  * and the `write_header` second pass (interpolation.py:83-103) are
+  * replaced by a join on (WMO, IPROF), never by row order.
+  *
+  * Input `samples`: one row per (WMO, IPROF) with `PRES`/`TEMP`/`PSAL`/
+  * `QC` array<double> columns and optional `&#42;_ADJUSTED` variants.
+  */
+object Interpolator {
+  import ArgoSchemas.{NLevels, Pref}
+
+  /** Per-profile kernel: QC mask (F6) → validity gate (F7, exact reference
+    * thresholds) → cubic interpolation onto PREF (X6). Returns dense
+    * (nvalues, ct[64], sr[64], idx[64]).
+    *
+    * Gate semantics (interpolation.py:234-249): ≥5 QC-good samples; the
+    * first-occurrence indices of sorted-unique PRES form a contiguous
+    * block of length >10; target levels within
+    * [min−1.2·(PRES₁−PRES₀), max]; ≥10 target levels hit.
+    */
+  private[argo] def interpolateProfile(
+      pres: Array[Double], temp: Array[Double], psal: Array[Double],
+      qc: Array[Double]): (Int, Array[Float], Array[Float], Array[Byte]) = {
+    val empty = (0, new Array[Float](NLevels), new Array[Float](NLevels),
+      new Array[Byte](NLevels))
+    // F6: keep QC == 1 samples (extract_raw_profile, interpolation.py:172-179)
+    val keep = qc.indices.filter(i => qc(i) == 1.0).toArray
+    if (keep.length < 5) return empty
+    val p = keep.map(pres)
+    val t = keep.map(temp)
+    val s = keep.map(psal)
+    // F7: np.unique(PRES, return_index=True) → first-occurrence indices,
+    // ordered by value; the reference's contiguity test is on the FIRST
+    // and LAST of that value-ordered index list (len == jdx[-1]-jdx[0]+1),
+    // which implicitly also rejects badly unsorted profiles — reproduced
+    // exactly (stable sort keeps the first occurrence of duplicates first).
+    val byValue = p.indices.sortBy(p(_))
+    val jdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var last = Double.NaN
+    for (i <- byValue) {
+      if (jdx.isEmpty || p(i) != last) { jdx += i; last = p(i) }
+    }
+    val contiguous = jdx.length == (jdx.last - jdx.head + 1)
+    if (!(contiguous && jdx.length > 10)) return empty
+    val deltaMin = 1.2 * (p(1) - p(0))
+    val pMin = p.min
+    val pMax = p.max
+    val idx = Pref.indices
+      .filter(k => pMin - deltaMin <= Pref(k) && Pref(k) <= pMax).toArray
+    if (idx.length < 10) return empty
+    // X5: TEOS-10 variables (reference: gsw.SR_from_SP + gsw.CT_from_t,
+    // interpolation.py:200-210; CT via the pluggable EOS approximation)
+    val xs = jdx.map(p(_)).toArray
+    val sr = jdx.map(i => Seawater.srFromSp(s(i))).toArray
+    val ct = jdx.map(i => t(i)).toArray
+    // X6: cubic spline (scipy interp1d kind="cubic" semantics)
+    val (dx1, dySr) = Interp.sortDedup(xs, sr)
+    val (_, dyCt) = Interp.sortDedup(xs, ct)
+    val targets = idx.map(Pref(_))
+    val srI = Interp.cubicOnto(dx1, dySr, targets)
+    val ctI = Interp.cubicOnto(dx1, dyCt, targets)
+    val ctOut = new Array[Float](NLevels)
+    val srOut = new Array[Float](NLevels)
+    val idxOut = new Array[Byte](NLevels)
+    var k = 0
+    while (k < idx.length) {
+      ctOut(idx(k)) = ctI(k).toFloat
+      srOut(idx(k)) = srI(k).toFloat
+      idxOut(idx(k)) = 1
+      k += 1
+    }
+    (idx.length, ctOut, srOut, idxOut)
+  }
+
+  private val interpUdf = udf(
+    (pres: Seq[Double], temp: Seq[Double], psal: Seq[Double], qc: Seq[Double]) => {
+      val (n, ct, sr, ix) =
+        interpolateProfile(pres.toArray, temp.toArray, psal.toArray, qc.toArray)
+      (n, ct.toSeq, sr.toSeq, ix.toSeq)
+    })
+
+  /** S3: adjusted-variable resolution — a float uses `*_ADJUSTED` columns
+    * iff ALL its profiles are delayed-mode (interpolation.py:188-192).
+    * `every` per WMO + broadcast join + `when`. */
+  def resolveAdjusted(samples: DataFrame): DataFrame = {
+    val allD = samples.groupBy(col("WMO"))
+      .agg(min(col("DATA_MODE") === 1).as("use_adj"))
+    def pick(name: String): Column =
+      when(col("use_adj") && col(s"${name}_ADJUSTED").isNotNull,
+        col(s"${name}_ADJUSTED")).otherwise(col(name)).as(name)
+    val adjusted = Seq("PRES", "TEMP", "PSAL")
+      .foldLeft(samples.join(broadcast(allD), Seq("WMO"))) { (df, n) =>
+        if (df.columns.contains(s"${n}_ADJUSTED")) df.withColumn(n, pick(n))
+        else df
+      }
+    adjusted.drop("use_adj")
+  }
+
+  /** Full stage: resolve → kernel → join summary header (J5). Output
+    * matches [[ArgoSchemas.profile]]. */
+  def interpolate(samples: DataFrame, summary: DataFrame): DataFrame = {
+    val resolved =
+      if (samples.columns.contains("DATA_MODE")) resolveAdjusted(samples)
+      else samples
+    val interpolated = resolved
+      .withColumn("r", interpUdf(col("PRES"), col("TEMP"), col("PSAL"), col("QC")))
+      .select(col("WMO").cast("int"), col("IPROF").cast("short"),
+        col("r._1").as("NVALUES"),
+        col("r._2").as("CT"), col("r._3").as("SR"),
+        col("r._4").as("IDX"))
+    // J5: header via equi-join on (WMO, IPROF) — replaces the reference's
+    // positional write_header (interpolation.py:83-103); only FLAG==1
+    // profiles are interpolated (interpolation.py:108)
+    summary.filter(col("FLAG") === 1)
+      .select(col("WMO"), col("DAC"), col("IPROF"), col("JULD"),
+        col("LATITUDE"), col("LONGITUDE"), col("DATA_MODE"), col("FLAG"))
+      .join(interpolated, Seq("WMO", "IPROF"))
+      .select(ArgoSchemas.profile.fieldNames.map(col): _*)
+  }
+}

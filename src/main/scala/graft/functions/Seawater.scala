@@ -16,7 +16,7 @@ package graft.functions
   * and any TEOS-10 implementation can be dropped in behind the same trait
   * without touching the pipeline.
   */
-trait SeawaterEos {
+trait SeawaterEos extends Serializable {
   /** In-situ density, kg/m³.
     * @param sr reference-composition salinity, g/kg
     * @param ct conservative temperature, °C
@@ -35,6 +35,12 @@ object SimplifiedEos extends SeawaterEos {
   val Mu1 = 1.4970e-4 // thermobaric (T·z)
   val Mu2 = 1.1090e-5 // thermobaric (S·z)
   val Nu = 2.4341e-3 // cabbeling (T·S)
+  /** Isentropic compressibility ≈ 1e4/c² kg/m³ per dbar (c ≈ 1507 m/s):
+    * the in-situ density gain with pressure that the atlas's compensated
+    * density RHO·CF is designed to cancel (atlas.py:152-190). Without it
+    * the RHOSTAR ladder is not monotone and the R14 displacement lookup
+    * degenerates. */
+  val Kp = 4.4e-3
 
   def rho(sr: Double, ct: Double, p: Double): Double = {
     val ta = ct - 10.0
@@ -43,7 +49,8 @@ object SimplifiedEos extends SeawaterEos {
     Rho0 -
       A0 * (1.0 + 0.5 * Lambda1 * ta + Mu1 * z) * ta +
       B0 * (1.0 - 0.5 * Lambda2 * sa - Mu2 * z) * sa -
-      Nu * ta * sa
+      Nu * ta * sa +
+      Kp * z
   }
 }
 
@@ -54,6 +61,14 @@ object Seawater {
   val UPS: Double = 35.16504 / 35.0
 
   def srFromSp(sp: Double): Double = sp * UPS
+
+  /** Sound speed in seawater, m/s — Medwin's simplified formula (public
+    * standard; the reference delegates to gsw `sound_speed`,
+    * atlas.py:320-324). Accurate to ~1 m/s in oceanic ranges, ample for
+    * the compressibility integral it feeds. */
+  def soundSpeed(s: Double, t: Double, p: Double): Double =
+    1449.2 + 4.6 * t - 0.055 * t * t + 2.9e-4 * t * t * t +
+      (1.34 - 0.010 * t) * (s - 35.0) + 0.016 * p
 
   /** Lorenz reference-density profile and its hydrostatic pressure, from
     * the analytical World-Ocean-Atlas fit of Tailleux 2020; constants as

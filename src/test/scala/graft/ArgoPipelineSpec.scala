@@ -1,0 +1,145 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.argo.{ArgoSchemas, Atlas, Interpolator, SummaryBuilder}
+
+/** End-to-end pipeline test on FIXTURES.md-shaped synthetic data: smooth
+  * analytic T/S fields sampled at irregular depths → summary → interpolated
+  * profiles → atlas climatology. Because every profile samples the SAME
+  * smooth field, the atlas weighted means must reproduce the field at every
+  * well-sampled cell — a strong oracle with no reference binaries needed.
+  */
+class ArgoPipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tTrue(z: Double): Double = 2.0 + 18.0 * math.exp(-z / 500.0)
+  private def sTrue(z: Double): Double = 35.0 + 0.6 * math.exp(-z / 300.0)
+
+  private val rng = new scala.util.Random(42)
+
+  /** nFloats floats × nProf profiles each, clustered near (lon0, lat0). */
+  private def makeRaw(nFloats: Int, nProf: Int): (DataFrame, DataFrame) = {
+    val floats = (0 until nFloats).map { f =>
+      val wmo = 2900000 + f
+      val dac = ArgoSchemas.Dacs(f % ArgoSchemas.Dacs.length)
+      val lon0 = 10.0 + (f % 5) * 2.0
+      val lat0 = -40.0 + (f / 5) * 2.0
+      (wmo, dac, lon0, lat0)
+    }
+    val summaryRows = for {
+      (wmo, dac, lon0, lat0) <- floats
+      ip <- 0 until nProf
+    } yield (dac, wmo,
+      new Timestamp(1577836800000L + (wmo % 100) * 86400000L + ip * 864000000L),
+      (lon0 + ip * 0.01).toFloat, (lat0 + ip * 0.01).toFloat,
+      120, "D", "1", 1, 1)
+    val raw = summaryRows.toDF("dac", "WMO", "JULD", "LONGITUDE", "LATITUDE",
+      "N_LEVELS", "data_mode", "platform_type", "position_qc", "juld_qc")
+
+    val sampleRows = for {
+      (wmo, _, _, _) <- floats
+      ip <- 0 until nProf
+    } yield {
+      // irregular but sorted depths 0..2000, ~120 samples
+      val depths = (0 until 120).map(k => k * 17.0 + (k % 3) * 1.5).toArray
+      val qc = depths.map(_ => 1.0)
+      (wmo, ip, depths.toSeq, depths.map(tTrue).toSeq,
+        depths.map(z => sTrue(z) / graft.functions.Seawater.UPS).toSeq, qc.toSeq, 1)
+    }
+    val samples = sampleRows.toDF(
+      "WMO", "IPROF", "PRES", "TEMP", "PSAL", "QC", "DATA_MODE")
+    (raw, samples)
+  }
+
+  private lazy val (raw, samples) = makeRaw(nFloats = 10, nProf = 3)
+  private lazy val summary = SummaryBuilder.build(spark, raw)
+  private lazy val profiles = Interpolator.interpolate(samples, summary)
+
+  test("summary: schema, IPROF ordinal, FLAG product") {
+    val s = summary.cache()
+    assert(s.schema.fieldNames.toSeq == ArgoSchemas.summary.fieldNames.toSeq)
+    assert(s.count() === 30)
+    val iprofs = s.filter($"WMO" === 2900000).select($"IPROF").as[Short]
+      .collect().sorted.toSeq
+    assert(iprofs == Seq(0, 1, 2))
+    assert(s.filter($"FLAG" =!= 1).count() === 0)
+  }
+
+  test("interpolation reproduces the smooth generating field at the reference levels") {
+    val rows = profiles.select($"WMO", $"IPROF", $"NVALUES", $"CT", $"SR", $"IDX")
+      .as[(Int, Short, Int, Seq[Float], Seq[Float], Seq[Byte])].collect()
+    assert(rows.length === 30)
+    rows.foreach { case (wmo, ip, nv, ct, sr, idx) =>
+      assert(nv > 50, s"wmo=$wmo ip=$ip expected most levels covered, got $nv")
+      ArgoSchemas.Pref.indices.foreach { k =>
+        if (idx(k) == 1) {
+          val z = ArgoSchemas.Pref(k)
+          assert(math.abs(ct(k) - tTrue(z)) < 0.05,
+            s"CT at level $z: ${ct(k)} vs ${tTrue(z)}")
+          assert(math.abs(sr(k) - sTrue(z)) < 0.05,
+            s"SR at level $z: ${sr(k)} vs ${sTrue(z)}")
+        }
+      }
+    }
+  }
+
+  test("interpolation gate rejects short and bad-QC profiles") {
+    val bad = Seq(
+      // 4 samples only → rejected by the ≥5 gate
+      (1, 0, Seq(0.0, 10, 20, 30), Seq(5.0, 5, 5, 5), Seq(35.0, 35, 35, 35),
+        Seq(1.0, 1, 1, 1), 1),
+      // all bad QC → rejected by F6
+      (1, 1, (0 until 50).map(_ * 40.0), (0 until 50).map(_ => 5.0),
+        (0 until 50).map(_ => 35.0), (0 until 50).map(_ => 0.0), 1))
+      .toDF("WMO", "IPROF", "PRES", "TEMP", "PSAL", "QC", "DATA_MODE")
+    val hdr = Seq((1, 0.toShort), (1, 1.toShort)).toDF("WMO", "IPROF")
+      .withColumn("DAC", lit(0.toByte)).withColumn("JULD", current_timestamp())
+      .withColumn("LATITUDE", lit(0.0f)).withColumn("LONGITUDE", lit(0.0f))
+      .withColumn("DATA_MODE", lit(1.toByte)).withColumn("FLAG", lit(1.toByte))
+    val out = Interpolator.interpolate(bad, hdr)
+      .select($"NVALUES").as[Int].collect()
+    assert(out.forall(_ === 0))
+  }
+
+  test("atlas climTS reproduces the field at sampled cells") {
+    val atlas = new Atlas(box = (0.0, 30.0, -50.0, -30.0), reso = 2.0)
+    val out = atlas.climTS(spark, profiles)
+      .filter($"CT" =!= 0.0f) // cells with data
+      .select($"pres", $"CT", $"SR").as[(Float, Float, Float)].collect()
+    assert(out.nonEmpty, "no atlas cells with data")
+    out.foreach { case (pres, ct, sr) =>
+      // every profile carries the same field → weighted mean == field value
+      assert(math.abs(ct - tTrue(pres)) < 0.05, s"atlas CT at $pres: $ct")
+      assert(math.abs(sr - sTrue(pres)) < 0.05, s"atlas SR at $pres: $sr")
+    }
+  }
+
+  test("atlas climEAPE R14: near-zero for a homogeneous ocean, SIGSTAR plausible") {
+    val atlas = new Atlas(box = (8.0, 22.0, -42.0, -34.0), reso = 2.0)
+    val out = atlas.climEAPE(spark, profiles, algo = "R14")
+      .filter($"SIGSTAR" =!= 0.0f)
+      .select($"pres", $"EAPE", $"SIGSTAR").as[(Float, Float, Float)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (pres, eape, sig) =>
+      // all parcels identical ⇒ no displacement ⇒ EAPE ≈ 0
+      assert(math.abs(eape) < 1.0, s"EAPE at $pres: $eape")
+      assert(sig > 20 && sig < 35, s"SIGSTAR at $pres: $sig")
+    }
+  }
+
+  test("atlas climEAPE T25 runs and produces finite GAMMAT") {
+    val atlas = new Atlas(box = (8.0, 14.0, -42.0, -38.0), reso = 2.0)
+    val out = atlas.climEAPE(spark, profiles, algo = "T25")
+      .filter($"SIGSTAR" =!= 0.0f)
+      .select($"EAPE", $"SIGSTAR").as[(Float, Float)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (eape, g) =>
+      assert(!eape.isNaN && !g.isNaN)
+      assert(g > 15 && g < 40, s"GAMMAT $g out of plausible range")
+    }
+  }
+}
