@@ -17,7 +17,9 @@ object SparkEntry {
     TextQueries,
     EmbeddingQueries,
     GeoQueries,
-    KernelQueries)
+    KernelQueries,
+    ArgoQueries,
+    StreamMultimodalQueries)
 
   private lazy val all: Map[String, QueryDef] =
     modules.flatMap(_.defs).toMap

@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.argo.{Atlas, Interpolator, SummaryBuilder}
+
+/** The full Argo pipeline (summary → interpolation → atlas) driven from
+  * the deterministic testdata tables: orders become profile headers,
+  * synthetic-but-deterministic sample arrays are generated per profile
+  * with pure column expressions, then the PRODUCTION pipeline runs
+  * unmodified. Rows-only checks (the cubic spline and EAPE kernels are not
+  * SQL-expressible); the numeric semantics are covered by
+  * ArgoPipelineSpec's analytic-field oracle.
+  */
+object ArgoQueries extends QueryModule {
+  /** Deterministic raw per-profile metadata from orders. */
+  private def rawHeader(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(
+        element_at(lit(graft.argo.ArgoSchemas.Dacs.toArray),
+          (col("o_custkey") % 11 + 1).cast("int")).as("dac"),
+        (lit(2900000) + col("o_custkey") % 200).cast("int").as("WMO"),
+        col("o_orderdate").as("JULD"),
+        (((col("o_orderkey") * 7919) % 7000).cast("double") / 100.0 - 20.0).as("LONGITUDE"),
+        (((col("o_orderkey") * 104729) % 3000).cast("double") / 100.0 - 50.0).as("LATITUDE"),
+        lit(120).as("N_LEVELS"),
+        lit("D").as("data_mode"), lit("1").as("platform_type"),
+        lit(1).as("position_qc"), lit(1).as("juld_qc"))
+
+  /** Deterministic sample arrays as pure column expressions: a smooth
+    * exponential T/S profile whose amplitude varies with the float id. */
+  private def samples(summary: DataFrame): DataFrame =
+    summary
+      .select(col("WMO"), col("IPROF"), col("DATA_MODE"))
+      .withColumn("PRES",
+        transform(sequence(lit(0), lit(119)), k => k.cast("double") * 17.0))
+      .withColumn("amp", lit(16.0) + (col("WMO") % 7).cast("double"))
+      .withColumn("TEMP", transform(col("PRES"),
+        p => lit(2.0) + col("amp") * exp(-p / 500.0)))
+      .withColumn("PSAL", transform(col("PRES"),
+        p => lit(34.5) + exp(-p / 300.0) * 0.5))
+      .withColumn("QC", transform(col("PRES"), _ => lit(1.0)))
+      .drop("amp")
+
+  // ---- q70: summary + interpolation end-to-end ---------------------------
+  private def q70(s: SparkSession, d: String): DataFrame = {
+    val summary = SummaryBuilder.build(s, rawHeader(s, d))
+    Interpolator.interpolate(samples(summary), summary)
+      .select(col("WMO"), col("IPROF"), col("NVALUES"),
+        col("LATITUDE"), col("LONGITUDE"),
+        element_at(col("CT"), 1).as("ct_surf"),
+        element_at(col("SR"), 33).as("sr_500"))
+      .orderBy("WMO", "IPROF")
+  }
+
+  // ---- q71: the full three-stage pipeline into an atlas ------------------
+  private def q71(s: SparkSession, d: String): DataFrame = {
+    val summary = SummaryBuilder.build(s, rawHeader(s, d))
+    val profiles = Interpolator.interpolate(samples(summary), summary)
+    val atlas = new Atlas(box = (-20.0, 50.0, -50.0, -20.0), reso = 5.0)
+    atlas.climTS(s, profiles)
+      .filter(col("CT") =!= 0.0f)
+      .orderBy("lon", "lat", "pres")
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+    "q70_argo_interp" -> QueryDef(q70, None),
+    "q71_argo_atlas" -> QueryDef(q71, None))
+}

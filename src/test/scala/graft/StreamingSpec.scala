@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+
+/** Streaming/batch consistency: the same EventStreams transformations run
+  * over a MemoryStream must converge to the batch result on the same
+  * data — Structured Streaming's incremental execution as an
+  * implementation detail, not a semantic fork.
+  */
+case class Ev(ts: Long, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val events: Seq[Ev] = {
+    val h = 3600L * 1000000000L // ns per hour
+    (0 until 200).map { i =>
+      Ev(ts = 1700000000L * 1000000000L + (i % 7) * h + i * 1234567L,
+        user_id = i % 5, event_type = if (i % 3 == 0) "click" else "view",
+        value = (i % 11) * 0.5)
+    }
+  }
+
+  test("windowedStats over MemoryStream equals the batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val sq = EventStreams.windowedStats(mem.toDF(), "1 hour",
+      watermark = Some("2 hours"))
+      .writeStream.format("memory").queryName("win_stream")
+      .outputMode("complete")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt").toString)
+      .start()
+    try {
+      mem.addData(events.take(120))
+      sq.processAllAvailable()
+      mem.addData(events.drop(120))
+      sq.processAllAvailable()
+      val streamed = spark.table("win_stream")
+        .select($"window_start", $"event_type", $"n_events", $"sum_value")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      val batch = EventStreams.windowedStats(events.toDF(), "1 hour")
+        .select($"window_start", $"event_type", $"n_events", $"sum_value")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally sq.stop()
+  }
+
+  test("userActivity over MemoryStream equals the batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val sq = EventStreams.userActivity(mem.toDF())
+      .writeStream.format("memory").queryName("user_stream")
+      .outputMode("complete")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt2").toString)
+      .start()
+    try {
+      events.grouped(50).foreach { chunk =>
+        mem.addData(chunk)
+      }
+      sq.processAllAvailable()
+      val streamed = spark.table("user_stream")
+        .select($"user_id", $"n_events", $"total_value")
+        .as[(Long, Long, Double)].collect().toSet
+      val batch = EventStreams.userActivity(events.toDF())
+        .select($"user_id", $"n_events", $"total_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed === batch)
+      assert(batch.size === 5)
+    } finally sq.stop()
+  }
+}
