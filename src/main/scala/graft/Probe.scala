@@ -1,25 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-// Temporary scratch main for probing reader behavior; not part of the API.
+// Temporary scratch main for probing reader/plan behavior; not part of the API.
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder("local[4]", 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    ev.printSchema()
-    ev.show(3, false)
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    docs.printSchema()
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    emb.printSchema()
-    emb.show(2)
+    val d = "/root/testdata/sf0.01"
+    println("=== q02 filter+project plan (expect PushedFilters + pruned ReadSchema) ===")
+    SparkEntry.queries("q02_filter_project")(spark, d).explain("formatted")
+    println("=== q13 join plan (expect BroadcastHashJoin for nation) ===")
+    SparkEntry.queries("q13_join_agg")(spark, d).explain("formatted")
     spark.stop()
   }
 }

@@ -139,19 +139,20 @@ object TextQueries extends QueryModule {
   private val JaccardThreshold = 0.5
 
   private def q34(s: SparkSession, d: String): DataFrame = {
-    // repartition = explicit Exchange: stops Catalyst's CollapseProject from
-    // inlining the expensive shingle-hash array into each of the 8 minhash
-    // expressions downstream (each would re-tokenize + re-hash the text).
-    // The LSH self-join needs a shuffle anyway, so this costs nothing extra.
-    val base = docs(s, d).select(
-      col("doc_id"),
-      array_distinct(transform(T.shingles(T.tokens(col("text")), 3),
-        sh => T.charHash(sh))).as("hs"))
+    // repartition BEFORE the hash projection: a small parquet file scans as
+    // one task, and the shingle hashing must run on all cores, after the
+    // Exchange (which also stops CollapseProject from inlining it into
+    // every downstream reference). Kernels are the compiled twins of the
+    // HOF spec in TextFns — bit-identical to the DuckDB oracle.
+    val base = docs(s, d)
       .repartition(col("doc_id"))
-    val withSigs = base.select(
-      (col("doc_id") +: col("hs") +:
-        (0 until T.MinHashK).map(j => T.minhash(col("hs"), j).as(s"sig$j"))): _*)
-      .repartition(col("doc_id"))
+      .select(col("doc_id"), T.shingleHashes(3)(col("text")).as("hs"))
+    val withSigs = base
+      .withColumn("sigs", T.minhashSigs(col("hs")))
+      .select(
+        (col("doc_id") +: col("hs") +:
+          (0 until T.MinHashK).map(j =>
+            element_at(col("sigs"), j + 1).as(s"sig$j"))): _*)
     // band key = the signature slice, stringified (portable join key)
     val bands = withSigs.select(
       col("doc_id"), col("hs"),
@@ -169,8 +170,7 @@ object TextQueries extends QueryModule {
       .select("d1", "d2", "hs1", "hs2").distinct()
     cand.select(
       col("d1"), col("d2"),
-      FP.micro(size(array_intersect(col("hs1"), col("hs2"))).cast("double") /
-        size(array_union(col("hs1"), col("hs2"))).cast("double")).as("jaccard_u"))
+      T.jaccardMicroLong(col("hs1"), col("hs2")).as("jaccard_u"))
       .filter(col("jaccard_u") >= (JaccardThreshold * 1e6).toLong)
       .orderBy("d1", "d2")
   }
@@ -212,16 +212,12 @@ object TextQueries extends QueryModule {
   // selective — essential at scale, where a degenerate fingerprint would
   // turn the bucket join quadratic.
   private def q35(s: SparkSession, d: String): DataFrame = {
-    // Two Exchange barriers (see q34): `hs` must be an attribute before it
-    // feeds simhash (whose 48-bit fold references it ~100 times — passing
-    // the raw expression would re-hash every shingle per reference), and
-    // `sig` must be an attribute before the 4-way chunk fan-out.
-    val hashed = docs(s, d).select(
-      col("doc_id"),
-      array_distinct(transform(T.shingles(T.tokens(col("text")), 3),
-        sh => T.charHash(sh))).as("hs"))
+    // Exchange before the kernels (see q34); fingerprint computed once per
+    // document, then a second barrier before the 4-way chunk fan-out.
+    val sigs = docs(s, d)
       .repartition(col("doc_id"))
-    val sigs = hashed.select(col("doc_id"), T.simhash(col("hs")).as("sig"))
+      .select(col("doc_id"),
+        T.simhashJvm(T.shingleHashes(3)(col("text"))).as("sig"))
       .repartition(col("doc_id"))
     val chunks = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until T.SimHashChunks).map { c =>
@@ -256,16 +252,15 @@ object TextQueries extends QueryModule {
 
   // ---- q36: blocked n-gram Jaccard (exact, within source blocks) ---------
   private def q36(s: SparkSession, d: String): DataFrame = {
-    val base = docs(s, d).select(
-      col("doc_id"), col("source"),
-      array_distinct(T.shingles(T.tokens(col("text")), 2)).as("gs"))
+    val base = docs(s, d)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("source"), T.shingleSet(2)(col("text")).as("gs"))
       .repartition(col("source"))
     val l = base.select(col("source"), col("doc_id").as("d1"), col("gs").as("g1"))
     val r = base.select(col("source"), col("doc_id").as("d2"), col("gs").as("g2"))
     l.join(r, Seq("source")).filter(col("d1") < col("d2"))
       .select(col("source"), col("d1"), col("d2"),
-        FP.micro(size(array_intersect(col("g1"), col("g2"))).cast("double") /
-          size(array_union(col("g1"), col("g2"))).cast("double")).as("jaccard_u"))
+        T.jaccardMicro(col("g1"), col("g2")).as("jaccard_u"))
       .filter(col("jaccard_u") >= 200000L)
       .orderBy("source", "d1", "d2")
   }
