@@ -134,8 +134,131 @@ object EmbeddingQueries extends QueryModule {
        |FROM embeddings, range(1, ${Dim + 1}) t(d)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- q43: embedding-cosine near-duplicate pairs ------------------------
+  // The fifth dedup family member (after exact / MinHash / SimHash /
+  // n-gram): two vectors are near-dups when cosine ≥ threshold. All-pairs
+  // is quadratic, so candidates are blocked by a coarse random-hyperplane
+  // bucket (4 bits here; more bits at higher corpus density) and only
+  // intra-bucket pairs are scored — the same LSH-blocking shape as q34's
+  // MinHash bands. The bucket self-join shuffles each side once on the
+  // bucket key; no row ever meets more than its own bucket.
+  private val NearDupBits = 4
+  private val NearDupThreshNano = 350000000L // cosine ≥ 0.35
+
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.embeddings(s, d).select(
+      col("vec_id"),
+      col("embedding").cast("array<double>").as("vec"))
+      .select(col("vec_id"), col("vec"),
+        V.norm(col("vec")).as("nrm"),
+        V.lshBucket(col("vec"), NearDupBits, Dim).as("bucket"))
+      .repartition(col("bucket"))
+    val l = b.select(col("bucket"), col("vec_id").as("d1"),
+      col("vec").as("v1"), col("nrm").as("n1"))
+    val r = b.select(col("bucket"), col("vec_id").as("d2"),
+      col("vec").as("v2"), col("nrm").as("n2"))
+    l.join(r, Seq("bucket")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        FP.nano(V.dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+          .as("cos_n"))
+      .filter(col("cos_n") >= NearDupThreshNano)
+      .orderBy("d1", "d2")
+  }
+
+  private val q43Sql =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, ${V.sqlNorm("embedding", Dim)} AS nrm,
+       |    ${V.sqlLshBucket("embedding", NearDupBits, Dim)} AS bucket
+       |  FROM embeddings)
+       |SELECT l.vec_id AS d1, r.vec_id AS d2,
+       |  ${FP.sqlNano(s"${V.sqlDot("l.embedding", "r.embedding", Dim)} / (l.nrm * r.nrm)")} AS cos_n
+       |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |WHERE ${FP.sqlNano(s"${V.sqlDot("l.embedding", "r.embedding", Dim)} / (l.nrm * r.nrm)")} >= $NearDupThreshNano
+       |ORDER BY 1, 2""".stripMargin
+
+  // ---- q44: IVF-style ANN (coarse centroids → probe nearest lists) -------
+  // The inverted-file scale path: partition the corpus into coarse cells
+  // (here the label partitions; at scale, k-means cells), keep one centroid
+  // per cell, and for each probe scan only the nProbe nearest cells instead
+  // of the whole corpus. Centroids are per-dimension INTEGER nano-unit sums
+  // — cosine is scale-invariant, so the un-normalized sum vector is the
+  // centroid direction, and integer sums make it bit-reproducible under any
+  // aggregation order or engine. Centroid table is tiny → broadcast; the
+  // corpus is hash-partitioned by cell and only nProbe/L of it is scored.
+  private val NProbe = 2
+
+  private def q44(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.embeddings(s, d).select(
+      col("label"), col("vec_id"),
+      col("embedding").cast("array<double>").as("vec"),
+      V.norm(col("embedding").cast("array<double>")).as("nrm"))
+      .repartition(col("label"))
+    val cents = Tables.embeddings(s, d)
+      .groupBy(col("label"))
+      .agg(Aggregates.weightedArrayMeanFP(Dim)(lit(1L), col("embedding"))
+        .as("sums"))
+      .select(col("label"),
+        slice(col("sums"), 1, Dim).cast("array<double>").as("c_vec"))
+      .select(col("label"), col("c_vec"), V.norm(col("c_vec")).as("c_nrm"))
+    val probes = b.filter(col("vec_id") % ProbeMod === 0).select(
+      col("vec_id").as("q_id"), col("vec").as("q_vec"), col("nrm").as("q_nrm"))
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("label"))
+    val assigned = probes.crossJoin(broadcast(cents))
+      .withColumn("c_cos",
+        V.dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("c_rank", row_number().over(wc))
+      .filter(col("c_rank") <= NProbe)
+      .select(col("label"), col("q_id"), col("q_vec"), col("q_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_n").desc, col("vec_id"))
+    b.join(assigned, Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_n",
+        FP.nano(V.dot(col("q_vec"), col("vec")) / (col("q_nrm") * col("nrm"))))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("cos_n"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val q44Sql =
+    s"""WITH b AS ($sqlBase),
+       |bl AS (SELECT e.label, b.vec_id, b.embedding, b.nrm
+       |       FROM b JOIN embeddings e ON e.vec_id = b.vec_id),
+       |csum AS (
+       |  SELECT label, d AS dim,
+       |    sum(CAST(round(CAST(embedding[d] AS DOUBLE) * 1e9) AS BIGINT)) AS s
+       |  FROM embeddings, range(1, ${Dim + 1}) t(d) GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT label, list(CAST(s AS DOUBLE) ORDER BY dim) AS c_vec
+       |  FROM csum GROUP BY label),
+       |centn AS (SELECT label, c_vec, ${V.sqlNorm("c_vec", Dim)} AS c_nrm
+       |          FROM cent),
+       |p AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+       |      FROM b WHERE vec_id % $ProbeMod = 0),
+       |a AS (
+       |  SELECT p.q_id, p.q_emb, p.q_nrm, c.label, row_number() OVER (
+       |    PARTITION BY p.q_id ORDER BY
+       |      ${V.sqlDot("p.q_emb", "c.c_vec", Dim)} / (p.q_nrm * c.c_nrm) DESC,
+       |      c.label) AS c_rank
+       |  FROM p CROSS JOIN centn c),
+       |s AS (
+       |  SELECT a.q_id, bl.vec_id AS n_id,
+       |    ${FP.sqlNano(s"${V.sqlDot("a.q_emb", "bl.embedding", Dim)} / (a.q_nrm * bl.nrm)")} AS cos_n
+       |  FROM a JOIN bl ON bl.label = a.label
+       |  WHERE a.c_rank <= $NProbe AND bl.vec_id <> a.q_id),
+       |r AS (
+       |  SELECT q_id, n_id, cos_n, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos_n DESC, n_id) AS rank
+       |  FROM s)
+       |SELECT q_id, rank, n_id, cos_n FROM r WHERE rank <= 3
+       |ORDER BY 1, 2""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
     "q40_knn_bruteforce" -> QueryDef(q40, Some(q40Sql)),
     "q41_ann_lsh" -> QueryDef(q41, Some(q41Sql)),
-    "q42_label_centroid" -> QueryDef(q42, Some(q42Sql)))
+    "q42_label_centroid" -> QueryDef(q42, Some(q42Sql)),
+    "q43_embedding_neardup" -> QueryDef(q43, Some(q43Sql)),
+    "q44_ann_ivf" -> QueryDef(q44, Some(q44Sql)))
 }
