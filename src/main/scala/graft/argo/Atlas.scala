@@ -84,10 +84,22 @@ class Atlas(
     * Cached by callers that aggregate twice (TS then EAPE — the
     * reference's kdx/coef/N reuse, atlas.py:289-306). */
   def pairs(s: SparkSession, profiles: DataFrame): DataFrame = {
-    val binW = radiusDeg // bin width = search radius → ±1 bin in latitude
+    // Bins are a FRACTION of the search radius (radius/4): with bin =
+    // radius the whole domain collapses into a handful of join keys (all
+    // the work lands on ≤6 tasks) and the candidate window overshoots the
+    // disc by 4×. Finer bins cost more exploded grid rows — but the grid
+    // side is cells × neighborhood, orders of magnitude smaller than the
+    // profile side, which stays one row per profile.
+    val nSub = 4
+    val binW = radiusDeg / nSub
+    // CT/SR/IDX packed into ONE binary column ONCE per profile, before the
+    // join fans each profile out to many cells: every downstream pair row
+    // then carries (and every aggregator input decodes) a single flat byte
+    // array instead of three boxed Seq columns — at 1M+ pairs the boxed
+    // tuple decode dominated the whole atlas wall-time.
     val p = crop(profiles)
       .select(col("LONGITUDE").as("plon"), col("LATITUDE").as("plat"),
-        col("CT"), col("SR"), col("IDX"))
+        Atlas.pack3(col("CT"), col("SR"), col("IDX")).as("prof"))
       .withColumn("bi", floor((col("plon") + 180.0) / binW).cast("int"))
       .withColumn("bj", floor((col("plat") + 90.0) / binW).cast("int"))
     val nBi = math.ceil(360.0 / binW).toInt
@@ -95,14 +107,24 @@ class Atlas(
     // worst-case |lat| edge, cap at half the bins (pole-safe)
     val latEdge = least(lit(89.0), greatest(abs(col("glat") - reso), abs(col("glat") + reso)))
     val kLon = least(lit(nBi / 2),
-      ceil(lit(1.0) / cos(radians(latEdge)))).cast("int")
+      ceil(lit(nSub) / cos(radians(latEdge)))).cast("int")
     val g = grid(s)
       .withColumn("ki", explode(sequence(-kLon, kLon)))
-      .withColumn("kj", explode(sequence(lit(-1), lit(1))))
+      .withColumn("kj", explode(sequence(lit(-nSub), lit(nSub))))
       .select(col("gi"), col("gj"), col("glon"), col("glat"),
         pmod(floor((col("glon") + 180.0) / binW).cast("int") + col("ki"), lit(nBi)).as("bi"),
         (floor((col("glat") + 90.0) / binW).cast("int") + col("kj")).as("bj"))
-    p.join(g, Seq("bi", "bj"))
+    // The exploded grid is cells × O(nSub²) rows. When that is small —
+    // every regional atlas, and a global 1/4° grid only at ~10⁸ — broadcast
+    // it: the huge profile side is never shuffled at all, and the only
+    // exchange left in the whole atlas is the partial-agg buffer shuffle
+    // (partitions × cells rows). Past the threshold, fall back to the
+    // shuffle hash join on the (well-distributed, radius/4) bin keys.
+    val (lon1, lon2, lat1, lat2) = box
+    val gridRows = ((lon2 - lon1) / reso).toLong * ((lat2 - lat1) / reso).toLong *
+      (2 * nSub + 1) * (2 * nSub + 1)
+    val gSide = if (gridRows <= 2000000L) broadcast(g) else g
+    p.join(gSide, Seq("bi", "bj"))
       .withColumn("arg", Geo.haversineArg(col("plon"), col("plat"),
         col("glon"), col("glat")))
       .filter(col("arg") < dCritical) // F5
@@ -148,18 +170,17 @@ class Atlas(
             .withColumn("CF", array_repeat(lit(1.0f), NLevels))
             .withColumn("SIG", gammatArr(col("SR_m"), col("CT_m")))
       }
-      // pass 2: per-pair EAPE against the cell stats, weighted mean again
-      val eapeUdf = udf((ct: Seq[Float], sr: Seq[Float], idx: Seq[Byte],
-                         rhoM: Seq[Float], cf: Seq[Float]) =>
-        Atlas.eapeProfile(ct.toArray, sr.toArray, idx.toArray,
-          rhoM.toArray, cf.toArray, eosB, algo).toSeq)
+      // pass 2: per-pair EAPE against the cell stats, weighted mean again.
+      // Cell stats are packed per CELL (tiny table) so each of the 1M+ pair
+      // rows decodes two flat byte arrays; the EAPE kernel runs inside the
+      // aggregator — no intermediate 64-float column ever materializes.
       val withEape = pr
         .join(broadcast(means.select(col("gi"), col("gj"), col("glon"),
-          col("glat"), col("RHO"), col("CF"), col("SIG"))), Seq("gi", "gj", "glon", "glat"))
-        .withColumn("EAPE_p",
-          eapeUdf(col("CT"), col("SR"), col("IDX"), col("RHO"), col("CF")))
+          col("glat"), Atlas.pack2(col("RHO"), col("CF")).as("cell"),
+          col("SIG"))), Seq("gi", "gj", "glon", "glat"))
       val agg = withEape.groupBy(col("gi"), col("gj"), col("glon"), col("glat"))
-        .agg(Atlas.profileMean(col("w"), col("EAPE_p"), col("IDX")).as("EAPE_m"),
+        .agg(Atlas.eapeMeanPacked(eosB, algo)(
+          col("w"), col("prof"), col("cell")).as("EAPE_m"),
           first(col("SIG")).as("SIG_m"))
       explodeLevels(agg, Seq("EAPE_m" -> "EAPE", "SIG_m" -> "SIGSTAR"))
     } finally pr.unpersist(blocking = false)
@@ -219,19 +240,57 @@ object Atlas {
     udaf(new ProfileMean,
       ExpressionEncoder[(Double, Seq[Float], Seq[Byte])]()).apply(w, xs, idx)
 
-  /** CT and SR aggregated in ONE pass (they share weights and the idx
-    * mask): halves the per-pair row decode, which dominates the atlas
-    * aggregation cost. Buffer packs [Σc·CT ×64, Σc·SR ×64, Σc ×64]. */
-  class ProfileMean2 extends Aggregator[(Double, Seq[Float], Seq[Float], Seq[Byte]), Array[Double], (Seq[Float], Seq[Float])] {
+  // ---- packed-profile layout ----------------------------------------------
+  // One flat byte array per profile: CT floats [0, 4·64), SR floats
+  // [4·64, 8·64), IDX bytes [8·64, 9·64). Pair rows in the atlas join carry
+  // this instead of three array columns: the aggregators read it with
+  // ByteBuffer primitives (no per-element boxing), which is what makes the
+  // O(cells × neighborhood) aggregation CPU-bound on the actual arithmetic.
+  private val CtOff = 0
+  private val SrOff = 4 * NLevels
+  private val IdxOff = 8 * NLevels
+
+  /** (CT, SR, IDX) → one flat byte array; applied once per profile. */
+  val pack3: (Column, Column, Column) => Column = {
+    val u = udf((ct: Seq[Float], sr: Seq[Float], idx: Seq[Byte]) => {
+      val bb = java.nio.ByteBuffer.allocate(9 * NLevels)
+      var k = 0
+      while (k < NLevels) { bb.putFloat(ct(k)); k += 1 }
+      k = 0
+      while (k < NLevels) { bb.putFloat(sr(k)); k += 1 }
+      k = 0
+      while (k < NLevels) { bb.put(idx(k)); k += 1 }
+      bb.array()
+    })
+    u(_, _, _)
+  }
+
+  /** (RHO, CF) cell stats → flat bytes; applied once per grid cell. */
+  val pack2: (Column, Column) => Column = {
+    val u = udf((rho: Seq[Float], cf: Seq[Float]) => {
+      val bb = java.nio.ByteBuffer.allocate(8 * NLevels)
+      var k = 0
+      while (k < NLevels) { bb.putFloat(rho(k)); k += 1 }
+      k = 0
+      while (k < NLevels) { bb.putFloat(cf(k)); k += 1 }
+      bb.array()
+    })
+    u(_, _)
+  }
+
+  /** CT and SR aggregated in ONE pass over the packed profile (they share
+    * weights and the idx mask). Buffer packs [Σc·CT ×64, Σc·SR ×64, Σc ×64]. */
+  class ProfileMeanPacked2 extends Aggregator[(Double, Array[Byte]), Array[Double], (Seq[Float], Seq[Float])] {
     def zero: Array[Double] = new Array[Double](3 * NLevels)
-    def reduce(b: Array[Double], a: (Double, Seq[Float], Seq[Float], Seq[Byte])): Array[Double] = {
-      val (w, ct, sr, idx) = a
-      if (ct != null && sr != null && idx != null) {
+    def reduce(b: Array[Double], a: (Double, Array[Byte])): Array[Double] = {
+      val (w, p) = a
+      if (p != null) {
+        val bb = java.nio.ByteBuffer.wrap(p)
         var k = 0
         while (k < NLevels) {
-          if (k < idx.length && idx(k) == 1) {
-            b(k) += w * ct(k)
-            b(NLevels + k) += w * sr(k)
+          if (p(IdxOff + k) == 1) {
+            b(k) += w * bb.getFloat(CtOff + 4 * k)
+            b(NLevels + k) += w * bb.getFloat(SrOff + 4 * k)
             b(2 * NLevels + k) += w
           }
           k += 1
@@ -256,11 +315,57 @@ object Atlas {
       ExpressionEncoder[(Seq[Float], Seq[Float])]()
   }
 
+  /** Pass-2 EAPE: unpack profile + cell stats, run the EAPE kernel, and
+    * accumulate the masked weighted mean — all inside the aggregator. */
+  class EapeMeanPacked(eos: SeawaterEos, algo: String)
+      extends Aggregator[(Double, Array[Byte], Array[Byte]), Array[Double], Seq[Float]] {
+    def zero: Array[Double] = new Array[Double](2 * NLevels)
+    def reduce(b: Array[Double], a: (Double, Array[Byte], Array[Byte])): Array[Double] = {
+      val (w, p, cell) = a
+      if (p != null && cell != null) {
+        val pb = java.nio.ByteBuffer.wrap(p)
+        val cb = java.nio.ByteBuffer.wrap(cell)
+        val ct = Array.tabulate(NLevels)(k => pb.getFloat(CtOff + 4 * k))
+        val sr = Array.tabulate(NLevels)(k => pb.getFloat(SrOff + 4 * k))
+        val idx = Array.tabulate(NLevels)(k => p(IdxOff + k))
+        val rhoM = Array.tabulate(NLevels)(k => cb.getFloat(4 * k))
+        val cf = Array.tabulate(NLevels)(k => cb.getFloat(4 * NLevels + 4 * k))
+        val eape = eapeProfile(ct, sr, idx, rhoM, cf, eos, algo)
+        var k = 0
+        while (k < NLevels) {
+          if (idx(k) == 1) {
+            b(k) += w * eape(k)
+            b(NLevels + k) += w
+          }
+          k += 1
+        }
+      }
+      b
+    }
+    def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+      var k = 0
+      while (k < 2 * NLevels) { b1(k) += b2(k); k += 1 }
+      b1
+    }
+    def finish(b: Array[Double]): Seq[Float] =
+      (0 until NLevels).map { k =>
+        if (b(NLevels + k) > 0) (b(k) / b(NLevels + k)).toFloat else 0.0f
+      }
+    def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+    def outputEncoder: Encoder[Seq[Float]] = ExpressionEncoder[Seq[Float]]()
+  }
+
+  def eapeMeanPacked(eos: SeawaterEos, algo: String): (Column, Column, Column) => Column = {
+    val u = udaf(new EapeMeanPacked(eos, algo),
+      ExpressionEncoder[(Double, Array[Byte], Array[Byte])]())
+    u(_, _, _)
+  }
+
   private[argo] def aggTS(pairs: DataFrame): DataFrame =
     pairs.groupBy(col("gi"), col("gj"), col("glon"), col("glat"))
-      .agg(udaf(new ProfileMean2,
-        ExpressionEncoder[(Double, Seq[Float], Seq[Float], Seq[Byte])]())
-        .apply(col("w"), col("CT"), col("SR"), col("IDX")).as("ts"))
+      .agg(udaf(new ProfileMeanPacked2,
+        ExpressionEncoder[(Double, Array[Byte])]())
+        .apply(col("w"), col("prof")).as("ts"))
       .select(col("gi"), col("gj"), col("glon"), col("glat"),
         col("ts._1").as("CT_m"), col("ts._2").as("SR_m"))
 

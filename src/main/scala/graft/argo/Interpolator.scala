@@ -115,7 +115,16 @@ object Interpolator {
     val resolved =
       if (samples.columns.contains("DATA_MODE")) resolveAdjusted(samples)
       else samples
+    // Pin the kernel stage's parallelism with an EXPLICIT partition count:
+    // AQE coalesces small shuffles by byte size and is blind to the CPU-heavy
+    // spline+TEOS-10 kernel downstream — without this the whole interpolation
+    // (and everything pipelined after it, e.g. the atlas join+agg) can
+    // collapse onto ONE task. Hash by (WMO, IPROF) = the reference's
+    // per-float task decomposition (interpolation.py:147-149), and the
+    // (WMO, IPROF) header equi-join below reuses this distribution.
+    val nPart = samples.sparkSession.sessionState.conf.numShufflePartitions
     val interpolated = resolved
+      .repartition(nPart, col("WMO"), col("IPROF"))
       .withColumn("r", interpUdf(col("PRES"), col("TEMP"), col("PSAL"), col("QC")))
       .select(col("WMO").cast("int"), col("IPROF").cast("short"),
         col("r._1").as("NVALUES"),

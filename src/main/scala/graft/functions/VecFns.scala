@@ -60,4 +60,49 @@ object VecFns {
     (0 until bits).map(p =>
       s"CASE WHEN ${sqlPlaneProj(vec, p, n)} > 0 THEN ${1L << p} ELSE 0 END")
       .mkString("(", " + ", ")")
+
+  // ---- compiled kernel (hot path) -----------------------------------------
+  /** Compiled twin of [[dot]]: the same left-to-right double fold, so the
+    * result is BIT-IDENTICAL to the HOF form (and the DuckDB oracle) — but
+    * a tight JVM loop instead of a per-element interpreted lambda. Use in
+    * per-PAIR similarity paths (joins), where candidate count × dimension
+    * dominates; the HOF form remains the executable spec. */
+  val dotJvm: (Column, Column) => Column = {
+    val u = udf((a: Seq[Double], b: Seq[Double]) => {
+      var acc = 0.0
+      var i = 0
+      val n = a.length
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      acc
+    })
+    u(_, _)
+  }
+
+  /** Vector packed to flat bytes (64-bit LE doubles) ONCE per row: per-PAIR
+    * paths then decode a single binary value instead of a boxed
+    * Seq[Double] — the array-element boxing is what dominates pairwise
+    * similarity once candidates × dimension reach the tens of millions. */
+  val packVec: Column => Column = {
+    val u = udf((a: Seq[Double]) => {
+      val bb = java.nio.ByteBuffer.allocate(8 * a.length)
+      var i = 0
+      while (i < a.length) { bb.putDouble(a(i)); i += 1 }
+      bb.array()
+    })
+    u(_)
+  }
+
+  /** Dot over two packed vectors; same left-to-right fold → bit-identical
+    * to [[dot]]/[[sqlDot]]. */
+  val dotPacked: (Column, Column) => Column = {
+    val u = udf((a: Array[Byte], b: Array[Byte]) => {
+      val ba = java.nio.ByteBuffer.wrap(a)
+      val bbf = java.nio.ByteBuffer.wrap(b)
+      var acc = 0.0
+      var off = 0
+      while (off < a.length) { acc += ba.getDouble(off) * bbf.getDouble(off); off += 8 }
+      acc
+    })
+    u(_, _)
+  }
 }

@@ -16,6 +16,8 @@ import graft.argo.{Atlas, Interpolator, SummaryBuilder}
   */
 object ArgoQueries extends QueryModule {
   /** Deterministic raw per-profile metadata from orders. */
+  private[graft] def rawHeaderProbe(s: SparkSession, d: String): DataFrame = rawHeader(s, d)
+  private[graft] def samplesProbe(summary: DataFrame): DataFrame = samples(summary)
   private def rawHeader(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .filter(col("o_orderkey") % 10 === 0)
@@ -53,7 +55,6 @@ object ArgoQueries extends QueryModule {
         col("LATITUDE"), col("LONGITUDE"),
         element_at(col("CT"), 1).as("ct_surf"),
         element_at(col("SR"), 33).as("sr_500"))
-      .orderBy("WMO", "IPROF")
   }
 
   // ---- q71: the full three-stage pipeline into an atlas ------------------
@@ -61,9 +62,10 @@ object ArgoQueries extends QueryModule {
     val summary = SummaryBuilder.build(s, rawHeader(s, d))
     val profiles = Interpolator.interpolate(samples(summary), summary)
     val atlas = new Atlas(box = (-20.0, 50.0, -50.0, -20.0), reso = 5.0)
+    // no orderBy: rows-only check, and a global sort's range-sampling pass
+    // would re-execute the whole aggregation subtree just to pick splits
     atlas.climTS(s, profiles)
       .filter(col("CT") =!= 0.0f)
-      .orderBy("lon", "lat", "pres")
   }
 
   def defs: Map[String, QueryDef] = Map(

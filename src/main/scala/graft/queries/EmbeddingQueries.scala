@@ -27,9 +27,10 @@ object EmbeddingQueries extends QueryModule {
   private def base(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
       col("vec_id"),
-      col("embedding").cast("array<double>").as("vec"),
-      V.norm(col("embedding").cast("array<double>")).as("nrm"))
+      col("embedding").cast("array<double>").as("vec"))
       .repartition(col("vec_id"))
+      .select(col("vec_id"), V.packVec(col("vec")).as("pv"),
+        V.norm(col("vec")).as("nrm"))
 
   private val sqlBase =
     s"""SELECT vec_id, embedding, ${V.sqlNorm("embedding", Dim)} AS nrm
@@ -39,13 +40,13 @@ object EmbeddingQueries extends QueryModule {
   private def q40(s: SparkSession, d: String): DataFrame = {
     val b = base(s, d)
     val probes = b.filter(col("vec_id") % ProbeMod === 0).select(
-      col("vec_id").as("q_id"), col("vec").as("q_vec"), col("nrm").as("q_nrm"))
+      col("vec_id").as("q_id"), col("pv").as("q_pv"), col("nrm").as("q_nrm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_n").desc, col("vec_id"))
     b.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos_n",
-        FP.nano(V.dot(col("q_vec"), col("vec")) / (col("q_nrm") * col("nrm"))))
+        FP.nano(V.dotPacked(col("q_pv"), col("pv")) / (col("q_nrm") * col("nrm"))))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("cos_n"))
@@ -74,19 +75,19 @@ object EmbeddingQueries extends QueryModule {
     val b = Tables.embeddings(s, d).select(
       col("vec_id"),
       col("embedding").cast("array<double>").as("vec"))
-      .select(col("vec_id"), col("vec"),
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), V.packVec(col("vec")).as("pv"),
         V.norm(col("vec")).as("nrm"),
         V.lshBucket(col("vec"), LshBits, Dim).as("bucket"))
-      .repartition(col("bucket"))
     val probes = b.filter(col("vec_id") % ProbeMod === 0).select(
       col("bucket"), col("vec_id").as("q_id"),
-      col("vec").as("q_vec"), col("nrm").as("q_nrm"))
+      col("pv").as("q_pv"), col("nrm").as("q_nrm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_n").desc, col("vec_id"))
-    b.join(probes, Seq("bucket"))
+    b.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos_n",
-        FP.nano(V.dot(col("q_vec"), col("vec")) / (col("q_nrm") * col("nrm"))))
+        FP.nano(V.dotPacked(col("q_pv"), col("pv")) / (col("q_nrm") * col("nrm"))))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("cos_n"))
@@ -149,17 +150,23 @@ object EmbeddingQueries extends QueryModule {
     val b = Tables.embeddings(s, d).select(
       col("vec_id"),
       col("embedding").cast("array<double>").as("vec"))
-      .select(col("vec_id"), col("vec"),
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), V.packVec(col("vec")).as("pv"),
         V.norm(col("vec")).as("nrm"),
         V.lshBucket(col("vec"), NearDupBits, Dim).as("bucket"))
-      .repartition(col("bucket"))
     val l = b.select(col("bucket"), col("vec_id").as("d1"),
-      col("vec").as("v1"), col("nrm").as("n1"))
+      col("pv").as("v1"), col("nrm").as("n1"))
     val r = b.select(col("bucket"), col("vec_id").as("d2"),
-      col("vec").as("v2"), col("nrm").as("n2"))
-    l.join(r, Seq("bucket")).filter(col("d1") < col("d2"))
+      col("pv").as("v2"), col("nrm").as("n2"))
+    // With few coarse buckets a shuffle join would collapse onto ≤2^bits
+    // tasks. Broadcast the build side instead: the stream side keeps its
+    // even vec_id distribution and every core scores pairs. (At corpus
+    // sizes where the broadcast wouldn't fit, raise NearDupBits — bucket
+    // count should grow with density anyway to bound candidates/bucket —
+    // and the equi-join shape takes over.)
+    l.join(broadcast(r), Seq("bucket")).filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
-        FP.nano(V.dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+        FP.nano(V.dotPacked(col("v1"), col("v2")) / (col("n1") * col("n2")))
           .as("cos_n"))
       .filter(col("cos_n") >= NearDupThreshNano)
       .orderBy("d1", "d2")
@@ -190,9 +197,10 @@ object EmbeddingQueries extends QueryModule {
   private def q44(s: SparkSession, d: String): DataFrame = {
     val b = Tables.embeddings(s, d).select(
       col("label"), col("vec_id"),
-      col("embedding").cast("array<double>").as("vec"),
-      V.norm(col("embedding").cast("array<double>")).as("nrm"))
+      col("embedding").cast("array<double>").as("vec"))
       .repartition(col("label"))
+      .select(col("label"), col("vec_id"), V.packVec(col("vec")).as("pv"),
+        col("vec"), V.norm(col("vec")).as("nrm"))
     val cents = Tables.embeddings(s, d)
       .groupBy(col("label"))
       .agg(Aggregates.weightedArrayMeanFP(Dim)(lit(1L), col("embedding"))
@@ -201,21 +209,22 @@ object EmbeddingQueries extends QueryModule {
         slice(col("sums"), 1, Dim).cast("array<double>").as("c_vec"))
       .select(col("label"), col("c_vec"), V.norm(col("c_vec")).as("c_nrm"))
     val probes = b.filter(col("vec_id") % ProbeMod === 0).select(
-      col("vec_id").as("q_id"), col("vec").as("q_vec"), col("nrm").as("q_nrm"))
+      col("vec_id").as("q_id"), col("pv").as("q_pv"),
+      col("vec").as("q_vec"), col("nrm").as("q_nrm"))
     val wc = Window.partitionBy(col("q_id"))
       .orderBy(col("c_cos").desc, col("label"))
     val assigned = probes.crossJoin(broadcast(cents))
       .withColumn("c_cos",
-        V.dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")))
+        V.dotJvm(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")))
       .withColumn("c_rank", row_number().over(wc))
       .filter(col("c_rank") <= NProbe)
-      .select(col("label"), col("q_id"), col("q_vec"), col("q_nrm"))
+      .select(col("label"), col("q_id"), col("q_pv"), col("q_nrm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_n").desc, col("vec_id"))
     b.join(assigned, Seq("label"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos_n",
-        FP.nano(V.dot(col("q_vec"), col("vec")) / (col("q_nrm") * col("nrm"))))
+        FP.nano(V.dotPacked(col("q_pv"), col("pv")) / (col("q_nrm") * col("nrm"))))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("cos_n"))
