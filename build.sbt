@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Dozens of codegen-heavy queries in one JVM overflow the default
+  // 240 MB JIT code cache; once it fills, HotSpot stops compiling and
+  // late queries run 5-10x slower in the interpreter.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:MaxMetaspaceSize=2g",
 )

@@ -16,6 +16,7 @@ object Bench {
     // so the first timed query doesn't absorb JVM startup
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => }
+    Warmup.run() // C2-compile the numeric kernels (shared JVM in local mode)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }

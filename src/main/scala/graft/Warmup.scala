@@ -1,0 +1,32 @@
+package graft
+
+import graft.argo.Interpolator
+import graft.functions.{Interp, Seawater, SimplifiedEos}
+
+/** Drives the hot numeric kernels enough for HotSpot to C2-compile them
+  * BEFORE queries are timed. In local mode executors share the driver JVM,
+  * so compiled code carries straight into query execution; without this a
+  * single-shot query pays interpreter/C1 cost for the spline and TEOS-10
+  * polynomials (observed 2-3x on the atlas pipeline's first run).
+  */
+object Warmup {
+  def run(): Unit = {
+    val pres = Array.tabulate(120)(_ * 17.0)
+    val qc = Array.fill(120)(1.0)
+    var sink = 0.0
+    var it = 0
+    while (it < 4000) {
+      val amp = 16.0 + (it % 7)
+      val temp = pres.map(p => 2.0 + amp * math.exp(-p / 500.0))
+      val psal = pres.map(p => 34.5 + 0.5 * math.exp(-p / 300.0))
+      sink += Interpolator.warmKernel(pres, temp, psal, qc)
+      sink += Seawater.gammatAnalytic(35.5, 2.0 + (it % 25), SimplifiedEos)._1
+      sink += SimplifiedEos.rho(35.5, 10.0 + (it % 20), 500.0)
+      sink += Seawater.soundSpeed(35.5, 10.0, (it % 64) * 30.0)
+      sink += Interp.linear(pres, temp, 100.0 + (it % 1900))
+      it += 1
+    }
+    // sink is never MinValue; the check defeats dead-code elimination
+    if (sink == Double.MinValue) println(sink)
+  }
+}

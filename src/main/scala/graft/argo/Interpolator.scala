@@ -85,6 +85,13 @@ object Interpolator {
     (idx.length, ctOut, srOut, idxOut)
   }
 
+  /** JIT warm-up hook: run the full kernel once, return a checksum. */
+  private[graft] def warmKernel(pres: Array[Double], temp: Array[Double],
+      psal: Array[Double], qc: Array[Double]): Double = {
+    val (n, ct, sr, _) = interpolateProfile(pres, temp, psal, qc)
+    n + (if (ct.nonEmpty) ct(0) else 0.0f) + (if (sr.nonEmpty) sr(NLevels - 1) else 0.0f)
+  }
+
   private val interpUdf = udf(
     (pres: Seq[Double], temp: Seq[Double], psal: Seq[Double], qc: Seq[Double]) => {
       val (n, ct, sr, ix) =

@@ -222,4 +222,96 @@ object TextFns {
     })
     u(_, _)
   }
+
+  // ---- packed hash sets ---------------------------------------------------
+  // Distinct shingle hashes SORTED and packed to flat bytes (8 B each):
+  // pair-joins then carry one binary value per document, equality (LSH
+  // candidate dedup) is a byte compare, and pairwise Jaccard is a
+  // merge-walk over two long streams with zero boxing. Sorting is free
+  // semantically — every consumer (minhash, Jaccard, SimHash votes) is
+  // order-independent over the SET.
+
+  private def sortedHashes(text: String, k: Int): Array[Long] = {
+    val set = scala.collection.mutable.LinkedHashSet.empty[Long]
+    shinglesJvm(tokensJvm(text), k).foreach(sh => set += charHashJvm(sh))
+    val arr = set.toArray
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
+  private def packLongs(arr: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * arr.length)
+    var i = 0
+    while (i < arr.length) { bb.putLong(arr(i)); i += 1 }
+    bb.array()
+  }
+
+  /** text → sorted distinct k-shingle hashes, packed. */
+  def shingleHashesPacked(k: Int): Column => Column = {
+    val u = udf((text: String) => packLongs(sortedHashes(text, k)))
+    u(_)
+  }
+
+  /** packed hashes → all K minhash signatures in one pass. */
+  val minhashSigsPacked: Column => Column = {
+    val u = udf((p: Array[Byte]) => {
+      val bb = java.nio.ByteBuffer.wrap(p)
+      val sigs = Array.fill(MinHashK)(Long.MaxValue)
+      var off = 0
+      while (off < p.length) {
+        val x = bb.getLong(off)
+        var j = 0
+        while (j < MinHashK) {
+          val h = (x * permA(j) + permB(j)) % HashMod
+          if (h < sigs(j)) sigs(j) = h
+          j += 1
+        }
+        off += 8
+      }
+      sigs.toSeq
+    })
+    u(_)
+  }
+
+  /** packed hashes → SimHash fingerprint (same semantics as [[simhash]]). */
+  val simhashPacked: Column => Column = {
+    val u = udf((p: Array[Byte]) => {
+      val bb = java.nio.ByteBuffer.wrap(p)
+      val n = p.length / 8
+      var sig = 0L
+      var b = 0
+      while (b < SimHashBits) {
+        var set = 0
+        var off = 0
+        while (off < p.length) {
+          if (((bb.getLong(off) >>> b) & 1L) == 1L) set += 1
+          off += 8
+        }
+        if (2 * set > n) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    })
+    u(_)
+  }
+
+  /** Exact Jaccard in micro-units over two packed SORTED hash sets:
+    * merge-walk over the byte streams, zero per-pair allocation. */
+  val jaccardMicroPacked: (Column, Column) => Column = {
+    val u = udf((a: Array[Byte], b: Array[Byte]) => {
+      val ba = java.nio.ByteBuffer.wrap(a)
+      val bbf = java.nio.ByteBuffer.wrap(b)
+      var i = 0; var j = 0; var inter = 0
+      while (i < a.length && j < b.length) {
+        val x = ba.getLong(i)
+        val y = bbf.getLong(j)
+        if (x == y) { inter += 1; i += 8; j += 8 }
+        else if (x < y) i += 8
+        else j += 8
+      }
+      val union = a.length / 8 + b.length / 8 - inter
+      FP.roundHalfAway(inter.toDouble / union.toDouble * 1e6)
+    })
+    u(_, _)
+  }
 }

@@ -146,9 +146,9 @@ object TextQueries extends QueryModule {
     // HOF spec in TextFns — bit-identical to the DuckDB oracle.
     val base = docs(s, d)
       .repartition(col("doc_id"))
-      .select(col("doc_id"), T.shingleHashes(3)(col("text")).as("hs"))
+      .select(col("doc_id"), T.shingleHashesPacked(3)(col("text")).as("hs"))
     val withSigs = base
-      .withColumn("sigs", T.minhashSigs(col("hs")))
+      .withColumn("sigs", T.minhashSigsPacked(col("hs")))
       .select(
         (col("doc_id") +: col("hs") +:
           (0 until T.MinHashK).map(j =>
@@ -170,7 +170,7 @@ object TextQueries extends QueryModule {
       .select("d1", "d2", "hs1", "hs2").distinct()
     cand.select(
       col("d1"), col("d2"),
-      T.jaccardMicroLong(col("hs1"), col("hs2")).as("jaccard_u"))
+      T.jaccardMicroPacked(col("hs1"), col("hs2")).as("jaccard_u"))
       .filter(col("jaccard_u") >= (JaccardThreshold * 1e6).toLong)
       .orderBy("d1", "d2")
   }
@@ -217,7 +217,7 @@ object TextQueries extends QueryModule {
     val sigs = docs(s, d)
       .repartition(col("doc_id"))
       .select(col("doc_id"),
-        T.simhashJvm(T.shingleHashes(3)(col("text"))).as("sig"))
+        T.simhashPacked(T.shingleHashesPacked(3)(col("text"))).as("sig"))
       .repartition(col("doc_id"))
     val chunks = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until T.SimHashChunks).map { c =>
@@ -250,17 +250,20 @@ object TextQueries extends QueryModule {
        |ORDER BY 1, 2""".stripMargin
   }
 
-  // ---- q36: blocked n-gram Jaccard (exact, within source blocks) ---------
+  // ---- q36: blocked n-gram Jaccard (exact over hashed 2-shingles, within
+  // source blocks). Hashing the shingles (mirrored in the oracle) lets each
+  // pair compare two packed long streams instead of two string arrays.
   private def q36(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d)
       .repartition(col("doc_id"))
-      .select(col("doc_id"), col("source"), T.shingleSet(2)(col("text")).as("gs"))
-      .repartition(col("source"))
+      .select(col("doc_id"), col("source"), T.shingleHashesPacked(2)(col("text")).as("gs"))
     val l = base.select(col("source"), col("doc_id").as("d1"), col("gs").as("g1"))
     val r = base.select(col("source"), col("doc_id").as("d2"), col("gs").as("g2"))
-    l.join(r, Seq("source")).filter(col("d1") < col("d2"))
+    // few source blocks → broadcast the build side; a shuffle join would
+    // collapse onto one task per block (see q43 for the same call)
+    l.join(broadcast(r), Seq("source")).filter(col("d1") < col("d2"))
       .select(col("source"), col("d1"), col("d2"),
-        T.jaccardMicro(col("g1"), col("g2")).as("jaccard_u"))
+        T.jaccardMicroPacked(col("g1"), col("g2")).as("jaccard_u"))
       .filter(col("jaccard_u") >= 200000L)
       .orderBy("source", "d1", "d2")
   }
@@ -269,7 +272,9 @@ object TextQueries extends QueryModule {
     val j = "len(list_intersect(g1, g2))::DOUBLE / len(list_distinct(list_concat(g1, g2)))"
     s"""WITH base AS (
        |  SELECT doc_id, source,
-       |    list_distinct(${T.sqlShingles(s"(${T.sqlTokens("text")})", 2)}) AS gs
+       |    list_distinct(list_transform(
+       |      ${T.sqlShingles(s"(${T.sqlTokens("text")})", 2)},
+       |      sh -> ${T.sqlCharHash("sh")})) AS gs
        |  FROM documents)
        |SELECT a.source, a.doc_id AS d1, b.doc_id AS d2,
        |  ${FP.sqlMicro(j.replace("g1", "a.gs").replace("g2", "b.gs"))} AS jaccard_u
