@@ -62,4 +62,61 @@ object Media {
       }
     spark.createDataFrame(rdd, featureSchema)
   }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("checksum", LongType, nullable = false)))
+
+  /** STUB frame sampler: a real implementation seeks key-frames in the
+    * container; the stub slices `nFrames` equal byte ranges (last frame
+    * takes the remainder). The plumbing — one input row fanning out to
+    * `nFrames` feature rows, decoder init once per partition, frames never
+    * materialized as a column unless asked for — is the production shape. */
+  def frameSample(media: DataFrame, nFrames: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id").cast("long"), col("media")).rdd
+      .mapPartitions { iter =>
+        val decoder = new StubDecoder // once per partition
+        iter.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val q = bytes.length / nFrames
+          (0 until nFrames).iterator.map { i =>
+            val from = i * q
+            val until = if (i < nFrames - 1) (i + 1) * q else bytes.length
+            val (n, sum, _, _) =
+              decoder.decode(java.util.Arrays.copyOfRange(bytes, from, until))
+            Row(r.getLong(0), i.toLong, n.toLong, sum)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, frameSchema)
+  }
+
+  val resizeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("orig_bytes", LongType, nullable = false),
+    StructField("resized_bytes", LongType, nullable = false),
+    StructField("checksum", LongType, nullable = false)))
+
+  /** STUB resize: a real implementation decodes, scales, re-encodes; the
+    * stub keeps every 2nd byte (deterministic 2x downsample). Emits the
+    * resized payload's size and checksum. */
+  def resize(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id").cast("long"), col("media")).rdd
+      .mapPartitions { iter =>
+        val decoder = new StubDecoder // once per partition
+        iter.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val out = new Array[Byte]((bytes.length + 1) / 2)
+          var i = 0
+          while (i < out.length) { out(i) = bytes(2 * i); i += 1 }
+          val (n, sum, _, _) = decoder.decode(out)
+          Row(r.getLong(0), bytes.length.toLong, n.toLong, sum)
+        }
+      }
+    spark.createDataFrame(rdd, resizeSchema)
+  }
 }

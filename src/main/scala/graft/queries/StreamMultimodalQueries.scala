@@ -47,6 +47,38 @@ object StreamMultimodalQueries extends QueryModule {
        | CAST(sum(${FP.sqlMicro("value")}) AS BIGINT) AS total_value_u
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q82: gap-based sessionization (custom streaming state) ------------
+  // Batch window-function form here (oracle-checkable); StreamingSpec
+  // asserts the flatMapGroupsWithState variant over a MemoryStream emits
+  // the SAME sessions — custom state with bounded size per user.
+  private val SessionGapUs = 30L * 60 * 1000000 // 30 min
+
+  private def q82(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("value", FP.micro(col("value")))
+    EventStreams.sessionizeBatch(ev, SessionGapUs)
+      .orderBy("user_id", "sess_id")
+  }
+
+  private val q82Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS t_us, ${FP.sqlMicro("value")} AS v
+       |  FROM events),
+       |m AS (
+       |  SELECT user_id, t_us, v,
+       |    CASE WHEN lag(t_us) OVER w IS NULL
+       |           OR t_us - lag(t_us) OVER w > $SessionGapUs
+       |         THEN 1 ELSE 0 END AS ns
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us)),
+       |s AS (
+       |  SELECT user_id, t_us, v, sum(ns) OVER (
+       |    PARTITION BY user_id ORDER BY t_us ROWS UNBOUNDED PRECEDING) AS sess_id
+       |  FROM m)
+       |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+       |  min(t_us) AS session_start_us,
+       |  max(t_us) AS session_end_us, count(*) AS n_events,
+       |  CAST(sum(v) AS BIGINT) AS total_value_u
+       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- q90: multimodal binary columns + per-partition decode -------------
   private def q90(s: SparkSession, d: String): DataFrame = {
     val media = Tables.documents(s, d).select(
@@ -73,8 +105,52 @@ object StreamMultimodalQueries extends QueryModule {
       |  CAST(16 + (checksum // 16) % 16 AS BIGINT) AS height
       |FROM f ORDER BY 1""".stripMargin
 
+  // ---- q91: frame sampling (1 media row → n frame-feature rows) ----------
+  private val NFrames = 4
+
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    val media = Tables.documents(s, d).select(
+      col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+    Media.frameSample(media, NFrames).orderBy("doc_id", "frame_idx")
+  }
+
+  // ASCII text ⇒ substring char arithmetic mirrors byte slicing
+  private val q91Sql =
+    s"""WITH f AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |fr AS (
+       |  SELECT doc_id, i AS frame_idx,
+       |    CASE WHEN i < ${NFrames - 1} THEN n // $NFrames
+       |         ELSE n - ${NFrames - 1} * (n // $NFrames) END AS n_bytes,
+       |    COALESCE(list_sum(list_transform(
+       |      string_split(substring(text, CAST(1 + i * (n // $NFrames) AS INT),
+       |        CAST(CASE WHEN i < ${NFrames - 1} THEN n // $NFrames
+       |             ELSE n - ${NFrames - 1} * (n // $NFrames) END AS INT)), ''),
+       |      c -> CAST(ascii(c) AS BIGINT))), 0) AS checksum
+       |  FROM f, range(0, $NFrames) t(i))
+       |SELECT doc_id, frame_idx, CAST(n_bytes AS BIGINT) AS n_bytes,
+       |  CAST(checksum AS BIGINT) AS checksum
+       |FROM fr ORDER BY 1, 2""".stripMargin
+
+  // ---- q92: resize (2x byte downsample through the decoder plumbing) -----
+  private def q92(s: SparkSession, d: String): DataFrame = {
+    val media = Tables.documents(s, d).select(
+      col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+    Media.resize(media).orderBy("doc_id")
+  }
+
+  private val q92Sql =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_bytes,
+      |  CAST((length(text) + 1) // 2 AS BIGINT) AS resized_bytes,
+      |  CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1, 2),
+      |    i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT))), 0)
+      |    AS BIGINT) AS checksum
+      |FROM documents ORDER BY 1""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
     "q80_windowed_events" -> QueryDef(q80, Some(q80Sql)),
     "q81_user_activity" -> QueryDef(q81, Some(q81Sql)),
-    "q90_multimodal_decode" -> QueryDef(q90, Some(q90Sql)))
+    "q82_sessionize" -> QueryDef(q82, Some(q82Sql)),
+    "q90_multimodal_decode" -> QueryDef(q90, Some(q90Sql)),
+    "q91_frame_sample" -> QueryDef(q91, Some(q91Sql)),
+    "q92_media_resize" -> QueryDef(q92, Some(q92Sql)))
 }

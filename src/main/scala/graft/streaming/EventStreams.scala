@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface (SURVEY.md §2.9: the reference is
   * batch-only; this is the engine's upgrade path for incremental ingest).
@@ -34,9 +36,7 @@ object EventStreams {
         col("n_events"), col("sum_value"))
   }
 
-  /** Per-user session activity: last event time and running event count —
-    * the mapGroupsWithState-shaped problem expressed with windowed agg for
-    * determinism; a custom-state variant lives in the spec. */
+  /** Per-user activity: last event time and running event count. */
   def userActivity(events: DataFrame, watermark: Option[String] = None): DataFrame = {
     val base = withEventTime(events)
     val marked = watermark.fold(base)(w => base.withWatermark("event_time", w))
@@ -44,5 +44,87 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"),
         max(col("event_time")).as("last_seen"),
         sum(col("value")).as("total_value"))
+  }
+
+  // ---- gap-based sessionization (custom streaming state) ------------------
+
+  /** One event inside the sessionizer. `vU` is the value in fixed-point
+    * micro-units so session sums are order-independent and exact. */
+  case class SessEvent(user_id: Long, t_us: Long, v_u: Long)
+
+  /** A closed session. */
+  case class Session(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long, total_value_u: Long)
+
+  /** Open-session state (public: Catalyst codegen instantiates it). */
+  case class OpenSession(start: Long, end: Long, n: Long, vsum: Long)
+
+  /** Batch form: lag → new-session flag → running sum → group. Used by the
+    * verified q82; the streaming form below must produce the same sessions
+    * (asserted in StreamingSpec). */
+  def sessionizeBatch(events: DataFrame, gapUs: Long): DataFrame = {
+    val base = withEventTime(events)
+      .select(col("user_id"), unix_micros(col("event_time")).as("t_us"),
+        col("value").as("v_u"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
+    base
+      .withColumn("prev", lag(col("t_us"), 1).over(w))
+      .withColumn("ns",
+        when(col("prev").isNull || col("t_us") - col("prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("ns"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("t_us")).as("session_start_us"),
+        max(col("t_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("v_u")).as("total_value_u"))
+  }
+
+  /** Streaming form: `flatMapGroupsWithState` keeps ONE open session per
+    * user (bounded state — this is what makes it viable over an unbounded
+    * stream at scale), closes it when a later event arrives past the gap,
+    * and flushes it on event-time timeout once the watermark passes
+    * `session end + gap`. Within a micro-batch events arrive unordered —
+    * they are sorted in-memory per (user × batch), which is bounded by the
+    * batch, not the stream. */
+  def sessionizeStream(events: Dataset[SessEvent], gapUs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_time", timestamp_micros(col("t_us")))
+      .withWatermark("event_time", "0 seconds")
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+         state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start, s.end, s.n, s.vsum))
+          } else {
+            val sorted = rows.toArray.sortBy(e => (e._2, e._3))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var open = state.getOption
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e._2 - s.end <= gapUs =>
+                  open = Some(OpenSession(s.start, math.max(s.end, e._2),
+                    s.n + 1, s.vsum + e._3))
+                case Some(s) =>
+                  closed += Session(userId, s.start, s.end, s.n, s.vsum)
+                  open = Some(OpenSession(e._2, e._2, 1, e._3))
+                case None =>
+                  open = Some(OpenSession(e._2, e._2, 1, e._3))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.end + gapUs) / 1000 + 1)
+            }
+            closed.iterator
+          }
+      }
   }
 }

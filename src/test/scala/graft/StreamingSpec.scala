@@ -76,4 +76,52 @@ class StreamingSpec extends SparkSuite {
       assert(batch.size === 5)
     } finally sq.stop()
   }
+
+  test("sessionizeStream (flatMapGroupsWithState) equals sessionizeBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val gapUs = 30L * 60 * 1000000 // 30 min
+    // events with real gaps: bursts of 3, each burst 2h apart, per user
+    val sess = (0 until 120).map { i =>
+      EventStreams.SessEvent(
+        user_id = i % 4,
+        t_us = 1700000000L * 1000000L + (i / 12) * 7200L * 1000000L +
+          (i % 12) * 60L * 1000000L,
+        v_u = (i % 9) * 100L)
+    }
+    val mem = MemoryStream[EventStreams.SessEvent]
+    val out = EventStreams.sessionizeStream(mem.toDS(), gapUs)
+    val sq = out.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt3").toString)
+      .start()
+    try {
+      mem.addData(sess.take(60))
+      sq.processAllAvailable()
+      mem.addData(sess.drop(60))
+      sq.processAllAvailable()
+      // advance the watermark far past every open session's timeout so the
+      // final sessions flush (a real stream would keep receiving events)
+      mem.addData(EventStreams.SessEvent(user_id = 999L,
+        t_us = 1900000000L * 1000000L, v_u = 0L))
+      sq.processAllAvailable()
+      mem.addData(EventStreams.SessEvent(user_id = 998L,
+        t_us = 1900000100L * 1000000L, v_u = 0L))
+      sq.processAllAvailable()
+      val streamed = spark.table("sess_stream")
+        .filter($"user_id" < 900)
+        .select($"user_id", $"session_start_us", $"session_end_us",
+          $"n_events", $"total_value_u")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val batch = EventStreams.sessionizeBatch(
+        sess.toDF().withColumnRenamed("t_us", "ts_us")
+          .withColumn("ts", expr("ts_us * 1000")) // ns column like events
+          .withColumn("value", $"v_u"), gapUs)
+        .select($"user_id", $"session_start_us", $"session_end_us",
+          $"n_events", $"total_value_u")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(batch.size > 4) // real multi-session structure per user
+    } finally sq.stop()
+  }
 }
