@@ -83,7 +83,8 @@ class Atlas(
   /** (cell × profile) pairs with weight `w = exp(−haversine_arg)`.
     * Cached by callers that aggregate twice (TS then EAPE — the
     * reference's kdx/coef/N reuse, atlas.py:289-306). */
-  def pairs(s: SparkSession, profiles: DataFrame): DataFrame = {
+  def pairs(s: SparkSession, profiles: DataFrame,
+            aux: Option[Column] = None): DataFrame = {
     // Bins are a FRACTION of the search radius (radius/4): with bin =
     // radius the whole domain collapses into a handful of join keys (all
     // the work lands on ≤6 tasks) and the candidate window overshoots the
@@ -98,8 +99,9 @@ class Atlas(
     // array instead of three boxed Seq columns — at 1M+ pairs the boxed
     // tuple decode dominated the whole atlas wall-time.
     val p = crop(profiles)
-      .select(col("LONGITUDE").as("plon"), col("LATITUDE").as("plat"),
-        Atlas.pack3(col("CT"), col("SR"), col("IDX")).as("prof"))
+      .select(Seq(col("LONGITUDE").as("plon"), col("LATITUDE").as("plat"),
+        Atlas.pack3(col("CT"), col("SR"), col("IDX")).as("prof")) ++
+        aux.map(_.as("aux")).toSeq: _*)
       .withColumn("bi", floor((col("plon") + 180.0) / binW).cast("int"))
       .withColumn("bj", floor((col("plat") + 90.0) / binW).cast("int"))
     val nBi = math.ceil(360.0 / binW).toInt
@@ -143,7 +145,39 @@ class Atlas(
     * @param algo "R14" or "T25" */
   def climEAPE(s: SparkSession, profiles: DataFrame, algo: String = "R14"): DataFrame = {
     require(algo == "R14" || algo == "T25", s"unknown EAPE algo $algo")
-    val pr = pairs(s, profiles).persist() // reuse across both passes (§4)
+    // Per-profile precompute, BEFORE the ~(cells-in-radius)× pair fan-out:
+    // the parcel density ρ(sr,ct,PREF) (both algos) and the gammat
+    // reference pressure (T25 — a 30-iteration bisection per level) depend
+    // only on the profile's own values, never the cell. Hoisting them out
+    // of the pair aggregation cuts the kernel invocations by the fan-out
+    // factor — the difference between the EAPE pass costing ~the TS pass
+    // and costing 2-4x more.
+    val eosA = eos
+    val auxCol = algo match {
+      case "R14" =>
+        val rhoArr = udf((sr: Seq[Float], ct: Seq[Float]) =>
+          Atlas.packFloats(Array.tabulate(NLevels)(k =>
+            eosA.rho(sr(k), ct(k), Pref(k)).toFloat)))
+        rhoArr(col("SR"), col("CT"))
+      case "T25" =>
+        val rhoPArr = udf((sr: Seq[Float], ct: Seq[Float]) => {
+          val out = new Array[Float](2 * NLevels)
+          var k = 0
+          while (k < NLevels) {
+            out(k) = eosA.rho(sr(k), ct(k), Pref(k)).toFloat
+            out(NLevels + k) = Seawater.gammatAnalytic(sr(k), ct(k), eosA)._3.toFloat
+            k += 1
+          }
+          Atlas.packFloats(out)
+        })
+        rhoPArr(col("SR"), col("CT"))
+    }
+    // Persist the PROFILES (one 600 B row each), not the pairs: the pair
+    // fan-out multiplies rows by the cells-in-radius factor, so caching it
+    // costs fan-out x more memory than re-running the (broadcast-join +
+    // filter) that produces it from cached profiles.
+    val prof = profiles.persist()
+    val pr = pairs(s, prof, aux = Some(auxCol))
     try {
       val eosB = eos
       // pass 1: cell means → RHO (+ CF for R14, GAMMAT for T25)
@@ -179,11 +213,11 @@ class Atlas(
           col("glat"), Atlas.pack2(col("RHO"), col("CF")).as("cell"),
           col("SIG"))), Seq("gi", "gj", "glon", "glat"))
       val agg = withEape.groupBy(col("gi"), col("gj"), col("glon"), col("glat"))
-        .agg(Atlas.eapeMeanPacked(eosB, algo)(
-          col("w"), col("prof"), col("cell")).as("EAPE_m"),
+        .agg(Atlas.eapeMeanPacked(algo)(
+          col("w"), col("prof"), col("aux"), col("cell")).as("EAPE_m"),
           first(col("SIG")).as("SIG_m"))
       explodeLevels(agg, Seq("EAPE_m" -> "EAPE", "SIG_m" -> "SIGSTAR"))
-    } finally pr.unpersist(blocking = false)
+    } finally prof.unpersist(blocking = false)
   }
 
   /** Dense (cell, level) long-format output (S9: the atlas "NetCDF" sink is
@@ -315,26 +349,46 @@ object Atlas {
       ExpressionEncoder[(Seq[Float], Seq[Float])]()
   }
 
-  /** Pass-2 EAPE: unpack profile + cell stats, run the EAPE kernel, and
-    * accumulate the masked weighted mean — all inside the aggregator. */
-  class EapeMeanPacked(eos: SeawaterEos, algo: String)
-      extends Aggregator[(Double, Array[Byte], Array[Byte]), Array[Double], Seq[Float]] {
+  /** Floats → flat bytes (the aux payload of [[Atlas.pairs]]). */
+  private[argo] def packFloats(arr: Array[Float]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 * arr.length)
+    var i = 0
+    while (i < arr.length) { bb.putFloat(arr(i)); i += 1 }
+    bb.array()
+  }
+
+  /** Pass-2 EAPE (atlas.py:152-231): ½·unit·(ρ−RHO)(p−PREF), accumulated
+    * as a masked weighted mean. Everything per-profile (parcel ρ; gammat p
+    * for T25) arrives precomputed in `aux`; only the cell-dependent work —
+    * the R14 compensated-density lookup (J6) and the products — runs per
+    * pair. */
+  class EapeMeanPacked(algo: String)
+      extends Aggregator[(Double, Array[Byte], Array[Byte], Array[Byte]), Array[Double], Seq[Float]] {
     def zero: Array[Double] = new Array[Double](2 * NLevels)
-    def reduce(b: Array[Double], a: (Double, Array[Byte], Array[Byte])): Array[Double] = {
-      val (w, p, cell) = a
-      if (p != null && cell != null) {
-        val pb = java.nio.ByteBuffer.wrap(p)
+    def reduce(b: Array[Double], a: (Double, Array[Byte], Array[Byte], Array[Byte])): Array[Double] = {
+      val (w, p, aux, cell) = a
+      if (p != null && aux != null && cell != null) {
+        val ab = java.nio.ByteBuffer.wrap(aux)
         val cb = java.nio.ByteBuffer.wrap(cell)
-        val ct = Array.tabulate(NLevels)(k => pb.getFloat(CtOff + 4 * k))
-        val sr = Array.tabulate(NLevels)(k => pb.getFloat(SrOff + 4 * k))
-        val idx = Array.tabulate(NLevels)(k => p(IdxOff + k))
-        val rhoM = Array.tabulate(NLevels)(k => cb.getFloat(4 * k))
-        val cf = Array.tabulate(NLevels)(k => cb.getFloat(4 * NLevels + 4 * k))
-        val eape = eapeProfile(ct, sr, idx, rhoM, cf, eos, algo)
+        val rhoCf = new Array[Double](NLevels)
+        val prefD = Pref
         var k = 0
         while (k < NLevels) {
-          if (idx(k) == 1) {
-            b(k) += w * eape(k)
+          rhoCf(k) = cb.getFloat(4 * k).toDouble * cb.getFloat(4 * NLevels + 4 * k)
+          k += 1
+        }
+        k = 0
+        while (k < NLevels) {
+          if (p(IdxOff + k) == 1) {
+            val rhoM = cb.getFloat(4 * k)
+            val cf = cb.getFloat(4 * NLevels + 4 * k)
+            // f4 parcel density (README.md:173-174) precomputed per profile
+            val rho = ab.getFloat(4 * k).toDouble
+            val disp =
+              if (algo == "R14") Interp.linear(rhoCf, prefD, rho * cf)
+              else ab.getFloat(4 * NLevels + 4 * k).toDouble
+            val eape = 0.5 * EapeUnit * (rho - rhoM) * (disp - prefD(k))
+            b(k) += w * eape
             b(NLevels + k) += w
           }
           k += 1
@@ -355,10 +409,10 @@ object Atlas {
     def outputEncoder: Encoder[Seq[Float]] = ExpressionEncoder[Seq[Float]]()
   }
 
-  def eapeMeanPacked(eos: SeawaterEos, algo: String): (Column, Column, Column) => Column = {
-    val u = udaf(new EapeMeanPacked(eos, algo),
-      ExpressionEncoder[(Double, Array[Byte], Array[Byte])]())
-    u(_, _, _)
+  def eapeMeanPacked(algo: String): (Column, Column, Column, Column) => Column = {
+    val u = udaf(new EapeMeanPacked(algo),
+      ExpressionEncoder[(Double, Array[Byte], Array[Byte], Array[Byte])]())
+    u(_, _, _, _)
   }
 
   private[argo] def aggTS(pairs: DataFrame): DataFrame =
@@ -395,31 +449,4 @@ object Atlas {
   /** EAPE unit factor (atlas.py:145-149): dbar/ρ₀²·cm² = 100. */
   val EapeUnit: Double = 1e4 / (1e3 * 1e3) * 1e4
 
-  /** Per-profile EAPE levels (atlas.py:152-231): parcel density, isopycnal
-    * displacement p (R14: compensated-density lookup on the cell profile —
-    * the J6 `np.interp`; T25: analytic gammat reference pressure), then
-    * ½·unit·(ρ−RHO)(p−PREF). */
-  private[argo] def eapeProfile(ct: Array[Float], sr: Array[Float],
-                                idx: Array[Byte], rhoM: Array[Float], cf: Array[Float],
-                                eos: SeawaterEos, algo: String): Array[Float] = {
-    val out = new Array[Float](NLevels)
-    val rhoCf = new Array[Double](NLevels)
-    var k = 0
-    while (k < NLevels) { rhoCf(k) = rhoM(k).toDouble * cf(k); k += 1 }
-    k = 0
-    while (k < NLevels) {
-      if (idx(k) == 1) {
-        // f4 like the reference end-to-end (README.md:173-174): the parcel
-        // density must round exactly like the cell RHO or the float
-        // truncation masquerades as a density anomaly
-        val rho = eos.rho(sr(k), ct(k), Pref(k)).toFloat.toDouble
-        val p =
-          if (algo == "R14") Interp.linear(rhoCf, Pref, rho * cf(k))
-          else Seawater.gammatAnalytic(sr(k), ct(k), eos)._3
-        out(k) = (0.5 * EapeUnit * (rho - rhoM(k)) * (p - Pref(k))).toFloat
-      }
-      k += 1
-    }
-    out
-  }
 }

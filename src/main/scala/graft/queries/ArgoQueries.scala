@@ -68,7 +68,40 @@ object ArgoQueries extends QueryModule {
       .filter(col("CT") =!= 0.0f)
   }
 
+  // ---- q72/q73: the two-pass EAPE aggregation (A2 R14 / A3 T25) ----------
+  // Rows-only checks (the EAPE kernels are not SQL-expressible); numeric
+  // semantics are covered by ArgoPipelineSpec's analytic-field oracle.
+  private def eape(algo: String)(s: SparkSession, d: String): DataFrame = {
+    val summary = SummaryBuilder.build(s, rawHeader(s, d))
+    val profiles = Interpolator.interpolate(samples(summary), summary)
+    val atlas = new Atlas(box = (-20.0, 50.0, -50.0, -20.0), reso = 5.0)
+    atlas.climEAPE(s, profiles, algo = algo)
+      .filter(col("SIGSTAR") =!= 0.0f)
+  }
+
+  // ---- q83: JSON property extraction + aggregation (X10) -----------------
+  private def q83(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k").cast("long")).as("sum_k"),
+        min(col("k").cast("long")).as("min_k"),
+        max(col("k").cast("long")).as("max_k"))
+      .orderBy("event_type")
+
+  private val q83Sql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      |  CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS min_k,
+      |  CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
     "q70_argo_interp" -> QueryDef(q70, None),
-    "q71_argo_atlas" -> QueryDef(q71, None))
+    "q71_argo_atlas" -> QueryDef(q71, None),
+    "q72_argo_eape_r14" -> QueryDef(eape("R14"), None),
+    "q73_argo_eape_t25" -> QueryDef(eape("T25"), None),
+    "q83_json_props" -> QueryDef(q83, Some(q83Sql)))
 }
