@@ -1,0 +1,57 @@
+package graft
+
+/** Physical-plan quality gates: these assert the SHAPE Catalyst picks, not
+  * results — a correct query whose scan reads every column, whose filter
+  * runs post-scan, or whose small-dim join shuffles both sides would pass
+  * every oracle and still fall over at 100 TB. Run against the smallest
+  * test data (plans don't change with SF; scans are cheap).
+  */
+class PlanSpec extends SparkSuite {
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("q02: predicate pushdown and column pruning reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
+    assert(!p.contains("PushedFilters: []"), s"empty pushed filters:\n$p")
+    // lineitem is 16 columns; the query touches 7 — a full-width read
+    // means pruning broke
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(scanCols.nonEmpty && scanCols.split(",").length <= 8,
+      s"scan reads too many columns: $scanCols")
+  }
+
+  test("q13: small dimension joins broadcast, not shuffle") {
+    val p = plan("q13_join_agg")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("q01: aggregation is partial (map-side combine before the exchange)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_"), s"no partial aggregation:\n$p")
+  }
+
+  test("q40: corpus side of the kNN is never shuffled (broadcast probes)") {
+    val p = plan("q40_knn_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe set should broadcast:\n$p")
+  }
+
+  test("q71: atlas pipeline joins broadcast and aggregates partially") {
+    val p = plan("q71_argo_atlas")
+    assert(p.contains("BroadcastHashJoin"), s"grid side should broadcast:\n$p")
+    assert(p.contains("partial_"), s"profile-mean must pre-aggregate map-side:\n$p")
+  }
+
+  test("whole-stage codegen spans cover the relational hot path") {
+    // AQE finalizes the plan only on execution; codegen markers appear then
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      s"no codegen spans:\n$p")
+  }
+}
