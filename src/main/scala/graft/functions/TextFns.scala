@@ -127,6 +127,9 @@ object TextFns {
   // chars reaches millions. Queries use these; oracles stay on the SQL.
 
   private[graft] def charHashJvm(s: String): Long = {
+    // split("", "") yields [""] in both Spark and DuckDB, so the spec hash
+    // of the empty string takes ONE fold step with codepoint 0
+    if (s.isEmpty) return (HashSeed * HashMult) % HashMod
     var acc = HashSeed
     var i = 0
     while (i < s.length) { acc = (acc * HashMult + s.charAt(i)) % HashMod; i += 1 }

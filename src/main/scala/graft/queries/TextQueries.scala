@@ -287,7 +287,8 @@ object TextQueries extends QueryModule {
   private def q37(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(col("doc_id"),
-        T.charHash(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+        graft.functions.CharHashExpr.charHashNative(
+          regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
       .orderBy("keep_id")
