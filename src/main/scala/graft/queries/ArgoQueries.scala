@@ -79,6 +79,22 @@ object ArgoQueries extends QueryModule {
       .filter(col("SIGSTAR") =!= 0.0f)
   }
 
+  // ---- q74: land-masked atlas (F8/S10) -----------------------------------
+  // Deterministic synthetic "continent": the reference's 1/10° bathy mask
+  // (bathy.py:67-82) becomes any (lon, lat) => Boolean — a broadcast-style
+  // driver-side closure evaluated per grid cell BEFORE the neighbor
+  // explode and join, so land cells never produce join work at all.
+  private def q74(s: SparkSession, d: String): DataFrame = {
+    val summary = SummaryBuilder.build(s, rawHeader(s, d))
+    val profiles = Interpolator.interpolate(samples(summary), summary)
+    val land = (lon: Double, lat: Double) =>
+      lon >= 0.0 && lon <= 30.0 && lat >= -40.0 && lat <= -25.0
+    val atlas = new Atlas(box = (-20.0, 50.0, -50.0, -20.0), reso = 5.0,
+      landMask = land)
+    atlas.climTS(s, profiles)
+      .filter(col("CT") =!= 0.0f)
+  }
+
   // ---- q83: JSON property extraction + aggregation (X10) -----------------
   private def q83(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -102,6 +118,7 @@ object ArgoQueries extends QueryModule {
     "q70_argo_interp" -> QueryDef(q70, None),
     "q71_argo_atlas" -> QueryDef(q71, None),
     "q72_argo_eape_r14" -> QueryDef(eape("R14"), None),
+    "q74_argo_atlas_masked" -> QueryDef(q74, None),
     "q73_argo_eape_t25" -> QueryDef(eape("T25"), None),
     "q83_json_props" -> QueryDef(q83, Some(q83Sql)))
 }
