@@ -143,89 +143,6 @@ object TextFns {
     if (words.length < k) Array.empty
     else Array.tabulate(words.length - k + 1)(i => words.slice(i, i + k).mkString(" "))
 
-  /** text → distinct k-shingle char-hashes (one compiled pass). */
-  def shingleHashes(k: Int): Column => Column = {
-    val u = udf((text: String) => {
-      val out = scala.collection.mutable.LinkedHashSet.empty[Long]
-      shinglesJvm(tokensJvm(text), k).foreach(sh => out += charHashJvm(sh))
-      out.toSeq
-    })
-    u(_)
-  }
-
-  /** text → SORTED distinct k-shingle strings: sorted once per document so
-    * pairwise Jaccard is a merge-walk with zero per-pair allocation. */
-  def shingleSet(k: Int): Column => Column = {
-    val u = udf((text: String) =>
-      shinglesJvm(tokensJvm(text), k).distinct.sorted.toSeq)
-    u(_)
-  }
-
-  /** hashes → all K minhash signatures in one pass. */
-  val minhashSigs: Column => Column = {
-    val u = udf((hs: Seq[Long]) => {
-      val sigs = Array.fill(MinHashK)(Long.MaxValue)
-      hs.foreach { x =>
-        var j = 0
-        while (j < MinHashK) {
-          val h = (x * permA(j) + permB(j)) % HashMod
-          if (h < sigs(j)) sigs(j) = h
-          j += 1
-        }
-      }
-      sigs.toSeq
-    })
-    u(_)
-  }
-
-  /** hashes → SimHash fingerprint (same majority-vote semantics as
-    * [[simhash]]; ties (==) vote 0, matching `2·set > total`). */
-  val simhashJvm: Column => Column = {
-    val u = udf((hs: Seq[Long]) => {
-      var sig = 0L
-      var b = 0
-      while (b < SimHashBits) {
-        var set = 0
-        hs.foreach(h => if (((h >>> b) & 1L) == 1L) set += 1)
-        if (2 * set > hs.length) sig |= (1L << b)
-        b += 1
-      }
-      sig
-    })
-    u(_)
-  }
-
-  /** Exact Jaccard in fixed-point micro-units over two SORTED
-    * distinct-element sequences (merge-walk, no allocation); same double
-    * arithmetic as the HOF/SQL form: round((|∩| / |∪|) · 1e6). */
-  val jaccardMicro: (Column, Column) => Column = {
-    val u = udf((a: Seq[String], b: Seq[String]) => {
-      val (xa, xb) = (a.toIndexedSeq, b.toIndexedSeq)
-      var i = 0; var j = 0; var inter = 0
-      while (i < xa.length && j < xb.length) {
-        val c = xa(i).compareTo(xb(j))
-        if (c == 0) { inter += 1; i += 1; j += 1 }
-        else if (c < 0) i += 1
-        else j += 1
-      }
-      val union = xa.length + xb.length - inter
-      FP.roundHalfAway(inter.toDouble / union.toDouble * 1e6)
-    })
-    u(_, _)
-  }
-
-  /** Same over hash sets (MinHash candidate verification). */
-  val jaccardMicroLong: (Column, Column) => Column = {
-    val u = udf((a: Seq[Long], b: Seq[Long]) => {
-      val sa = a.toSet
-      var inter = 0
-      b.foreach(x => if (sa.contains(x)) inter += 1)
-      val union = sa.size + b.size - inter
-      FP.roundHalfAway(inter.toDouble / union.toDouble * 1e6)
-    })
-    u(_, _)
-  }
-
   // ---- packed hash sets ---------------------------------------------------
   // Distinct shingle hashes SORTED and packed to flat bytes (8 B each):
   // pair-joins then carry one binary value per document, equality (LSH
