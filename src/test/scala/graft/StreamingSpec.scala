@@ -77,6 +77,36 @@ class StreamingSpec extends SparkSuite {
     } finally sq.stop()
   }
 
+  test("file-source ingest: readStream over a growing parquet dir equals batch") {
+    // §2.9's incremental-ingest analog: new profile/event files appear in a
+    // directory; the SAME windowedStats transformation runs over
+    // spark.readStream with an explicit schema (file sources cannot infer).
+    val dir = Files.createTempDirectory("graft-ingest").toString
+    val batch1 = events.take(120).toDF()
+    val batch2 = events.drop(120).toDF()
+    batch1.write.mode("append").parquet(dir)
+    val streamIn = spark.readStream.schema(batch1.schema).parquet(dir)
+    val sq = EventStreams.windowedStats(streamIn, "1 hour",
+      watermark = Some("2 hours"))
+      .writeStream.format("memory").queryName("ingest_stream")
+      .outputMode("complete")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt4").toString)
+      .start()
+    try {
+      sq.processAllAvailable()
+      batch2.write.mode("append").parquet(dir) // a new file "arrives"
+      sq.processAllAvailable()
+      val streamed = spark.table("ingest_stream")
+        .select($"window_start", $"event_type", $"n_events", $"sum_value")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      val batch = EventStreams.windowedStats(events.toDF(), "1 hour")
+        .select($"window_start", $"event_type", $"n_events", $"sum_value")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      assert(streamed === batch)
+    } finally sq.stop()
+  }
+
   test("sessionizeStream (flatMapGroupsWithState) equals sessionizeBatch") {
     implicit val sqlCtx = spark.sqlContext
     val gapUs = 30L * 60 * 1000000 // 30 min
