@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Geo, Interp, Seawater, SeawaterEos, SimplifiedEos}
+import graft.functions.{Geo, Interp, Seawater, SeawaterEos, Teos10}
 
 /** Stage 3: gridded climatology (SURVEY.md §3.3; reference atlas.py).
   *
@@ -33,7 +33,7 @@ class Atlas(
     val box: (Double, Double, Double, Double), // lon1, lon2, lat1, lat2
     val reso: Double,
     val smoothingFactor: Double = 4.0,
-    val eos: SeawaterEos = SimplifiedEos,
+    val eos: SeawaterEos = Teos10,
     val landMask: (Double, Double) => Boolean = (_, _) => false) extends Serializable {
 
   import ArgoSchemas.{NLevels, Pref}
@@ -438,7 +438,7 @@ object Atlas {
       val tm = 0.5 * (ct(k - 1) + ct(k))
       val pm = 0.5 * (Pref(k - 1) + Pref(k))
       val rm = 0.5 * (rho(k - 1) + rho(k))
-      val c = Seawater.soundSpeed(sm, tm, pm)
+      val c = eos.soundSpeed(sm, tm, pm)
       acc += dbar * (Pref(k) - Pref(k - 1)) / (rm * c * c)
       cf(k) = math.exp(-acc)
       k += 1

@@ -3,7 +3,7 @@ package graft.argo
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Interp, Seawater}
+import graft.functions.{Interp, Seawater, SeawaterEos, Teos10}
 
 /** Stage 2: raw sample arrays → TEOS-10 variables cubic-interpolated onto
   * the 64 reference levels (SURVEY.md §3.2; reference
@@ -33,7 +33,8 @@ object Interpolator {
     */
   private[argo] def interpolateProfile(
       pres: Array[Double], temp: Array[Double], psal: Array[Double],
-      qc: Array[Double]): (Int, Array[Float], Array[Float], Array[Byte]) = {
+      qc: Array[Double],
+      eos: SeawaterEos = Teos10): (Int, Array[Float], Array[Float], Array[Byte]) = {
     val empty = (0, new Array[Float](NLevels), new Array[Float](NLevels),
       new Array[Byte](NLevels))
     // F6: keep QC == 1 samples (extract_raw_profile, interpolation.py:172-179)
@@ -61,11 +62,13 @@ object Interpolator {
     val idx = Pref.indices
       .filter(k => pMin - deltaMin <= Pref(k) && Pref(k) <= pMax).toArray
     if (idx.length < 10) return empty
-    // X5: TEOS-10 variables (reference: gsw.SR_from_SP + gsw.CT_from_t,
-    // interpolation.py:200-210; CT via the pluggable EOS approximation)
+    // X5: TEOS-10 variables at the RAW sample pressures, before
+    // interpolation — exactly the reference's add_eos10_variables
+    // (interpolation.py:200-210): SR = SP·ups, CT = CT_from_t(SR, t, PRES)
+    // via the pluggable EOS (production default: the real TEOS-10 port).
     val xs = jdx.map(p(_)).toArray
     val sr = jdx.map(i => Seawater.srFromSp(s(i))).toArray
-    val ct = jdx.map(i => t(i)).toArray
+    val ct = jdx.indices.map(j => eos.ctFromT(sr(j), t(jdx(j)), xs(j))).toArray
     // X6: cubic spline (scipy interp1d kind="cubic" semantics)
     val (dx1, dySr) = Interp.sortDedup(xs, sr)
     val (_, dyCt) = Interp.sortDedup(xs, ct)

@@ -8,13 +8,14 @@ package graft.functions
   * chains of arithmetic and `math.pow`).
   *
   * The equation of state is PLUGGABLE ([[SeawaterEos]]): the reference
-  * delegates ρ to the external GSW library (TEOS-10 75-term polynomial,
-  * /root/reference/src/argostats/interpolation.py:200-210 via `gsw`);
-  * this engine ships [[SimplifiedEos]] — the simplified-EOS functional
-  * form of Roquet et al. 2015 ("Defining a simplified yet realistic
-  * equation of state", Ocean Modelling) with representative coefficients —
-  * and any TEOS-10 implementation can be dropped in behind the same trait
-  * without touching the pipeline.
+  * delegates to the external GSW library (TEOS-10,
+  * /root/reference/src/argostats/interpolation.py:200-210 via `gsw`).
+  * The production default is [[Teos10]] — the real 75-term polynomial +
+  * entropy-based CT conversion, ported from the public TEOS-10 spec.
+  * [[SimplifiedEos]] (the simplified-EOS functional form of Roquet et
+  * al. 2015, "Defining a simplified yet realistic equation of state",
+  * Ocean Modelling) remains as a cheap stand-in for tests and for
+  * sensitivity studies.
   */
 trait SeawaterEos extends Serializable {
   /** In-situ density, kg/m³.
@@ -22,6 +23,14 @@ trait SeawaterEos extends Serializable {
     * @param ct conservative temperature, °C
     * @param p  sea pressure, dbar (≈ depth in m) */
   def rho(sr: Double, ct: Double, p: Double): Double
+
+  /** Sound speed, m/s (feeds the atlas compressibility integral,
+    * reference atlas.py:320-324). */
+  def soundSpeed(sr: Double, ct: Double, p: Double): Double
+
+  /** Conservative temperature from in-situ temperature (reference
+    * interpolation.py:207-208, `gsw.CT_from_t(SR, TEMP, PRES)`). */
+  def ctFromT(sr: Double, t: Double, p: Double): Double
 }
 
 /** Simplified EOS (S-EOS form): linear-ish in (CT, SR) with cabbeling and
@@ -52,6 +61,15 @@ object SimplifiedEos extends SeawaterEos {
       Nu * ta * sa +
       Kp * z
   }
+
+  /** Medwin's simplified sound-speed formula (public standard; ~1 m/s in
+    * oceanic ranges). */
+  def soundSpeed(sr: Double, ct: Double, p: Double): Double =
+    Seawater.soundSpeed(sr, ct, p)
+
+  /** The simplified EOS treats CT ≈ in-situ t (no adiabatic correction) —
+    * acceptable only for the shallow/test regimes this EOS is meant for. */
+  def ctFromT(sr: Double, t: Double, p: Double): Double = t
 }
 
 object Seawater {
@@ -117,7 +135,7 @@ object Seawater {
     * @return (gammat, zref, pref, sigref)
     */
   def gammatAnalytic(sr: Double, ct: Double,
-                     eos: SeawaterEos = SimplifiedEos): (Double, Double, Double, Double) = {
+                     eos: SeawaterEos = Teos10): (Double, Double, Double, Double) = {
     var ztop = 0.0
     var zbot = 6000.0
     var zref = 2000.0

@@ -18,6 +18,11 @@ class ArgoPipelineSpec extends SparkSuite {
 
   private def tTrue(z: Double): Double = 2.0 + 18.0 * math.exp(-z / 500.0)
   private def sTrue(z: Double): Double = 35.0 + 0.6 * math.exp(-z / 300.0)
+  /** The pipeline converts raw in-situ T to conservative temperature
+    * (reference interpolation.py:207-208), so the oracle field must be
+    * mapped through the same public TEOS-10 conversion. */
+  private def ctTrue(z: Double): Double =
+    graft.functions.Teos10.ctFromT(sTrue(z), tTrue(z), z)
 
   private val rng = new scala.util.Random(42)
 
@@ -78,8 +83,8 @@ class ArgoPipelineSpec extends SparkSuite {
       ArgoSchemas.Pref.indices.foreach { k =>
         if (idx(k) == 1) {
           val z = ArgoSchemas.Pref(k)
-          assert(math.abs(ct(k) - tTrue(z)) < 0.05,
-            s"CT at level $z: ${ct(k)} vs ${tTrue(z)}")
+          assert(math.abs(ct(k) - ctTrue(z)) < 0.05,
+            s"CT at level $z: ${ct(k)} vs ${ctTrue(z)}")
           assert(math.abs(sr(k) - sTrue(z)) < 0.05,
             s"SR at level $z: ${sr(k)} vs ${sTrue(z)}")
         }
@@ -113,7 +118,7 @@ class ArgoPipelineSpec extends SparkSuite {
     assert(out.nonEmpty, "no atlas cells with data")
     out.foreach { case (pres, ct, sr) =>
       // every profile carries the same field → weighted mean == field value
-      assert(math.abs(ct - tTrue(pres)) < 0.05, s"atlas CT at $pres: $ct")
+      assert(math.abs(ct - ctTrue(pres)) < 0.05, s"atlas CT at $pres: $ct")
       assert(math.abs(sr - sTrue(pres)) < 0.05, s"atlas SR at $pres: $sr")
     }
   }

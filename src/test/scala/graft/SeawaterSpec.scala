@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{Seawater, SimplifiedEos}
+import graft.functions.{Seawater, Teos10}
 
 class SeawaterSpec extends AnyFunSuite {
   import Seawater.Lorenz
@@ -37,7 +37,7 @@ class SeawaterSpec extends AnyFunSuite {
     for (sr <- Seq(34.0, 35.0, 36.0); ct <- Seq(2.0, 10.0, 18.0)) {
       val (_, zref, pref, _) = Seawater.gammatAnalytic(sr, ct)
       assert(zref >= 0 && zref <= 6000)
-      val parcel = SimplifiedEos.rho(sr, ct, pref)
+      val parcel = Teos10.rho(sr, ct, pref)
       if (zref > 1e-3 && zref < 5999) { // interior root ⇒ tight residual
         val resid = math.abs(Lorenz.rhoRef(zref) - parcel)
         assert(resid < 1e-3, s"sr=$sr ct=$ct zref=$zref resid=$resid")
