@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Geo, Interp, Seawater, SeawaterEos, Teos10}
+import graft.functions.{FP, Geo, Interp, Seawater, SeawaterEos, Teos10}
 
 /** Stage 3: gridded climatology (SURVEY.md §3.3; reference atlas.py).
   *
@@ -70,13 +70,23 @@ class Atlas(
   def crop(profiles: DataFrame): DataFrame = {
     val (lon1, lon2, lat1, lat2) = box
     val m = radiusDeg
+    // Longitude margin widens as 1/cos φ toward the poles: a profile m
+    // degrees of ARC away sits m/cos φ degrees of LONGITUDE away. Evaluate
+    // at the box's worst-case |lat| edge (incl. the lat margin), capped
+    // near the pole; the exact haversine distance is re-checked in the
+    // join, so the only requirement here is to never under-crop.
+    val latEdge = math.min(89.0,
+      math.max(math.abs(lat1 - m), math.abs(lat2 + m)))
+    val mLon = math.min(180.0, m / math.cos(math.toRadians(latEdge)))
+    // Cyclic distance from the box's longitude center handles both the
+    // ±180° wrap and a box that nearly closes the circle.
+    val lonC = 0.5 * (lon1 + lon2)
+    val halfW = 0.5 * (lon2 - lon1) + mLon
+    val cyc = abs(pmod(col("LONGITUDE") - lonC + 180.0, lit(360.0)) - 180.0)
     profiles
       .filter(col("FLAG") === 1 && col("DATA_MODE") === 1)
       .filter(col("LATITUDE").between(lat1 - m, lat2 + m))
-      // longitude margin widens with latitude; keep simple conservative
-      // bound (exact distance is re-checked in the join)
-      .filter(col("LONGITUDE").between(lon1 - 4 * m, lon2 + 4 * m) ||
-        lit(lon2 - lon1 >= 360 - 8 * m))
+      .filter(cyc <= halfW || lit(halfW >= 180.0))
   }
 
   // ---- J1: the binned neighborhood join ----------------------------------
@@ -210,7 +220,7 @@ class Atlas(
       // aggregator — no intermediate 64-float column ever materializes.
       val withEape = pr
         .join(broadcast(means.select(col("gi"), col("gj"), col("glon"),
-          col("glat"), Atlas.pack2(col("RHO"), col("CF")).as("cell"),
+          col("glat"), Atlas.packCell(col("RHO"), col("CF")).as("cell"),
           col("SIG"))), Seq("gi", "gj", "glon", "glat"))
       val agg = withEape.groupBy(col("gi"), col("gj"), col("glon"), col("glat"))
         .agg(Atlas.eapeMeanPacked(algo)(
@@ -238,42 +248,6 @@ class Atlas(
 object Atlas {
   import ArgoSchemas.{NLevels, Pref}
 
-  /** Weighted per-level profile mean (reference `mean`, atlas.py:93-96):
-    * coef = w·idx per level, mean = Σ(coef·x)/Σcoef where Σcoef > 0 else 0.
-    * Buffer packs [Σcoef·x ×64, Σcoef ×64]. */
-  class ProfileMean extends Aggregator[(Double, Seq[Float], Seq[Byte]), Array[Double], Seq[Float]] {
-    def zero: Array[Double] = new Array[Double](2 * NLevels)
-    def reduce(b: Array[Double], a: (Double, Seq[Float], Seq[Byte])): Array[Double] = {
-      val (w, xs, idx) = a
-      if (xs != null && idx != null) {
-        var k = 0
-        while (k < NLevels) {
-          if (k < idx.length && idx(k) == 1) {
-            b(k) += w * xs(k)
-            b(NLevels + k) += w
-          }
-          k += 1
-        }
-      }
-      b
-    }
-    def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
-      var k = 0
-      while (k < 2 * NLevels) { b1(k) += b2(k); k += 1 }
-      b1
-    }
-    def finish(b: Array[Double]): Seq[Float] =
-      (0 until NLevels).map { k =>
-        if (b(NLevels + k) > 0) (b(k) / b(NLevels + k)).toFloat else 0.0f
-      }
-    def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
-    def outputEncoder: Encoder[Seq[Float]] = ExpressionEncoder[Seq[Float]]()
-  }
-
-  def profileMean(w: Column, xs: Column, idx: Column): Column =
-    udaf(new ProfileMean,
-      ExpressionEncoder[(Double, Seq[Float], Seq[Byte])]()).apply(w, xs, idx)
-
   // ---- packed-profile layout ----------------------------------------------
   // One flat byte array per profile: CT floats [0, 4·64), SR floats
   // [4·64, 8·64), IDX bytes [8·64, 9·64). Pair rows in the atlas join carry
@@ -299,52 +273,67 @@ object Atlas {
     u(_, _, _)
   }
 
-  /** (RHO, CF) cell stats → flat bytes; applied once per grid cell. */
-  val pack2: (Column, Column) => Column = {
+  /** (RHO, CF) cell stats → flat bytes, with the compensated-density
+    * ladder RHO·CF precomputed as doubles (a float×float product is exact
+    * in double). Applied once per grid CELL, so the per-PAIR aggregation
+    * never rebuilds the 64-element ladder — it binary-searches the packed
+    * doubles in place. Layout: RHO f32 ×64 | CF f32 ×64 | RHO·CF f64 ×64. */
+  val packCell: (Column, Column) => Column = {
     val u = udf((rho: Seq[Float], cf: Seq[Float]) => {
-      val bb = java.nio.ByteBuffer.allocate(8 * NLevels)
+      val bb = java.nio.ByteBuffer.allocate(16 * NLevels)
       var k = 0
       while (k < NLevels) { bb.putFloat(rho(k)); k += 1 }
       k = 0
       while (k < NLevels) { bb.putFloat(cf(k)); k += 1 }
+      k = 0
+      while (k < NLevels) { bb.putDouble(rho(k).toDouble * cf(k)); k += 1 }
       bb.array()
     })
     u(_, _)
   }
+  private val RhoCfOff = 8 * NLevels // byte offset of the f64 ladder
 
   /** CT and SR aggregated in ONE pass over the packed profile (they share
-    * weights and the idx mask). Buffer packs [Σc·CT ×64, Σc·SR ×64, Σc ×64]. */
-  class ProfileMeanPacked2 extends Aggregator[(Double, Array[Byte]), Array[Double], (Seq[Float], Seq[Float])] {
-    def zero: Array[Double] = new Array[Double](3 * NLevels)
-    def reduce(b: Array[Double], a: (Double, Array[Byte])): Array[Double] = {
+    * weights and the idx mask). Buffer packs [Σc·CT ×64, Σc·SR ×64, Σc ×64].
+    *
+    * Contributions are rounded to fixed-point longs (values at 1e-9, weights
+    * at 1e-9) before summing, so the per-cell means are PARTITION-INVARIANT:
+    * any merge order — map-side combine, AQE re-splits, a re-run with
+    * different parallelism — yields bit-identical output, which is what lets
+    * the atlas queries carry golden-fixture oracles. The 1e-9 quantization
+    * is ~1e-8 relative on oceanic CT/SR, far below the f32 output precision. */
+  class ProfileMeanPacked2 extends Aggregator[(Double, Array[Byte]), Array[Long], (Seq[Float], Seq[Float])] {
+    def zero: Array[Long] = new Array[Long](3 * NLevels)
+    def reduce(b: Array[Long], a: (Double, Array[Byte])): Array[Long] = {
       val (w, p) = a
       if (p != null) {
         val bb = java.nio.ByteBuffer.wrap(p)
         var k = 0
         while (k < NLevels) {
           if (p(IdxOff + k) == 1) {
-            b(k) += w * bb.getFloat(CtOff + 4 * k)
-            b(NLevels + k) += w * bb.getFloat(SrOff + 4 * k)
-            b(2 * NLevels + k) += w
+            b(k) += FP.roundHalfAway(w * bb.getFloat(CtOff + 4 * k) * 1e9)
+            b(NLevels + k) += FP.roundHalfAway(w * bb.getFloat(SrOff + 4 * k) * 1e9)
+            b(2 * NLevels + k) += FP.roundHalfAway(w * 1e9)
           }
           k += 1
         }
       }
       b
     }
-    def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+    def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
       var k = 0
       while (k < 3 * NLevels) { b1(k) += b2(k); k += 1 }
       b1
     }
-    def finish(b: Array[Double]): (Seq[Float], Seq[Float]) = {
+    def finish(b: Array[Long]): (Seq[Float], Seq[Float]) = {
       def m(off: Int) = (0 until NLevels).map { k =>
-        if (b(2 * NLevels + k) > 0) (b(off + k) / b(2 * NLevels + k)).toFloat
+        if (b(2 * NLevels + k) > 0)
+          (b(off + k).toDouble / b(2 * NLevels + k)).toFloat
         else 0.0f
       }
       (m(0), m(NLevels))
     }
-    def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
     def outputEncoder: Encoder[(Seq[Float], Seq[Float])] =
       ExpressionEncoder[(Seq[Float], Seq[Float])]()
   }
@@ -359,25 +348,23 @@ object Atlas {
 
   /** Pass-2 EAPE (atlas.py:152-231): ½·unit·(ρ−RHO)(p−PREF), accumulated
     * as a masked weighted mean. Everything per-profile (parcel ρ; gammat p
-    * for T25) arrives precomputed in `aux`; only the cell-dependent work —
-    * the R14 compensated-density lookup (J6) and the products — runs per
-    * pair. */
+    * for T25) arrives precomputed in `aux`; everything per-cell — including
+    * the RHO·CF compensated-density ladder — arrives packed in `cell`, so
+    * the only per-pair work is the in-place binary-search lookup (J6) and
+    * the products.
+    *
+    * Fixed-point accumulation (EAPE at 1e-6, weights at 1e-9) makes the
+    * result partition-invariant — see [[ProfileMeanPacked2]]. */
   class EapeMeanPacked(algo: String)
-      extends Aggregator[(Double, Array[Byte], Array[Byte], Array[Byte]), Array[Double], Seq[Float]] {
-    def zero: Array[Double] = new Array[Double](2 * NLevels)
-    def reduce(b: Array[Double], a: (Double, Array[Byte], Array[Byte], Array[Byte])): Array[Double] = {
+      extends Aggregator[(Double, Array[Byte], Array[Byte], Array[Byte]), Array[Long], Seq[Float]] {
+    def zero: Array[Long] = new Array[Long](2 * NLevels)
+    def reduce(b: Array[Long], a: (Double, Array[Byte], Array[Byte], Array[Byte])): Array[Long] = {
       val (w, p, aux, cell) = a
       if (p != null && aux != null && cell != null) {
         val ab = java.nio.ByteBuffer.wrap(aux)
         val cb = java.nio.ByteBuffer.wrap(cell)
-        val rhoCf = new Array[Double](NLevels)
         val prefD = Pref
         var k = 0
-        while (k < NLevels) {
-          rhoCf(k) = cb.getFloat(4 * k).toDouble * cb.getFloat(4 * NLevels + 4 * k)
-          k += 1
-        }
-        k = 0
         while (k < NLevels) {
           if (p(IdxOff + k) == 1) {
             val rhoM = cb.getFloat(4 * k)
@@ -385,27 +372,30 @@ object Atlas {
             // f4 parcel density (README.md:173-174) precomputed per profile
             val rho = ab.getFloat(4 * k).toDouble
             val disp =
-              if (algo == "R14") Interp.linear(rhoCf, prefD, rho * cf)
+              if (algo == "R14")
+                Interp.linearBB(cb, RhoCfOff, NLevels, prefD, rho * cf)
               else ab.getFloat(4 * NLevels + 4 * k).toDouble
             val eape = 0.5 * EapeUnit * (rho - rhoM) * (disp - prefD(k))
-            b(k) += w * eape
-            b(NLevels + k) += w
+            b(k) += FP.roundHalfAway(w * eape * 1e6)
+            b(NLevels + k) += FP.roundHalfAway(w * 1e9)
           }
           k += 1
         }
       }
       b
     }
-    def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+    def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
       var k = 0
       while (k < 2 * NLevels) { b1(k) += b2(k); k += 1 }
       b1
     }
-    def finish(b: Array[Double]): Seq[Float] =
+    def finish(b: Array[Long]): Seq[Float] =
       (0 until NLevels).map { k =>
-        if (b(NLevels + k) > 0) (b(k) / b(NLevels + k)).toFloat else 0.0f
+        if (b(NLevels + k) > 0)
+          (b(k).toDouble * 1e3 / b(NLevels + k)).toFloat
+        else 0.0f
       }
-    def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
     def outputEncoder: Encoder[Seq[Float]] = ExpressionEncoder[Seq[Float]]()
   }
 

@@ -32,6 +32,29 @@ object Interp {
     ys(i) + (ys(i + 1) - ys(i)) * frac
   }
 
+  /** [[linear]] where xs is a ladder of `n` doubles packed in `bb` at byte
+    * offset `off` — zero-allocation np.interp for per-pair hot loops (the
+    * atlas R14 displacement lookup reads the cell's compensated-density
+    * ladder in place instead of unpacking 64 doubles per pair row). */
+  def linearBB(bb: java.nio.ByteBuffer, off: Int, n: Int,
+               ys: Array[Double], t: Double): Double = {
+    @inline def x(i: Int): Double = bb.getDouble(off + 8 * i)
+    if (t <= x(0)) return ys(0)
+    if (t >= x(n - 1)) return ys(n - 1)
+    var lo = 0
+    var hi = n - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val v = x(mid)
+      if (v < t) lo = mid + 1
+      else if (v > t) hi = mid - 1
+      else return ys(mid)
+    }
+    val i = lo - 1
+    val frac = (t - x(i)) / (x(i + 1) - x(i))
+    ys(i) + (ys(i + 1) - ys(i)) * frac
+  }
+
   /** Cubic-spline coefficients with not-a-knot boundary conditions (what
     * scipy's `interp1d(kind="cubic")` uses). Returns the second-derivative
     * array M; evaluation is Hermite-form from (xs, ys, M).

@@ -123,6 +123,26 @@ class ArgoPipelineSpec extends SparkSuite {
     }
   }
 
+  test("polar crop: longitude margin widens as 1/cos(lat)") {
+    // A profile 33.5° of longitude west of the box at 77°N is only
+    // ~4.6e-3 haversine-arg from the (0°E, 76°N) cell — inside the 8°-arc
+    // search radius, because meridians converge — yet a fixed 4·m = 32°
+    // longitude margin would crop it before the join could see it.
+    val raw = Seq((ArgoSchemas.Dacs(0), 2900999,
+      new Timestamp(1577836800000L), -33.5f, 77.0f, 120, "D", "1", 1, 1))
+      .toDF("dac", "WMO", "JULD", "LONGITUDE", "LATITUDE", "N_LEVELS",
+        "data_mode", "platform_type", "position_qc", "juld_qc")
+    val depths = (0 until 120).map(k => k * 17.0 + (k % 3) * 1.5).toArray
+    val polarSamples = Seq((2900999, 0, depths.toSeq, depths.map(tTrue).toSeq,
+      depths.map(z => sTrue(z) / graft.functions.Seawater.UPS).toSeq,
+      depths.map(_ => 1.0).toSeq, 1))
+      .toDF("WMO", "IPROF", "PRES", "TEMP", "PSAL", "QC", "DATA_MODE")
+    val prof = Interpolator.interpolate(polarSamples, SummaryBuilder.build(spark, raw))
+    val atlas = new Atlas(box = (0.0, 4.0, 76.0, 80.0), reso = 2.0)
+    val n = atlas.climTS(spark, prof).filter($"CT" =!= 0.0f).count()
+    assert(n > 0, "high-latitude profile was cropped before the join")
+  }
+
   test("atlas climEAPE R14: near-zero for a homogeneous ocean, SIGSTAR plausible") {
     val atlas = new Atlas(box = (8.0, 22.0, -42.0, -34.0), reso = 2.0)
     val out = atlas.climEAPE(spark, profiles, algo = "R14")
