@@ -80,17 +80,16 @@ object ArgoQueries extends QueryModule {
   }
 
   // ---- q74: land-masked atlas (F8/S10) -----------------------------------
-  // Deterministic synthetic "continent": the reference's 1/10° bathy mask
-  // (bathy.py:67-82) becomes any (lon, lat) => Boolean — a broadcast-style
-  // driver-side closure evaluated per grid cell BEFORE the neighbor
-  // explode and join, so land cells never produce join work at all.
+  // The packaged 1/10° bit-grid mask (reference bathy.py:29-50,67-82):
+  // loaded once from the jar, nearest-index lookup, evaluated per grid
+  // cell BEFORE the neighbor explode and join, so land cells never
+  // produce join work at all.
   private def q74(s: SparkSession, d: String): DataFrame = {
     val summary = SummaryBuilder.build(s, rawHeader(s, d))
     val profiles = Interpolator.interpolate(samples(summary), summary)
-    val land = (lon: Double, lat: Double) =>
-      lon >= 0.0 && lon <= 30.0 && lat >= -40.0 && lat <= -25.0
+    val mask = graft.argo.Bathy.default
     val atlas = new Atlas(box = (-20.0, 50.0, -50.0, -20.0), reso = 5.0,
-      landMask = land)
+      landMask = mask.isLand)
     atlas.climTS(s, profiles)
       .filter(col("CT") =!= 0.0f)
   }
