@@ -10,8 +10,10 @@ import graft.argo.{Atlas, Interpolator, SummaryBuilder}
   * the deterministic testdata tables: orders become profile headers,
   * synthetic-but-deterministic sample arrays are generated per profile
   * with pure column expressions, then the PRODUCTION pipeline runs
-  * unmodified. Rows-only checks (the cubic spline and EAPE kernels are not
-  * SQL-expressible); the numeric semantics are covered by
+  * unmodified. The kernels are not SQL-expressible, so these carry
+  * golden-fixture oracles ([[FixtureOracle]]) — bit-reproducible because
+  * the kernels are per-row deterministic and the atlas aggregation is
+  * fixed-point — while the numeric SEMANTICS are covered by
   * ArgoPipelineSpec's analytic-field oracle.
   */
 object ArgoQueries extends QueryModule {
@@ -69,8 +71,6 @@ object ArgoQueries extends QueryModule {
   }
 
   // ---- q72/q73: the two-pass EAPE aggregation (A2 R14 / A3 T25) ----------
-  // Rows-only checks (the EAPE kernels are not SQL-expressible); numeric
-  // semantics are covered by ArgoPipelineSpec's analytic-field oracle.
   private def eape(algo: String)(s: SparkSession, d: String): DataFrame = {
     val summary = SummaryBuilder.build(s, rawHeader(s, d))
     val profiles = Interpolator.interpolate(samples(summary), summary)
@@ -114,10 +114,15 @@ object ArgoQueries extends QueryModule {
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   def defs: Map[String, QueryDef] = Map(
-    "q70_argo_interp" -> QueryDef(q70, None),
-    "q71_argo_atlas" -> QueryDef(q71, None),
-    "q72_argo_eape_r14" -> QueryDef(eape("R14"), None),
-    "q74_argo_atlas_masked" -> QueryDef(q74, None),
-    "q73_argo_eape_t25" -> QueryDef(eape("T25"), None),
+    "q70_argo_interp" ->
+      QueryDef(q70, Some(FixtureOracle.sql("q70_argo_interp"))),
+    "q71_argo_atlas" ->
+      QueryDef(q71, Some(FixtureOracle.sql("q71_argo_atlas"))),
+    "q72_argo_eape_r14" ->
+      QueryDef(eape("R14"), Some(FixtureOracle.sql("q72_argo_eape_r14"))),
+    "q74_argo_atlas_masked" ->
+      QueryDef(q74, Some(FixtureOracle.sql("q74_argo_atlas_masked"))),
+    "q73_argo_eape_t25" ->
+      QueryDef(eape("T25"), Some(FixtureOracle.sql("q73_argo_eape_t25"))),
     "q83_json_props" -> QueryDef(q83, Some(q83Sql)))
 }

@@ -21,8 +21,8 @@ import graft.functions.{FP, Interp, Seawater}
   * oracle — the kernel fixes its evaluation association so SQL reproduces
   * it bit-for-bit. The cubic spline and gammat kernels are not reasonably
   * SQL-expressible (tridiagonal solve; 30-iteration bisection with
-  * `pow`): they get rows-only checks here and exhaustive property tests
-  * in the ScalaTest suite.
+  * `pow`): they carry golden-fixture oracles ([[FixtureOracle]]) and
+  * exhaustive analytic/property tests in the ScalaTest suite.
   */
 object KernelQueries extends QueryModule {
   private val Targets = Array(1.5, 2.5, 4.5)
@@ -129,6 +129,7 @@ object KernelQueries extends QueryModule {
 
   def defs: Map[String, QueryDef] = Map(
     "q60_interp_pipeline" -> QueryDef(q60, Some(q60Sql)),
-    "q61_cubic_spline" -> QueryDef(q61, None),
-    "q62_gammat" -> QueryDef(q62, None))
+    "q61_cubic_spline" ->
+      QueryDef(q61, Some(FixtureOracle.sql("q61_cubic_spline"))),
+    "q62_gammat" -> QueryDef(q62, Some(FixtureOracle.sql("q62_gammat"))))
 }

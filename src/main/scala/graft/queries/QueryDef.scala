@@ -12,3 +12,29 @@ final case class QueryDef(
 trait QueryModule {
   def defs: Map[String, QueryDef]
 }
+
+/** Golden-fixture oracles for queries whose kernels are not reasonably
+  * SQL-expressible (cubic spline, gammat bisection, the EAPE aggregation).
+  *
+  * The engine's numeric SEMANTICS for these are validated by analytic
+  * oracles in the ScalaTest suite (ArgoPipelineSpec's smooth-field
+  * reproduction, InterpSpec/Teos10Spec check values); the fixture makes the
+  * result additionally verifiable by the driver's DuckDB gate: every
+  * contributing kernel is deterministic per-row and every aggregation is
+  * fixed-point (partition-invariant), so a re-run must be bit-identical to
+  * the committed parquet, under any parallelism. Fixtures are produced by
+  * `graft.tools.MakeFixtures` for each testdata scale factor; the SQL
+  * selects the right one by probing the customer table's row count. */
+object FixtureOracle {
+  /** (sf directory name, customer row count) for each generated scale. */
+  val Scales: Seq[(String, Long)] =
+    Seq(("sf0.001", 150L), ("sf0.01", 1500L), ("sf0.1", 15000L))
+
+  val Root = "/root/repo/fixtures"
+
+  def sql(name: String): String =
+    Scales.map { case (sf, nCust) =>
+      s"""SELECT * FROM read_parquet('$Root/$sf/$name.parquet/*.parquet')
+         |WHERE (SELECT count(*) FROM customer) = $nCust""".stripMargin
+    }.mkString("\nUNION ALL\n")
+}

@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+import graft.queries.FixtureOracle
+
+/** Regenerates the golden-fixture parquet under fixtures/sf&#42; for every
+  * fixture-verified query (see [[graft.queries.FixtureOracle]]). Run after
+  * any change to the numeric kernels or the atlas aggregation:
+  *
+  *   sbt "runMain graft.tools.MakeFixtures"
+  *
+  * The outputs are deterministic (per-row kernels + fixed-point
+  * aggregation), so a diff in regenerated fixtures IS a semantic change. */
+object MakeFixtures {
+  val FixtureQueries: Seq[String] = Seq(
+    "q61_cubic_spline", "q62_gammat", "q70_argo_interp", "q71_argo_atlas",
+    "q72_argo_eape_r14", "q73_argo_eape_t25", "q74_argo_atlas_masked")
+
+  def main(args: Array[String]): Unit = {
+    val testRoot = args.headOption.getOrElse("/root/testdata")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for ((sf, _) <- FixtureOracle.Scales; name <- FixtureQueries) {
+      val df = SparkEntry.queries(name)(spark, s"$testRoot/$sf")
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(s"${FixtureOracle.Root}/$sf/$name.parquet")
+      println(s"fixture $sf/$name written")
+    }
+    spark.stop()
+  }
+}
