@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join-strategy helpers for the pair-generation joins in the dedup /
+  * similarity family. */
+object Joins {
+
+  /** Default build-side row cap for broadcasting a pair-join side. At ~100
+    * bytes of packed payload per row this is ~200 MB on the driver — past
+    * it, a broadcast stops being a cheap optimization and becomes the OOM
+    * that kills the job at scale. Overridable per session via
+    * `spark.graft.broadcastMaxRows`. */
+  val BroadcastMaxRows = 2000000L
+
+  private def maxRows(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("spark.graft.broadcastMaxRows")
+      .map(_.toLong).getOrElse(BroadcastMaxRows)
+
+  /** Self-join on a LOW-CARDINALITY block key (LSH bucket, source block):
+    * the degenerate case of a pair-generation join, where a plain shuffle
+    * join collapses all work onto ≤ #blocks tasks.
+    *
+    * Strategy is size-conditional, like [[graft.argo.Atlas.pairs]]:
+    *
+    *  - `buildRows` under the broadcast cap → broadcast the build side;
+    *    the stream side keeps its even partitioning and every core scores
+    *    pairs.
+    *  - past the cap → SALTED equi-join: the stream side gets a
+    *    deterministic salt in [0, salts), the build side replicates each
+    *    row to every salt, and the join key becomes (blocks…, salt). Work
+    *    spreads over #blocks × salts tasks at the cost of salts× build-side
+    *    shuffle volume — the distributed-memory-safe shape, no driver
+    *    collect, no single-task collapse.
+    *
+    * `saltOn` must be a deterministic column of the STREAM side (e.g.
+    * `hash(col("doc_id"))`) so plans and fixtures stay reproducible.
+    */
+  def blockJoin(stream: DataFrame, build: DataFrame, keys: Seq[String],
+                saltOn: Column, buildRows: Long,
+                salts: Int = 32): DataFrame =
+    if (buildRows <= maxRows(stream)) stream.join(broadcast(build), keys)
+    else {
+      val ls = stream.withColumn("__salt", pmod(saltOn, lit(salts)))
+      val rs = build.withColumn("__salt",
+        explode(sequence(lit(0), lit(salts - 1))))
+      // Pin the shuffled-hash strategy: we are on this path precisely
+      // because the build side does NOT fit in memory, so Catalyst must
+      // never fall back to a broadcast (its size estimate can't see that),
+      // and sort-merge would pay a useless sort on throwaway pair keys.
+      // The un-replicated stream side is the cheaper hash side.
+      ls.hint("shuffle_hash").join(rs, keys :+ "__salt").drop("__salt")
+    }
+}

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.{FP, VecFns => V}
-import graft.operators.Aggregates
+import graft.operators.{Aggregates, Joins}
 
 /** Similarity search and vector analytics over the `embeddings` table
   * (64-dim `array<float>`).
@@ -159,12 +159,14 @@ object EmbeddingQueries extends QueryModule {
     val r = b.select(col("bucket"), col("vec_id").as("d2"),
       col("pv").as("v2"), col("nrm").as("n2"))
     // With few coarse buckets a shuffle join would collapse onto ≤2^bits
-    // tasks. Broadcast the build side instead: the stream side keeps its
-    // even vec_id distribution and every core scores pairs. (At corpus
-    // sizes where the broadcast wouldn't fit, raise NearDupBits — bucket
-    // count should grow with density anyway to bound candidates/bucket —
-    // and the equi-join shape takes over.)
-    l.join(broadcast(r), Seq("bucket")).filter(col("d1") < col("d2"))
+    // tasks. Size-conditional (Joins.blockJoin): broadcast the build side
+    // while it fits — the stream side keeps its even vec_id distribution
+    // and every core scores pairs — and switch to the salted equi-join
+    // past the cap. (At scale also raise NearDupBits: bucket count should
+    // grow with corpus density anyway to bound candidates per bucket.)
+    val nVecs = Tables.embeddings(s, d).count()
+    Joins.blockJoin(l, r, Seq("bucket"), hash(col("d1")), buildRows = nVecs)
+      .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
         FP.nano(V.dotPacked(col("v1"), col("v2")) / (col("n1") * col("n2")))
           .as("cos_n"))

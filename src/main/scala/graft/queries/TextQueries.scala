@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.{FP, TextFns => T}
+import graft.operators.Joins
 
 /** Training-data text pipeline over the `documents` table: exact and
   * near deduplication (MinHash+LSH, SimHash, n-gram Jaccard), language ID,
@@ -259,9 +260,12 @@ object TextQueries extends QueryModule {
       .select(col("doc_id"), col("source"), T.shingleHashesPacked(2)(col("text")).as("gs"))
     val l = base.select(col("source"), col("doc_id").as("d1"), col("gs").as("g1"))
     val r = base.select(col("source"), col("doc_id").as("d2"), col("gs").as("g2"))
-    // few source blocks → broadcast the build side; a shuffle join would
-    // collapse onto one task per block (see q43 for the same call)
-    l.join(broadcast(r), Seq("source")).filter(col("d1") < col("d2"))
+    // Few source blocks → a plain shuffle join would collapse onto one task
+    // per block. Size-conditional: broadcast the build side while it fits,
+    // salted equi-join past the cap (Joins.blockJoin).
+    val nDocs = docs(s, d).count()
+    Joins.blockJoin(l, r, Seq("source"), hash(col("d1")), buildRows = nDocs)
+      .filter(col("d1") < col("d2"))
       .select(col("source"), col("d1"), col("d2"),
         T.jaccardMicroPacked(col("g1"), col("g2")).as("jaccard_u"))
       .filter(col("jaccard_u") >= 200000L)

@@ -46,6 +46,28 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_"), s"profile-mean must pre-aggregate map-side:\n$p")
   }
 
+  test("blockJoin: broadcast under the cap, salted shuffle (no broadcast) above it") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = (0 until 200).map(i => (i, i % 3)).toDF("id", "block")
+    val l = base.select(col("block"), col("id").as("d1"))
+    val r = base.select(col("block"), col("id").as("d2"))
+    def run(buildRows: Long) = graft.operators.Joins
+      .blockJoin(l, r, Seq("block"), hash(col("d1")), buildRows)
+      .filter(col("d1") < col("d2"))
+    val small = run(buildRows = 200)
+    assert(small.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "under the cap the build side must broadcast")
+    val big = run(buildRows = graft.operators.Joins.BroadcastMaxRows + 1)
+    val bigPlan = big.queryExecution.executedPlan.toString
+    assert(!bigPlan.contains("Broadcast"),
+      s"above the cap the build side must NOT broadcast:\n$bigPlan")
+    // the salted fallback computes the identical pair set
+    val expect = small.select("d1", "d2").as[(Int, Int)].collect().toSet
+    val got = big.select("d1", "d2").as[(Int, Int)].collect().toSet
+    assert(got === expect)
+  }
+
   test("whole-stage codegen spans cover the relational hot path") {
     // AQE finalizes the plan only on execution; codegen markers appear then
     val df = SparkEntry.queries("q01_pricing_summary")(spark, d)
