@@ -1,37 +1,27 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Multimodal column support: image/audio/video as opaque `binary` columns
   * with typed metadata, decoded/feature-extracted per partition.
   *
   * Spark-side design (all real and tested): schema carries
   * `media: binary` + `media_meta: struct(kind, width, height)`; feature
-  * extraction runs in `mapPartitions` so a real decoder is initialized
-  * ONCE per partition and fed a stream of rows (the JVM analog of the
-  * `mapInPandas` batch shape — at 100 TB, per-row decoder init is the
-  * difference between hours and days). Binary payloads stay opaque to
-  * Catalyst: nothing ever stringifies them, and column pruning drops them
-  * whenever a query reads only metadata.
+  * extraction runs in a TYPED `Dataset.mapPartitions`, so a real decoder is
+  * initialized ONCE per partition and fed a stream of rows (the JVM analog
+  * of the `mapInPandas` batch shape — at 100 TB, per-row decoder init is
+  * the difference between hours and days) while the operator stays inside
+  * the SQL engine: Tungsten binary rows in and out, no RDD[Row] round-trip,
+  * no scan barrier in the plan. Binary payloads stay opaque to Catalyst:
+  * nothing ever stringifies them, and column pruning drops them whenever a
+  * query reads only metadata.
   *
   * The DECODE step itself is a clearly-marked deterministic stub — image/
   * audio codecs are not available in this environment; swap `StubDecoder`
   * for a real one without touching the plumbing.
   */
 object Media {
-  val metaType: StructType = StructType(Seq(
-    StructField("kind", StringType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false)))
-
-  val featureSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("n_bytes", IntegerType, nullable = false),
-    StructField("checksum", LongType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false)))
 
   /** STUB decoder: deterministic features from the raw bytes. A real
     * implementation would decode the codec and emit true dimensions /
@@ -52,22 +42,18 @@ object Media {
     * init amortized across the partition. */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val rdd = media.select(col("doc_id").cast("long"), col("media")).rdd
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         val decoder = new StubDecoder // once per partition
-        iter.map { r =>
-          val (n, sum, w, h) = decoder.decode(r.getAs[Array[Byte]](1))
-          Row(r.getLong(0), n, sum, w, h)
+        iter.map { case (id, bytes) =>
+          val (n, sum, w, h) = decoder.decode(bytes)
+          (id, n, sum, w, h)
         }
       }
-    spark.createDataFrame(rdd, featureSchema)
+      .toDF("doc_id", "n_bytes", "checksum", "width", "height")
   }
-
-  val frameSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("frame_idx", LongType, nullable = false),
-    StructField("n_bytes", LongType, nullable = false),
-    StructField("checksum", LongType, nullable = false)))
 
   /** STUB frame sampler: a real implementation seeks key-frames in the
     * container; the stub slices `nFrames` equal byte ranges (last frame
@@ -76,47 +62,43 @@ object Media {
     * materialized as a column unless asked for — is the production shape. */
   def frameSample(media: DataFrame, nFrames: Int): DataFrame = {
     val spark = media.sparkSession
-    val rdd = media.select(col("doc_id").cast("long"), col("media")).rdd
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         val decoder = new StubDecoder // once per partition
-        iter.flatMap { r =>
-          val bytes = r.getAs[Array[Byte]](1)
+        iter.flatMap { case (id, bytes) =>
           val q = bytes.length / nFrames
           (0 until nFrames).iterator.map { i =>
             val from = i * q
             val until = if (i < nFrames - 1) (i + 1) * q else bytes.length
             val (n, sum, _, _) =
               decoder.decode(java.util.Arrays.copyOfRange(bytes, from, until))
-            Row(r.getLong(0), i.toLong, n.toLong, sum)
+            (id, i.toLong, n.toLong, sum)
           }
         }
       }
-    spark.createDataFrame(rdd, frameSchema)
+      .toDF("doc_id", "frame_idx", "n_bytes", "checksum")
   }
-
-  val resizeSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("orig_bytes", LongType, nullable = false),
-    StructField("resized_bytes", LongType, nullable = false),
-    StructField("checksum", LongType, nullable = false)))
 
   /** STUB resize: a real implementation decodes, scales, re-encodes; the
     * stub keeps every 2nd byte (deterministic 2x downsample). Emits the
     * resized payload's size and checksum. */
   def resize(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val rdd = media.select(col("doc_id").cast("long"), col("media")).rdd
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         val decoder = new StubDecoder // once per partition
-        iter.map { r =>
-          val bytes = r.getAs[Array[Byte]](1)
+        iter.map { case (id, bytes) =>
           val out = new Array[Byte]((bytes.length + 1) / 2)
           var i = 0
           while (i < out.length) { out(i) = bytes(2 * i); i += 1 }
           val (n, sum, _, _) = decoder.decode(out)
-          Row(r.getLong(0), bytes.length.toLong, n.toLong, sum)
+          (id, bytes.length.toLong, n.toLong, sum)
         }
       }
-    spark.createDataFrame(rdd, resizeSchema)
+      .toDF("doc_id", "orig_bytes", "resized_bytes", "checksum")
   }
 }

@@ -68,6 +68,13 @@ class PlanSpec extends SparkSuite {
     assert(got === expect)
   }
 
+  test("q90: media decode stays inside the SQL engine (no RDD scan barrier)") {
+    val p = plan("q90_multimodal_decode")
+    assert(!p.contains("ExistingRDD"),
+      s"df.rdd round-trip re-entered the plan as an RDD scan:\n$p")
+    assert(p.contains("MapPartitions"), s"expected typed mapPartitions:\n$p")
+  }
+
   test("whole-stage codegen spans cover the relational hot path") {
     // AQE finalizes the plan only on execution; codegen markers appear then
     val df = SparkEntry.queries("q01_pricing_summary")(spark, d)
