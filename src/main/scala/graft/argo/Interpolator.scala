@@ -22,6 +22,13 @@ import graft.functions.{Interp, Seawater, SeawaterEos, Teos10}
 object Interpolator {
   import ArgoSchemas.{NLevels, Pref}
 
+  /** The reference's pluggable METHODS map (interpolation.py:20-21,74-81):
+    * 0 = basic cubic (scipy `interp1d(kind="cubic")`), 1 = the
+    * shape-preserving PCHIP family (`gsw.sa_ct_interp` is a
+    * multiply-rotated PCHIP). Each entry maps (xs, ys, targets) → values. */
+  val Methods: Map[Int, (Array[Double], Array[Double], Array[Double]) => Array[Double]] =
+    Map(0 -> Interp.cubicOnto, 1 -> Interp.pchipOnto)
+
   /** Per-profile kernel: QC mask (F6) → validity gate (F7, exact reference
     * thresholds) → cubic interpolation onto PREF (X6). Returns dense
     * (nvalues, ct[64], sr[64], idx[64]).
@@ -34,7 +41,9 @@ object Interpolator {
   private[argo] def interpolateProfile(
       pres: Array[Double], temp: Array[Double], psal: Array[Double],
       qc: Array[Double],
-      eos: SeawaterEos = Teos10): (Int, Array[Float], Array[Float], Array[Byte]) = {
+      eos: SeawaterEos = Teos10,
+      algo: Int = 0): (Int, Array[Float], Array[Float], Array[Byte]) = {
+    val method = Methods(algo)
     val empty = (0, new Array[Float](NLevels), new Array[Float](NLevels),
       new Array[Byte](NLevels))
     // F6: keep QC == 1 samples (extract_raw_profile, interpolation.py:172-179)
@@ -69,12 +78,13 @@ object Interpolator {
     val xs = jdx.map(p(_)).toArray
     val sr = jdx.map(i => Seawater.srFromSp(s(i))).toArray
     val ct = jdx.indices.map(j => eos.ctFromT(sr(j), t(jdx(j)), xs(j))).toArray
-    // X6: cubic spline (scipy interp1d kind="cubic" semantics)
+    // X6: the selected interpolation method (default: cubic spline with
+    // scipy interp1d kind="cubic" semantics)
     val (dx1, dySr) = Interp.sortDedup(xs, sr)
     val (_, dyCt) = Interp.sortDedup(xs, ct)
     val targets = idx.map(Pref(_))
-    val srI = Interp.cubicOnto(dx1, dySr, targets)
-    val ctI = Interp.cubicOnto(dx1, dyCt, targets)
+    val srI = method(dx1, dySr, targets)
+    val ctI = method(dx1, dyCt, targets)
     val ctOut = new Array[Float](NLevels)
     val srOut = new Array[Float](NLevels)
     val idxOut = new Array[Byte](NLevels)
@@ -95,10 +105,10 @@ object Interpolator {
     n + (if (ct.nonEmpty) ct(0) else 0.0f) + (if (sr.nonEmpty) sr(NLevels - 1) else 0.0f)
   }
 
-  private val interpUdf = udf(
+  private def interpUdf(algo: Int) = udf(
     (pres: Seq[Double], temp: Seq[Double], psal: Seq[Double], qc: Seq[Double]) => {
-      val (n, ct, sr, ix) =
-        interpolateProfile(pres.toArray, temp.toArray, psal.toArray, qc.toArray)
+      val (n, ct, sr, ix) = interpolateProfile(
+        pres.toArray, temp.toArray, psal.toArray, qc.toArray, algo = algo)
       (n, ct.toSeq, sr.toSeq, ix.toSeq)
     })
 
@@ -120,8 +130,10 @@ object Interpolator {
   }
 
   /** Full stage: resolve → kernel → join summary header (J5). Output
-    * matches [[ArgoSchemas.profile]]. */
-  def interpolate(samples: DataFrame, summary: DataFrame): DataFrame = {
+    * matches [[ArgoSchemas.profile]].
+    * @param algo interpolation method id from [[Methods]] */
+  def interpolate(samples: DataFrame, summary: DataFrame,
+                  algo: Int = 0): DataFrame = {
     val resolved =
       if (samples.columns.contains("DATA_MODE")) resolveAdjusted(samples)
       else samples
@@ -135,7 +147,7 @@ object Interpolator {
     val nPart = samples.sparkSession.sessionState.conf.numShufflePartitions
     val interpolated = resolved
       .repartition(nPart, col("WMO"), col("IPROF"))
-      .withColumn("r", interpUdf(col("PRES"), col("TEMP"), col("PSAL"), col("QC")))
+      .withColumn("r", interpUdf(algo)(col("PRES"), col("TEMP"), col("PSAL"), col("QC")))
       .select(col("WMO").cast("int"), col("IPROF").cast("short"),
         col("r._1").as("NVALUES"),
         col("r._2").as("CT"), col("r._3").as("SR"),

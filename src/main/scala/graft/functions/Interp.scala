@@ -148,6 +148,79 @@ object Interp {
     targets.map(t => splineEval(xs, ys, m, t))
   }
 
+  /** PCHIP derivatives (Fritsch–Carlson 1980, the shape-preserving
+    * monotone scheme scipy's `PchipInterpolator` implements and the family
+    * `gsw.sa_ct_interp` — the reference's METHODS[1],
+    * interpolation.py:20-21 — builds on): weighted harmonic mean of the
+    * adjacent secants, zero at local extrema, one-sided three-point edge
+    * formula with sign clamping. */
+  def pchipDerivs(xs: Array[Double], ys: Array[Double]): Array[Double] = {
+    val n = xs.length
+    require(n >= 2 && ys.length == n)
+    val d = new Array[Double](n)
+    if (n == 2) {
+      val m = (ys(1) - ys(0)) / (xs(1) - xs(0))
+      d(0) = m; d(1) = m
+      return d
+    }
+    val h = new Array[Double](n - 1)
+    val mk = new Array[Double](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      h(i) = xs(i + 1) - xs(i)
+      mk(i) = (ys(i + 1) - ys(i)) / h(i)
+      i += 1
+    }
+    i = 1
+    while (i < n - 1) {
+      if (mk(i - 1) * mk(i) <= 0) d(i) = 0.0
+      else {
+        val w1 = 2 * h(i) + h(i - 1)
+        val w2 = h(i) + 2 * h(i - 1)
+        d(i) = (w1 + w2) / (w1 / mk(i - 1) + w2 / mk(i))
+      }
+      i += 1
+    }
+    def edge(h0: Double, h1: Double, m0: Double, m1: Double): Double = {
+      var e = ((2 * h0 + h1) * m0 - h0 * m1) / (h0 + h1)
+      if (e * m0 <= 0 && m0 != 0) e = 0.0
+      else if (m0 == 0) e = 0.0
+      else if (m0 * m1 < 0 && math.abs(e) > 3 * math.abs(m0)) e = 3 * m0
+      e
+    }
+    d(0) = edge(h(0), h(1), mk(0), mk(1))
+    d(n - 1) = edge(h(n - 2), h(n - 3), mk(n - 2), mk(n - 3))
+    d
+  }
+
+  /** Shape-preserving cubic Hermite interpolation onto `targets`,
+    * extrapolating with the end segment's cubic (scipy `PchipInterpolator`
+    * with `extrapolate=True`). */
+  def pchipOnto(xs: Array[Double], ys: Array[Double],
+                targets: Array[Double]): Array[Double] = {
+    val n = xs.length
+    if (n == 2) return targets.map { t =>
+      // linear continuation (pchip on 2 points is the line, incl. outside)
+      ys(0) + (ys(1) - ys(0)) * ((t - xs(0)) / (xs(1) - xs(0)))
+    }
+    val d = pchipDerivs(xs, ys)
+    targets.map { t =>
+      var i = java.util.Arrays.binarySearch(xs, t)
+      if (i >= 0 && i < n) ys(i)
+      else {
+        if (i < 0) i = -i - 2
+        if (i < 0) i = 0
+        if (i > n - 2) i = n - 2
+        val h = xs(i + 1) - xs(i)
+        val m = (ys(i + 1) - ys(i)) / h
+        val u = t - xs(i)
+        val c2 = (3 * m - 2 * d(i) - d(i + 1)) / h
+        val c3 = (d(i) + d(i + 1) - 2 * m) / (h * h)
+        ys(i) + d(i) * u + c2 * u * u + c3 * u * u * u
+      }
+    }
+  }
+
   /** Sort by x and drop duplicate x (keep first occurrence, matching the
     * reference's `np.unique(PRES, return_index=True)`,
     * interpolation.py:239). Returns (xs, ys) as parallel arrays. */

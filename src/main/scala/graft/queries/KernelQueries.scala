@@ -42,6 +42,11 @@ object KernelQueries extends QueryModule {
     Interp.cubicOnto(dx, dy, Targets)
   })
 
+  private val pchipUdf = udf((xs: Seq[Double], ys: Seq[Double]) => {
+    val (dx, dy) = Interp.sortDedup(xs.toArray, ys.toArray)
+    Interp.pchipOnto(dx, dy, Targets)
+  })
+
   private val gammatUdf = udf((sr: Double, ct: Double) => {
     val (g, z, p, s) = Seawater.gammatAnalytic(sr, ct)
     Seq(g, z, p, s)
@@ -112,6 +117,16 @@ object KernelQueries extends QueryModule {
         FP.micro(col("y")).as("y_u"))
       .orderBy("l_orderkey", "level")
 
+  // ---- q63: PCHIP interpolation (the reference METHODS[1] family) --------
+  private def q63(s: SparkSession, d: String): DataFrame =
+    profiles(s, d)
+      .filter(size(array_distinct(col("xs"))) >= 4)
+      .select(col("l_orderkey"),
+        posexplode(pchipUdf(col("xs"), col("ys"))).as(Seq("pos", "y")))
+      .select(col("l_orderkey"), col("pos").cast(LongType).as("level"),
+        FP.micro(col("y")).as("y_u"))
+      .orderBy("l_orderkey", "level")
+
   // ---- q62: gammat thermodynamic neutral density (X7), rows-only ---------
   private def q62(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -131,5 +146,7 @@ object KernelQueries extends QueryModule {
     "q60_interp_pipeline" -> QueryDef(q60, Some(q60Sql)),
     "q61_cubic_spline" ->
       QueryDef(q61, Some(FixtureOracle.sql("q61_cubic_spline"))),
-    "q62_gammat" -> QueryDef(q62, Some(FixtureOracle.sql("q62_gammat"))))
+    "q62_gammat" -> QueryDef(q62, Some(FixtureOracle.sql("q62_gammat"))),
+    "q63_pchip_interp" ->
+      QueryDef(q63, Some(FixtureOracle.sql("q63_pchip_interp"))))
 }

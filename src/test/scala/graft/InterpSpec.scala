@@ -66,6 +66,41 @@ class InterpSpec extends AnyFunSuite {
     }
   }
 
+  test("pchip reproduces nodes and linear data exactly") {
+    val got = Interp.pchipOnto(xs, ys, xs)
+    xs.indices.foreach(i => assert(math.abs(got(i) - ys(i)) < 1e-12))
+    // all secants equal → every derivative is that slope → the line
+    val lx = Array(0.0, 1.0, 3.0, 4.5)
+    val ly = lx.map(x => 2.0 * x - 1.0)
+    Seq(-1.0, 0.5, 2.0, 4.0, 6.0).foreach { t =>
+      val v = Interp.pchipOnto(lx, ly, Array(t))(0)
+      assert(math.abs(v - (2.0 * t - 1.0)) < 1e-12, s"at t=$t")
+    }
+  }
+
+  test("pchip matches the Fritsch-Carlson hand computation at a local max") {
+    // xs=[0,1,2], ys=[0,1,0]: interior secants +1/-1 → d1=0;
+    // edge d0 = ((2+1)*1 - 1*(-1))/2 = 2 (kept: |2| <= 3|m0|).
+    // Segment 0 Hermite: y(0.5) = 2*0.5 + (3*1-2*2-0)*0.25 = 0.75.
+    val v = Interp.pchipOnto(Array(0.0, 1.0, 2.0), Array(0.0, 1.0, 0.0),
+      Array(0.5))(0)
+    assert(math.abs(v - 0.75) < 1e-12)
+  }
+
+  test("pchip is shape-preserving: no overshoot on monotone data") {
+    // the not-a-knot spline DOES overshoot this step-like data; pchip must not
+    val sx = Array(0.0, 1.0, 2.0, 3.0, 4.0, 5.0)
+    val sy = Array(0.0, 0.0, 0.1, 9.9, 10.0, 10.0)
+    val ts = (0 to 500).map(i => i * 0.01).toArray
+    val vals = Interp.pchipOnto(sx, sy, ts)
+    assert(vals.forall(v => v >= -1e-12 && v <= 10.0 + 1e-12),
+      s"overshoot: min=${vals.min} max=${vals.max}")
+    // and monotone between nodes
+    ts.indices.drop(1).foreach { i =>
+      assert(vals(i) >= vals(i - 1) - 1e-12, s"non-monotone at ${ts(i)}")
+    }
+  }
+
   test("sortDedup sorts by x and keeps first occurrence") {
     val (dx, dy) = Interp.sortDedup(
       Array(3.0, 1.0, 3.0, 2.0), Array(30.0, 10.0, 31.0, 20.0))
