@@ -1,0 +1,114 @@
+package graft.argo
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MetadataBuilder
+
+/** S9: the atlas sink with the reference's metadata
+  * (write_atlas_to_netcdf, atlas.py:576-636).
+  *
+  * The reference writes a NetCDF4 file: three dimensions (lon, lat, pres),
+  * up to six f4 variables each carrying a `units` attribute, and global
+  * attributes (name, domain, resolution, "latest profile" = max JULD).
+  * The Spark-native equivalent keeps the long-format (lon, lat, pres)
+  * frame — the layout every Spark sink, partitioner and reader already
+  * understands — and carries the SAME metadata:
+  *
+  *  - per-variable `units` go into the Spark column metadata, which
+  *    parquet persists in its schema footer and `spark.read` restores;
+  *  - the global attributes go into a `_atlas_attrs.json` sidecar next to
+  *    the part files (written through the Hadoop FS API, so it lands on
+  *    HDFS/S3 the same as locally), mirroring the nc global atts.
+  *
+  * A dense-array NetCDF export is then a LOCAL post-processing step over
+  * one tiny file set (cells × levels rows), exactly like the reference's
+  * single-node write after its compute.
+  */
+object AtlasSink {
+
+  /** Per-variable units, verbatim from the reference (atlas.py:39-46). */
+  val Units: Map[String, String] = Map(
+    "CT" -> "°C",
+    "SR" -> "$g\\,kg^{-1}$",
+    "SIGSTAR" -> "$kg\\,m^{-3}$",
+    "GAMMAT" -> "$kg\\,m^{-3}$",
+    "EAPE" -> "$cm^2\\,s^{-2}$",
+    "EAPE_R14" -> "$cm^2\\,s^{-2}$",
+    "EAPE_T25" -> "$cm^2\\,s^{-2}$")
+
+  /** Named regions, verbatim from the reference (atlas.py:19-35):
+    * name → (lon1, lon2, lat1, lat2). */
+  val Domains: Map[String, (Double, Double, Double, Double)] = Map(
+    "biscaye" -> (-15, 0, 35, 60),
+    "subpolar" -> (-70, 0, 50, 70),
+    "korea" -> (130, 140, 36, 44),
+    "natl" -> (-90, 10, -10, 70),
+    "satl" -> (-80, 0, -70, 10),
+    "acc_indian" -> (0, 100, -60, -20),
+    "acc" -> (-180, 180, -70, -30),
+    "zapiola" -> (-60, -40, -50, -30),
+    "atl" -> (-80, 20, -60, 60),
+    "senegal" -> (-30, -10, 10, 30),
+    "agulhas" -> (10, 30, -50, -30),
+    "newzealand" -> (140, 180, -60, -30),
+    "gulfstream" -> (-80, -50, 20, 50),
+    "drake" -> (-80, -50, -70, -40),
+    "gulfmexico" -> (-100, -60, 10, 30))
+
+  /** infer_domain_name (atlas.py:569-573). */
+  def domainName(box: (Double, Double, Double, Double)): String =
+    Domains.collectFirst { case (n, b) if b == box => n }
+      .getOrElse("someregion")
+
+  /** Write the long-format atlas frame with units metadata + the global
+    * attrs sidecar. `profiles` supplies "latest profile" = max(JULD). */
+  def write(out: String, atlas: Atlas, df: DataFrame,
+            profiles: DataFrame): Unit = {
+    val latest = profiles.agg(max(col("JULD"))).head().get(0)
+    val annotated = df.select(df.columns.map { c =>
+      Units.get(c) match {
+        case Some(u) =>
+          val m = new MetadataBuilder().putString("units", u).build()
+          col(c).as(c, m)
+        case None => col(c)
+      }
+    }: _*)
+    annotated.write.mode("overwrite").parquet(out)
+    writeAttrs(df.sparkSession, out, attrsJson(atlas, String.valueOf(latest)))
+  }
+
+  private def attrsJson(atlas: Atlas, latest: String): String = {
+    val (lon1, lon2, lat1, lat2) = atlas.box
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
+    s"""{"name": "Atlas of Argo statistics",
+       | "domain": [$lon1, $lon2, $lat1, $lat2],
+       | "domain_name": "${esc(domainName(atlas.box))}",
+       | "resolution": ${atlas.reso},
+       | "latest profile": "${esc(latest)}"}""".stripMargin
+  }
+
+  val AttrsFile = "_atlas_attrs.json"
+
+  private def writeAttrs(s: SparkSession, out: String, json: String): Unit = {
+    val p = new Path(out, AttrsFile)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(json.getBytes(StandardCharsets.UTF_8)) finally os.close()
+  }
+
+  /** Read back the global attrs sidecar (raw JSON string). */
+  def readAttrs(s: SparkSession, out: String): String = {
+    val p = new Path(out, AttrsFile)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+}
