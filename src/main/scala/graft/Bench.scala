@@ -26,18 +26,38 @@ object Bench {
         // noise (observed 2x run-to-run on shared hardware); the first
         // run's cost is real but measures the JIT, not the plan.
         val reps = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
-        val dt = (1 to reps).map { _ =>
+        val runs = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        System.err.println(f"[bench] $name%-24s $dt%8.2f s")
-        name -> dt
+          val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+          ((System.nanoTime() - t0) / 1e9, rows)
+        }
+        val (dt, rows) = runs.minBy(_._1)
+        System.err.println(f"[bench] $name%-24s $dt%8.2f s ($rows rows)")
+        name -> (dt, rows)
       }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
+    // Per-stage throughput, so the BASELINE.md comparison is mechanical:
+    // the reference publishes pipeline throughput (profiles interpolated
+    // per second per core), not per-query seconds. q70's row count IS the
+    // number of interpolated profiles; q71's is atlas (cell, level) rows.
+    def tput(q: String): Option[(Double, Long)] =
+      results.get(q).collect { case (dt, rows) if dt > 0 && rows > 0 =>
+        (rows / dt, rows)
+      }
+    val nCores = cpus.toDouble
+    val stages = (
+      tput("q70_argo_interp").map { case (ps, n) =>
+        Seq(s""""interp_profiles_per_sec":$ps""",
+          s""""interp_profiles_per_sec_per_core":${ps / nCores}""",
+          s""""interp_profiles":$n""")
+      }.getOrElse(Nil) ++
+      tput("q71_argo_atlas").map { case (cs, n) =>
+        Seq(s""""atlas_cell_levels_per_sec":$cs""", s""""atlas_cell_levels":$n""")
+      }.getOrElse(Nil) ++
+      Seq(s""""cores":${cpus.toInt}""")).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stages":$stages,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

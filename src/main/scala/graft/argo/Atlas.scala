@@ -187,6 +187,12 @@ class Atlas(
     // costs fan-out x more memory than re-running the (broadcast-join +
     // filter) that produces it from cached profiles.
     val prof = profiles.persist()
+    // Two pair sets over the same cached profiles: pass-1 (cell means)
+    // never reads the aux payload, so it gets the BARE pairs — the per-
+    // profile kernel precompute (64 rho evals for R14, 64 gammat
+    // bisections for T25) then runs exactly once, in pass-2, instead of
+    // being re-executed by both aggregation passes.
+    val prTS = pairs(s, prof)
     val pr = pairs(s, prof, aux = Some(auxCol))
     try {
       val eosB = eos
@@ -201,7 +207,7 @@ class Atlas(
         Pref.indices.map { k =>
           Seawater.gammatAnalytic(sr(k), ct(k), eosB)._1.toFloat
         })
-      val means0 = Atlas.aggTS(pr)
+      val means0 = Atlas.aggTS(prTS)
       val means = algo match {
         case "R14" =>
           val m = means0.withColumn("RHO", rhoUdf(col("SR_m"), col("CT_m")))

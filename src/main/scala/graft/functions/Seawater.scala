@@ -31,6 +31,14 @@ trait SeawaterEos extends Serializable {
   /** Conservative temperature from in-situ temperature (reference
     * interpolation.py:207-208, `gsw.CT_from_t(SR, TEMP, PRES)`). */
   def ctFromT(sr: Double, t: Double, p: Double): Double
+
+  /** A precompiled ρ(p) evaluator for FIXED (sr, ct). Hot loops that scan
+    * pressure at constant water-mass properties — the gammat bisection
+    * evaluates ρ 30× per call — obtain this once and pay only the
+    * pressure-dependent part per evaluation. Must be arithmetically
+    * identical to `rho(sr, ct, p)`. Default: the trivial closure. */
+  def rhoInP(sr: Double, ct: Double): Double => Double =
+    p => rho(sr, ct, p)
 }
 
 /** Simplified EOS (S-EOS form): linear-ish in (CT, SR) with cabbeling and
@@ -136,12 +144,23 @@ object Seawater {
     */
   def gammatAnalytic(sr: Double, ct: Double,
                      eos: SeawaterEos = Teos10): (Double, Double, Double, Double) = {
+    // Hot-loop strength reduction, same math: the EOS collapses to its
+    // pressure polynomial once per call (rhoInP), and rho_ref / p_r share
+    // the single math.pow((z+e), b+1) they both contain (pow(·, b+2) =
+    // pow(·, b+1)·(z+e)) — one pow + one Horner per iteration instead of
+    // two pows + a 75-term evaluation.
+    val rhoP = eos.rhoInP(sr, ct)
+    import Lorenz.{a, b, c, d, e, A, C, D, Grav}
     var ztop = 0.0
     var zbot = 6000.0
     var zref = 2000.0
     var i = 0
     while (i < 30) {
-      val buoy = Lorenz.rhoRef(zref) - eos.rho(sr, ct, Lorenz.pr(zref))
+      val ze = zref + e
+      val w = math.pow(ze, b + 1.0)
+      val rhoRef = a / (b + 1.0) * w + c * zref + d
+      val pr = (Grav / 1e4) * (A * w * ze + C * zref * zref + d * zref - D)
+      val buoy = rhoRef - rhoP(pr)
       val ss = math.signum(buoy)
       val zrefNew = 0.25 * (1.0 + ss) * (ztop + zref) + 0.25 * (1.0 - ss) * (zbot + zref)
       val ztopNew = 0.5 * (1 + ss) * ztop + 0.5 * (1 - ss) * zref
@@ -151,7 +170,7 @@ object Seawater {
     }
     val pref = Lorenz.pr(zref)
     val x = (pref - 1440.0) / 1470.0
-    val sigref = eos.rho(sr, ct, pref) - 1000.0
+    val sigref = rhoP(pref) - 1000.0
     val gammat = sigref - Lorenz.poly8(x)
     (gammat, zref, pref, sigref)
   }

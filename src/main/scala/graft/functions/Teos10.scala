@@ -159,6 +159,20 @@ object Teos10 extends SeawaterEos {
   def rho(sa: Double, ct: Double, p: Double): Double =
     1.0 / specvol(sa, ct, p)
 
+  /** ρ(p) with the (x, y) coefficient blocks folded ONCE: the remaining
+    * per-pressure work is a degree-6 Horner instead of the full 75-term
+    * evaluation — ~10× cheaper inside the gammat bisection, with results
+    * bit-identical to [[rho]] (same blocks, same Horner order). */
+  override def rhoInP(sa: Double, ct: Double): Double => Double = {
+    val x = xRoot(sa)
+    val y = ct * 0.025
+    val (b0, b1, b2, b3, b4, b5, b6) = zBlocks(x, y)
+    p => {
+      val z = p * 1e-4
+      1.0 / (b0 + z * (b1 + z * (b2 + z * (b3 + z * (b4 + z * (b5 + z * b6))))))
+    }
+  }
+
   /** Sound speed, m/s: c = 10⁴·√(−v²/(∂v/∂z)) with the analytic
     * z-derivative of the same 75-term polynomial (z = p/10⁴; the 10⁴
     * converts the dbar pressure scaling to Pa). The reference's

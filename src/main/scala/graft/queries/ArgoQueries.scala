@@ -20,6 +20,10 @@ object ArgoQueries extends QueryModule {
   /** Deterministic raw per-profile metadata from orders. */
   private[graft] def rawHeaderProbe(s: SparkSession, d: String): DataFrame = rawHeader(s, d)
   private[graft] def samplesProbe(summary: DataFrame): DataFrame = samples(summary)
+  private[graft] def profilesProbe(s: SparkSession, d: String): DataFrame = {
+    val summary = SummaryBuilder.build(s, rawHeader(s, d))
+    Interpolator.interpolate(samples(summary), summary)
+  }
   private def rawHeader(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .filter(col("o_orderkey") % 10 === 0)

@@ -34,6 +34,14 @@ class Teos10Spec extends AnyFunSuite {
     }
   }
 
+  test("rhoInP (precompiled pressure polynomial) is bit-identical to rho") {
+    for (sa <- Seq(0.0, 30.0, 34.7118, 36.5); ct <- Seq(-2.0, 4.0, 15.0, 28.8);
+         p <- Seq(0.0, 10.0, 600.0, 2000.0, 5500.0)) {
+      val fast = Teos10.rhoInP(sa, ct)(p)
+      assert(fast == Teos10.rho(sa, ct, p), s"rhoInP($sa,$ct)($p)")
+    }
+  }
+
   test("sound speed matches published check values and Medwin's independent formula") {
     val want = Array(1542.616, 1542.704, 1530.845, 1494.410, 1487.377)
     for (i <- want.indices) {
