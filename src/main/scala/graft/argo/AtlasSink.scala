@@ -111,4 +111,67 @@ object AtlasSink {
     try new String(in.readAllBytes(), StandardCharsets.UTF_8)
     finally in.close()
   }
+
+  /** True NetCDF export (write_atlas_to_netcdf, atlas.py:576-636): dims
+    * lon/lat/pres with coordinate variables, each data variable as f4 on
+    * (pres, lat, lon) with its units attribute, and the reference's global
+    * atts. The atlas is O(cells × levels) — collecting it to the driver
+    * for a single-file export is the same single-node write the reference
+    * does after its compute, not a distributed-data collect. Variables are
+    * any of the long-format columns beyond (lon, lat, pres); cells absent
+    * from `df` (land, no data) are written as 0, matching the reference's
+    * zero-initialized arrays. */
+  def writeNetcdf(out: String, atlas: Atlas, df: DataFrame,
+                  profiles: DataFrame): Unit = {
+    import graft.sources.Nc3
+    val (lon1, lon2, lat1, lat2) = atlas.box
+    val reso = atlas.reso
+    val nLon = ((lon2 - lon1) / reso).toInt
+    val nLat = ((lat2 - lat1) / reso).toInt
+    val pref = ArgoSchemas.Pref
+    val nP = pref.length
+    val latest = profiles.agg(max(col("JULD"))).head().get(0)
+
+    val dataCols = df.columns.filterNot(Seq("lon", "lat", "pres").contains)
+    val presIdx = pref.zipWithIndex.map { case (p, i) => p.toFloat -> i }.toMap
+    val grids = dataCols.map(_ -> new Array[Float](nP * nLat * nLon)).toMap
+    df.select((Seq("lon", "lat", "pres") ++ dataCols).map(col): _*)
+      .collect().foreach { r =>
+        val gi = math.round((r.getFloat(0) - lon1) / reso).toInt
+        val gj = math.round((r.getFloat(1) - lat1) / reso).toInt
+        val gk = presIdx(r.getFloat(2))
+        if (gi >= 0 && gi < nLon && gj >= 0 && gj < nLat) {
+          var c = 0
+          while (c < dataCols.length) {
+            grids(dataCols(c))((gk * nLat + gj) * nLon + gi) = r.getFloat(3 + c)
+            c += 1
+          }
+        }
+      }
+
+    val dims = Seq(Nc3.Dim("lon", nLon), Nc3.Dim("lat", nLat),
+      Nc3.Dim("pres", nP))
+    val gatts = Seq(
+      Nc3.Att("name", Nc3.NcChar, "Atlas of Argo statistics"),
+      Nc3.Att("domain", Nc3.NcDouble, Array(lon1, lon2, lat1, lat2)),
+      Nc3.Att("resolution", Nc3.NcDouble, Array(reso)),
+      Nc3.Att("latest profile", Nc3.NcChar, String.valueOf(latest)))
+    val coordVars = Seq(
+      Nc3.VarSpec("lon", Seq("lon"), Nil, Nc3.NcFloat,
+        Array.tabulate(nLon)(i => (lon1 + i * reso).toFloat)),
+      Nc3.VarSpec("lat", Seq("lat"), Nil, Nc3.NcFloat,
+        Array.tabulate(nLat)(j => (lat1 + j * reso).toFloat)),
+      Nc3.VarSpec("pres", Seq("pres"), Nil, Nc3.NcFloat,
+        pref.map(_.toFloat)))
+    val dataVars = dataCols.toSeq.map { name =>
+      val atts = Units.get(name).map(u => Nc3.Att("units", Nc3.NcChar, u)).toSeq
+      Nc3.VarSpec(name, Seq("pres", "lat", "lon"), atts, Nc3.NcFloat, grids(name))
+    }
+    val bytes = Nc3.write(dims, gatts, coordVars ++ dataVars)
+
+    val p = new Path(out)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(bytes) finally os.close()
+  }
 }

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.ByteBuffer
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Nc3
+
+/** The reader is validated against bytes assembled BY HAND from the
+  * public NetCDF classic format spec (not via Nc3.write), so a shared
+  * misreading of the spec can't self-certify; the writer is then pinned by
+  * round-trip through that independently-validated reader. */
+class Nc3Spec extends AnyFunSuite {
+
+  private def handBuiltFile(): Array[Byte] = {
+    val bb = ByteBuffer.allocate(512)
+    def putName(s: String): Unit = {
+      bb.putInt(s.length)
+      bb.put(s.getBytes("UTF-8"))
+      while ((bb.position() & 3) != 0) bb.put(0.toByte)
+    }
+    bb.put("CDF".getBytes("UTF-8")).put(1.toByte)
+    bb.putInt(0) // numrecs
+    bb.putInt(0x0A).putInt(2) // NC_DIMENSION, 2 dims
+    putName("x"); bb.putInt(2)
+    putName("y"); bb.putInt(3)
+    bb.putInt(0x0C).putInt(1) // NC_ATTRIBUTE, 1 global att
+    putName("title"); bb.putInt(2).putInt(5) // NC_CHAR, len 5
+    bb.put("hello".getBytes("UTF-8"))
+    while ((bb.position() & 3) != 0) bb.put(0.toByte)
+    bb.putInt(0x0B).putInt(1) // NC_VARIABLE, 1 var
+    putName("v")
+    bb.putInt(2).putInt(0).putInt(1) // 2 dims: x, y
+    bb.putInt(0).putInt(0) // empty var att list (ABSENT)
+    bb.putInt(5) // NC_FLOAT
+    bb.putInt(24) // vsize = 6 floats
+    val beginSlot = bb.position()
+    bb.putInt(0) // begin, patched below
+    val begin = bb.position()
+    bb.putInt(beginSlot, begin)
+    (1 to 6).foreach(i => bb.putFloat(i.toFloat))
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  test("reader parses a hand-built spec-conformant file") {
+    val nc = new Nc3.NcFile(handBuiltFile())
+    assert(nc.version === 1)
+    assert(nc.dims.map(d => (d.name, d.length)) === Seq(("x", 2), ("y", 3)))
+    assert(nc.gatt("title") === Some("hello"))
+    val v = nc.variable("v")
+    assert(v.ncType === Nc3.NcFloat)
+    assert(v.shape.toSeq === Seq(2, 3))
+    assert(nc.readDoubles("v").toSeq === Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+  }
+
+  test("writer output round-trips through the reader (all types, atts, padding)") {
+    val dims = Seq(Nc3.Dim("a", 3), Nc3.Dim("b", 2), Nc3.Dim("s", 4))
+    val gatts = Seq(
+      Nc3.Att("title", Nc3.NcChar, "atlas"), // length 5 exercises padding
+      Nc3.Att("domain", Nc3.NcDouble, Array(-20.0, 50.0, -50.0, -20.0)),
+      Nc3.Att("count", Nc3.NcInt, Array(7)))
+    val vars = Seq(
+      Nc3.VarSpec("f", Seq("a", "b"),
+        Seq(Nc3.Att("units", Nc3.NcChar, "°C")), Nc3.NcFloat,
+        Array(1.5f, -2.5f, 3f, 4f, 5f, 6f)),
+      Nc3.VarSpec("d", Seq("a"), Nil, Nc3.NcDouble, Array(0.1, 0.2, 0.3)),
+      Nc3.VarSpec("i", Seq("b"), Nil, Nc3.NcInt, Array(41, 42)),
+      Nc3.VarSpec("sh", Seq("a"), Nil, Nc3.NcShort, // 6 B data → 2 B pad
+        Array(1.toShort, 2.toShort, 3.toShort)),
+      Nc3.VarSpec("by", Seq("a"), Nil, Nc3.NcByte, // 3 B data → 1 B pad
+        Array(7.toByte, 8.toByte, 9.toByte)),
+      Nc3.VarSpec("c", Seq("b", "s"), Nil, Nc3.NcChar,
+        "DDR A   ".getBytes("UTF-8")))
+    val nc = new Nc3.NcFile(Nc3.write(dims, gatts, vars))
+    assert(nc.dims === dims.toIndexedSeq)
+    assert(nc.gatt("title") === Some("atlas"))
+    assert(nc.gatt("domain").get.asInstanceOf[Array[Double]].toSeq ===
+      Seq(-20.0, 50.0, -50.0, -20.0))
+    assert(nc.gatt("count").get.asInstanceOf[Array[Int]].toSeq === Seq(7))
+    assert(nc.variable("f").atts.head === Nc3.Att("units", Nc3.NcChar, "°C"))
+    assert(nc.readDoubles("f").toSeq === Seq(1.5, -2.5, 3, 4, 5, 6))
+    assert(nc.readDoubles("d").toSeq === Seq(0.1, 0.2, 0.3))
+    assert(nc.readDoubles("i").toSeq === Seq(41.0, 42.0))
+    assert(nc.readDoubles("sh").toSeq === Seq(1.0, 2.0, 3.0))
+    assert(nc.readDoubles("by").toSeq === Seq(7.0, 8.0, 9.0))
+    assert(new String(nc.readChars("c"), "UTF-8") === "DDR A   ")
+    // data slabs stay 4-byte aligned even after odd-sized variables
+    nc.vars.foreach(v => assert((v.begin & 3) === 0, s"${v.name} misaligned"))
+  }
+
+  test("reader rejects non-NetCDF bytes and record-variable reads") {
+    intercept[IllegalArgumentException] {
+      new Nc3.NcFile("PAR1notnetcdf".getBytes("UTF-8"))
+    }
+  }
+}
