@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.{FP, VecFns => V}
-import graft.operators.{Aggregates, Joins}
+import graft.operators.{Aggregates, Joins, KMeans}
 
 /** Similarity search and vector analytics over the `embeddings` table
   * (64-dim `array<float>`).
@@ -266,10 +266,60 @@ object EmbeddingQueries extends QueryModule {
        |SELECT q_id, rank, n_id, cos_n FROM r WHERE rank <= 3
        |ORDER BY 1, 2""".stripMargin
 
+  // ---- q45: IVF with TRAINED coarse cells (deterministic k-means) --------
+  // q44's "future work" closed: instead of borrowing the label column as
+  // cells, the coarse quantizer is trained — distributed Lloyd's with
+  // deterministic init and fixed-point updates (operators/KMeans.scala),
+  // so the whole index (and its golden fixture) is bit-reproducible under
+  // any parallelism. Query shape is identical to q44: broadcast centroid
+  // table, probes rank cells, only nProbe cells are scored.
+  private val KCells = 8
+  private val KmIters = 4
+
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    val corpus = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val model = KMeans.fit(corpus, "vec_id", "embedding", Dim, KCells, KmIters)
+    val norms = model.map(c => math.sqrt(c.map(x => x * x).sum))
+    val assign = udf((v: Seq[Float]) => KMeans.nearestCell(model, norms, v))
+    import s.implicits._
+    val cents = model.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq, norms(i)) }.toSeq
+      .toDF("cell", "c_vec", "c_nrm")
+    val b = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .withColumn("cell", assign(col("embedding")))
+      .repartition(col("cell"))
+      .withColumn("vec", col("embedding").cast("array<double>"))
+      .select(col("cell"), col("vec_id"), V.packVec(col("vec")).as("pv"),
+        col("vec"), V.norm(col("vec")).as("nrm"))
+    val probes = b.filter(col("vec_id") % ProbeMod === 0).select(
+      col("vec_id").as("q_id"), col("pv").as("q_pv"),
+      col("vec").as("q_vec"), col("nrm").as("q_nrm"))
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("cell"))
+    val assigned = probes.crossJoin(broadcast(cents))
+      .withColumn("c_cos",
+        V.dotJvm(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("c_rank", row_number().over(wc))
+      .filter(col("c_rank") <= NProbe)
+      .select(col("cell"), col("q_id"), col("q_pv"), col("q_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_n").desc, col("vec_id"))
+    b.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_n",
+        FP.nano(V.dotPacked(col("q_pv"), col("pv")) / (col("q_nrm") * col("nrm"))))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("cos_n"))
+      .orderBy("q_id", "rank")
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "q40_knn_bruteforce" -> QueryDef(q40, Some(q40Sql)),
     "q41_ann_lsh" -> QueryDef(q41, Some(q41Sql)),
     "q42_label_centroid" -> QueryDef(q42, Some(q42Sql)),
     "q43_embedding_neardup" -> QueryDef(q43, Some(q43Sql)),
-    "q44_ann_ivf" -> QueryDef(q44, Some(q44Sql)))
+    "q44_ann_ivf" -> QueryDef(q44, Some(q44Sql)),
+    "q45_ann_ivf_kmeans" ->
+      QueryDef(q45, Some(FixtureOracle.sql("q45_ann_ivf_kmeans"))))
 }

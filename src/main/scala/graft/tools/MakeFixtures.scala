@@ -15,9 +15,9 @@ import graft.queries.FixtureOracle
   * aggregation), so a diff in regenerated fixtures IS a semantic change. */
 object MakeFixtures {
   val FixtureQueries: Seq[String] = Seq(
-    "q61_cubic_spline", "q62_gammat", "q63_pchip_interp", "q70_argo_interp",
-    "q71_argo_atlas", "q72_argo_eape_r14", "q73_argo_eape_t25",
-    "q74_argo_atlas_masked")
+    "q45_ann_ivf_kmeans", "q61_cubic_spline", "q62_gammat",
+    "q63_pchip_interp", "q70_argo_interp", "q71_argo_atlas",
+    "q72_argo_eape_r14", "q73_argo_eape_t25", "q74_argo_atlas_masked")
 
   def main(args: Array[String]): Unit = {
     val testRoot = args.headOption.getOrElse("/root/testdata")
