@@ -139,7 +139,14 @@ object TextQueries extends QueryModule {
   // ---- q34: MinHash + LSH near-duplicate pairs ---------------------------
   private val JaccardThreshold = 0.5
 
-  private def q34(s: SparkSession, d: String): DataFrame = {
+  /** The verified MinHash pair set (d1 < d2, jaccard_u ≥ threshold) —
+    * shared by q34 (pairs) and q38 (cluster resolution). */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = q34Body(s, d)
+
+  private def q34(s: SparkSession, d: String): DataFrame =
+    q34Body(s, d).orderBy("d1", "d2")
+
+  private def q34Body(s: SparkSession, d: String): DataFrame = {
     // repartition BEFORE the hash projection: a small parquet file scans as
     // one task, and the shingle hashing must run on all cores, after the
     // Exchange (which also stops CollapseProject from inlining it into
@@ -173,10 +180,11 @@ object TextQueries extends QueryModule {
       col("d1"), col("d2"),
       T.jaccardMicroPacked(col("hs1"), col("hs2")).as("jaccard_u"))
       .filter(col("jaccard_u") >= (JaccardThreshold * 1e6).toLong)
-      .orderBy("d1", "d2")
   }
 
-  private val q34Sql = {
+  /** CTE chain through the thresholded pair set — the shared body of the
+    * q34 oracle and the recursive q38 oracle. */
+  private val pairCtes = {
     val sigExprs = (0 until T.MinHashK)
       .map(j => s"${T.sqlMinhash("hs", j)} AS sig$j").mkString(",\n    ")
     val bandSelects = (0 until T.MinHashBands).map { b =>
@@ -184,7 +192,8 @@ object TextQueries extends QueryModule {
         .map(r => s"sig${b * T.MinHashRows + r}").mkString(" || ':' || ")
       s"SELECT doc_id, hs, $b AS band, $key AS key FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH base AS (
+    val jac = FP.sqlMicro("len(list_intersect(hs1, hs2))::DOUBLE / len(list_distinct(list_concat(hs1, hs2)))")
+    s"""base AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(
        |      ${T.sqlShingles(s"(${T.sqlTokens("text")})", 3)},
@@ -196,13 +205,46 @@ object TextQueries extends QueryModule {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.hs AS hs1, b.hs AS hs2
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-       |  WHERE a.doc_id < b.doc_id)
-       |SELECT d1, d2,
-       |  ${FP.sqlMicro("len(list_intersect(hs1, hs2))::DOUBLE / len(list_distinct(list_concat(hs1, hs2)))")} AS jaccard_u
-       |FROM cand
-       |WHERE ${FP.sqlMicro("len(list_intersect(hs1, hs2))::DOUBLE / len(list_distinct(list_concat(hs1, hs2)))")} >= ${(JaccardThreshold * 1e6).toLong}
-       |ORDER BY 1, 2""".stripMargin
+       |  WHERE a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT d1, d2, $jac AS jaccard_u FROM cand
+       |  WHERE $jac >= ${(JaccardThreshold * 1e6).toLong})""".stripMargin
   }
+
+  private val q34Sql =
+    s"""WITH $pairCtes
+       |SELECT d1, d2, jaccard_u FROM pairs ORDER BY 1, 2""".stripMargin
+
+  // ---- q38: near-dup CLUSTER resolution (connected components) -----------
+  // Pair generation is only half of dedup: keeping one document per
+  // near-dup group needs the transitive closure of the pair graph. Min-
+  // label propagation (operators/Graph.scala) resolves every document to
+  // the smallest doc_id reachable through MinHash pairs — the cluster's
+  // canonical representative. The oracle computes the same closure with a
+  // recursive CTE, so this is a full SQL-verified check of an iterative
+  // distributed graph algorithm.
+  private def q38(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashPairs(s, d)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val verts = docs(s, d).select(col("doc_id").as("id"))
+    graft.operators.Graph.connectedComponents(pairs, verts)
+      .select(col("id").as("doc_id"), col("comp").as("cluster"),
+        (col("id") === col("comp")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  private val q38Sql =
+    s"""WITH RECURSIVE $pairCtes,
+       |edges AS (
+       |  SELECT d1 AS s, d2 AS t FROM pairs
+       |  UNION ALL SELECT d2 AS s, d1 AS t FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT reach.id, e.t FROM reach JOIN edges e ON e.s = reach.r)
+       |SELECT id AS doc_id, min(r) AS cluster,
+       |  (id = min(r)) AS is_canonical
+       |FROM reach GROUP BY id ORDER BY 1""".stripMargin
 
   // ---- q35: SimHash near-duplicate pairs (Hamming LSH) -------------------
   private val MaxHamming = 8
@@ -310,5 +352,6 @@ object TextQueries extends QueryModule {
     "q34_minhash_lsh" -> QueryDef(q34, Some(q34Sql)),
     "q35_simhash_neardup" -> QueryDef(q35, Some(q35Sql)),
     "q36_ngram_jaccard" -> QueryDef(q36, Some(q36Sql)),
-    "q37_fingerprint" -> QueryDef(q37, Some(q37Sql)))
+    "q37_fingerprint" -> QueryDef(q37, Some(q37Sql)),
+    "q38_dedup_clusters" -> QueryDef(q38, Some(q38Sql)))
 }
