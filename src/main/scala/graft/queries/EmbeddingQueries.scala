@@ -314,6 +314,83 @@ object EmbeddingQueries extends QueryModule {
       .orderBy("q_id", "rank")
   }
 
+  // ---- q46: int8 scalar-quantized kNN ------------------------------------
+  // The memory-scale path for brute-force search: per-dimension min/max
+  // scalar quantization to 8 bits shrinks the resident corpus 8x (64 B vs
+  // 512 B per vector) at a small recall cost. The (min, max) model is a
+  // 64-row exact aggregate collected once (order-independent); search runs
+  // on the DEQUANTIZED values with the q40 broadcast-probe shape, and the
+  // oracle reproduces the quantize→dequantize arithmetic bit-for-bit, so
+  // this verifies the quantization kernel itself, not just the search.
+  private def q46(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val mm = emb.select(posexplode(col("embedding")).as(Seq("dpos", "x")))
+      .groupBy(col("dpos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getFloat(1).toDouble,
+        r.getFloat(2).toDouble)).sortBy(_._1)
+    val mins = mm.map(_._2)
+    val maxs = mm.map(_._3)
+    val dequant = udf((v: Seq[Float]) => {
+      val out = new Array[Double](Dim)
+      var i = 0
+      while (i < Dim) {
+        val mn = mins(i)
+        val mx = maxs(i)
+        out(i) =
+          if (mx > mn) {
+            val qq = FP.roundHalfAway((v(i).toDouble - mn) * 254.0 / (mx - mn))
+            mn + qq * (mx - mn) / 254.0
+          } else mn
+        i += 1
+      }
+      out.toSeq
+    })
+    val b = emb.select(col("vec_id"), col("embedding"))
+      .repartition(col("vec_id"))
+      .withColumn("dqv", dequant(col("embedding")))
+      .select(col("vec_id"), V.packVec(col("dqv")).as("pv"),
+        V.norm(col("dqv")).as("nrm"))
+    val probes = b.filter(col("vec_id") % ProbeMod === 0).select(
+      col("vec_id").as("q_id"), col("pv").as("q_pv"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_n").desc, col("vec_id"))
+    b.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_n",
+        FP.nano(V.dotPacked(col("q_pv"), col("pv")) / (col("q_nrm") * col("nrm"))))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("cos_n"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val q46Sql = {
+    val x = "CAST(e.embedding[m.d] AS DOUBLE)"
+    val dq = s"CASE WHEN m.mx > m.mn THEN m.mn + " +
+      s"CAST(round(($x - m.mn) * 254.0 / (m.mx - m.mn)) AS BIGINT) * " +
+      s"(m.mx - m.mn) / 254.0 ELSE m.mn END"
+    s"""WITH mm AS (
+       |  SELECT d, CAST(min(embedding[d]) AS DOUBLE) AS mn,
+       |    CAST(max(embedding[d]) AS DOUBLE) AS mx
+       |  FROM embeddings, range(1, ${Dim + 1}) t(d) GROUP BY 1),
+       |dq AS (
+       |  SELECT e.vec_id, list($dq ORDER BY m.d) AS dqv
+       |  FROM embeddings e CROSS JOIN mm m GROUP BY e.vec_id),
+       |b AS (SELECT vec_id, dqv, ${V.sqlNorm("dqv", Dim)} AS nrm FROM dq),
+       |p AS (SELECT vec_id AS q_id, dqv AS q_dqv, nrm AS q_nrm
+       |      FROM b WHERE vec_id % $ProbeMod = 0),
+       |s AS (
+       |  SELECT p.q_id, b.vec_id AS n_id,
+       |    ${FP.sqlNano(s"${V.sqlDot("p.q_dqv", "b.dqv", Dim)} / (p.q_nrm * b.nrm)")} AS cos_n
+       |  FROM b CROSS JOIN p WHERE b.vec_id <> p.q_id),
+       |r AS (
+       |  SELECT q_id, n_id, cos_n, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos_n DESC, n_id) AS rank
+       |  FROM s)
+       |SELECT q_id, rank, n_id, cos_n FROM r WHERE rank <= 3
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "q40_knn_bruteforce" -> QueryDef(q40, Some(q40Sql)),
     "q41_ann_lsh" -> QueryDef(q41, Some(q41Sql)),
@@ -321,5 +398,6 @@ object EmbeddingQueries extends QueryModule {
     "q43_embedding_neardup" -> QueryDef(q43, Some(q43Sql)),
     "q44_ann_ivf" -> QueryDef(q44, Some(q44Sql)),
     "q45_ann_ivf_kmeans" ->
-      QueryDef(q45, Some(FixtureOracle.sql("q45_ann_ivf_kmeans"))))
+      QueryDef(q45, Some(FixtureOracle.sql("q45_ann_ivf_kmeans"))),
+    "q46_quantized_knn" -> QueryDef(q46, Some(q46Sql)))
 }

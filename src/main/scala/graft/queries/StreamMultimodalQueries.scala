@@ -79,6 +79,21 @@ object StreamMultimodalQueries extends QueryModule {
        |  CAST(sum(v) AS BIGINT) AS total_value_u
        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- q84: streaming exact dedup (first-seen + duplicate counts) --------
+  // Batch form of EventStreams.dedupFirstSeen (StreamingSpec asserts the
+  // MemoryStream run converges to this): content fingerprint via the
+  // native codegen char hash, first-seen event time, duplicate count —
+  // the ingest-side dedup whose streaming state is one row per DISTINCT
+  // fingerprint.
+  private def q84(s: SparkSession, d: String): DataFrame =
+    EventStreams.dedupFirstSeen(Tables.events(s, d)).orderBy("fp")
+
+  private val q84Sql =
+    s"""SELECT ${graft.functions.TextFns.sqlCharHash(
+           "event_type || ':' || COALESCE(props, '')")} AS fp,
+       | min(epoch_us(ts)) AS first_seen_us, count(*) AS n_dups
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- q90: multimodal binary columns + per-partition decode -------------
   private def q90(s: SparkSession, d: String): DataFrame = {
     val media = Tables.documents(s, d).select(
@@ -150,6 +165,7 @@ object StreamMultimodalQueries extends QueryModule {
     "q80_windowed_events" -> QueryDef(q80, Some(q80Sql)),
     "q81_user_activity" -> QueryDef(q81, Some(q81Sql)),
     "q82_sessionize" -> QueryDef(q82, Some(q82Sql)),
+    "q84_stream_dedup" -> QueryDef(q84, Some(q84Sql)),
     "q90_multimodal_decode" -> QueryDef(q90, Some(q90Sql)),
     "q91_frame_sample" -> QueryDef(q91, Some(q91Sql)),
     "q92_media_resize" -> QueryDef(q92, Some(q92Sql)))

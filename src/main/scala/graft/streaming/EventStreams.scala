@@ -46,6 +46,19 @@ object EventStreams {
         sum(col("value")).as("total_value"))
   }
 
+  /** Streaming exact dedup — the ingest-side half of the dedup family: a
+    * content fingerprint (native codegen char hash) keyed to its first-seen
+    * time and duplicate count. Identical in batch; under streaming the
+    * state is one row per DISTINCT fingerprint (not per event), the same
+    * bound a dedup filter fundamentally needs. */
+  def dedupFirstSeen(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withColumn("fp", graft.functions.CharHashExpr.charHashNative(
+        concat(col("event_type"), lit(":"), coalesce(col("props"), lit("")))))
+      .groupBy(col("fp"))
+      .agg(min(unix_micros(col("event_time"))).as("first_seen_us"),
+        count(lit(1)).as("n_dups"))
+
   // ---- gap-based sessionization (custom streaming state) ------------------
 
   /** One event inside the sessionizer. `vU` is the value in fixed-point

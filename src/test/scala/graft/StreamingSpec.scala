@@ -12,7 +12,8 @@ import graft.streaming.EventStreams
   * data — Structured Streaming's incremental execution as an
   * implementation detail, not a semantic fork.
   */
-case class Ev(ts: Long, user_id: Long, event_type: String, value: Double)
+case class Ev(ts: Long, user_id: Long, event_type: String, value: Double,
+              props: String = "{}")
 
 class StreamingSpec extends SparkSuite {
   import spark.implicits._
@@ -22,7 +23,7 @@ class StreamingSpec extends SparkSuite {
     (0 until 200).map { i =>
       Ev(ts = 1700000000L * 1000000000L + (i % 7) * h + i * 1234567L,
         user_id = i % 5, event_type = if (i % 3 == 0) "click" else "view",
-        value = (i % 11) * 0.5)
+        value = (i % 11) * 0.5, props = s"""{"k": ${i % 4}}""")
     }
   }
 
@@ -104,6 +105,30 @@ class StreamingSpec extends SparkSuite {
         .select($"window_start", $"event_type", $"n_events", $"sum_value")
         .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
       assert(streamed === batch)
+    } finally sq.stop()
+  }
+
+  test("dedupFirstSeen over MemoryStream equals the batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val sq = EventStreams.dedupFirstSeen(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("complete")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt").toString)
+      .start()
+    try {
+      mem.addData(events.take(120))
+      sq.processAllAvailable()
+      mem.addData(events.drop(120))
+      sq.processAllAvailable()
+      val streamed = spark.table("dedup_stream")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = EventStreams.dedupFirstSeen(events.toDF())
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+      assert(batch.exists(_._3 > 1), "fixture must contain duplicates")
     } finally sq.stop()
   }
 
