@@ -68,6 +68,19 @@ class PlanSpec extends SparkSuite {
     assert(got === expect)
   }
 
+  test("q46: quantized kNN keeps the q40 shape — probes broadcast, no sort-merge") {
+    val p = plan("q46_quantized_knn")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe set should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$p")
+  }
+
+  test("q45: trained-IVF query broadcasts the centroid table") {
+    val p = plan("q45_ann_ivf_kmeans")
+    assert(p.contains("BroadcastExchange"), s"centroids should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$p")
+  }
+
   test("q90: media decode stays inside the SQL engine (no RDD scan barrier)") {
     val p = plan("q90_multimodal_decode")
     assert(!p.contains("ExistingRDD"),
