@@ -68,7 +68,7 @@ object AtlasSink {
   def write(out: String, atlas: Atlas, df: DataFrame,
             profiles: DataFrame): Unit = {
     val latest = profiles.agg(max(col("JULD"))).head().get(0)
-    val annotated = df.select(df.columns.map { c =>
+    val annotated = df.select(df.columns.toIndexedSeq.map { c =>
       Units.get(c) match {
         case Some(u) =>
           val m = new MetadataBuilder().putString("units", u).build()

@@ -159,6 +159,6 @@ object Interpolator {
       .select(col("WMO"), col("DAC"), col("IPROF"), col("JULD"),
         col("LATITUDE"), col("LONGITUDE"), col("DATA_MODE"), col("FLAG"))
       .join(interpolated, Seq("WMO", "IPROF"))
-      .select(ArgoSchemas.profile.fieldNames.map(col): _*)
+      .select(ArgoSchemas.profile.fieldNames.toIndexedSeq.map(col): _*)
   }
 }
