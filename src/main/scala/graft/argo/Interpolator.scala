@@ -113,7 +113,10 @@ object Interpolator {
     })
 
   /** S3: adjusted-variable resolution — a float uses `*_ADJUSTED` columns
-    * iff ALL its profiles are delayed-mode (interpolation.py:188-192).
+    * iff ALL its profiles are delayed-mode (interpolation.py:188-192),
+    * INCLUDING the QC flags: the reference's QC product is taken over the
+    * `*_ADJUSTED_QC` variables on that path (interpolation.py:193-196), so
+    * samples are gated by the flags that grade the values actually used.
     * `every` per WMO + broadcast join + `when`. */
   def resolveAdjusted(samples: DataFrame): DataFrame = {
     val allD = samples.groupBy(col("WMO"))
@@ -121,7 +124,7 @@ object Interpolator {
     def pick(name: String): Column =
       when(col("use_adj") && col(s"${name}_ADJUSTED").isNotNull,
         col(s"${name}_ADJUSTED")).otherwise(col(name)).as(name)
-    val adjusted = Seq("PRES", "TEMP", "PSAL")
+    val adjusted = Seq("PRES", "TEMP", "PSAL", "QC")
       .foldLeft(samples.join(broadcast(allD), Seq("WMO"))) { (df, n) =>
         if (df.columns.contains(s"${n}_ADJUSTED")) df.withColumn(n, pick(n))
         else df

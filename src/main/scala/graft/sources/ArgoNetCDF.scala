@@ -149,8 +149,8 @@ object ArgoNetCDF {
       when(col("data_mode") === "D", 1).when(col("data_mode") === "A", 2)
         .otherwise(0))
     val base = Seq("WMO", "IPROF", "PRES", "TEMP", "PSAL", "QC", "DATA_MODE")
-    val adj = Seq("PRES_ADJUSTED", "TEMP_ADJUSTED", "PSAL_ADJUSTED")
-      .filter(withCode.columns.contains)
+    val adj = Seq("PRES_ADJUSTED", "TEMP_ADJUSTED", "PSAL_ADJUSTED",
+      "QC_ADJUSTED").filter(withCode.columns.contains)
     withCode.select((base ++ adj).map(col): _*)
   }
 }

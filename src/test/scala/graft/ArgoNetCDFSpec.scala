@@ -96,6 +96,74 @@ class ArgoNetCDFSpec extends SparkSuite {
     }
   }
 
+  /** Delayed-mode file: raw variables are garbage with QC '4'; the
+    * `_ADJUSTED` variables carry the real profile with QC '1'. The
+    * reference takes BOTH the adjusted values and the adjusted QC on this
+    * path (interpolation.py:188-196) — gating by the raw QC would reject
+    * every sample. */
+  private def delayedProfFile(): Array[Byte] = {
+    val presA = Array.tabulate(nProf * nLev)(i => (i % nLev) * 50.0f)
+    val tempA = presA.map(p => tTrue(p).toFloat)
+    val psalA = presA.map(_ => 35.0f)
+    val junk = Array.fill(nProf * nLev)(99999.0f)
+    val qcBad = Array.fill(nProf * nLev)('4'.toByte)
+    val qcGood = Array.fill(nProf * nLev)('1'.toByte)
+    Nc3.write(
+      dims = Seq(Nc3.Dim("N_PROF", nProf), Nc3.Dim("N_LEVELS", nLev)),
+      gatts = Nil,
+      vars = Seq(
+        Nc3.VarSpec("JULD", Seq("N_PROF"), Nil, Nc3.NcDouble,
+          Array(25567.0, 25577.5, 25588.0)),
+        Nc3.VarSpec("LONGITUDE", Seq("N_PROF"), Nil, Nc3.NcDouble,
+          Array(13.0, 13.1, 13.2)),
+        Nc3.VarSpec("LATITUDE", Seq("N_PROF"), Nil, Nc3.NcDouble,
+          Array(-42.0, -42.1, -42.2)),
+        Nc3.VarSpec("DATA_MODE", Seq("N_PROF"), Nil, Nc3.NcChar,
+          "DDD".getBytes("UTF-8")),
+        Nc3.VarSpec("POSITION_QC", Seq("N_PROF"), Nil, Nc3.NcChar,
+          "111".getBytes("UTF-8")),
+        Nc3.VarSpec("JULD_QC", Seq("N_PROF"), Nil, Nc3.NcChar,
+          "111".getBytes("UTF-8")),
+        Nc3.VarSpec("PRES", Seq("N_PROF", "N_LEVELS"), Nil, Nc3.NcFloat, junk),
+        Nc3.VarSpec("TEMP", Seq("N_PROF", "N_LEVELS"), Nil, Nc3.NcFloat, junk),
+        Nc3.VarSpec("PSAL", Seq("N_PROF", "N_LEVELS"), Nil, Nc3.NcFloat, junk),
+        Nc3.VarSpec("PRES_QC", Seq("N_PROF", "N_LEVELS"), Nil, Nc3.NcChar, qcBad),
+        Nc3.VarSpec("TEMP_QC", Seq("N_PROF", "N_LEVELS"), Nil, Nc3.NcChar, qcBad),
+        Nc3.VarSpec("PSAL_QC", Seq("N_PROF", "N_LEVELS"), Nil, Nc3.NcChar, qcBad),
+        Nc3.VarSpec("PRES_ADJUSTED", Seq("N_PROF", "N_LEVELS"), Nil, Nc3.NcFloat, presA),
+        Nc3.VarSpec("TEMP_ADJUSTED", Seq("N_PROF", "N_LEVELS"), Nil, Nc3.NcFloat, tempA),
+        Nc3.VarSpec("PSAL_ADJUSTED", Seq("N_PROF", "N_LEVELS"), Nil, Nc3.NcFloat, psalA),
+        Nc3.VarSpec("PRES_ADJUSTED_QC", Seq("N_PROF", "N_LEVELS"), Nil, Nc3.NcChar, qcGood),
+        Nc3.VarSpec("TEMP_ADJUSTED_QC", Seq("N_PROF", "N_LEVELS"), Nil, Nc3.NcChar, qcGood),
+        Nc3.VarSpec("PSAL_ADJUSTED_QC", Seq("N_PROF", "N_LEVELS"), Nil, Nc3.NcChar, qcGood)))
+  }
+
+  test("S3: delayed-mode floats use adjusted VALUES and adjusted QC") {
+    val root = Files.createTempDirectory("gdac_dm")
+    val dir = root.resolve("aoml/2905678")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("2905678_prof.nc"), delayedProfFile())
+    val df = ArgoNetCDF.read(spark, root.toString)
+    val summary = SummaryBuilder.build(spark, ArgoNetCDF.rawHeader(df))
+    val prof = Interpolator.interpolate(ArgoNetCDF.samples(df), summary)
+    val rows = prof.select($"NVALUES", $"CT", $"IDX")
+      .as[(Int, Seq[Float], Seq[Byte])].collect()
+    assert(rows.length === nProf)
+    rows.foreach { case (nv, ct, idx) =>
+      // raw QC is all '4': gating by it would reject every sample (nv=0)
+      assert(nv > 30, s"adjusted-QC path broken: NVALUES=$nv")
+      graft.argo.ArgoSchemas.Pref.indices.foreach { k =>
+        if (idx(k) == 1) {
+          val z = graft.argo.ArgoSchemas.Pref(k)
+          val srTrue = Seawater.srFromSp(35.0)
+          val ctTrue = Teos10.ctFromT(srTrue, tTrue(z), z)
+          assert(math.abs(ct(k) - ctTrue) < 0.05,
+            s"adjusted CT at $z: ${ct(k)} vs $ctTrue")
+        }
+      }
+    }
+  }
+
   test("S9 writeNetcdf exports an atlas a classic reader parses back") {
     val out = Files.createTempDirectory("atlas_nc").resolve("atlas.nc").toString
     val atlas = new Atlas(box = (10.0, 30.0, -50.0, -40.0), reso = 5.0)
