@@ -55,6 +55,33 @@ object TextQueries extends QueryModule {
        | length(text) AS n_chars_measured
        |FROM documents ORDER BY 1""".stripMargin
 
+  // ---- q39: per-source corpus balance stats (exact percentiles) ----------
+  // Data-curation reporting: token-length distribution per source drives
+  // sampling weights and length filters. Percentiles are EXACT (Spark
+  // `percentile` ≡ DuckDB `quantile_cont`, both the R-7 linear
+  // interpolation) — approx_percentile sketches are not cross-engine
+  // reproducible, and per-source groups easily fit the exact path; at
+  // 100 TB the groupBy still shuffles only (source, n_tokens) pairs.
+  private def q39(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("source"),
+        size(T.tokens(col("text"))).cast(LongType).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tok")).as("min_tokens"),
+        FP.micro(expr("percentile(n_tok, 0.5)")).as("median_tokens_u"),
+        FP.micro(expr("percentile(n_tok, 0.95)")).as("p95_tokens_u"),
+        max(col("n_tok")).as("max_tokens"))
+      .orderBy("source")
+
+  private val q39Sql =
+    s"""SELECT source, count(*) AS n_docs,
+       | min(len(${T.sqlTokens("text")})) AS min_tokens,
+       | ${FP.sqlMicro(s"quantile_cont(len(${T.sqlTokens("text")}), 0.5)")} AS median_tokens_u,
+       | ${FP.sqlMicro(s"quantile_cont(len(${T.sqlTokens("text")}), 0.95)")} AS p95_tokens_u,
+       | max(len(${T.sqlTokens("text")})) AS max_tokens
+       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- q32: quality scoring (length / punct / stopword ratios) -----------
   private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is")
 
@@ -353,5 +380,6 @@ object TextQueries extends QueryModule {
     "q35_simhash_neardup" -> QueryDef(q35, Some(q35Sql)),
     "q36_ngram_jaccard" -> QueryDef(q36, Some(q36Sql)),
     "q37_fingerprint" -> QueryDef(q37, Some(q37Sql)),
-    "q38_dedup_clusters" -> QueryDef(q38, Some(q38Sql)))
+    "q38_dedup_clusters" -> QueryDef(q38, Some(q38Sql)),
+    "q39_corpus_stats" -> QueryDef(q39, Some(q39Sql)))
 }
