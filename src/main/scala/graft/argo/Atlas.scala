@@ -70,14 +70,21 @@ class Atlas(
   def crop(profiles: DataFrame): DataFrame = {
     val (lon1, lon2, lat1, lat2) = box
     val m = radiusDeg
-    // Longitude margin widens as 1/cos φ toward the poles: a profile m
-    // degrees of ARC away sits m/cos φ degrees of LONGITUDE away. Evaluate
-    // at the box's worst-case |lat| edge (incl. the lat margin), capped
-    // near the pole; the exact haversine distance is re-checked in the
-    // join, so the only requirement here is to never under-crop.
-    val latEdge = math.min(89.0,
-      math.max(math.abs(lat1 - m), math.abs(lat2 + m)))
-    val mLon = math.min(180.0, m / math.cos(math.toRadians(latEdge)))
+    // Longitude margin widens toward the poles. The EXACT bound for two
+    // points at latitude φ within m degrees of arc is
+    // Δλ ≤ 2·asin(sin(m/2)/cos φ) (from hav(arc) = cos²φ·hav(Δλ)) — the
+    // linearized m/cos φ slightly UNDER-covers at high latitude, so the
+    // exact form is used, evaluated at the box's worst-case |lat| edge
+    // (incl. the lat margin). If that edge reaches the pole or the asin
+    // argument saturates, every longitude can be in range → keep all.
+    // The exact haversine distance is re-checked in the join, so the only
+    // requirement here is to never under-crop.
+    val latEdge = math.max(math.abs(lat1 - m), math.abs(lat2 + m))
+    val sinHalf = math.sin(math.toRadians(m) / 2)
+    val cosEdge = math.cos(math.toRadians(math.min(90.0, latEdge)))
+    val mLon =
+      if (latEdge >= 89.0 || sinHalf >= cosEdge) 180.0
+      else math.min(180.0, math.toDegrees(2.0 * math.asin(sinHalf / cosEdge)))
     // Cyclic distance from the box's longitude center handles both the
     // ±180° wrap and a box that nearly closes the circle.
     val lonC = 0.5 * (lon1 + lon2)
@@ -115,11 +122,15 @@ class Atlas(
       .withColumn("bi", floor((col("plon") + 180.0) / binW).cast("int"))
       .withColumn("bj", floor((col("plat") + 90.0) / binW).cast("int"))
     val nBi = math.ceil(360.0 / binW).toInt
-    // longitude neighborhood widens as 1/cos φ; evaluate at the cell's
-    // worst-case |lat| edge, cap at half the bins (pole-safe)
-    val latEdge = least(lit(89.0), greatest(abs(col("glat") - reso), abs(col("glat") + reso)))
-    val kLon = least(lit(nBi / 2),
-      ceil(lit(nSub) / cos(radians(latEdge)))).cast("int")
+    // Longitude neighborhood: the exact in-radius bound at latitude φ is
+    // Δλ ≤ 2·asin(sin(radius/2)/cos φ) (see crop) — the linearized
+    // radius/cos φ slightly under-covers at high latitude. Evaluate at the
+    // cell's worst-case |lat| edge; a saturated asin argument (pole) caps
+    // at half the bins = the full ring.
+    val latEdge = least(lit(89.9), greatest(abs(col("glat") - reso), abs(col("glat") + reso)))
+    val dLonMax = degrees(lit(2.0) * asin(
+      least(lit(1.0), lit(math.sin(math.toRadians(radiusDeg) / 2)) / cos(radians(latEdge)))))
+    val kLon = least(lit(nBi / 2), ceil(dLonMax / binW)).cast("int")
     val g = grid(s)
       .withColumn("ki", explode(sequence(-kLon, kLon)))
       .withColumn("kj", explode(sequence(lit(-nSub), lit(nSub))))

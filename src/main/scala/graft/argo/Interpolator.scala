@@ -105,10 +105,10 @@ object Interpolator {
     n + (if (ct.nonEmpty) ct(0) else 0.0f) + (if (sr.nonEmpty) sr(NLevels - 1) else 0.0f)
   }
 
-  private def interpUdf(algo: Int) = udf(
+  private def interpUdf(algo: Int, eos: SeawaterEos) = udf(
     (pres: Seq[Double], temp: Seq[Double], psal: Seq[Double], qc: Seq[Double]) => {
       val (n, ct, sr, ix) = interpolateProfile(
-        pres.toArray, temp.toArray, psal.toArray, qc.toArray, algo = algo)
+        pres.toArray, temp.toArray, psal.toArray, qc.toArray, eos, algo)
       (n, ct.toSeq, sr.toSeq, ix.toSeq)
     })
 
@@ -134,9 +134,12 @@ object Interpolator {
 
   /** Full stage: resolve → kernel → join summary header (J5). Output
     * matches [[ArgoSchemas.profile]].
-    * @param algo interpolation method id from [[Methods]] */
+    * @param algo interpolation method id from [[Methods]]
+    * @param eos  equation of state for the CT conversion — pass the same
+    *             instance the downstream Atlas uses so the pipeline never
+    *             mixes two EOS definitions */
   def interpolate(samples: DataFrame, summary: DataFrame,
-                  algo: Int = 0): DataFrame = {
+                  algo: Int = 0, eos: SeawaterEos = Teos10): DataFrame = {
     val resolved =
       if (samples.columns.contains("DATA_MODE")) resolveAdjusted(samples)
       else samples
@@ -150,7 +153,7 @@ object Interpolator {
     val nPart = samples.sparkSession.sessionState.conf.numShufflePartitions
     val interpolated = resolved
       .repartition(nPart, col("WMO"), col("IPROF"))
-      .withColumn("r", interpUdf(algo)(col("PRES"), col("TEMP"), col("PSAL"), col("QC")))
+      .withColumn("r", interpUdf(algo, eos)(col("PRES"), col("TEMP"), col("PSAL"), col("QC")))
       .select(col("WMO").cast("int"), col("IPROF").cast("short"),
         col("r._1").as("NVALUES"),
         col("r._2").as("CT"), col("r._3").as("SR"),

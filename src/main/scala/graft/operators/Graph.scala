@@ -24,10 +24,14 @@ object Graph {
     *
     * @param edges    (src, dst) pairs, undirected (one direction given)
     * @param vertices (id) — every vertex, including isolated ones
+    * @param maxIters hard cap on passes; if the fixpoint is NOT reached
+    *                 (a path-shaped component longer than maxIters) the
+    *                 labels would be silently wrong, so this THROWS
+    *                 instead of returning unconverged output
     * @return (id, comp) with comp = min id in the component
     */
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
-                          maxIters: Int = 20): DataFrame = {
+                          maxIters: Int = 50): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
     var labels = vertices.select(col("id"), col("id").as("comp"))
@@ -45,6 +49,11 @@ object Graph {
       labels = next
       it += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters iterations " +
+          s"($changed labels still changing) — component diameter exceeds " +
+          "the cap; raise maxIters")
     labels
   }
 }

@@ -18,6 +18,14 @@ object Joins {
     df.sparkSession.conf.getOption("spark.graft.broadcastMaxRows")
       .map(_.toLong).getOrElse(BroadcastMaxRows)
 
+  private val counts = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Row count for a join-strategy decision, memoized per stable key (e.g.
+    * table path): the decision needs the size BEFORE planning, but it must
+    * not cost one counting job per query invocation / bench repetition. */
+  def memoCount(key: String, df: => DataFrame): Long =
+    counts.getOrElseUpdate(key, df.count())
+
   /** Self-join on a LOW-CARDINALITY block key (LSH bucket, source block):
     * the degenerate case of a pair-generation join, where a plain shuffle
     * join collapses all work onto ≤ #blocks tasks.

@@ -164,7 +164,7 @@ object EmbeddingQueries extends QueryModule {
     // and every core scores pairs — and switch to the salted equi-join
     // past the cap. (At scale also raise NearDupBits: bucket count should
     // grow with corpus density anyway to bound candidates per bucket.)
-    val nVecs = Tables.embeddings(s, d).count()
+    val nVecs = Joins.memoCount(s"$d/embeddings", Tables.embeddings(s, d))
     Joins.blockJoin(l, r, Seq("bucket"), hash(col("d1")), buildRows = nVecs)
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),

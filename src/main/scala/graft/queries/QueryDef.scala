@@ -30,7 +30,11 @@ object FixtureOracle {
   val Scales: Seq[(String, Long)] =
     Seq(("sf0.001", 150L), ("sf0.01", 1500L), ("sf0.1", 15000L))
 
-  val Root = "/root/repo/fixtures"
+  /** Fixture location; override with -Dgraft.fixtures.dir for checkouts
+    * living elsewhere (the SQL bakes the path at Verify time, so the
+    * property must be set on the JVM that runs Verify). */
+  val Root: String =
+    sys.props.getOrElse("graft.fixtures.dir", "/root/repo/fixtures")
 
   def sql(name: String): String =
     Scales.map { case (sf, nCust) =>

@@ -331,8 +331,10 @@ object TextQueries extends QueryModule {
     val r = base.select(col("source"), col("doc_id").as("d2"), col("gs").as("g2"))
     // Few source blocks → a plain shuffle join would collapse onto one task
     // per block. Size-conditional: broadcast the build side while it fits,
-    // salted equi-join past the cap (Joins.blockJoin).
-    val nDocs = docs(s, d).count()
+    // salted equi-join past the cap (Joins.blockJoin). The strategy count
+    // is memoized per table so plan construction costs one job ever, not
+    // one per invocation.
+    val nDocs = Joins.memoCount(s"$d/documents", docs(s, d))
     Joins.blockJoin(l, r, Seq("source"), hash(col("d1")), buildRows = nDocs)
       .filter(col("d1") < col("d2"))
       .select(col("source"), col("d1"), col("d2"),

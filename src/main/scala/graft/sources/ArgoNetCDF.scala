@@ -45,20 +45,30 @@ object ArgoNetCDF {
   private def juldToTs(days: Double): Timestamp =
     new Timestamp(Epoch1950Ms + math.round(days * 86400000.0))
 
-  /** `.../<dac>/<wmo>/<wmo>_prof.nc` → (dac, wmo); tolerant of flat
-    * layouts (dac falls back to "unknown"). */
-  private[sources] def dacWmoFromPath(path: String): (String, Int) = {
+  /** `.../<dac>/<wmo>/<wmo>_prof.nc` → (dac, wmo). Returns None (caller
+    * skips the file) when the name carries no leading WMO digits — one
+    * stray file must not kill a whole GDAC ingest. The dac is the
+    * grandparent directory when it looks like one; URI schemes and flat
+    * layouts fall back to "unknown" instead of picking up "file:". */
+  private[sources] def dacWmoFromPath(path: String): Option[(String, Int)] = {
     val parts = path.split('/')
     val file = parts.last
-    val wmo = file.takeWhile(_.isDigit).toInt
-    val dac = if (parts.length >= 3) parts(parts.length - 3) else "unknown"
-    (dac, wmo)
+    val digits = file.takeWhile(_.isDigit)
+    if (digits.isEmpty || digits.length > 9) None
+    else {
+      val dac = if (parts.length >= 3) parts(parts.length - 3) else ""
+      val dacOk = dac.nonEmpty && !dac.contains(':')
+      Some((if (dacOk) dac else "unknown", digits.toInt))
+    }
   }
 
   /** Parse one `_prof.nc` into per-profile rows. */
   private[sources] def parseFile(path: String, bytes: Array[Byte]): Seq[ProfileRow] = {
+    val (dac, wmo) = dacWmoFromPath(path) match {
+      case Some(dw) => dw
+      case None => return Seq.empty
+    }
     val nc = new Nc3.NcFile(bytes)
-    val (dac, wmo) = dacWmoFromPath(path)
     val nProf = nc.dims.find(_.name == "N_PROF").map(_.length).getOrElse(0)
     val nLev = nc.dims.find(_.name == "N_LEVELS").map(_.length).getOrElse(0)
     if (nProf == 0 || nLev == 0) return Seq.empty

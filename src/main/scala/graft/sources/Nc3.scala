@@ -102,6 +102,8 @@ object Nc3 {
           case NcInt => Array.fill(n)(bb.getInt())
           case NcFloat => Array.fill(n)(bb.getFloat())
           case NcDouble => Array.fill(n)(bb.getDouble())
+          case other => throw new IllegalArgumentException(
+            s"attribute $name has bad nc_type $other (corrupt header?)")
         }
         bb.position(pad4(bb.position().toLong).toInt)
         Att(name, t, value)
@@ -202,6 +204,14 @@ object Nc3 {
       v.dimNames.map(d => dims(dimIdx(d)).length).toArray
     def vsizeOf(v: VarSpec): Long =
       pad4(shapeOf(v).foldLeft(1L)(_ * _) * typeSize(v.ncType))
+    // a mismatched array would silently overflow into the next variable's
+    // slab (or read back zero padding as data) — fail fast instead
+    vars.foreach { v =>
+      val want = shapeOf(v).foldLeft(1L)(_ * _)
+      val got = v.data match { case a: Array[_] => a.length.toLong }
+      require(got == want,
+        s"variable ${v.name}: data length $got != dim product $want")
+    }
 
     val headerLen: Long = 4 + 4 + // magic + numrecs
       8 + dims.map(d => nameLen(d.name) + 4).sum + // dim list

@@ -68,8 +68,10 @@ class ArgoNetCDFSpec extends SparkSuite {
     assert(r.getAs[Int]("WMO") === 2901234)
     assert(r.getAs[String]("data_mode") === "R")
     assert(r.getAs[String]("platform_type") === "APEX")
-    // 25567 days after 1950-01-01 (17 leap years in 1952..2016, +1 for 2000)
-    assert(r.getAs[java.sql.Timestamp]("JULD").toString.startsWith("2020-01-01"))
+    // 25567 days after 1950-01-01; compare in UTC (Instant.toString), not
+    // the JVM default zone Timestamp.toString would use
+    assert(r.getAs[java.sql.Timestamp]("JULD").toInstant.toString
+      .startsWith("2020-01-01"))
     assert(r.getAs[Seq[Double]]("QC").forall(_ === 1.0))
     assert(r.getAs[Seq[Double]]("PRES").take(3) === Seq(0.0, 50.0, 100.0))
   }
