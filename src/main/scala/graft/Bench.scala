@@ -26,10 +26,22 @@ object Bench {
         // noise (observed 2x run-to-run on shared hardware); the first
         // run's cost is real but measures the JIT, not the plan.
         val reps = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
-        val runs = (1 to reps).map { _ =>
+        def rep(): (Double, Long) = {
           val t0 = System.nanoTime()
           val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
           ((System.nanoTime() - t0) / 1e9, rows)
+        }
+        var runs = (1 to reps).map(_ => rep())
+        // Contention guard: on shared hardware a CPU spike during both
+        // default reps of a multi-second query inflates its min by 5-10x
+        // (observed on the CPU-bound atlas quartet: 3-4 s clean vs 14-30 s
+        // contended). Cheap sub-second queries shrug this off; for slow
+        // ones, extra reps make a clean window far more likely. Bounded so
+        // a genuinely slow query costs at most 2 extra runs.
+        var extra = 0
+        while (extra < 2 && runs.map(_._1).min > 2.0) {
+          runs :+= rep()
+          extra += 1
         }
         val (dt, rows) = runs.minBy(_._1)
         System.err.println(f"[bench] $name%-24s $dt%8.2f s ($rows rows)")

@@ -23,11 +23,16 @@ object Interpolator {
   import ArgoSchemas.{NLevels, Pref}
 
   /** The reference's pluggable METHODS map (interpolation.py:20-21,74-81):
-    * 0 = basic cubic (scipy `interp1d(kind="cubic")`), 1 = the
-    * shape-preserving PCHIP family (`gsw.sa_ct_interp` is a
-    * multiply-rotated PCHIP). Each entry maps (xs, ys, targets) → values. */
+    * 0 = basic cubic (scipy `interp1d(kind="cubic")`), 1 = per-variable
+    * shape-preserving PCHIP, 2 = the joint multiply-rotated PCHIP of
+    * `gsw.sa_ct_interp` ([[Interp.mrPchipOnto]]). 0 and 1 interpolate CT
+    * and SR independently, (xs, ys, targets) → values; 2 couples them, so
+    * it is dispatched as a joint kernel ([[MrPchip]]). */
   val Methods: Map[Int, (Array[Double], Array[Double], Array[Double]) => Array[Double]] =
     Map(0 -> Interp.cubicOnto, 1 -> Interp.pchipOnto)
+
+  /** Method id of the joint MR-PCHIP (`gsw.sa_ct_interp`) entry. */
+  val MrPchip: Int = 2
 
   /** Per-profile kernel: QC mask (F6) → validity gate (F7, exact reference
     * thresholds) → cubic interpolation onto PREF (X6). Returns dense
@@ -43,7 +48,6 @@ object Interpolator {
       qc: Array[Double],
       eos: SeawaterEos = Teos10,
       algo: Int = 0): (Int, Array[Float], Array[Float], Array[Byte]) = {
-    val method = Methods(algo)
     val empty = (0, new Array[Float](NLevels), new Array[Float](NLevels),
       new Array[Byte](NLevels))
     // F6: keep QC == 1 samples (extract_raw_profile, interpolation.py:172-179)
@@ -79,12 +83,19 @@ object Interpolator {
     val sr = jdx.map(i => Seawater.srFromSp(s(i))).toArray
     val ct = jdx.indices.map(j => eos.ctFromT(sr(j), t(jdx(j)), xs(j))).toArray
     // X6: the selected interpolation method (default: cubic spline with
-    // scipy interp1d kind="cubic" semantics)
+    // scipy interp1d kind="cubic" semantics); MR-PCHIP interpolates the
+    // (CT, SR) PAIR jointly in rotated frames and dispatches separately
     val (dx1, dySr) = Interp.sortDedup(xs, sr)
     val (_, dyCt) = Interp.sortDedup(xs, ct)
     val targets = idx.map(Pref(_))
-    val srI = method(dx1, dySr, targets)
-    val ctI = method(dx1, dyCt, targets)
+    val (srI, ctI) =
+      if (algo == MrPchip) {
+        val (c, s2) = Interp.mrPchipOnto(dx1, dyCt, dySr, targets)
+        (s2, c)
+      } else {
+        val method = Methods(algo)
+        (method(dx1, dySr, targets), method(dx1, dyCt, targets))
+      }
     val ctOut = new Array[Float](NLevels)
     val srOut = new Array[Float](NLevels)
     val idxOut = new Array[Byte](NLevels)

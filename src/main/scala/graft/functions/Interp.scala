@@ -221,6 +221,65 @@ object Interp {
     }
   }
 
+  /** Multiply-rotated PCHIP: JOINT shape-preserving interpolation of the
+    * (CT, SA) pair — the published MR-PCHIP algorithm (Barker & McDougall
+    * 2020, "Two interpolation methods using multiply-rotated piecewise
+    * cubic hermite interpolating polynomials", J. Atmos. Oceanic Tech.),
+    * which is what the reference's `gsw.sa_ct_interp` METHODS entry runs
+    * (interpolation.py:20-21,74-81).
+    *
+    * Interpolating CT and SA independently lets the interpolants drift
+    * apart in (SA, CT) space, producing unstable (density-inverting)
+    * artificial water masses. MR-PCHIP instead interpolates the profile in
+    * many ROTATED frames of the (CT, scaled-SA) plane and averages:
+    *
+    *  - vₖ(p) = CT(p)·cos θₖ + F·SA(p)·sin θₖ for 16 equally spaced angles
+    *    θₖ = kπ/16 (F = 9 puts SA on the dynamically comparable scale, the
+    *    published CT:SA weighting);
+    *  - each vₖ is PCHIP-interpolated in p (shape-preserving in every
+    *    frame);
+    *  - (CT, SA) at a target is the least-squares inversion of the 16
+    *    rotated samples, which collapses to CT = (2/16)·Σ vₖ·cos θₖ and
+    *    SA = (2/16F)·Σ vₖ·sin θₖ because Σcos² = Σsin² = 8 and
+    *    Σ sin·cos = 0 over the uniform half-circle.
+    *
+    * Affine equivariance of PCHIP gives the exact recovery property: if
+    * either variable is constant (or the two are affinely related), the
+    * result equals plain per-variable PCHIP (asserted in InterpSpec).
+    *
+    * @return (ct at targets, sa at targets) */
+  def mrPchipOnto(xs: Array[Double], ct: Array[Double], sa: Array[Double],
+                  targets: Array[Double]): (Array[Double], Array[Double]) = {
+    val nAngles = 16
+    val factor = 9.0
+    val n = xs.length
+    val nt = targets.length
+    val ctOut = new Array[Double](nt)
+    val saOut = new Array[Double](nt)
+    val v = new Array[Double](n)
+    var k = 0
+    while (k < nAngles) {
+      val th = k * math.Pi / nAngles
+      val c = math.cos(th)
+      val s = math.sin(th)
+      var i = 0
+      while (i < n) { v(i) = ct(i) * c + factor * sa(i) * s; i += 1 }
+      val vi = pchipOnto(xs, v, targets)
+      var j = 0
+      while (j < nt) {
+        ctOut(j) += vi(j) * c
+        saOut(j) += vi(j) * s
+        j += 1
+      }
+      k += 1
+    }
+    val wc = 2.0 / nAngles // 1/Σcos²
+    val ws = 2.0 / (nAngles * factor)
+    var j = 0
+    while (j < nt) { ctOut(j) *= wc; saOut(j) *= ws; j += 1 }
+    (ctOut, saOut)
+  }
+
   /** Sort by x and drop duplicate x (keep first occurrence, matching the
     * reference's `np.unique(PRES, return_index=True)`,
     * interpolation.py:239). Returns (xs, ys) as parallel arrays. */

@@ -47,6 +47,13 @@ object KernelQueries extends QueryModule {
     Interp.pchipOnto(dx, dy, Targets)
   })
 
+  private val mrPchipUdf = udf((xs: Seq[Double], ct: Seq[Double], sa: Seq[Double]) => {
+    val (dx, dct) = Interp.sortDedup(xs.toArray, ct.toArray)
+    val (_, dsa) = Interp.sortDedup(xs.toArray, sa.toArray)
+    val (ci, si) = Interp.mrPchipOnto(dx, dct, dsa, Targets)
+    (ci.toSeq, si.toSeq)
+  })
+
   private val gammatUdf = udf((sr: Double, ct: Double) => {
     val (g, z, p, s) = Seawater.gammatAnalytic(sr, ct)
     Seq(g, z, p, s)
@@ -67,7 +74,11 @@ object KernelQueries extends QueryModule {
         >= MinSamples)
       .select(col("l_orderkey"),
         transform(col("kept"), x => x("ln").cast("double")).as("xs"),
-        transform(col("kept"), x => x("q")).as("ys"))
+        transform(col("kept"), x => x("q")).as("ys"),
+        // a second coupled series for the JOINT (pair) methods: affine in
+        // the sample value plus a depth-dependent bend
+        transform(col("kept"), x =>
+          x("q") * 0.1 + x("tax") * 20.0 + lit(30.0)).as("ys2"))
 
   // keep-first-in-sort-order dedup ≡ min(q) per depth (q is the sort
   // tiebreaker after ln in the Spark-side sorted struct array)
@@ -127,6 +138,20 @@ object KernelQueries extends QueryModule {
         FP.micro(col("y")).as("y_u"))
       .orderBy("l_orderkey", "level")
 
+  // ---- q64: joint MR-PCHIP — the gsw.sa_ct_interp method (X6 alt) --------
+  // The (ys, ys2) pair plays (CT, SA): interpolated JOINTLY in 16 rotated
+  // frames of the (CT, 9·SA) plane (Interp.mrPchipOnto), not per-variable.
+  private def q64(s: SparkSession, d: String): DataFrame =
+    profiles(s, d)
+      .filter(size(array_distinct(col("xs"))) >= 4)
+      .withColumn("r", mrPchipUdf(col("xs"), col("ys"), col("ys2")))
+      .select(col("l_orderkey"), col("r"),
+        explode(lit(Targets.indices.toArray)).as("pos"))
+      .select(col("l_orderkey"), col("pos").cast(LongType).as("level"),
+        FP.micro(element_at(col("r._1"), col("pos") + 1)).as("ct_u"),
+        FP.micro(element_at(col("r._2"), col("pos") + 1)).as("sa_u"))
+      .orderBy("l_orderkey", "level")
+
   // ---- q62: gammat thermodynamic neutral density (X7), rows-only ---------
   private def q62(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -148,5 +173,7 @@ object KernelQueries extends QueryModule {
       QueryDef(q61, Some(FixtureOracle.sql("q61_cubic_spline"))),
     "q62_gammat" -> QueryDef(q62, Some(FixtureOracle.sql("q62_gammat"))),
     "q63_pchip_interp" ->
-      QueryDef(q63, Some(FixtureOracle.sql("q63_pchip_interp"))))
+      QueryDef(q63, Some(FixtureOracle.sql("q63_pchip_interp"))),
+    "q64_mr_pchip" ->
+      QueryDef(q64, Some(FixtureOracle.sql("q64_mr_pchip"))))
 }

@@ -132,6 +132,61 @@ object ArgoNetCDF {
     }
   }
 
+  /** One row of the Argo HISTORY block (the file's processing audit
+    * trail): record `step` of profile `IPROF`. Fields are the manual's
+    * fixed-width strings, trimmed; absent variables read as "". */
+  final case class HistoryRow(
+      dac: String, WMO: Int, IPROF: Short, step: Int,
+      institution: String, histStep: String, software: String,
+      date: String, action: String)
+
+  /** Parse the record-structured HISTORY block (dims (N_HISTORY, N_PROF,
+    * STRINGn) with N_HISTORY unlimited) of one `_prof.nc`. */
+  private[sources] def parseHistory(path: String, bytes: Array[Byte]): Seq[HistoryRow] = {
+    val (dac, wmo) = dacWmoFromPath(path) match {
+      case Some(dw) => dw
+      case None => return Seq.empty
+    }
+    val nc = new Nc3.NcFile(bytes)
+    val nProf = nc.dims.find(_.name == "N_PROF").map(_.length).getOrElse(0)
+    if (nc.numRecs == 0 || nProf == 0) return Seq.empty
+    // (N_HISTORY, N_PROF, STRINGn) NC_CHAR → (rec, prof) → trimmed string
+    def field(name: String): (Int, Int) => String =
+      if (!nc.has(name)) (_, _) => ""
+      else {
+        val v = nc.variable(name)
+        if (v.isRecord && v.ncType == Nc3.NcChar && v.shape.length == 3 &&
+          v.shape(1) == nProf) {
+          val w = v.shape(2)
+          val raw = nc.readCharsRec(name)
+          (r, i) => new String(raw, (r * nProf + i) * w, w,
+            java.nio.charset.StandardCharsets.UTF_8).trim
+        } else (_, _) => ""
+      }
+    val inst = field("HISTORY_INSTITUTION")
+    val step = field("HISTORY_STEP")
+    val soft = field("HISTORY_SOFTWARE")
+    val date = field("HISTORY_DATE")
+    val action = field("HISTORY_ACTION")
+    for (r <- 0 until nc.numRecs; i <- 0 until nProf)
+      yield HistoryRow(dac, wmo, i.toShort, r,
+        inst(r, i), step(r, i), soft(r, i), date(r, i), action(r, i))
+  }
+
+  /** The HISTORY audit block of every `_prof.nc` under `path`, one row per
+    * (history record × profile) — same distributed scan shape as [[read]]. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*_prof.nc")
+      .option("recursiveFileLookup", "true")
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (p, b) => parseHistory(p, b) })
+      .toDF()
+  }
+
   /** All profiles under `path` (glob over the GDAC layout), one row each. */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._

@@ -17,11 +17,14 @@ import java.nio.charset.StandardCharsets
   * the atlas export ([[graft.argo.AtlasSink]].writeNetcdf).
   *
   * Scope: CDF-1 and CDF-2 (64-bit offset) headers, all six classic types,
-  * fixed-size variables read/write. Record (unlimited-dimension) variables
-  * are parsed in the header but not materialized — Argo `_prof.nc` files
-  * keep their science variables on fixed dims (N_PROF × N_LEVELS); only
-  * the HISTORY block is record-structured, and nothing downstream reads
-  * it. NetCDF-4/HDF5 files are out of scope (the GDAC distributes classic).
+  * fixed-size AND record (unlimited-dimension) variables, read and write.
+  * Record slabs interleave per record in variable order, each padded to 4
+  * bytes except when there is exactly one record variable (the spec's
+  * special case) — that is how the Argo `_prof.nc` HISTORY block is laid
+  * out. Files are handled in memory (one Argo float file is ~MBs); the
+  * writer caps one file at 2 GiB — the atlas sink shards across files
+  * before that. NetCDF-4/HDF5 is out of scope (the GDAC distributes
+  * classic).
   */
 object Nc3 {
   val NcByte = 1; val NcChar = 2; val NcShort = 3
@@ -134,6 +137,17 @@ object Nc3 {
 
     private val byName: Map[String, Var] = vars.map(v => v.name -> v).toMap
 
+    /** Bytes one record advances the file position by: Σ padded per-record
+      * slabs over the record variables — except a SINGLE record variable,
+      * which the spec packs unpadded. Computed from shapes, not the header
+      * vsize field (some writers disagree on the special case). */
+    val recSize: Long = {
+      val rv = vars.filter(_.isRecord)
+      def slab(v: Var): Long =
+        v.shape.drop(1).foldLeft(1L)(_ * _) * typeSize(v.ncType)
+      if (rv.length == 1) slab(rv.head) else rv.map(v => pad4(slab(v))).sum
+    }
+
     def has(name: String): Boolean = byName.contains(name)
     def variable(name: String): Var =
       byName.getOrElse(name, throw new NoSuchElementException(
@@ -173,21 +187,78 @@ object Nc3 {
     private def fixed(name: String): Var = {
       val v = variable(name)
       require(!v.isRecord,
-        s"$name is a record variable — not supported (HISTORY block)")
+        s"$name is a record variable; use readDoublesRec/readCharsRec")
+      v
+    }
+
+    /** Record variable → flattened row-major numeric array across ALL
+      * records (record dim outermost, numRecs × per-record shape), widened
+      * to Double. The per-record slabs are strided by [[recSize]]. */
+    def readDoublesRec(name: String): Array[Double] = {
+      val v = record(name)
+      require(v.ncType != NcChar, s"$name is NC_CHAR; use readCharsRec")
+      val per = v.shape.drop(1).foldLeft(1L)(_ * _).toInt
+      val out = new Array[Double](numRecs * per)
+      var r = 0
+      while (r < numRecs) {
+        val db = bb.duplicate().position((v.begin + r * recSize).toInt)
+        var i = 0
+        v.ncType match {
+          case NcByte => while (i < per) { out(r * per + i) = db.get(); i += 1 }
+          case NcShort => while (i < per) { out(r * per + i) = db.getShort(); i += 1 }
+          case NcInt => while (i < per) { out(r * per + i) = db.getInt(); i += 1 }
+          case NcFloat => while (i < per) { out(r * per + i) = db.getFloat(); i += 1 }
+          case NcDouble => while (i < per) { out(r * per + i) = db.getDouble(); i += 1 }
+        }
+        r += 1
+      }
+      out
+    }
+
+    /** Record NC_CHAR variable → raw bytes across all records, row-major
+      * (the Argo HISTORY block's layout). */
+    def readCharsRec(name: String): Array[Byte] = {
+      val v = record(name)
+      require(v.ncType == NcChar, s"$name is not NC_CHAR")
+      val per = v.shape.drop(1).foldLeft(1L)(_ * _).toInt
+      val out = new Array[Byte](numRecs * per)
+      var r = 0
+      while (r < numRecs) {
+        bb.duplicate().position((v.begin + r * recSize).toInt)
+          .get(out, r * per, per)
+        r += 1
+      }
+      out
+    }
+
+    private def record(name: String): Var = {
+      val v = variable(name)
+      require(v.isRecord, s"$name is a fixed variable; use readDoubles/readChars")
       v
     }
   }
 
   // ---- writer -------------------------------------------------------------
 
-  /** One fixed variable to write: `data` length must equal the dim product
-    * (an Array of the JVM type matching `ncType`; NC_CHAR = Array[Byte]). */
+  /** One variable to write: `data` is an Array of the JVM type matching
+    * `ncType` (NC_CHAR = Array[Byte]). Fixed variable: length = dim
+    * product. Record variable (first dim is the record dim): length =
+    * numRecs × per-record dim product, record-major. */
   final case class VarSpec(name: String, dimNames: Seq[String],
                            atts: Seq[Att], ncType: Int, data: AnyRef)
 
-  /** Serialize a CDF-1 classic file (fixed variables only). */
-  def write(dims: Seq[Dim], gatts: Seq[Att], vars: Seq[VarSpec]): Array[Byte] = {
-    require(dims.forall(!_.isRecord), "writer supports fixed dims only")
+  /** Serialize a classic file.
+    * @param version 1 = CDF-1 (32-bit offsets), 2 = CDF-2 (64-bit offsets,
+    *                the classic large-file format)
+    * @param numRecs record count for variables on the record dim (a dim
+    *                with length 0). In-memory writer: one file ≤ 2 GiB —
+    *                shard across files before that (CDF-2 raises the
+    *                FORMAT's per-variable limit; the 2 GiB cap here is the
+    *                byte-array backing, not the format). */
+  def write(dims: Seq[Dim], gatts: Seq[Att], vars: Seq[VarSpec],
+            version: Int = 1, numRecs: Int = 0): Array[Byte] = {
+    require(version == 1 || version == 2, s"bad CDF version $version")
+    require(dims.count(_.isRecord) <= 1, "at most one record dimension")
     val dimIdx = dims.map(_.name).zipWithIndex.toMap
 
     def nameLen(s: String) = 4 + pad4(s.getBytes(StandardCharsets.UTF_8).length.toLong)
@@ -200,28 +271,48 @@ object Nc3 {
     }
     def attListLen(as: Seq[Att]): Long = 8 + as.map(attLen).sum
 
-    def shapeOf(v: VarSpec): Array[Int] =
-      v.dimNames.map(d => dims(dimIdx(d)).length).toArray
+    def isRec(v: VarSpec): Boolean =
+      v.dimNames.nonEmpty && dims(dimIdx(v.dimNames.head)).isRecord
+    // per-record slab for record vars, full slab for fixed vars
+    def slabOf(v: VarSpec): Long =
+      v.dimNames.filterNot(d => dims(dimIdx(d)).isRecord)
+        .map(d => dims(dimIdx(d)).length.toLong).product * typeSize(v.ncType)
+    val recVars = vars.filter(isRec)
+    // the spec's single-record-variable special case: unpadded stride
+    val recSize: Long =
+      if (recVars.length == 1) slabOf(recVars.head)
+      else recVars.map(v => pad4(slabOf(v))).sum
     def vsizeOf(v: VarSpec): Long =
-      pad4(shapeOf(v).foldLeft(1L)(_ * _) * typeSize(v.ncType))
+      if (isRec(v) && recVars.length == 1) slabOf(v) else pad4(slabOf(v))
     // a mismatched array would silently overflow into the next variable's
     // slab (or read back zero padding as data) — fail fast instead
     vars.foreach { v =>
-      val want = shapeOf(v).foldLeft(1L)(_ * _)
+      val per = slabOf(v) / typeSize(v.ncType)
+      val want = if (isRec(v)) per * numRecs else per
       val got = v.data match { case a: Array[_] => a.length.toLong }
       require(got == want,
-        s"variable ${v.name}: data length $got != dim product $want")
+        s"variable ${v.name}: data length $got != expected $want")
     }
 
+    val beginBytes = if (version == 2) 8 else 4
     val headerLen: Long = 4 + 4 + // magic + numrecs
       8 + dims.map(d => nameLen(d.name) + 4).sum + // dim list
       attListLen(gatts) +
       8 + vars.map(v => nameLen(v.name) + 4 + 4L * v.dimNames.length +
-        attListLen(v.atts) + 4 + 4 + 4).sum
+        attListLen(v.atts) + 4 + 4 + beginBytes).sum
 
-    val begins = vars.scanLeft(pad4(headerLen))((off, v) => off + vsizeOf(v))
-    val total = begins.last
-    require(total <= Int.MaxValue, "CDF-1 writer limited to <2 GiB")
+    // fixed variables first (file order), then the record block
+    val fixedVars = vars.filterNot(isRec)
+    val fixedBegins = fixedVars.scanLeft(pad4(headerLen))((off, v) => off + vsizeOf(v))
+    val recStart = fixedBegins.last
+    val recOffsets = recVars.scanLeft(0L)((off, v) =>
+      off + (if (recVars.length == 1) slabOf(v) else pad4(slabOf(v))))
+    val beginOf: Map[String, Long] =
+      (fixedVars.map(_.name) zip fixedBegins).toMap ++
+        (recVars.map(_.name) zip recOffsets.map(recStart + _)).toMap
+    val total = recStart + numRecs.toLong * recSize
+    require(total <= Int.MaxValue,
+      "in-memory writer limited to one <2 GiB file — shard across files")
     val bb = ByteBuffer.allocate(total.toInt)
 
     def putName(s: String): Unit = {
@@ -256,32 +347,43 @@ object Nc3 {
       }
     }
 
-    bb.put('C'.toByte).put('D'.toByte).put('F'.toByte).put(1.toByte)
-    bb.putInt(0) // numrecs
+    bb.put('C'.toByte).put('D'.toByte).put('F'.toByte).put(version.toByte)
+    bb.putInt(numRecs)
     bb.putInt(if (dims.isEmpty) 0 else TagDimension)
     bb.putInt(dims.length)
     dims.foreach { d => putName(d.name); bb.putInt(d.length) }
     putAttList(gatts)
     bb.putInt(if (vars.isEmpty) 0 else TagVariable)
     bb.putInt(vars.length)
-    vars.zip(begins).foreach { case (v, begin) =>
+    vars.foreach { v =>
       putName(v.name)
       bb.putInt(v.dimNames.length)
       v.dimNames.foreach(d => bb.putInt(dimIdx(d)))
       putAttList(v.atts)
       bb.putInt(v.ncType)
       bb.putInt(vsizeOf(v).toInt)
-      bb.putInt(begin.toInt)
+      if (version == 2) bb.putLong(beginOf(v.name)) else bb.putInt(beginOf(v.name).toInt)
     }
-    vars.zip(begins).foreach { case (v, begin) =>
-      bb.position(begin.toInt)
-      v.data match {
-        case a: Array[Byte] => bb.put(a)
-        case a: Array[Short] => a.foreach(bb.putShort)
-        case a: Array[Int] => a.foreach(bb.putInt)
-        case a: Array[Float] => a.foreach(bb.putFloat)
-        case a: Array[Double] => a.foreach(bb.putDouble)
+    def putSlice(v: VarSpec, from: Int, count: Int): Unit = v.data match {
+      case a: Array[Byte] => bb.put(a, from, count)
+      case a: Array[Short] => (from until from + count).foreach(i => bb.putShort(a(i)))
+      case a: Array[Int] => (from until from + count).foreach(i => bb.putInt(a(i)))
+      case a: Array[Float] => (from until from + count).foreach(i => bb.putFloat(a(i)))
+      case a: Array[Double] => (from until from + count).foreach(i => bb.putDouble(a(i)))
+    }
+    fixedVars.foreach { v =>
+      bb.position(beginOf(v.name).toInt)
+      putSlice(v, 0, slabOf(v).toInt / typeSize(v.ncType))
+    }
+    // record block: records outermost, per-record slabs in variable order
+    var r = 0
+    while (r < numRecs) {
+      recVars.foreach { v =>
+        val per = (slabOf(v) / typeSize(v.ncType)).toInt
+        bb.position((beginOf(v.name) + r * recSize).toInt)
+        putSlice(v, r * per, per)
       }
+      r += 1
     }
     bb.array()
   }

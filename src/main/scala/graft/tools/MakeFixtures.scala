@@ -16,7 +16,7 @@ import graft.queries.FixtureOracle
 object MakeFixtures {
   val FixtureQueries: Seq[String] = Seq(
     "q45_ann_ivf_kmeans", "q61_cubic_spline", "q62_gammat",
-    "q63_pchip_interp", "q70_argo_interp", "q71_argo_atlas",
+    "q63_pchip_interp", "q64_mr_pchip", "q70_argo_interp", "q71_argo_atlas",
     "q72_argo_eape_r14", "q73_argo_eape_t25", "q74_argo_atlas_masked")
 
   def main(args: Array[String]): Unit = {

@@ -25,11 +25,26 @@ class ArgoNetCDFSpec extends SparkSuite {
     val temp = pres.map(p => tTrue(p).toFloat)
     val psal = pres.map(_ => 35.0f)
     val qc = Array.fill(nProf * nLev)('1'.toByte)
+    // two HISTORY records (the manual's audit trail: unlimited N_HISTORY,
+    // fixed-width strings per (record, profile))
+    def hist(vals: Seq[String], w: Int): Array[Byte] =
+      vals.map(_.padTo(w, ' ')).mkString.getBytes("UTF-8")
     Nc3.write(
-      dims = Seq(Nc3.Dim("N_PROF", nProf), Nc3.Dim("N_LEVELS", nLev),
-        Nc3.Dim("STRING8", 8)),
+      dims = Seq(Nc3.Dim("N_HISTORY", 0), Nc3.Dim("N_PROF", nProf),
+        Nc3.Dim("N_LEVELS", nLev), Nc3.Dim("STRING8", 8),
+        Nc3.Dim("STRING4", 4), Nc3.Dim("DATE_TIME", 14)),
       gatts = Seq(Nc3.Att("title", Nc3.NcChar, "Argo float vertical profile")),
+      numRecs = 2,
       vars = Seq(
+        Nc3.VarSpec("HISTORY_INSTITUTION", Seq("N_HISTORY", "N_PROF", "STRING4"),
+          Nil, Nc3.NcChar, hist(Seq("AO", "AO", "AO", "IF", "IF", "IF"), 4)),
+        Nc3.VarSpec("HISTORY_STEP", Seq("N_HISTORY", "N_PROF", "STRING4"),
+          Nil, Nc3.NcChar, hist(Seq.fill(3)("ARFM") ++ Seq.fill(3)("ARGQ"), 4)),
+        Nc3.VarSpec("HISTORY_DATE", Seq("N_HISTORY", "N_PROF", "DATE_TIME"),
+          Nil, Nc3.NcChar,
+          hist(Seq.fill(3)("20200101000000") ++ Seq.fill(3)("20200102000000"), 14)),
+        Nc3.VarSpec("HISTORY_ACTION", Seq("N_HISTORY", "N_PROF", "STRING4"),
+          Nil, Nc3.NcChar, hist(Seq.fill(3)("IP") ++ Seq.fill(3)("QCP$"), 4)),
         Nc3.VarSpec("JULD", Seq("N_PROF"), Nil, Nc3.NcDouble,
           Array(25567.0, 25577.5, 25588.0)), // days since 1950 → 2020
         Nc3.VarSpec("LONGITUDE", Seq("N_PROF"), Nil, Nc3.NcDouble,
@@ -74,6 +89,19 @@ class ArgoNetCDFSpec extends SparkSuite {
       .startsWith("2020-01-01"))
     assert(r.getAs[Seq[Double]]("QC").forall(_ === 1.0))
     assert(r.getAs[Seq[Double]]("PRES").take(3) === Seq(0.0, 50.0, 100.0))
+  }
+
+  test("HISTORY record block surfaces as a distributed audit DataFrame") {
+    val h = ArgoNetCDF.history(spark, gdac).cache()
+    assert(h.count() === 2 * nProf) // 2 records × 3 profiles
+    val first = h.filter(col("step") === 0).orderBy("IPROF")
+      .select("institution", "histStep", "action").as[(String, String, String)]
+      .collect()
+    assert(first.toSeq === Seq.fill(3)(("AO", "ARFM", "IP")))
+    val second = h.filter(col("step") === 1).orderBy("IPROF")
+      .select("institution", "histStep", "action", "date")
+      .as[(String, String, String, String)].collect()
+    assert(second.toSeq === Seq.fill(3)(("IF", "ARGQ", "QCP$", "20200102000000")))
   }
 
   test("NetCDF source feeds the unmodified pipeline end to end") {

@@ -140,6 +140,23 @@ class ArgoPipelineSpec extends SparkSuite {
     }
   }
 
+  test("interpolation method is pluggable: joint MR-PCHIP (METHODS[2]) also reproduces the field") {
+    val rows = Interpolator.interpolate(samples, summary, algo = Interpolator.MrPchip)
+      .select($"NVALUES", $"CT", $"SR", $"IDX")
+      .as[(Int, Seq[Float], Seq[Float], Seq[Byte])].collect()
+    assert(rows.length === 30)
+    rows.foreach { case (nv, ct, sr, idx) =>
+      assert(nv > 50)
+      ArgoSchemas.Pref.indices.foreach { k =>
+        if (idx(k) == 1) {
+          val z = ArgoSchemas.Pref(k)
+          assert(math.abs(ct(k) - ctTrue(z)) < 0.05, s"MR-PCHIP CT at $z: ${ct(k)}")
+          assert(math.abs(sr(k) - sTrue(z)) < 0.05, s"MR-PCHIP SR at $z: ${sr(k)}")
+        }
+      }
+    }
+  }
+
   test("polar crop: longitude margin widens as 1/cos(lat)") {
     // A profile 33.5° of longitude west of the box at 77°N is only
     // ~4.6e-3 haversine-arg from the (0°E, 76°N) cell — inside the 8°-arc

@@ -107,4 +107,83 @@ class InterpSpec extends AnyFunSuite {
     assert(dx.toSeq == Seq(1.0, 2.0, 3.0))
     assert(dy.toSeq == Seq(10.0, 20.0, 30.0))
   }
+
+  // ---- MR-PCHIP (the gsw.sa_ct_interp algorithm family) -------------------
+
+  test("mr-pchip reproduces nodes exactly for both variables") {
+    val sa = Array(35.0, 35.2, 34.9, 35.5, 35.1)
+    val (ct, sa2) = Interp.mrPchipOnto(xs, ys, sa, xs)
+    xs.indices.foreach { i =>
+      assert(math.abs(ct(i) - ys(i)) < 1e-10, s"ct at node $i")
+      assert(math.abs(sa2(i) - sa(i)) < 1e-10, s"sa at node $i")
+    }
+  }
+
+  test("mr-pchip with one variable constant degenerates to plain pchip") {
+    // PCHIP is affine-equivariant, so every rotated frame interpolates
+    // cos θ·CT + const the same way and the least-squares inversion
+    // recovers exactly the per-variable PCHIP of CT and the constant SA.
+    val saConst = Array.fill(xs.length)(35.0)
+    val ts = Array(0.3, 1.7, 3.2, 5.5)
+    val (ct, sa) = Interp.mrPchipOnto(xs, ys, saConst, ts)
+    val plain = Interp.pchipOnto(xs, ys, ts)
+    ts.indices.foreach { j =>
+      assert(math.abs(ct(j) - plain(j)) < 1e-9, s"ct at ${ts(j)}")
+      assert(math.abs(sa(j) - 35.0) < 1e-9, s"sa at ${ts(j)}")
+    }
+  }
+
+  test("mr-pchip recovers affinely coupled variables exactly") {
+    // SA = a·CT + b lies on one line in the (CT, 9·SA) plane: every
+    // rotated interpolant is an affine image of the same 1-D profile, so
+    // the reconstruction keeps the coupling at every target.
+    val a = 0.05; val b = 34.0
+    val sa = ys.map(y => a * y + b)
+    val ts = Array(0.5, 2.0, 3.7, 5.2)
+    val (ct, saI) = Interp.mrPchipOnto(xs, ys, sa, ts)
+    ts.indices.foreach { j =>
+      assert(math.abs(saI(j) - (a * ct(j) + b)) < 1e-9, s"coupling at ${ts(j)}")
+    }
+  }
+
+  test("mr-pchip keeps monotone pairs within the envelope up to rotation residue") {
+    // Monotone CT and SA: each ROTATED frame is shape-preserving, but the
+    // least-squares reconstruction mixes frames whose monotone regions
+    // differ, so the per-variable envelope can be exceeded by a small
+    // rotation residue (a property of the published method, not a bug).
+    // Bound it at 0.1% of the variable's node range — the not-a-knot
+    // spline overshoots this data by ~10x more.
+    val px = Array(0.0, 1.0, 2.0, 3.0, 4.0)
+    val pct = Array(20.0, 18.0, 10.0, 9.5, 9.0)
+    val psa = Array(34.0, 34.5, 35.2, 35.3, 35.4)
+    val ts = (0 to 40).map(_ * 0.1).toArray
+    val (ct, sa) = Interp.mrPchipOnto(px, pct, psa, ts)
+    val ctTol = (20.0 - 9.0) * 1e-3
+    val saTol = (35.4 - 34.0) * 1e-3
+    ts.indices.foreach { j =>
+      assert(ct(j) <= 20.0 + ctTol && ct(j) >= 9.0 - ctTol, s"ct at ${ts(j)}")
+      assert(sa(j) <= 35.4 + saTol && sa(j) >= 34.0 - saTol, s"sa at ${ts(j)}")
+    }
+  }
+
+  test("mr-pchip differs from per-variable pchip on a curved (CT, SA) hook") {
+    // A thermocline-like hook in (CT, SA) space — the case the method
+    // exists for. The joint result must be a DIFFERENT interpolant than
+    // the independent per-variable one (else the rotation did nothing).
+    val px = Array(0.0, 1.0, 2.0, 3.0, 4.0)
+    val pct = Array(20.0, 12.0, 6.0, 4.0, 3.5)
+    val psa = Array(34.0, 35.5, 34.6, 34.5, 34.6)
+    val ts = Array(0.5, 1.5, 2.5, 3.5)
+    val (ct, sa) = Interp.mrPchipOnto(px, pct, psa, ts)
+    val ctP = Interp.pchipOnto(px, pct, ts)
+    val saP = Interp.pchipOnto(px, psa, ts)
+    val dev = ts.indices.map(j =>
+      math.abs(ct(j) - ctP(j)) + math.abs(sa(j) - saP(j))).max
+    assert(dev > 1e-3, s"joint and per-variable should differ, max dev $dev")
+    // but remain close: rotation redistributes, it does not distort
+    ts.indices.foreach { j =>
+      assert(math.abs(ct(j) - ctP(j)) < 1.5, s"ct sane at ${ts(j)}")
+      assert(math.abs(sa(j) - saP(j)) < 1.5, s"sa sane at ${ts(j)}")
+    }
+  }
 }

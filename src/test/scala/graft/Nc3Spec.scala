@@ -93,4 +93,95 @@ class Nc3Spec extends AnyFunSuite {
       new Nc3.NcFile("PAR1notnetcdf".getBytes("UTF-8"))
     }
   }
+
+  /** Record block assembled BY HAND per the spec: two record variables →
+    * each per-record slab padded to 4; records interleave in variable
+    * order. A short (2-byte) slab pins the padding rule. */
+  private def handBuiltRecordFile(): Array[Byte] = {
+    val bb = ByteBuffer.allocate(512)
+    def putName(s: String): Unit = {
+      bb.putInt(s.length)
+      bb.put(s.getBytes("UTF-8"))
+      while ((bb.position() & 3) != 0) bb.put(0.toByte)
+    }
+    bb.put("CDF".getBytes("UTF-8")).put(1.toByte)
+    bb.putInt(3) // numrecs
+    bb.putInt(0x0A).putInt(2) // 2 dims
+    putName("rec"); bb.putInt(0) // record dim
+    putName("x"); bb.putInt(2)
+    bb.putInt(0).putInt(0) // no global atts (ABSENT)
+    bb.putInt(0x0B).putInt(2) // 2 vars, both record
+    putName("f") // f(rec, x): per-record slab 2 floats = 8 B
+    bb.putInt(2).putInt(0).putInt(1)
+    bb.putInt(0).putInt(0)
+    bb.putInt(5) // NC_FLOAT
+    bb.putInt(8) // vsize
+    val fBeginSlot = bb.position(); bb.putInt(0)
+    putName("s") // s(rec): per-record slab 1 short = 2 B → padded to 4
+    bb.putInt(1).putInt(0)
+    bb.putInt(0).putInt(0)
+    bb.putInt(3) // NC_SHORT
+    bb.putInt(4) // vsize (padded)
+    val sBeginSlot = bb.position(); bb.putInt(0)
+    val recStart = bb.position()
+    bb.putInt(fBeginSlot, recStart)
+    bb.putInt(sBeginSlot, recStart + 8)
+    // recSize = 8 + 4 = 12; 3 records
+    (0 until 3).foreach { r =>
+      bb.putFloat(10f * r); bb.putFloat(10f * r + 1) // f slab
+      bb.putShort((100 + r).toShort); bb.putShort(0) // s slab + pad
+    }
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  test("reader materializes record variables (hand-built interleaved block)") {
+    val nc = new Nc3.NcFile(handBuiltRecordFile())
+    assert(nc.numRecs === 3)
+    assert(nc.recSize === 12)
+    val f = nc.variable("f")
+    assert(f.isRecord && f.shape.toSeq === Seq(3, 2))
+    assert(nc.readDoublesRec("f").toSeq ===
+      Seq(0.0, 1.0, 10.0, 11.0, 20.0, 21.0))
+    assert(nc.readDoublesRec("s").toSeq === Seq(100.0, 101.0, 102.0))
+    intercept[IllegalArgumentException] { nc.readDoubles("f") }
+  }
+
+  test("writer round-trips record variables incl. the single-var unpadded case") {
+    // two record vars: strides padded per-variable
+    val dims = Seq(Nc3.Dim("rec", 0), Nc3.Dim("x", 2))
+    val vars = Seq(
+      Nc3.VarSpec("f", Seq("rec", "x"), Nil, Nc3.NcFloat,
+        Array(0f, 1f, 10f, 11f, 20f, 21f)),
+      Nc3.VarSpec("s", Seq("rec"), Nil, Nc3.NcShort,
+        Array(100.toShort, 101.toShort, 102.toShort)),
+      Nc3.VarSpec("base", Seq("x"), Nil, Nc3.NcInt, Array(7, 8)))
+    val nc = new Nc3.NcFile(Nc3.write(dims, Nil, vars, numRecs = 3))
+    assert(nc.readDoubles("base").toSeq === Seq(7.0, 8.0))
+    assert(nc.readDoublesRec("f").toSeq ===
+      Seq(0.0, 1.0, 10.0, 11.0, 20.0, 21.0))
+    assert(nc.readDoublesRec("s").toSeq === Seq(100.0, 101.0, 102.0))
+    assert(nc.recSize === 12)
+    // single record variable: stride NOT padded (spec special case) — a
+    // 2-byte slab gives an odd stride a padded layout would never produce
+    val nc1 = new Nc3.NcFile(Nc3.write(Seq(Nc3.Dim("rec", 0)), Nil,
+      Seq(Nc3.VarSpec("s", Seq("rec"), Nil, Nc3.NcShort,
+        Array(1.toShort, 2.toShort, 3.toShort))), numRecs = 3))
+    assert(nc1.recSize === 2)
+    assert(nc1.readDoublesRec("s").toSeq === Seq(1.0, 2.0, 3.0))
+  }
+
+  test("CDF-2 (64-bit offset) writer round-trips and reports version 2") {
+    val dims = Seq(Nc3.Dim("x", 3))
+    val vars = Seq(
+      Nc3.VarSpec("a", Seq("x"), Nil, Nc3.NcDouble, Array(1.0, 2.0, 3.0)),
+      Nc3.VarSpec("b", Seq("x"), Nil, Nc3.NcInt, Array(4, 5, 6)))
+    val bytes = Nc3.write(dims, Seq(Nc3.Att("title", Nc3.NcChar, "v2")),
+      vars, version = 2)
+    assert(bytes(3) === 2.toByte)
+    val nc = new Nc3.NcFile(bytes)
+    assert(nc.version === 2)
+    assert(nc.gatt("title") === Some("v2"))
+    assert(nc.readDoubles("a").toSeq === Seq(1.0, 2.0, 3.0))
+    assert(nc.readDoubles("b").toSeq === Seq(4.0, 5.0, 6.0))
+  }
 }
