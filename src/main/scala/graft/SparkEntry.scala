@@ -19,6 +19,7 @@ object SparkEntry {
     GeoQueries,
     KernelQueries,
     ArgoQueries,
+    SketchQueries,
     StreamMultimodalQueries)
 
   private lazy val all: Map[String, QueryDef] =
