@@ -88,6 +88,25 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("MapPartitions"), s"expected typed mapPartitions:\n$p")
   }
 
+  test("q47: the Count-Min sketch aggregates partially (one matrix per partition)") {
+    val p = plan("q47_countmin_hh")
+    // the whole point of the sketch at scale: each partition reduces into
+    // a local counter matrix and only matrices cross the exchange
+    assert(p.contains("partial_"), s"sketch must pre-aggregate map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row sketch should broadcast to the probe side:\n$p")
+  }
+
+  test("q48: the sample predicate is evaluated scan-side, before any shuffle") {
+    val p = plan("q48_hash_sample")
+    // hash-mod arithmetic isn't a parquet-pushable predicate, but it must
+    // run in the scan stage (Filter directly over FileScan), so 90% of
+    // rows die before the groupBy exchange
+    val scanStage = p.split("Exchange").last // text after the last exchange = leaf stage
+    assert(scanStage.contains("Filter") && scanStage.contains("FileScan"),
+      s"sample filter must sit on the scan stage:\n$p")
+  }
+
   test("whole-stage codegen spans cover the relational hot path") {
     // AQE finalizes the plan only on execution; codegen markers appear then
     val df = SparkEntry.queries("q01_pricing_summary")(spark, d)
