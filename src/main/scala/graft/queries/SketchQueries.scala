@@ -54,15 +54,19 @@ object SketchQueries extends QueryModule {
   }
 
   // ---- q48: deterministic hash-mod sampling (full SQL oracle) ------------
-  // Knuth multiplicative hash on the key, keep h mod 100 < rate: the same
-  // rows are kept at any scale, any partitioning, any engine — unlike
-  // RNG/reservoir sampling, which depends on row order and state. The
+  // Lehmer/MINSTD multiplicative hash on the key, keep h mod 100 < rate:
+  // the same rows are kept at any scale, any partitioning, any engine —
+  // unlike RNG/reservoir sampling, which depends on row order and state.
+  // MINSTD (x·48271 mod 2³¹−1) rather than a 2³²-multiplier Knuth hash:
+  // id·48271 stays below 2⁶³ for any id < 1.9e14, so the arithmetic never
+  // overflows — under ANSI SQL (Spark 4 default) an overflowing multiply
+  // THROWS at exactly the corpus sizes the sampler exists for. The
   // per-source counts audit the realized rate.
   private val SampleRate = 10 // percent
 
   private def q48(s: SparkSession, d: String): DataFrame =
     docs(s, d)
-      .withColumn("h", pmod(col("doc_id") * 2654435761L, lit(4294967296L)))
+      .withColumn("h", pmod(col("doc_id") * 48271L, lit(2147483647L)))
       .filter(pmod(col("h"), lit(100)) < SampleRate)
       .groupBy(col("source"))
       .agg(count(lit(1)).cast(LongType).as("n_sampled"),
@@ -75,7 +79,7 @@ object SketchQueries extends QueryModule {
        | min(doc_id) AS first_id, max(doc_id) AS last_id
        |FROM (
        |  SELECT source, doc_id,
-       |    (doc_id * 2654435761) % 4294967296 AS h
+       |    (doc_id * 48271) % 2147483647 AS h
        |  FROM documents)
        |WHERE h % 100 < $SampleRate
        |GROUP BY 1 ORDER BY 1""".stripMargin
