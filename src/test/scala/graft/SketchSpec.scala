@@ -63,3 +63,37 @@ class SketchSpec extends AnyFunSuite {
     assert(build(shuffled).toSeq === build(stream).toSeq)
   }
 }
+
+/** The Count-Min aggregator under Structured Streaming: a UDAF whose
+  * merge is commutative works unchanged as an incremental streaming
+  * aggregate — the micro-batch boundary is just another merge order, so
+  * the streamed sketch must equal the batch sketch cell-for-cell. */
+class StreamingSketchSpec extends SparkSuite {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("streamed Count-Min equals the batch sketch cell-for-cell") {
+    implicit val sqlCtx = spark.sqlContext
+    val keys: Seq[Long] = (0 until 500).map(i => (i % 73).toLong * 2654435761L)
+    val mem = MemoryStream[Long]
+    val cms = graft.operators.Sketches.countMin(4, 256)
+    val sq = mem.toDF().select(col("value").as("h"))
+      .agg(cms(col("h")).as("cms"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-cms").toString)
+      .start()
+    try {
+      keys.grouped(100).foreach(mem.addData(_)) // 5 micro-batches
+      sq.processAllAvailable()
+      val streamed = spark.table("cms_stream")
+        .select($"cms").as[Seq[Long]].head()
+      val batch = keys.toDF("h").agg(cms(col("h")).as("cms"))
+        .select($"cms").as[Seq[Long]].head()
+      assert(streamed === batch)
+      assert(batch.exists(_ > 0))
+    } finally sq.stop()
+  }
+}
