@@ -28,7 +28,10 @@ object Warmup {
       val amp = 16.0 + (it % 7)
       val temp = pres.map(p => 2.0 + amp * math.exp(-p / 500.0))
       val psal = pres.map(p => 34.5 + 0.5 * math.exp(-p / 300.0))
-      sink += Interpolator.warmKernel(pres, temp, psal, qc)
+      // cycle through ALL registered methods (cubic, PCHIP, MR-PCHIP) —
+      // each gets ~1/3 of the iterations, still far past the C2 threshold
+      sink += Interpolator.warmKernel(pres, temp, psal, qc,
+        algo = it % Interpolator.Methods.size)
       sink += Seawater.gammatAnalytic(35.5, 2.0 + (it % 25), Teos10)._1
       sink += Teos10.rho(35.5, 10.0 + (it % 20), 500.0)
       sink += Teos10.rhoInP(35.5, 10.0 + (it % 20))((it % 64) * 30.0)

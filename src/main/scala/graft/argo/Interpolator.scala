@@ -22,14 +22,27 @@ import graft.functions.{Interp, Seawater, SeawaterEos, Teos10}
 object Interpolator {
   import ArgoSchemas.{NLevels, Pref}
 
+  /** An interpolation method maps the profile's (pressure, CT, SR) sample
+    * arrays onto the target levels as a PAIR — the `gsw.sa_ct_interp`
+    * shape, which the reference's METHODS entries share
+    * (interpolation.py:74-81). Per-variable methods apply componentwise. */
+  type Method = (Array[Double], Array[Double], Array[Double], Array[Double]) =>
+    (Array[Double], Array[Double])
+
+  private def perVariable(
+      f: (Array[Double], Array[Double], Array[Double]) => Array[Double]): Method =
+    (xs, ct, sr, targets) => (f(xs, ct, targets), f(xs, sr, targets))
+
   /** The reference's pluggable METHODS map (interpolation.py:20-21,74-81):
     * 0 = basic cubic (scipy `interp1d(kind="cubic")`), 1 = per-variable
     * shape-preserving PCHIP, 2 = the joint multiply-rotated PCHIP of
-    * `gsw.sa_ct_interp` ([[Interp.mrPchipOnto]]). 0 and 1 interpolate CT
-    * and SR independently, (xs, ys, targets) → values; 2 couples them, so
-    * it is dispatched as a joint kernel ([[MrPchip]]). */
-  val Methods: Map[Int, (Array[Double], Array[Double], Array[Double]) => Array[Double]] =
-    Map(0 -> Interp.cubicOnto, 1 -> Interp.pchipOnto)
+    * `gsw.sa_ct_interp` ([[Interp.mrPchipOnto]]) — every method,
+    * including the joint one, registers here; callers validate/enumerate
+    * against this map alone. */
+  val Methods: Map[Int, Method] = Map(
+    0 -> perVariable(Interp.cubicOnto),
+    1 -> perVariable(Interp.pchipOnto),
+    2 -> (Interp.mrPchipOnto _))
 
   /** Method id of the joint MR-PCHIP (`gsw.sa_ct_interp`) entry. */
   val MrPchip: Int = 2
@@ -83,19 +96,11 @@ object Interpolator {
     val sr = jdx.map(i => Seawater.srFromSp(s(i))).toArray
     val ct = jdx.indices.map(j => eos.ctFromT(sr(j), t(jdx(j)), xs(j))).toArray
     // X6: the selected interpolation method (default: cubic spline with
-    // scipy interp1d kind="cubic" semantics); MR-PCHIP interpolates the
-    // (CT, SR) PAIR jointly in rotated frames and dispatches separately
+    // scipy interp1d kind="cubic" semantics) applied to the (CT, SR) pair
     val (dx1, dySr) = Interp.sortDedup(xs, sr)
     val (_, dyCt) = Interp.sortDedup(xs, ct)
     val targets = idx.map(Pref(_))
-    val (srI, ctI) =
-      if (algo == MrPchip) {
-        val (c, s2) = Interp.mrPchipOnto(dx1, dyCt, dySr, targets)
-        (s2, c)
-      } else {
-        val method = Methods(algo)
-        (method(dx1, dySr, targets), method(dx1, dyCt, targets))
-      }
+    val (ctI, srI) = Methods(algo)(dx1, dyCt, dySr, targets)
     val ctOut = new Array[Float](NLevels)
     val srOut = new Array[Float](NLevels)
     val idxOut = new Array[Byte](NLevels)
@@ -109,10 +114,12 @@ object Interpolator {
     (idx.length, ctOut, srOut, idxOut)
   }
 
-  /** JIT warm-up hook: run the full kernel once, return a checksum. */
+  /** JIT warm-up hook: run the full kernel once, return a checksum.
+    * @param algo which [[Methods]] entry to drive — every registered
+    *             method needs warming, not just the default spline */
   private[graft] def warmKernel(pres: Array[Double], temp: Array[Double],
-      psal: Array[Double], qc: Array[Double]): Double = {
-    val (n, ct, sr, _) = interpolateProfile(pres, temp, psal, qc)
+      psal: Array[Double], qc: Array[Double], algo: Int = 0): Double = {
+    val (n, ct, sr, _) = interpolateProfile(pres, temp, psal, qc, algo = algo)
     n + (if (ct.nonEmpty) ct(0) else 0.0f) + (if (sr.nonEmpty) sr(NLevels - 1) else 0.0f)
   }
 

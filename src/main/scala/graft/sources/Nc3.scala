@@ -72,7 +72,10 @@ object Nc3 {
     require(version == 1 || version == 2,
       s"unsupported NetCDF version byte $version (classic CDF-1/2 only)")
 
-    val numRecs: Int = bb.getInt()
+    // May be the STREAMING sentinel 0xFFFFFFFF (numrecs unknown at write
+    // time); the actual count is derived from the file length below, after
+    // the record stride is known — use [[numRecs]], never this.
+    private val numRecsRaw: Int = bb.getInt()
 
     private def readName(): String = {
       val n = bb.getInt()
@@ -130,8 +133,9 @@ object Nc3 {
         val begin = if (version == 2) bb.getLong()
           else bb.getInt().toLong & 0xffffffffL
         val isRec = dimIds.nonEmpty && dims(dimIds(0)).isRecord
+        // record-dim extent is patched to the resolved numRecs below
         val shape = dimIds.map(i =>
-          if (dims(i).isRecord) numRecs else dims(i).length)
+          if (dims(i).isRecord) numRecsRaw else dims(i).length)
         new Var(name, dimIds, atts, t, vsize, begin, shape, isRec)
       }
 
@@ -147,6 +151,20 @@ object Nc3 {
         v.shape.drop(1).foldLeft(1L)(_ * _) * typeSize(v.ncType)
       if (rv.length == 1) slab(rv.head) else rv.map(v => pad4(slab(v))).sum
     }
+
+    /** Record count. A STREAMING-mode writer stores 0xFFFFFFFF and readers
+      * must derive the count from the bytes past the first record's start
+      * (the spec's rule); negative-size allocations otherwise. */
+    val numRecs: Int =
+      if (numRecsRaw >= 0) numRecsRaw
+      else {
+        val rv = vars.filter(_.isRecord)
+        if (rv.isEmpty || recSize == 0L) 0
+        else ((bytes.length - rv.map(_.begin).min) / recSize).toInt
+      }
+    // patch the record-dim extent now that the count is resolved
+    if (numRecs != numRecsRaw)
+      vars.filter(_.isRecord).foreach(v => v.shape(0) = numRecs)
 
     def has(name: String): Boolean = byName.contains(name)
     def variable(name: String): Var =
@@ -273,6 +291,13 @@ object Nc3 {
 
     def isRec(v: VarSpec): Boolean =
       v.dimNames.nonEmpty && dims(dimIdx(v.dimNames.head)).isRecord
+    // the spec requires the unlimited dim to be OUTERMOST; a record dim in
+    // any later position would be written as a fixed slab while the header
+    // declares the record shape — a silently corrupt file. Fail fast.
+    vars.foreach { v =>
+      require(!v.dimNames.drop(1).exists(d => dims(dimIdx(d)).isRecord),
+        s"variable ${v.name}: the record dimension must be the first dimension")
+    }
     // per-record slab for record vars, full slab for fixed vars
     def slabOf(v: VarSpec): Long =
       v.dimNames.filterNot(d => dims(dimIdx(d)).isRecord)
@@ -305,8 +330,7 @@ object Nc3 {
     val fixedVars = vars.filterNot(isRec)
     val fixedBegins = fixedVars.scanLeft(pad4(headerLen))((off, v) => off + vsizeOf(v))
     val recStart = fixedBegins.last
-    val recOffsets = recVars.scanLeft(0L)((off, v) =>
-      off + (if (recVars.length == 1) slabOf(v) else pad4(slabOf(v))))
+    val recOffsets = recVars.scanLeft(0L)((off, v) => off + vsizeOf(v))
     val beginOf: Map[String, Long] =
       (fixedVars.map(_.name) zip fixedBegins).toMap ++
         (recVars.map(_.name) zip recOffsets.map(recStart + _)).toMap

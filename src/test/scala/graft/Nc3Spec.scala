@@ -170,6 +170,31 @@ class Nc3Spec extends AnyFunSuite {
     assert(nc1.readDoublesRec("s").toSeq === Seq(1.0, 2.0, 3.0))
   }
 
+  test("reader derives the record count from file length under the STREAMING sentinel") {
+    // numrecs = 0xFFFFFFFF is spec-legal (streaming writer): readers must
+    // compute the count from the bytes past the record start
+    val bytes = handBuiltRecordFile()
+    val bb = ByteBuffer.wrap(bytes)
+    bb.putInt(4, -1) // overwrite numrecs with the sentinel
+    val nc = new Nc3.NcFile(bytes)
+    assert(nc.numRecs === 3)
+    assert(nc.variable("f").shape.toSeq === Seq(3, 2))
+    assert(nc.readDoublesRec("f").toSeq ===
+      Seq(0.0, 1.0, 10.0, 11.0, 20.0, 21.0))
+    assert(nc.readDoublesRec("s").toSeq === Seq(100.0, 101.0, 102.0))
+  }
+
+  test("writer rejects a record dimension that is not outermost") {
+    // the spec requires the unlimited dim first; writing it elsewhere
+    // would emit a header/data mismatch (silently corrupt file)
+    val ex = intercept[IllegalArgumentException] {
+      Nc3.write(Seq(Nc3.Dim("x", 2), Nc3.Dim("rec", 0)), Nil,
+        Seq(Nc3.VarSpec("v", Seq("x", "rec"), Nil, Nc3.NcFloat,
+          Array(1f, 2f))), numRecs = 3)
+    }
+    assert(ex.getMessage.contains("record dimension must be the first"))
+  }
+
   test("CDF-2 (64-bit offset) writer round-trips and reports version 2") {
     val dims = Seq(Nc3.Dim("x", 3))
     val vars = Seq(

@@ -64,6 +64,26 @@ class SketchSpec extends AnyFunSuite {
   }
 }
 
+/** q49's promise is that the HLL++ estimate TRACKS the exact distinct
+  * count — the fixture alone would happily pin a drifted estimate, so the
+  * relative error is asserted here against the configured rsd. */
+class HllSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("q49 approx_distinct stays within 3x the configured rsd of exact") {
+    val rows = SparkEntry.queries("q49_hll_distinct")(spark, "/root/testdata/sf0.001")
+      .select($"source", $"approx_distinct", $"exact_distinct")
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, approx, exact) =>
+      assert(exact > 0, s"$src has no tokens")
+      val relErr = math.abs(approx - exact).toDouble / exact
+      // rsd = 0.02 in the query; 3 sigma covers every source w.h.p.
+      assert(relErr <= 0.06, s"$src: approx $approx vs exact $exact (err $relErr)")
+    }
+  }
+}
+
 /** The Count-Min aggregator under Structured Streaming: a UDAF whose
   * merge is commutative works unchanged as an incremental streaming
   * aggregate — the micro-batch boundary is just another merge order, so
