@@ -23,13 +23,27 @@ object ArgoSchemas {
     1350, 1400, 1450, 1500, 1550, 1600, 1650,
     1700, 1750, 1800, 1850, 1900, 1950, 2000).map(_.toDouble)
 
-  /** The 11 data centers (toctools.py:22-23). */
+  /** The 11 data centers, in the reference's exact order — the position
+    * IS the dictionary code (toctools.py:22-23, 173). */
   val Dacs: Seq[String] = Seq("aoml", "bodc", "coriolis", "csio", "csiro",
-    "incois", "jma", "kma", "kordi", "meds", "nmdis")
+    "incois", "jma", "kiost", "kma", "meds", "nmdis")
 
   /** DATA_MODE dictionary: R(ealtime)=0, D(elayed)=1, A(djusted)=2
     * (toctools.py:25, 176). */
   val DataModes: Seq[String] = Seq("R", "D", "A")
+
+  /** PLATFORM_TYPE dictionary, trimmed of the GDAC's 32-char padding —
+    * position is the code, blank = 0 (toctools.py:26-66, encode at
+    * toctools.py:195 `PLATFORMS.index`). */
+  val Platforms: Seq[String] = Seq(
+    "", "ALTO", "APEX", "APEX-SBE", "APEX_D", "ARVOR", "ARVOR_C",
+    "ARVOR_D", "HM2000", "HM4000", "NAVIS", "NAVIS_A", "NAVIS_EBR",
+    "NEMO", "NINJA", "NINJA_D", "NOVA", "NOVA-SBE", "Nova-SBE", "PALACE",
+    "POPS_PROVOR", "PROVOR", "PROVOR-SBE", "PROVOR_II", "PROVOR_III",
+    "PROVOR_IV", "PROVOR_MT", "PROVOR_V", "PROVOR_V_JUMBO",
+    "Primary sampling: averaged []", "S2A", "S2X", "SOLO", "SOLO-W",
+    "SOLO_BGC", "SOLO_BGC_MRV", "SOLO_D", "SOLO_D_MRV", "SOLO_II",
+    "SOLO_W", "XUANWU", "n/a")
 
   /** Summary row: one per profile (toctools.py:160-183). */
   val summary: StructType = StructType(Seq(

@@ -34,6 +34,7 @@ object SummaryBuilder {
     // as duplicates
     val dacs = dict(s, ArgoSchemas.Dacs, "dac", "dac_code")
     val modes = dict(s, ArgoSchemas.DataModes, "data_mode", "mode_code")
+    val platforms = dict(s, ArgoSchemas.Platforms, "platform_type", "plat_code")
 
     // W1: profile ordinal within float, by time (the reference relies on
     // NetCDF row order, toctools.py:172-175; source order = JULD order)
@@ -43,12 +44,22 @@ object SummaryBuilder {
     raw
       .join(broadcast(dacs), Seq("dac"))
       .join(broadcast(modes), Seq("data_mode"))
+      // P4: platform dict-encode (toctools.py:195 `PLATFORMS.index`).
+      // Left join + fallbacks rather than the reference's raising .index():
+      // an already-encoded numeric code passes through (synthetic inputs),
+      // anything unknown maps to 0 (the blank entry) instead of failing a
+      // 20k-file ingest on one new float model. A bare cast would also
+      // THROW under ANSI (Spark 4 default) on any real platform name.
+      .join(broadcast(platforms), Seq("platform_type"), "left")
       .withColumn("IPROF", (row_number().over(w) - 1).cast("short"))
       .withColumn("N_PROF", count(lit(1)).over(nprof).cast("short"))
       // A6: QC product-combine — FLAG==1 ⟺ every QC is 1 (toctools.py:186-187)
       .withColumn("FLAG", (col("position_qc") * col("juld_qc")).cast("byte"))
       .withColumn("PLATFORM_TYPE",
-        coalesce(col("platform_type").cast("byte"), lit(0.toByte)))
+        coalesce(col("plat_code"),
+          when(col("platform_type").rlike("^[0-9]{1,2}$"),
+            col("platform_type")).cast("byte"),
+          lit(0.toByte)))
       .select(
         col("LONGITUDE").cast("float"), col("LATITUDE").cast("float"),
         col("JULD"), col("N_LEVELS").cast("short"), col("N_PROF"),
