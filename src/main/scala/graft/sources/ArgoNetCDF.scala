@@ -200,6 +200,31 @@ object ArgoNetCDF {
       .toDF()
   }
 
+  /** Incremental re-ingest (SURVEY.md §2.9): the GDAC as a STREAMING file
+    * source — Structured Streaming's file tracker discovers newly landed
+    * `_prof.nc` files per micro-batch and each is parsed exactly once, so
+    * keeping a profiles table current is `argoStream(...).writeStream` in
+    * append mode instead of a full rescan. Identical parse path to
+    * [[read]] (one file per row, executor-side [[Nc3]]).
+    * @param maxFilesPerTrigger bound files per micro-batch (backfill of a
+    *                           large GDAC arrives in steady chunks) */
+  def readStream(spark: SparkSession, path: String,
+                 maxFilesPerTrigger: Int = 1000): DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      // streaming sources require the schema up front; binaryFile's is fixed
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY"))
+      .option("pathGlobFilter", "*_prof.nc")
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (p, b) => parseFile(p, b) })
+      .toDF()
+  }
+
   /** Projection matching [[graft.argo.SummaryBuilder]]'s raw-header input. */
   def rawHeader(profiles: DataFrame): DataFrame =
     profiles.select(col("dac"), col("WMO"), col("JULD"),

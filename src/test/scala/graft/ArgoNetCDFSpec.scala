@@ -104,6 +104,35 @@ class ArgoNetCDFSpec extends SparkSuite {
     assert(second.toSeq === Seq.fill(3)(("IF", "ARGQ", "QCP$", "20200102000000")))
   }
 
+  test("streaming GDAC source ingests newly landed files incrementally") {
+    val root = Files.createTempDirectory("gdac-stream")
+    val d1 = root.resolve("aoml/3900001")
+    Files.createDirectories(d1)
+    Files.write(d1.resolve("3900001_prof.nc"), profFile())
+    val sq = ArgoNetCDF.readStream(spark, root.toString)
+      .writeStream.format("memory").queryName("gdac_stream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("gdac-stream-ckpt").toString)
+      .start()
+    try {
+      sq.processAllAvailable()
+      assert(spark.table("gdac_stream").count() === nProf)
+      // a new float lands mid-stream: only ITS profiles are parsed and
+      // appended — the first file is never re-read (file-source tracking)
+      val d2 = root.resolve("coriolis/3900002")
+      Files.createDirectories(d2)
+      Files.write(d2.resolve("3900002_prof.nc"), profFile())
+      sq.processAllAvailable()
+      val byWmo = spark.table("gdac_stream").groupBy("WMO").count()
+        .as[(Int, Long)].collect().toMap
+      assert(byWmo === Map(3900001 -> nProf.toLong, 3900002 -> nProf.toLong))
+      val dacs = spark.table("gdac_stream").select("dac").distinct()
+        .as[String].collect().toSet
+      assert(dacs === Set("aoml", "coriolis"))
+    } finally sq.stop()
+  }
+
   test("NetCDF source feeds the unmodified pipeline end to end") {
     val df = ArgoNetCDF.read(spark, gdac)
     val summary = SummaryBuilder.build(spark, ArgoNetCDF.rawHeader(df))
