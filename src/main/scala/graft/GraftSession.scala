@@ -21,6 +21,7 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config(NanosAsLong, "true")
       .config("spark.ui.enabled", "false")
 

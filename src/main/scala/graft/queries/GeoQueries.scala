@@ -229,8 +229,46 @@ object GeoQueries extends QueryModule {
        |FROM prof WHERE NOT $sqlLand
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- q53: naive distance theta-join, optimized by SpatialJoinRewrite ---
+  // The query is written the way a USER would write it — crossJoin + exact
+  // haversine filter, no binning — and relies on the Catalyst rule
+  // (graft.plans.SpatialJoinRewrite) to turn it into the binned equi-join.
+  // PlanSpec asserts the rewrite fired (no CartesianProduct survives);
+  // the DuckDB oracle runs the same naive join, proving the rewritten
+  // plan computes exactly the naive semantics.
+  private val HavRadiusDeg = 7.5
+  private val HavC = {
+    val sh = math.sin(math.toRadians(HavRadiusDeg) / 2); sh * sh
+  }
+
+  private def q53(s: SparkSession, d: String): DataFrame = {
+    graft.plans.SpatialJoinRewrite.ensure(s)
+    grid(s).crossJoin(profiles(s, d))
+      .filter(graft.functions.HaversineArgExpr.havArg(
+        col("clon"), col("clat"), col("lon"), col("lat")) < lit(HavC))
+      .groupBy(col("ci"), col("cj"))
+      .agg(count(lit(1)).as("n_prof"), sum(FP.cents(col("x"))).as("sum_x_c"))
+      .orderBy("ci", "cj")
+  }
+
+  private val q53Sql = {
+    val sdlat = "sin(radians(lat - clat) / 2)"
+    val sdlon = "sin(radians(lon - clon) / 2)"
+    s"""WITH prof AS ($sqlProfiles),
+       |cells AS ($sqlGrid),
+       |pairs AS (
+       |  SELECT ci, cj, x FROM cells, prof
+       |  WHERE $sdlat * $sdlat
+       |    + cos(radians(clat)) * cos(radians(lat)) * $sdlon * $sdlon
+       |    < $HavC)
+       |SELECT ci, cj, count(*) AS n_prof,
+       |  CAST(sum(${FP.sqlCents("x")}) AS BIGINT) AS sum_x_c
+       |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "q50_grid_climatology" -> QueryDef(q50, Some(q50Sql)),
     "q51_two_pass_anomaly" -> QueryDef(q51, Some(q51Sql)),
-    "q52_nearest_cell" -> QueryDef(q52, Some(q52Sql)))
+    "q52_nearest_cell" -> QueryDef(q52, Some(q52Sql)),
+    "q53_spatial_theta_join" -> QueryDef(q53, Some(q53Sql)))
 }

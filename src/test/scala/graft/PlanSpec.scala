@@ -107,6 +107,13 @@ class PlanSpec extends SparkSuite {
       s"sample filter must sit on the scan stage:\n$p")
   }
 
+  test("q53: the naive distance theta-join is rewritten to an equi-join") {
+    val p = plan("q53_spatial_theta_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"SpatialJoinRewrite did not fire:\n$p")
+    assert(p.contains("HashJoin"), s"expected a hash equi-join:\n$p")
+  }
+
   test("whole-stage codegen spans cover the relational hot path") {
     // AQE finalizes the plan only on execution; codegen markers appear then
     val df = SparkEntry.queries("q01_pricing_summary")(spark, d)

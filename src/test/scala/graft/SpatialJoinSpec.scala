@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Geo, HaversineArgExpr}
+import graft.plans.SpatialJoinRewrite
+
+/** The distance theta-join rewrite (graft.plans.SpatialJoinRewrite).
+  *
+  * Ground truth is the SAME query expressed with the composed built-in
+  * [[Geo.haversineArg]] — the rule cannot match that form, so it executes
+  * as a genuine nested-loop join; [[HaversineArgExpr]] is bit-identical to
+  * it, so the rewritten plan must return the exact same pair set. The data
+  * deliberately covers the two classic under-coverage traps: the ±180°
+  * dateline (bin wrap) and high latitude (longitude fan-out must widen
+  * with 1/cos φ).
+  */
+class SpatialJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Deterministic probe points: a global spread, a cluster straddling the
+    * ±180° dateline, and a cluster inside the polar cap. */
+  private def points(n: Int, seed: Int): DataFrame = {
+    val k = col("id") * 7919 + seed * 131
+    spark.range(n.toLong).select(
+      col("id").cast("int").as(s"id$seed"),
+      (pmod(
+        when(col("id") % 2 === 0, (k % 3600).cast("double") / 10.0)
+          .otherwise(lit(176.0) + (k % 80).cast("double") / 10.0) + 180.0,
+        lit(360.0)) - 180.0).as(s"plon$seed"),
+      when(col("id") % 3 === 1, lit(83.0) + (k % 65).cast("double") / 10.0)
+        .otherwise((k % 1780).cast("double") / 10.0 - 89.0).as(s"plat$seed"))
+  }
+
+  private val c = { val s0 = math.sin(math.toRadians(6.0) / 2); s0 * s0 }
+
+  /** Pairs as a sorted MULTISET: a pmod-wrap bug that emits the same pair
+    * under two bin residues must fail this, not disappear into a Set. */
+  private def pairIds(filterExpr: (DataFrame, DataFrame) => DataFrame): Seq[(Int, Int)] = {
+    val a = points(150, 1)
+    val b = points(400, 2)
+    filterExpr(a, b).select(col("id1"), col("id2")).as[(Int, Int)].collect().toSeq.sorted
+  }
+
+  test("rewrite returns exactly the naive join's pairs (dateline + polar)") {
+    val naive = pairIds((a, b) => a.crossJoin(b).filter(
+      Geo.haversineArg($"plon1", $"plat1", $"plon2", $"plat2") < lit(c)))
+    val rewritten = pairIds((a, b) => a.crossJoin(b).filter(
+      HaversineArgExpr.havArg($"plon1", $"plat1", $"plon2", $"plat2") < lit(c)))
+    assert(naive.nonEmpty, "degenerate test: no pairs in radius")
+    assert(rewritten == naive,
+      s"missing=${(naive.diff(rewritten)).take(5)} extra=${(rewritten.diff(naive)).take(5)}")
+  }
+
+  test("the rewritten plan is an equi-join, not a nested loop") {
+    val a = points(150, 1)
+    val b = points(400, 2)
+    val q = a.crossJoin(b).filter(
+      HaversineArgExpr.havArg($"plon1", $"plat1", $"plon2", $"plat2") < lit(c))
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"theta-join not rewritten:\n$p")
+    assert(p.contains("HashJoin"), s"expected a hash equi-join:\n$p")
+  }
+
+  test("a plain cross join without the distance predicate is left alone") {
+    val a = points(10, 1)
+    val b = points(10, 2)
+    assert(a.crossJoin(b).count() == 100)
+  }
+
+  test("haversine_arg is registered as a SQL function via GraftExtensions") {
+    val v = spark.sql("SELECT haversine_arg(0D, 0D, 90D, 0D) AS h").as[Double].head()
+    assert(math.abs(v - 0.5) < 1e-12) // hav(90° of arc) = sin²(45°) = 1/2
+  }
+
+  test("SQL theta-join through the registered function is rewritten too") {
+    points(80, 1).createOrReplaceTempView("sj_a")
+    points(200, 2).createOrReplaceTempView("sj_b")
+    val q = spark.sql(
+      s"SELECT id1, id2 FROM sj_a JOIN sj_b ON haversine_arg(plon1, plat1, plon2, plat2) < $c")
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"SQL theta-join not rewritten:\n$p")
+    val naive = points(80, 1).crossJoin(points(200, 2)).filter(
+      Geo.haversineArg($"plon1", $"plat1", $"plon2", $"plat2") < lit(c))
+      .select($"id1", $"id2").as[(Int, Int)].collect().toSet
+    assert(q.as[(Int, Int)].collect().toSet == naive)
+  }
+
+  test("ensure() is idempotent on a plain session") {
+    SpatialJoinRewrite.ensure(spark)
+    SpatialJoinRewrite.ensure(spark)
+    assert(spark.experimental.extraOptimizations.count(_ == SpatialJoinRewrite) <= 1)
+  }
+}
