@@ -373,7 +373,153 @@ object TextQueries extends QueryModule {
        | min(doc_id) AS keep_id, count(*) AS n_docs
        |FROM documents GROUP BY 1 ORDER BY 2""".stripMargin
 
+  // ---- q54: Gopher-style repetition signals (intra-row, shuffle-free) ----
+  // Repeated-content quality filters for a pretraining corpus: fraction of
+  // repeated words and the multiplicity of the most-repeated word bigram.
+  // The whole computation is a narrow map of codegen'd array expressions —
+  // the top-bigram count avoids a per-bigram groupBy (a corpus-sized
+  // shuffle at 100 TB) by sorting the bigram array IN-ROW and taking the
+  // longest equal-run with one aggregate() scan. The DuckDB oracle computes
+  // the same statistics the straightforward unnest/groupBy way, proving
+  // the run-length trick equals the count-max semantics.
+  private def q54(s: SparkSession, d: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val bigrams = transform(sequence(lit(1), size(col("ws")) - 1),
+      i => concat(element_at(col("ws"), i), lit(" "), element_at(col("ws"), i + 1)))
+    val sortedBg = array_sort(col("bgs"))
+    val topRun = aggregate(sortedBg,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs(s, d)
+      .withColumn("ws", ws)
+      .filter(size(col("ws")) >= 2)
+      .withColumn("bgs", bigrams)
+      .select(col("doc_id"),
+        size(col("ws")).cast(LongType).as("n_words"),
+        size(array_distinct(col("ws"))).cast(LongType).as("n_distinct_words"),
+        topRun.cast(LongType).as("top_bigram_n"))
+      .withColumn("dup_word_pm",
+        expr("((n_words - n_distinct_words) * 1000) div n_words"))
+      .orderBy("doc_id")
+  }
+
+  private val q54Sql =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |words AS (SELECT doc_id, unnest(w) AS word FROM ws),
+      |wstats AS (
+      |  SELECT doc_id, count(*) AS n_words,
+      |    count(DISTINCT word) AS n_distinct_words
+      |  FROM words GROUP BY 1),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(w)),
+      |      i -> w[i] || ' ' || w[i + 1])) AS b
+      |  FROM ws),
+      |bgtop AS (
+      |  SELECT doc_id, max(c) AS top_bigram_n
+      |  FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT w.doc_id, w.n_words, w.n_distinct_words,
+      |  t.top_bigram_n AS top_bigram_n,
+      |  ((w.n_words - w.n_distinct_words) * 1000) // w.n_words AS dup_word_pm
+      |FROM wstats w JOIN bgtop t USING (doc_id) ORDER BY 1""".stripMargin
+
+  // ---- q55: PII / URL redaction (rule-based scrubbing) -------------------
+  // The synthetic corpus carries no addresses, so deterministic emails and
+  // URLs are INJECTED into a known subset of documents first; the scrub
+  // then counts and replaces them, and the oracle re-derives the identical
+  // redacted text — verified to the last character via the canonical char
+  // hash. Patterns stay inside the regex subset Java and RE2 interpret
+  // identically. One narrow map: no shuffle, no UDF.
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val UrlRe = "https?://[^ ]+"
+
+  private def q55(s: SparkSession, d: String): DataFrame = {
+    val aug = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com now"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" see https://site"), col("doc_id").cast("string"),
+          lit(".example.org/p ok"))).otherwise(lit("")))
+    docs(s, d)
+      .withColumn("aug", aug)
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("aug"), EmailRe, "<EMAIL>"),
+          UrlRe, "<URL>"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0)))
+          .cast(LongType).as("n_email"),
+        size(regexp_extract_all(col("aug"), lit(UrlRe), lit(0)))
+          .cast(LongType).as("n_url"),
+        length(col("redacted")).cast(LongType).as("redacted_len"),
+        T.charHash(col("redacted")).as("redacted_hash"))
+      .orderBy("doc_id")
+  }
+
+  private val q55Sql = {
+    val aug = "text || (CASE WHEN doc_id % 7 = 0 THEN ' contact user' || " +
+      "CAST(doc_id AS VARCHAR) || '@mail.example.com now' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 5 = 0 THEN ' see https://site' || " +
+      "CAST(doc_id AS VARCHAR) || '.example.org/p ok' ELSE '' END)"
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    s"""WITH aug AS (SELECT doc_id, $aug AS aug FROM documents),
+       |red AS (
+       |  SELECT doc_id, aug,
+       |    regexp_replace(regexp_replace(aug, '$email', '<EMAIL>', 'g'),
+       |      'https?://[^ ]+', '<URL>', 'g') AS redacted
+       |  FROM aug)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(aug, '$email')) AS n_email,
+       |  len(regexp_extract_all(aug, 'https?://[^ ]+')) AS n_url,
+       |  length(redacted) AS redacted_len,
+       |  ${T.sqlCharHash("redacted")} AS redacted_hash
+       |FROM red ORDER BY 1""".stripMargin
+  }
+
+  // ---- q56: stratified deterministic sampling (domain rebalancing) -------
+  // Training-data mixing: each source keeps a DIFFERENT target fraction
+  // (rebalance domains), decided per row by the same overflow-safe MINSTD
+  // hash as q48 — membership is a pure function of doc_id, reproducible on
+  // any engine, at any parallelism, and the predicate runs scan-side. The
+  // id-sum column makes the oracle sensitive to exact membership, not just
+  // realized counts.
+  private def q56(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("rate",
+        lit(5) + pmod(substring(col("source"), 4, 10).cast("int"), lit(3)) * 10)
+      .withColumn("keep",
+        pmod(pmod(col("doc_id") * 48271L, lit(2147483647L)), lit(100)) < col("rate"))
+      .groupBy(col("source"), col("rate"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("kept_id_sum"))
+      .orderBy("source")
+
+  private val q56Sql =
+    """SELECT source, rate, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+      |FROM (
+      |  SELECT source, doc_id,
+      |    5 + (CAST(substr(source, 4) AS INT) % 3) * 10 AS rate,
+      |    ((doc_id * 48271) % 2147483647) % 100
+      |      < 5 + (CAST(substr(source, 4) AS INT) % 3) * 10 AS keep
+      |  FROM documents)
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "q54_repetition_signals" -> QueryDef(q54, Some(q54Sql)),
+    "q55_pii_redaction" -> QueryDef(q55, Some(q55Sql)),
+    "q56_stratified_sample" -> QueryDef(q56, Some(q56Sql)),
     "q30_exact_dedup" -> QueryDef(q30, Some(q30Sql)),
     "q31_token_count" -> QueryDef(q31, Some(q31Sql)),
     "q32_quality_score" -> QueryDef(q32, Some(q32Sql)),
