@@ -172,6 +172,13 @@ object TextFns {
     u(_)
   }
 
+  /** text → sorted distinct k-shingle hashes as array<long> (the unpacked
+    * twin, for queries that explode the set into a join — q57). */
+  def shingleHashes(k: Int): Column => Column = {
+    val u = udf((text: String) => sortedHashes(text, k))
+    u(_)
+  }
+
   /** packed hashes → all K minhash signatures in one pass. */
   val minhashSigsPacked: Column => Column = {
     val u = udf((p: Array[Byte]) => {

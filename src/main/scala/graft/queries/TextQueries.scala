@@ -516,7 +516,101 @@ object TextQueries extends QueryModule {
       |  FROM documents)
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  // ---- q57: benchmark decontamination (n-gram overlap vs an eval set) ----
+  // The standard pretraining hygiene pass: flag corpus documents sharing
+  // word k-shingles with a held-out evaluation set. Here the eval set is a
+  // deterministic document subset (doc_id % 50 = 0); at production scale
+  // it is the benchmark suite — always orders of magnitude smaller than
+  // the corpus, so the eval shingle table BROADCASTS and the corpus is
+  // never shuffled: the whole pass is scan → narrow shingle map →
+  // broadcast semi-structured join → per-doc aggregate.
+  private val DecontamK = 3
+  private val EvalMod = 50
+
+  private def q57(s: SparkSession, d: String): DataFrame = {
+    val sh = docs(s, d).select(col("doc_id"),
+      T.shingleHashes(DecontamK)(col("text")).as("hs"))
+    val corp = sh.filter(col("doc_id") % EvalMod =!= 0)
+    val ev = sh.filter(col("doc_id") % EvalMod === 0)
+      .select(col("doc_id").as("eval_id"), explode(col("hs")).as("h"))
+    val hits = corp.select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(broadcast(ev), "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("hit0"),
+        countDistinct(col("eval_id")).as("ev0"))
+    corp.select(col("doc_id"), size(col("hs")).cast(LongType).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("hit0"), lit(0L)).as("n_hit"),
+        coalesce(col("ev0"), lit(0L)).as("n_eval_docs"))
+      .withColumn("contam_pm", expr("(n_hit * 1000) div n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  private val q57Sql = {
+    val hs = s"list_distinct(list_transform(" +
+      s"${T.sqlShingles(T.sqlTokens("text"), DecontamK)}, s -> ${T.sqlCharHash("s")}))"
+    s"""WITH sh AS (SELECT doc_id, $hs AS hs FROM documents),
+       |corp AS (SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id % $EvalMod <> 0),
+       |ev AS (SELECT doc_id AS eval_id, unnest(hs) AS h FROM sh
+       |       WHERE doc_id % $EvalMod = 0),
+       |hits AS (
+       |  SELECT c.doc_id, count(DISTINCT c.h) AS n_hit,
+       |    count(DISTINCT e.eval_id) AS n_eval_docs
+       |  FROM corp c JOIN ev e USING (h) GROUP BY 1),
+       |base AS (SELECT doc_id, len(hs) AS n_shingles FROM sh
+       |         WHERE doc_id % $EvalMod <> 0)
+       |SELECT b.doc_id, b.n_shingles,
+       |  coalesce(h.n_hit, 0) AS n_hit,
+       |  coalesce(h.n_eval_docs, 0) AS n_eval_docs,
+       |  (coalesce(h.n_hit, 0) * 1000) // b.n_shingles AS contam_pm
+       |FROM base b LEFT JOIN hits h USING (doc_id) ORDER BY 1""".stripMargin
+  }
+
+  // ---- q58: sequence packing (context-window assembly) -------------------
+  // Greedy concatenation packing as used to build fixed-length training
+  // sequences: within each source, documents in deterministic id order are
+  // laid end to end and a document belongs to the context window its FIRST
+  // token falls into. One window-function cumsum per source partition —
+  // no driver-side loop, no per-document state; sources pack
+  // independently, so at corpus scale the work spreads over the
+  // (source, pack) grid.
+  private val CtxTokens = 256
+
+  private def q58(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs(s, d)
+      .withColumn("n_tok", size(T.tokens(col("text"))).cast(LongType))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tok) div $CtxTokens"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "pack_id")
+  }
+
+  private val q58Sql =
+    s"""WITH t AS (
+       |  SELECT source, doc_id, len(${T.sqlTokens("text")}) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, doc_id, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT source, CAST((cum - n_tok) // $CtxTokens AS BIGINT) AS pack_id,
+       |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "q57_decontamination" -> QueryDef(q57, Some(q57Sql)),
+    "q58_sequence_packing" -> QueryDef(q58, Some(q58Sql)),
     "q54_repetition_signals" -> QueryDef(q54, Some(q54Sql)),
     "q55_pii_redaction" -> QueryDef(q55, Some(q55Sql)),
     "q56_stratified_sample" -> QueryDef(q56, Some(q56Sql)),
