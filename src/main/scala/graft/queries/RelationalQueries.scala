@@ -413,7 +413,81 @@ object RelationalQueries extends QueryModule {
        |      THEN 1 ELSE 0 END AS BIGINT) AS valid
        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q20: rollup / grouping-sets aggregation ---------------------------
+  // Beyond the reference (SURVEY §2.5 "not present"): hierarchical
+  // subtotals in ONE pass — Spark expands grouping sets before the
+  // exchange, so the shuffle still carries one partial buffer per
+  // (set × group), not one pass per level. Sentinels instead of
+  // grouping_id() keep the oracle engine-neutral (the group columns are
+  // never null in the data, so NULL unambiguously means "rolled up").
+  private def q20(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .withColumn("ng", pmod(col("c_custkey"), lit(5)))
+      .rollup(col("c_mktsegment"), col("ng"))
+      .agg(count(lit(1)).cast(LongType).as("n_cust"),
+        sum(FP.cents(col("c_acctbal"))).as("bal_c"))
+      .select(coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
+        coalesce(col("ng"), lit(-1L)).as("ng"),
+        col("n_cust"), col("bal_c"))
+      .orderBy("seg", "ng")
+
+  private val q20Sql =
+    s"""SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+       |  CAST(coalesce(ng, -1) AS BIGINT) AS ng,
+       |  count(*) AS n_cust,
+       |  CAST(sum(${FP.sqlCents("c_acctbal")}) AS BIGINT) AS bal_c
+       |FROM (SELECT *, c_custkey % 5 AS ng FROM customer)
+       |GROUP BY ROLLUP (c_mktsegment, ng) ORDER BY 1, 2""".stripMargin
+
+  // ---- q21: interval/range join via bin keys -----------------------------
+  // The 1-D analog of the spatial bin join (J1): lineitems fall in ONE
+  // day-bin; promotion periods explode to the bins they overlap (≤ 2 at
+  // bin width = max period length); the sides meet in an equi-join and the
+  // exact BETWEEN predicate filters after. Neither side is ever
+  // nested-loop scanned — the same shape that lets two LARGE tables range-
+  // join at 100 TB, where a broadcast BNLJ cannot. The oracle is the
+  // naive BETWEEN join.
+  private val DayBinW = 90
+
+  private def q21(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      datediff(col("l_shipdate"), lit("1992-01-01").cast("date")).as("day"),
+      col("l_extendedprice"))
+      .withColumn("bin", expr(s"day div $DayBinW"))
+    val periods = s.range(50).select(
+      col("id").as("period_id"),
+      (pmod(col("id") * 37, lit(2000)) + 1100).as("start_day"))
+      .withColumn("end_day",
+        col("start_day") + 30 + pmod(col("period_id"), lit(5)) * 15)
+    val exploded = periods.withColumn("bin",
+      explode(sequence(expr(s"start_day div $DayBinW"), expr(s"end_day div $DayBinW"))))
+    li.join(exploded, "bin")
+      .filter(col("day").between(col("start_day"), col("end_day")))
+      .groupBy(col("period_id"), col("start_day"), col("end_day"))
+      .agg(count(lit(1)).cast(LongType).as("n_items"),
+        sum(FP.cents(col("l_extendedprice"))).as("price_c"))
+      .orderBy("period_id")
+  }
+
+  private val q21Sql =
+    """WITH li AS (
+      |  SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS day,
+      |    l_extendedprice
+      |  FROM lineitem),
+      |periods AS (
+      |  SELECT id AS period_id, (id * 37) % 2000 + 1100 AS start_day,
+      |    (id * 37) % 2000 + 1100 + 30 + (id % 5) * 15 AS end_day
+      |  FROM range(0, 50) t(id))
+      |SELECT period_id, CAST(start_day AS BIGINT) AS start_day,
+      |  CAST(end_day AS BIGINT) AS end_day,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(round((l_extendedprice)*100) AS BIGINT)) AS BIGINT) AS price_c
+      |FROM li JOIN periods ON day BETWEEN start_day AND end_day
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "q20_rollup" -> QueryDef(q20, Some(q20Sql)),
+    "q21_range_join" -> QueryDef(q21, Some(q21Sql)),
     "q01_pricing_summary" -> QueryDef(q01, Some(q01Sql)),
     "q02_filter_project" -> QueryDef(q02, Some(q02Sql)),
     "q03_dict_join" -> QueryDef(q03, Some(q03Sql)),
