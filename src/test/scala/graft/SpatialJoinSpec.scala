@@ -89,6 +89,35 @@ class SpatialJoinSpec extends SparkSuite {
     assert(q.as[(Int, Int)].collect().toSet == naive)
   }
 
+  test("randomized radii and point clouds: rewritten == naive, both explode sides") {
+    val rnd = new scala.util.Random(20260812L)
+    // forced edge cases: exact poles, exact dateline, equator/meridian zero
+    val edge = Seq((-180.0, 90.0), (180.0, -90.0), (-180.0, -90.0),
+      (0.0, 0.0), (179.999, 89.5), (-179.999, -89.5))
+    def cloud(n: Int): Seq[(Double, Double)] =
+      edge ++ Seq.fill(n - edge.size)(
+        (rnd.nextDouble() * 360.0 - 180.0, rnd.nextDouble() * 180.0 - 90.0))
+    for (trial <- 0 until 5) {
+      val radiusDeg = Seq(0.7, 3.0, 11.0, 28.0, 55.0)(trial)
+      val cc = { val sh = math.sin(math.toRadians(radiusDeg) / 2); sh * sh }
+      // alternate which side is bigger so both explode-left and
+      // explode-right paths of the rule run
+      val (na, nb) = if (trial % 2 == 0) (60, 220) else (220, 60)
+      val a = cloud(na).zipWithIndex.map { case ((lo, la), i) => (i, lo, la) }
+        .toDF("id1", "plon1", "plat1")
+      val b = cloud(nb).zipWithIndex.map { case ((lo, la), i) => (i, lo, la) }
+        .toDF("id2", "plon2", "plat2")
+      val naive = a.crossJoin(b).filter(
+        Geo.haversineArg($"plon1", $"plat1", $"plon2", $"plat2") < lit(cc))
+        .select($"id1", $"id2").as[(Int, Int)].collect().toSeq.sorted
+      val rew = a.crossJoin(b).filter(
+        HaversineArgExpr.havArg($"plon1", $"plat1", $"plon2", $"plat2") < lit(cc))
+        .select($"id1", $"id2").as[(Int, Int)].collect().toSeq.sorted
+      assert(rew == naive, s"radius=$radiusDeg: " +
+        s"missing=${naive.diff(rew).take(5)} extra=${rew.diff(naive).take(5)}")
+    }
+  }
+
   test("ensure() is idempotent on a plain session") {
     SpatialJoinRewrite.ensure(spark)
     SpatialJoinRewrite.ensure(spark)
