@@ -422,7 +422,13 @@ object Atlas {
     u(_, _, _, _)
   }
 
-  private[argo] def aggTS(pairs: DataFrame): DataFrame =
+  /** Per-cell weighted CT/SR means over a pair set (A1). Public because it
+    * is also the INCREMENTAL form: `pairs` may be a streaming DataFrame —
+    * the fixed-point packed buffers become streaming aggregation state and
+    * the maintained result is bit-identical to a batch recompute
+    * (StreamingSpec), which the reference's rescan-the-world atlas
+    * (atlas.py:531-563) has no analog of. */
+  def aggTS(pairs: DataFrame): DataFrame =
     pairs.groupBy(col("gi"), col("gj"), col("glon"), col("glat"))
       .agg(udaf(new ProfileMeanPacked2,
         ExpressionEncoder[(Double, Array[Byte])]())

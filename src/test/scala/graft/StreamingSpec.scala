@@ -15,6 +15,11 @@ import graft.streaming.EventStreams
 case class Ev(ts: Long, user_id: Long, event_type: String, value: Double,
               props: String = "{}")
 
+/** Minimal profile row for the incremental-atlas test (the columns
+  * [[graft.argo.Atlas.pairs]] touches). */
+case class StreamProf(LONGITUDE: Double, LATITUDE: Double, FLAG: Int,
+                      DATA_MODE: Int, CT: Seq[Float], SR: Seq[Float], IDX: Seq[Byte])
+
 class StreamingSpec extends SparkSuite {
   import spark.implicits._
 
@@ -129,6 +134,51 @@ class StreamingSpec extends SparkSuite {
       assert(streamed === batch)
       assert(batch.nonEmpty)
       assert(batch.exists(_._3 > 1), "fixture must contain duplicates")
+    } finally sq.stop()
+  }
+
+  test("incremental atlas: streaming climTS aggregation equals batch EXACTLY") {
+    // The reference recomputes its atlas from a full rescan
+    // (/root/reference/src/argostats/atlas.py:531-563). Here the SAME
+    // production operators — crop, pack, binned broadcast join, the
+    // fixed-point ProfileMeanPacked2 aggregator — run unchanged as a
+    // Structured Streaming query: profiles arrive in micro-batches, the
+    // per-cell packed buffers are the streaming state, and because every
+    // contribution is fixed-point (order-independent), the incrementally
+    // maintained atlas is BIT-identical to the batch one, not just close.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamProf]
+    val profs: Seq[StreamProf] = (0 until 240).map { i =>
+      val amp = 10.0f + (i % 7)
+      StreamProf(
+        LONGITUDE = -18.0 + (i * 7919 % 3500) / 100.0,
+        LATITUDE = -18.0 + (i * 104729 % 2600) / 100.0,
+        FLAG = if (i % 11 == 0) 0 else 1, // some rows fail the QC gate
+        DATA_MODE = 1,
+        CT = (0 until 64).map(k => amp * math.exp(-k / 20.0).toFloat),
+        SR = (0 until 64).map(k => 35.0f + 0.01f * ((i + k) % 13)),
+        IDX = (0 until 64).map(k => if (k < 50 || i % 3 == 0) 1.toByte else 0.toByte))
+    }
+    val atlas = new graft.argo.Atlas(box = (-20.0, 20.0, -20.0, 10.0), reso = 5.0)
+    val sq = graft.argo.Atlas.aggTS(atlas.pairs(spark, mem.toDF()))
+      .writeStream.format("memory").queryName("atlas_stream")
+      .outputMode("complete")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt5").toString)
+      .start()
+    try {
+      mem.addData(profs.take(100))
+      sq.processAllAvailable()
+      mem.addData(profs.drop(100))
+      sq.processAllAvailable()
+      val streamed = spark.table("atlas_stream")
+        .select($"gi", $"gj", $"CT_m", $"SR_m")
+        .as[(Int, Int, Seq[Float], Seq[Float])].collect().toSet
+      val batch = graft.argo.Atlas.aggTS(atlas.pairs(spark, profs.toDF()))
+        .select($"gi", $"gj", $"CT_m", $"SR_m")
+        .as[(Int, Int, Seq[Float], Seq[Float])].collect().toSet
+      assert(streamed === batch)
+      assert(batch.size > 20, s"degenerate atlas: ${batch.size} cells")
     } finally sq.stop()
   }
 
