@@ -38,6 +38,89 @@ object Media {
     }
   }
 
+  /** REAL image decoder: netpbm binary PGM ("P5"), parsed from the public
+    * format spec with no external codec — magic, optional `#` comment
+    * lines, whitespace-separated width/height/maxval, then one raw byte
+    * per pixel. Exists so at least one media path exercises the plumbing
+    * with a genuine decode (header parsing, dimension extraction, pixel
+    * access), not a checksum stand-in; container formats whose codecs are
+    * not in this environment stay behind [[StubDecoder]]. */
+  final class PgmDecoder {
+    /** @return (width, height, maxval, pixel bytes) */
+    def decode(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+      require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '5',
+        "not a binary PGM (P5) payload")
+      var pos = 2
+      def skipWs(): Unit = {
+        var done = false
+        while (!done && pos < bytes.length) {
+          val b = bytes(pos)
+          if (b == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+          else if (b == ' ' || b == '\n' || b == '\r' || b == '\t') pos += 1
+          else done = true
+        }
+      }
+      def int(): Int = {
+        skipWs()
+        var v = 0
+        require(pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9',
+          s"malformed PGM header at byte $pos")
+        while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+          v = v * 10 + (bytes(pos) - '0'); pos += 1
+        }
+        v
+      }
+      val w = int(); val h = int(); val maxval = int()
+      pos += 1 // exactly one whitespace byte separates maxval from pixels
+      require(bytes.length >= pos + w * h, s"truncated PGM: ${bytes.length} < ${pos + w * h}")
+      (w, h, maxval, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h))
+    }
+  }
+
+  /** Encode a grayscale image as binary PGM (the inverse of [[PgmDecoder]];
+    * used by tests/queries to synthesize real payloads). */
+  def encodePgm(w: Int, h: Int, pixel: Int => Int): Array[Byte] = {
+    val header = s"P5\n# graft synthetic\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < w * h) { out(header.length + i) = pixel(i).toByte; i += 1 }
+    out
+  }
+
+  /** Real image features through the production batch shape: decoder init
+    * once per partition, typed rows, no RDD barrier. Emits true dimensions,
+    * total luminance, and a 4×4 nearest-neighbor thumbnail signature
+    * (Σ pixel·(position+1) — sensitive to both values and placement). */
+  def imageFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        val decoder = new PgmDecoder // once per partition
+        iter.map { case (id, bytes) =>
+          val (w, h, _, px) = decoder.decode(bytes)
+          var luma = 0L
+          var i = 0
+          while (i < px.length) { luma += px(i) & 0xff; i += 1 }
+          var thumb = 0L
+          var r = 0
+          while (r < 4) {
+            var c = 0
+            while (c < 4) {
+              val p = px((r * h / 4) * w + (c * w / 4)) & 0xff
+              thumb += p.toLong * (r * 4 + c + 1)
+              c += 1
+            }
+            r += 1
+          }
+          (id, w.toLong, h.toLong, luma, thumb)
+        }
+      }
+      .toDF("doc_id", "width", "height", "luma_sum", "thumb_sum")
+  }
+
   /** Per-partition feature extraction over (doc_id, media) rows: decoder
     * init amortized across the partition. */
   def decodeFeatures(media: DataFrame): DataFrame = {

@@ -161,7 +161,39 @@ object StreamMultimodalQueries extends QueryModule {
       |    AS BIGINT) AS checksum
       |FROM documents ORDER BY 1""".stripMargin
 
+  // ---- q93: REAL image decode (netpbm P5) --------------------------------
+  // The payload is a genuine binary PGM file synthesized per document
+  // (header with a comment line + raw pixel bytes); the Spark side
+  // round-trips it through the real parser (Media.PgmDecoder) and emits
+  // true dimensions, total luminance, and a 4×4 nearest-neighbor
+  // thumbnail signature. The oracle recomputes ground truth from the
+  // generator's arithmetic — so a parser that misreads the header, skips
+  // comments wrong, or indexes pixels off-by-one cannot match.
+  private def q93(s: SparkSession, d: String): DataFrame = {
+    val enc = udf((id: Long) => {
+      val w = (8 + id % 9).toInt
+      val h = (8 + id % 7).toInt
+      Media.encodePgm(w, h, i => ((i.toLong * 31 + id) % 256).toInt)
+    })
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), enc(col("doc_id")).as("media"))
+    Media.imageFeatures(media).orderBy("doc_id")
+  }
+
+  private val q93Sql =
+    """WITH dims AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      |  FROM documents)
+      |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(list_sum(list_transform(range(0, w * h),
+      |    i -> (i * 31 + doc_id) % 256)) AS BIGINT) AS luma_sum,
+      |  CAST(list_sum(list_transform(range(0, 16),
+      |    t -> ((((t // 4) * h) // 4 * w + ((t % 4) * w) // 4) * 31 + doc_id)
+      |           % 256 * (t + 1))) AS BIGINT) AS thumb_sum
+      |FROM dims ORDER BY 1""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "q93_image_decode" -> QueryDef(q93, Some(q93Sql)),
     "q80_windowed_events" -> QueryDef(q80, Some(q80Sql)),
     "q81_user_activity" -> QueryDef(q81, Some(q81Sql)),
     "q82_sessionize" -> QueryDef(q82, Some(q82Sql)),
