@@ -121,6 +121,90 @@ object Media {
       .toDF("doc_id", "width", "height", "luma_sum", "thumb_sum")
   }
 
+  /** REAL audio decoder: RIFF/WAVE PCM, parsed from the public format
+    * spec — RIFF container walk (arbitrary chunk order, unknown chunks
+    * skipped by their declared size), fmt validation, 16-bit little-endian
+    * mono samples. The audio twin of [[PgmDecoder]]. */
+  final class WavDecoder {
+    /** @return (sampleRate, samples) for PCM16 mono. */
+    def decode(bytes: Array[Byte]): (Int, Array[Short]) = {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(off: Int): String =
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+        "not a RIFF/WAVE payload")
+      var pos = 12
+      var sampleRate = -1
+      var samples: Array[Short] = null
+      while (pos + 8 <= bytes.length) {
+        val id = tag(pos)
+        val size = bb.getInt(pos + 4)
+        require(size >= 0 && pos + 8 + size <= bytes.length,
+          s"chunk $id overruns the payload")
+        id match {
+          case "fmt " =>
+            require(bb.getShort(pos + 8) == 1, "only PCM (format 1) supported")
+            require(bb.getShort(pos + 10) == 1, "only mono supported")
+            sampleRate = bb.getInt(pos + 12)
+            require(bb.getShort(pos + 22) == 16, "only 16-bit supported")
+          case "data" =>
+            samples = new Array[Short](size / 2)
+            var i = 0
+            while (i < samples.length) { samples(i) = bb.getShort(pos + 8 + 2 * i); i += 1 }
+          case _ => // skip unknown chunks (LIST, cue, ...) by declared size
+        }
+        pos += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      require(sampleRate > 0 && samples != null, "missing fmt or data chunk")
+      (sampleRate, samples)
+    }
+  }
+
+  /** Encode PCM16 mono as RIFF/WAVE (inverse of [[WavDecoder]]; includes a
+    * LIST chunk before fmt so decoders must genuinely walk the container). */
+  def encodeWav(sampleRate: Int, sample: Int => Int, n: Int): Array[Byte] = {
+    val info = "graft".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val listSize = info.length + (info.length & 1)
+    val total = 12 + (8 + listSize) + (8 + 16) + (8 + 2 * n)
+    val bb = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(s: String): Unit = bb.put(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    tag("RIFF"); bb.putInt(total - 8); tag("WAVE")
+    tag("LIST"); bb.putInt(info.length); bb.put(info)
+    if ((info.length & 1) == 1) bb.put(0.toByte)
+    tag("fmt "); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(sampleRate)
+    bb.putInt(sampleRate * 2); bb.putShort(2); bb.putShort(16)
+    tag("data"); bb.putInt(2 * n)
+    var i = 0
+    while (i < n) { bb.putShort(sample(i).toShort); i += 1 }
+    bb.array()
+  }
+
+  /** Real audio features: sample count, rate, total |amplitude|, peak. */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        val decoder = new WavDecoder // once per partition
+        iter.map { case (id, bytes) =>
+          val (rate, px) = decoder.decode(bytes)
+          var sumAbs = 0L
+          var peak = 0L
+          var i = 0
+          while (i < px.length) {
+            val a = math.abs(px(i).toLong)
+            sumAbs += a
+            if (a > peak) peak = a
+            i += 1
+          }
+          (id, rate.toLong, px.length.toLong, sumAbs, peak)
+        }
+      }
+      .toDF("doc_id", "sample_rate", "n_samples", "sum_abs", "peak")
+  }
+
   /** Per-partition feature extraction over (doc_id, media) rows: decoder
     * init amortized across the partition. */
   def decodeFeatures(media: DataFrame): DataFrame = {

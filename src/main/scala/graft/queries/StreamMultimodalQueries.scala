@@ -192,8 +192,36 @@ object StreamMultimodalQueries extends QueryModule {
       |           % 256 * (t + 1))) AS BIGINT) AS thumb_sum
       |FROM dims ORDER BY 1""".stripMargin
 
+  // ---- q94: REAL audio decode (RIFF/WAVE PCM16) --------------------------
+  // Genuine WAV payloads (RIFF container with a LIST chunk before fmt, so
+  // the parser must walk chunks by declared size, not assume a fixed
+  // layout); the oracle recomputes ground truth from the sample
+  // generator's arithmetic. Sample i of doc d: ((i*7 + d*13) % 4096) −
+  // 2048 — spans negative and positive amplitudes, so sum_abs and peak
+  // catch sign-extension mistakes in the 16-bit decode.
+  private def q94(s: SparkSession, d: String): DataFrame = {
+    val enc = udf((id: Long) => {
+      val n = (100 + id % 97).toInt
+      Media.encodeWav(16000, i => (((i.toLong * 7 + id * 13) % 4096) - 2048).toInt, n)
+    })
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), enc(col("doc_id")).as("media"))
+    Media.audioFeatures(media).orderBy("doc_id")
+  }
+
+  private val q94Sql =
+    """WITH d AS (SELECT doc_id, 100 + doc_id % 97 AS n FROM documents)
+      |SELECT doc_id, CAST(16000 AS BIGINT) AS sample_rate,
+      |  CAST(n AS BIGINT) AS n_samples,
+      |  CAST(list_sum(list_transform(range(0, n),
+      |    i -> abs((i * 7 + doc_id * 13) % 4096 - 2048))) AS BIGINT) AS sum_abs,
+      |  CAST(list_max(list_transform(range(0, n),
+      |    i -> abs((i * 7 + doc_id * 13) % 4096 - 2048))) AS BIGINT) AS peak
+      |FROM d ORDER BY 1""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
     "q93_image_decode" -> QueryDef(q93, Some(q93Sql)),
+    "q94_audio_decode" -> QueryDef(q94, Some(q94Sql)),
     "q80_windowed_events" -> QueryDef(q80, Some(q80Sql)),
     "q81_user_activity" -> QueryDef(q81, Some(q81Sql)),
     "q82_sessionize" -> QueryDef(q82, Some(q82Sql)),
