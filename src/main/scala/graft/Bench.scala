@@ -18,14 +18,14 @@ object Bench {
     catch { case _: Throwable => }
     Warmup.run() // C2-compile the numeric kernels (shared JVM in local mode)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    // repeats: report the fastest — steady-state timing. The default
+    // of 2 absorbs per-query codegen compilation and host-level CPU
+    // noise (observed 2x run-to-run on shared hardware); the first
+    // run's cost is real but measures the JIT, not the plan.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .map { case (name, fn) =>
-        // repeats: report the fastest — steady-state timing. The default
-        // of 2 absorbs per-query codegen compilation and host-level CPU
-        // noise (observed 2x run-to-run on shared hardware); the first
-        // run's cost is real but measures the JIT, not the plan.
-        val reps = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
         def rep(): (Double, Long) = {
           val t0 = System.nanoTime()
           val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }

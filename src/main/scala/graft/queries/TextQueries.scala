@@ -470,16 +470,15 @@ object TextQueries extends QueryModule {
       "CAST(doc_id AS VARCHAR) || '@mail.example.com now' ELSE '' END) || " +
       "(CASE WHEN doc_id % 5 = 0 THEN ' see https://site' || " +
       "CAST(doc_id AS VARCHAR) || '.example.org/p ok' ELSE '' END)"
-    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
     s"""WITH aug AS (SELECT doc_id, $aug AS aug FROM documents),
        |red AS (
        |  SELECT doc_id, aug,
-       |    regexp_replace(regexp_replace(aug, '$email', '<EMAIL>', 'g'),
-       |      'https?://[^ ]+', '<URL>', 'g') AS redacted
+       |    regexp_replace(regexp_replace(aug, '$EmailRe', '<EMAIL>', 'g'),
+       |      '$UrlRe', '<URL>', 'g') AS redacted
        |  FROM aug)
        |SELECT doc_id,
-       |  len(regexp_extract_all(aug, '$email')) AS n_email,
-       |  len(regexp_extract_all(aug, 'https?://[^ ]+')) AS n_url,
+       |  len(regexp_extract_all(aug, '$EmailRe')) AS n_email,
+       |  len(regexp_extract_all(aug, '$UrlRe')) AS n_url,
        |  length(redacted) AS redacted_len,
        |  ${T.sqlCharHash("redacted")} AS redacted_hash
        |FROM red ORDER BY 1""".stripMargin

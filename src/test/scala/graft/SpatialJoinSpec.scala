@@ -35,22 +35,30 @@ class SpatialJoinSpec extends SparkSuite {
 
   private val c = { val s0 = math.sin(math.toRadians(6.0) / 2); s0 * s0 }
 
-  /** Pairs as a sorted MULTISET: a pmod-wrap bug that emits the same pair
-    * under two bin residues must fail this, not disappear into a Set. */
-  private def pairIds(filterExpr: (DataFrame, DataFrame) => DataFrame): Seq[(Int, Int)] = {
-    val a = points(150, 1)
-    val b = points(400, 2)
-    filterExpr(a, b).select(col("id1"), col("id2")).as[(Int, Int)].collect().toSeq.sorted
+  /** Pairs under a predicate, as a sorted MULTISET: a pmod-wrap bug that
+    * emits the same pair under two bin residues must fail the comparison,
+    * not disappear into a Set. */
+  private def pairs(a: DataFrame, b: DataFrame,
+                    pred: org.apache.spark.sql.Column): Seq[(Int, Int)] =
+    a.crossJoin(b).filter(pred)
+      .select(col("id1"), col("id2")).as[(Int, Int)].collect().toSeq.sorted
+
+  /** Assert the rewritten form (native expr, rule fires) returns the exact
+    * pair multiset of the naive form (composed built-ins, unrewritable). */
+  private def assertSameAsNaive(a: DataFrame, b: DataFrame, cc: Double,
+                                label: String): Seq[(Int, Int)] = {
+    val naive = pairs(a, b,
+      Geo.haversineArg($"plon1", $"plat1", $"plon2", $"plat2") < lit(cc))
+    val rew = pairs(a, b,
+      HaversineArgExpr.havArg($"plon1", $"plat1", $"plon2", $"plat2") < lit(cc))
+    assert(rew == naive, s"$label: missing=${naive.diff(rew).take(5)} " +
+      s"extra=${rew.diff(naive).take(5)}")
+    naive
   }
 
   test("rewrite returns exactly the naive join's pairs (dateline + polar)") {
-    val naive = pairIds((a, b) => a.crossJoin(b).filter(
-      Geo.haversineArg($"plon1", $"plat1", $"plon2", $"plat2") < lit(c)))
-    val rewritten = pairIds((a, b) => a.crossJoin(b).filter(
-      HaversineArgExpr.havArg($"plon1", $"plat1", $"plon2", $"plat2") < lit(c)))
+    val naive = assertSameAsNaive(points(150, 1), points(400, 2), c, "base clouds")
     assert(naive.nonEmpty, "degenerate test: no pairs in radius")
-    assert(rewritten == naive,
-      s"missing=${(naive.diff(rewritten)).take(5)} extra=${(rewritten.diff(naive)).take(5)}")
   }
 
   test("the rewritten plan is an equi-join, not a nested loop") {
@@ -107,14 +115,7 @@ class SpatialJoinSpec extends SparkSuite {
         .toDF("id1", "plon1", "plat1")
       val b = cloud(nb).zipWithIndex.map { case ((lo, la), i) => (i, lo, la) }
         .toDF("id2", "plon2", "plat2")
-      val naive = a.crossJoin(b).filter(
-        Geo.haversineArg($"plon1", $"plat1", $"plon2", $"plat2") < lit(cc))
-        .select($"id1", $"id2").as[(Int, Int)].collect().toSeq.sorted
-      val rew = a.crossJoin(b).filter(
-        HaversineArgExpr.havArg($"plon1", $"plat1", $"plon2", $"plat2") < lit(cc))
-        .select($"id1", $"id2").as[(Int, Int)].collect().toSeq.sorted
-      assert(rew == naive, s"radius=$radiusDeg: " +
-        s"missing=${naive.diff(rew).take(5)} extra=${rew.diff(naive).take(5)}")
+      assertSameAsNaive(a, b, cc, s"radius=$radiusDeg")
     }
   }
 
@@ -128,14 +129,8 @@ class SpatialJoinSpec extends SparkSuite {
     val a = Seq((1, 0.0, 89.95), (2, 10.0, 45.0)).toDF("id1", "plon1", "plat1")
     val b = Seq((1, 170.0, 89.99), (2, 10.02, 45.0), (3, -179.0, 89.97))
       .toDF("id2", "plon2", "plat2")
-    val naive = a.crossJoin(b).filter(
-      Geo.haversineArg($"plon1", $"plat1", $"plon2", $"plat2") < lit(cc))
-      .select($"id1", $"id2").as[(Int, Int)].collect().toSeq.sorted
-    val rew = a.crossJoin(b).filter(
-      HaversineArgExpr.havArg($"plon1", $"plat1", $"plon2", $"plat2") < lit(cc))
-      .select($"id1", $"id2").as[(Int, Int)].collect().toSeq.sorted
+    val naive = assertSameAsNaive(a, b, cc, "polar 0.1-degree radius")
     assert(naive.contains((1, 1)), "fixture must contain a cross-polar in-radius pair")
-    assert(rew == naive, s"missing=${naive.diff(rew)} extra=${rew.diff(naive)}")
   }
 
   test("ensure() is idempotent on a plain session") {
