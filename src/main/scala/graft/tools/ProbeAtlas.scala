@@ -21,6 +21,7 @@ object ProbeAtlas {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.Warmup.run() // C2-compile the kernels, as Bench does
     val profiles = graft.queries.ArgoQueries.profilesProbe(spark, sfDir)
     val atlas = new Atlas(box = (-20.0, 50.0, -50.0, -20.0), reso = 5.0)
     (1 to 2).foreach { rep =>
