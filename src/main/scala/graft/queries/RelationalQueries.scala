@@ -485,7 +485,34 @@ object RelationalQueries extends QueryModule {
       |FROM li JOIN periods ON day BETWEEN start_day AND end_day
       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
 
+  // ---- q23: set operations (INTERSECT / EXCEPT, beyond the reference) ----
+  // SURVEY §2.7: the reference has only union-all; intersect/except come
+  // free from Spark and are exposed here. Customers that placed orders in
+  // BOTH years vs ONLY the first year — each branch is a distinct-set
+  // operator (semantics = INTERSECT/EXCEPT DISTINCT in both engines).
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    def buyers(yr: Int) = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === yr)
+      .select(col("o_custkey"))
+    val both = buyers(1996).intersect(buyers(1997))
+      .select(col("o_custkey"), lit("both").as("cohort"))
+    val only96 = buyers(1996).except(buyers(1997))
+      .select(col("o_custkey"), lit("only_1996").as("cohort"))
+    both.unionByName(only96).orderBy("cohort", "o_custkey")
+  }
+
+  private val q23Sql =
+    """WITH b96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+      |b97 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+      |SELECT o_custkey, 'both' AS cohort
+      |FROM (SELECT o_custkey FROM b96 INTERSECT SELECT o_custkey FROM b97)
+      |UNION ALL
+      |SELECT o_custkey, 'only_1996' AS cohort
+      |FROM (SELECT o_custkey FROM b96 EXCEPT SELECT o_custkey FROM b97)
+      |ORDER BY cohort, o_custkey""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "q23_set_ops" -> QueryDef(q23, Some(q23Sql)),
     "q20_rollup" -> QueryDef(q20, Some(q20Sql)),
     "q21_range_join" -> QueryDef(q21, Some(q21Sql)),
     "q01_pricing_summary" -> QueryDef(q01, Some(q01Sql)),
