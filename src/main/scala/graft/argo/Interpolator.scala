@@ -123,11 +123,15 @@ object Interpolator {
     n + (if (ct.nonEmpty) ct(0) else 0.0f) + (if (sr.nonEmpty) sr(NLevels - 1) else 0.0f)
   }
 
+  // Primitive Array parameters, NOT Seq: the Seq signature makes Spark box
+  // every element on the way in (4×120 boxed doubles per profile) — with
+  // Array[Double] the converter is a bulk UnsafeArrayData.toDoubleArray
+  // copy. Same for the float outputs. IDX stays Seq[Byte]: Array[Byte]
+  // would map to BinaryType, not the schema's array<tinyint>.
   private def interpUdf(algo: Int, eos: SeawaterEos) = udf(
-    (pres: Seq[Double], temp: Seq[Double], psal: Seq[Double], qc: Seq[Double]) => {
-      val (n, ct, sr, ix) = interpolateProfile(
-        pres.toArray, temp.toArray, psal.toArray, qc.toArray, eos, algo)
-      (n, ct.toSeq, sr.toSeq, ix.toSeq)
+    (pres: Array[Double], temp: Array[Double], psal: Array[Double], qc: Array[Double]) => {
+      val (n, ct, sr, ix) = interpolateProfile(pres, temp, psal, qc, eos, algo)
+      (n, ct, sr, ix.toSeq)
     })
 
   /** S3: adjusted-variable resolution — a float uses `*_ADJUSTED` columns

@@ -20,9 +20,17 @@ object ArgoQueries extends QueryModule {
   /** Deterministic raw per-profile metadata from orders. */
   private[graft] def rawHeaderProbe(s: SparkSession, d: String): DataFrame = rawHeader(s, d)
   private[graft] def samplesProbe(summary: DataFrame): DataFrame = samples(summary)
-  private[graft] def profilesProbe(s: SparkSession, d: String): DataFrame = {
-    val summary = SummaryBuilder.build(s, rawHeader(s, d))
-    Interpolator.interpolate(samples(summary), summary)
+  private[graft] def profilesProbe(s: SparkSession, d: String): DataFrame = pipeline(s, d)._2
+
+  /** Stage-1 summary + stage-2 profiles. The summary is PERSISTED: both
+    * the sample generator and the header join consume it, and without a
+    * materialization Spark recomputes the whole scan→window→dict-join
+    * subtree twice per query — the reference stores stage 1's output on
+    * disk for exactly this reason (toctools.py:72-83). One ~600 B/row
+    * frame; eviction is LRU if a long session accumulates them. */
+  private def pipeline(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val summary = SummaryBuilder.build(s, rawHeader(s, d)).persist()
+    (summary, Interpolator.interpolate(samples(summary), summary))
   }
   private def rawHeader(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -55,8 +63,7 @@ object ArgoQueries extends QueryModule {
 
   // ---- q70: summary + interpolation end-to-end ---------------------------
   private def q70(s: SparkSession, d: String): DataFrame = {
-    val summary = SummaryBuilder.build(s, rawHeader(s, d))
-    Interpolator.interpolate(samples(summary), summary)
+    pipeline(s, d)._2
       .select(col("WMO"), col("IPROF"), col("NVALUES"),
         col("LATITUDE"), col("LONGITUDE"),
         element_at(col("CT"), 1).as("ct_surf"),
@@ -65,8 +72,7 @@ object ArgoQueries extends QueryModule {
 
   // ---- q71: the full three-stage pipeline into an atlas ------------------
   private def q71(s: SparkSession, d: String): DataFrame = {
-    val summary = SummaryBuilder.build(s, rawHeader(s, d))
-    val profiles = Interpolator.interpolate(samples(summary), summary)
+    val profiles = pipeline(s, d)._2
     val atlas = new Atlas(box = (-20.0, 50.0, -50.0, -20.0), reso = 5.0)
     // no orderBy: rows-only check, and a global sort's range-sampling pass
     // would re-execute the whole aggregation subtree just to pick splits
@@ -76,8 +82,7 @@ object ArgoQueries extends QueryModule {
 
   // ---- q72/q73: the two-pass EAPE aggregation (A2 R14 / A3 T25) ----------
   private def eape(algo: String)(s: SparkSession, d: String): DataFrame = {
-    val summary = SummaryBuilder.build(s, rawHeader(s, d))
-    val profiles = Interpolator.interpolate(samples(summary), summary)
+    val profiles = pipeline(s, d)._2
     val atlas = new Atlas(box = (-20.0, 50.0, -50.0, -20.0), reso = 5.0)
     atlas.climEAPE(s, profiles, algo = algo)
       .filter(col("SIGSTAR") =!= 0.0f)
@@ -89,8 +94,7 @@ object ArgoQueries extends QueryModule {
   // cell BEFORE the neighbor explode and join, so land cells never
   // produce join work at all.
   private def q74(s: SparkSession, d: String): DataFrame = {
-    val summary = SummaryBuilder.build(s, rawHeader(s, d))
-    val profiles = Interpolator.interpolate(samples(summary), summary)
+    val profiles = pipeline(s, d)._2
     val mask = graft.argo.Bathy.default
     val atlas = new Atlas(box = (-20.0, 50.0, -50.0, -20.0), reso = 5.0,
       landMask = mask.isLand)
