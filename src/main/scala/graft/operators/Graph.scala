@@ -32,28 +32,40 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
                           maxIters: Int = 50): DataFrame = {
+    // Materialize the edge list ONCE: every iteration joins against it,
+    // and without a checkpoint each pass re-executes the whole upstream
+    // candidate-generation pipeline (for near-dup edges: shingling +
+    // MinHash + the LSH bucket join over the full corpus).
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     var labels = vertices.select(col("id"), col("id").as("comp"))
       .localCheckpoint()
-    var changed = 1L
+    // Convergence witness: min-propagation is MONOTONE — a label only ever
+    // decreases, and ids are non-negative — so Σcomp strictly decreases on
+    // any change and convergence ⟺ the sum is unchanged. One cheap scan of
+    // the checkpointed labels per pass, instead of a labels⋈labels join.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("comp"))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
     var it = 0
-    while (changed > 0 && it < maxIters) {
+    while (!converged && it < maxIters) {
       val viaNeighbors = sym.join(labels, sym("src") === labels("id"))
         .select(sym("dst").as("id"), col("comp"))
       val next = labels.union(viaNeighbors)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.comp") =!= col("o.comp")).count()
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
       it += 1
     }
-    if (changed > 0)
+    if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters iterations " +
-          s"($changed labels still changing) — component diameter exceeds " +
-          "the cap; raise maxIters")
+        s"connectedComponents did not converge in $maxIters iterations — " +
+          "component diameter exceeds the cap; raise maxIters")
     labels
   }
 }
