@@ -26,8 +26,20 @@ object KMeans {
 
   /** @param vecs   (idCol: long, vecCol: array&lt;float&gt;) corpus
     * @return k centroids (index = cell id), as doubles */
-  def fit(vecs: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
+  def fit(vecs0: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
           iters: Int): Array[Array[Double]] = {
+    // Cache the training vectors for the duration of the fit: init + every
+    // Lloyd iteration scans them, and without a persist each pass re-runs
+    // the upstream scan/projection (MLlib's trainers cache their input for
+    // the same reason). Unpersisted before returning.
+    val vecs = vecs0.select(col(idCol), col(vecCol)).persist()
+    try {
+      fitCached(vecs, idCol, vecCol, dim, k, iters)
+    } finally vecs.unpersist(blocking = false)
+  }
+
+  private def fitCached(vecs: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, k: Int, iters: Int): Array[Array[Double]] = {
     var centroids = vecs.orderBy(col(idCol)).limit(k)
       .select(col(vecCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
