@@ -133,6 +133,28 @@ class StreamingSketchSpec extends SparkSuite {
   import org.apache.spark.sql.functions._
   import spark.implicits._
 
+  test("streamed DdHist equals the batch histogram cell-for-cell") {
+    implicit val sqlCtx = spark.sqlContext
+    val xs: Seq[Double] = (0 until 400).map(i => 1000.0 + (i * 7919 % 90000) / 7.0)
+    val mem = MemoryStream[Double]
+    val dd = graft.operators.Sketches.ddHist(50.0, 1024)
+    val sq = mem.toDF().agg(dd(col("value")).as("h"))
+      .writeStream.format("memory").queryName("dd_stream")
+      .outputMode("complete")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-dd").toString)
+      .start()
+    try {
+      xs.grouped(90).foreach(mem.addData(_))
+      sq.processAllAvailable()
+      val streamed = spark.table("dd_stream").select($"h").as[Seq[Long]].head()
+      val batch = xs.toDF("value").agg(dd(col("value")).as("h"))
+        .select($"h").as[Seq[Long]].head()
+      assert(streamed === batch)
+      assert(batch.sum == xs.size)
+    } finally sq.stop()
+  }
+
   test("streamed Count-Min equals the batch sketch cell-for-cell") {
     implicit val sqlCtx = spark.sqlContext
     val keys: Seq[Long] = (0 until 500).map(i => (i % 73).toLong * 2654435761L)
