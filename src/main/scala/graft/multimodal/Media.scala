@@ -72,8 +72,15 @@ object Media {
       }
       val w = int(); val h = int(); val maxval = int()
       pos += 1 // exactly one whitespace byte separates maxval from pixels
-      require(bytes.length >= pos + w * h, s"truncated PGM: ${bytes.length} < ${pos + w * h}")
-      (w, h, maxval, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h))
+      require(w > 0 && h > 0, s"bad PGM dimensions ${w}x$h")
+      // maxval > 255 means TWO bytes per sample per the spec — reject
+      // rather than silently misread the raster as 8-bit
+      require(maxval > 0 && maxval < 256, s"only 8-bit PGM supported (maxval $maxval)")
+      // Long arithmetic: w*h can overflow Int for a crafted header, which
+      // would wrap the truncation check into a pass
+      val nPix = w.toLong * h
+      require(bytes.length >= pos + nPix, s"truncated PGM: ${bytes.length} < ${pos + nPix}")
+      (w, h, maxval, java.util.Arrays.copyOfRange(bytes, pos, pos + nPix.toInt))
     }
   }
 
@@ -139,10 +146,13 @@ object Media {
       while (pos + 8 <= bytes.length) {
         val id = tag(pos)
         val size = bb.getInt(pos + 4)
-        require(size >= 0 && pos + 8 + size <= bytes.length,
+        // Long arithmetic: a declared size near Int.MaxValue would wrap
+        // pos+8+size negative and defeat this guard
+        require(size >= 0 && pos + 8L + size <= bytes.length,
           s"chunk $id overruns the payload")
         id match {
           case "fmt " =>
+            require(size >= 16, s"fmt chunk too short ($size bytes)")
             require(bb.getShort(pos + 8) == 1, "only PCM (format 1) supported")
             require(bb.getShort(pos + 10) == 1, "only mono supported")
             sampleRate = bb.getInt(pos + 12)

@@ -45,8 +45,8 @@ object Graph {
     // decreases, and ids are non-negative — so Σcomp strictly decreases on
     // any change and convergence ⟺ the sum is unchanged. One cheap scan of
     // the checkpointed labels per pass, instead of a labels⋈labels join.
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("comp"))).head().getLong(0)
+    def labelSum(df: DataFrame): Long = // coalesce: sum of zero rows is NULL
+      df.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     var it = 0

@@ -26,4 +26,10 @@ class GraphSpec extends SparkSuite {
     assert(a === b)
     assert(a.forall(_._2 === 0L), "ring must collapse to vertex 0")
   }
+
+  test("empty vertex set returns an empty result, not an error") {
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val verts = Seq.empty[Long].toDF("id")
+    assert(Graph.connectedComponents(edges, verts).count() == 0)
+  }
 }

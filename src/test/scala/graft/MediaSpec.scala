@@ -27,11 +27,17 @@ class MediaSpec extends AnyFunSuite {
     assert((w, h) == (12, 5) && px.length == 60 && px.forall(_ == 42))
   }
 
-  test("PGM rejects bad magic and truncated pixel data") {
+  test("PGM rejects bad magic, truncated pixels, 16-bit maxval, and overflow dims") {
     val dec = new Media.PgmDecoder
     intercept[IllegalArgumentException](dec.decode("P6\n2 2\n255\n1234".getBytes))
     intercept[IllegalArgumentException](
       dec.decode("P5\n4 4\n255\n".getBytes ++ Array.fill(3)(0.toByte)))
+    // maxval > 255 = two bytes/sample per the spec: reject, don't misread
+    intercept[IllegalArgumentException](
+      dec.decode("P5\n2 2\n65535\n".getBytes ++ Array.fill(8)(0.toByte)))
+    // w*h overflows Int: the truncation check must not wrap into a pass
+    intercept[IllegalArgumentException](
+      dec.decode("P5\n65536 65536\n255\n".getBytes ++ Array.fill(16)(0.toByte)))
   }
 
   test("WAV round-trip: negative amplitudes survive the 16-bit decode") {
@@ -56,14 +62,24 @@ class MediaSpec extends AnyFunSuite {
     assert(rate == 8000 && out.toSeq == Seq[Short](0, 1, 2, 3, 4))
   }
 
-  test("WAV rejects non-RIFF payloads and overrunning chunks") {
+  test("WAV rejects non-RIFF payloads, overrunning and overflowing chunks") {
     val dec = new Media.WavDecoder
     intercept[IllegalArgumentException](dec.decode("OGGS everything".getBytes))
-    val bad = Media.encodeWav(8000, i => i, 4)
-    // corrupt the data chunk's declared size to overrun the payload
-    val bb = java.nio.ByteBuffer.wrap(bad.clone()).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val dataOff = bad.indexOfSlice("data".getBytes("US-ASCII"))
-    bb.putInt(dataOff + 4, 1 << 20)
-    intercept[IllegalArgumentException](dec.decode(bb.array()))
+    def corrupt(patch: (java.nio.ByteBuffer, Int, Int) => Unit): Array[Byte] = {
+      val b = Media.encodeWav(8000, i => i, 4)
+      val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      patch(bb, b.indexOfSlice("data".getBytes("US-ASCII")),
+        b.indexOfSlice("fmt ".getBytes("US-ASCII")))
+      b
+    }
+    // data chunk declares more bytes than the payload has
+    intercept[IllegalArgumentException](
+      dec.decode(corrupt((bb, d, _) => bb.putInt(d + 4, 1 << 20))))
+    // declared size near Int.MaxValue: pos+8+size must not wrap negative
+    intercept[IllegalArgumentException](
+      dec.decode(corrupt((bb, d, _) => bb.putInt(d + 4, Int.MaxValue - 4))))
+    // fmt chunk shorter than its 16 mandatory bytes
+    intercept[IllegalArgumentException](
+      dec.decode(corrupt((bb, _, f) => bb.putInt(f + 4, 4))))
   }
 }
