@@ -374,6 +374,12 @@ object Atlas {
     * result partition-invariant — see [[ProfileMeanPacked2]]. */
   class EapeMeanPacked(algo: String)
       extends Aggregator[(Double, Array[Byte], Array[Byte], Array[Byte]), Array[Long], Seq[Float]] {
+    // Per-task scratch for the unpacked RHO·CF ladder (R14): reduce() runs
+    // ~64 probes per pair row against the same 64 doubles — unpacking once
+    // costs 64 buffer reads and turns ~384 ByteBuffer accesses per row
+    // into primitive array loads. One aggregator instance per task, so the
+    // scratch is never shared across threads.
+    @transient private lazy val ladderScratch = new Array[Double](NLevels)
     def zero: Array[Long] = new Array[Long](2 * NLevels)
     def reduce(b: Array[Long], a: (Double, Array[Byte], Array[Byte], Array[Byte])): Array[Long] = {
       val (w, p, aux, cell) = a
@@ -381,6 +387,12 @@ object Atlas {
         val ab = java.nio.ByteBuffer.wrap(aux)
         val cb = java.nio.ByteBuffer.wrap(cell)
         val prefD = Pref
+        val isR14 = algo == "R14"
+        val ladder = ladderScratch
+        if (isR14) {
+          var j = 0
+          while (j < NLevels) { ladder(j) = cb.getDouble(RhoCfOff + 8 * j); j += 1 }
+        }
         var k = 0
         while (k < NLevels) {
           if (p(IdxOff + k) == 1) {
@@ -389,8 +401,7 @@ object Atlas {
             // f4 parcel density (README.md:173-174) precomputed per profile
             val rho = ab.getFloat(4 * k).toDouble
             val disp =
-              if (algo == "R14")
-                Interp.linearBB(cb, RhoCfOff, NLevels, prefD, rho * cf)
+              if (isR14) Interp.linearLadder(ladder, prefD, rho * cf)
               else ab.getFloat(4 * NLevels + 4 * k).toDouble
             val eape = 0.5 * EapeUnit * (rho - rhoM) * (disp - prefD(k))
             b(k) += FP.roundHalfAway(w * eape * 1e6)

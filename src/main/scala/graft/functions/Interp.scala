@@ -55,6 +55,31 @@ object Interp {
     ys(i) + (ys(i + 1) - ys(i)) * frac
   }
 
+  /** [[linearBB]]'s EXACT search and arithmetic over an unpacked ladder
+    * array: hot loops that probe the same ladder many times (the R14
+    * displacement lookup probes a cell's 64-entry ladder 64× per pair row)
+    * unpack it once and pay primitive array loads instead of ~6 buffer
+    * reads per probe. Kept as a byte-for-byte twin of [[linearBB]] —
+    * including midpoint tie handling — so swapping between them can never
+    * change a fixture. */
+  def linearLadder(xs: Array[Double], ys: Array[Double], t: Double): Double = {
+    val n = xs.length
+    if (t <= xs(0)) return ys(0)
+    if (t >= xs(n - 1)) return ys(n - 1)
+    var lo = 0
+    var hi = n - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val v = xs(mid)
+      if (v < t) lo = mid + 1
+      else if (v > t) hi = mid - 1
+      else return ys(mid)
+    }
+    val i = lo - 1
+    val frac = (t - xs(i)) / (xs(i + 1) - xs(i))
+    ys(i) + (ys(i + 1) - ys(i)) * frac
+  }
+
   /** Cubic-spline coefficients with not-a-knot boundary conditions (what
     * scipy's `interp1d(kind="cubic")` uses). Returns the second-derivative
     * array M; evaluation is Hermite-form from (xs, ys, M).
