@@ -107,6 +107,19 @@ class PlanSpec extends SparkSuite {
       s"sample filter must sit on the scan stage:\n$p")
   }
 
+  test("q59: the quantile histogram aggregates partially (one array per partition)") {
+    val p = plan("q59_dd_quantiles")
+    assert(p.contains("partial_"), s"sketch must pre-aggregate map-side:\n$p")
+  }
+
+  test("q54: repetition signals are a narrow map — no aggregation shuffle") {
+    // the run-length top-bigram trick exists precisely to avoid a
+    // per-bigram groupBy; only the final presentation sort may exchange
+    val p = plan("q54_repetition_signals")
+    assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate"),
+      s"quality pass must not aggregate:\n$p")
+  }
+
   test("q53: the naive distance theta-join is rewritten to an equi-join") {
     val p = plan("q53_spatial_theta_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
