@@ -485,6 +485,58 @@ object RelationalQueries extends QueryModule {
       |FROM li JOIN periods ON day BETWEEN start_day AND end_day
       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
 
+  // ---- q24: cube aggregation (all grouping-set combinations) -------------
+  // Completes the grouping-sets surface next to q20's rollup: CUBE expands
+  // to all 2^k set combinations BEFORE the exchange, so one pass and one
+  // shuffle carry every marginal — at 100 TB that is k passes saved, and
+  // partial aggregation still applies per expanded set. Sentinels (never
+  // null in the data) keep the oracle engine-neutral, as in q20.
+  private def q24(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .withColumn("ng", pmod(col("c_custkey"), lit(4)))
+      .cube(col("c_mktsegment"), col("ng"))
+      .agg(count(lit(1)).cast(LongType).as("n_cust"),
+        sum(FP.cents(col("c_acctbal"))).as("bal_c"))
+      .select(coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
+        coalesce(col("ng"), lit(-1L)).as("ng"),
+        col("n_cust"), col("bal_c"))
+      .orderBy("seg", "ng")
+
+  private val q24Sql =
+    s"""SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+       |  CAST(coalesce(ng, -1) AS BIGINT) AS ng,
+       |  count(*) AS n_cust,
+       |  CAST(sum(${FP.sqlCents("c_acctbal")}) AS BIGINT) AS bal_c
+       |FROM (SELECT *, c_custkey % 4 AS ng FROM customer)
+       |GROUP BY CUBE (c_mktsegment, ng) ORDER BY 1, 2""".stripMargin
+
+  // ---- q25: pivot (long → wide conditional aggregation) ------------------
+  // The value list is EXPLICIT: `.pivot(col, values)` with known values
+  // compiles to one conditional-aggregate pass — no extra distinct job to
+  // discover the columns, and the plan stays a single partial-agg +
+  // exchange regardless of data volume. The oracle is the engine-neutral
+  // FILTER form (a pivot IS conditional aggregation). `ts` arrives as
+  // epoch-nanos longs (see q17), so the day key is integer arithmetic.
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private def q25(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("day", expr("ts div 86400000000000"))
+      .groupBy(col("day"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .select(col("day") +: EventTypes.map(t =>
+        coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy("day")
+
+  private val q25Sql = {
+    val cols = EventTypes.map(t =>
+      s"count(*) FILTER (WHERE event_type = '$t') AS n_$t").mkString(",\n  ")
+    s"""SELECT epoch_us(ts) // 86400000000 AS day,
+       |  $cols
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ---- q23: set operations (INTERSECT / EXCEPT, beyond the reference) ----
   // SURVEY §2.7: the reference has only union-all; intersect/except come
   // free from Spark and are exposed here. Customers that placed orders in
@@ -513,6 +565,8 @@ object RelationalQueries extends QueryModule {
 
   def defs: Map[String, QueryDef] = Map(
     "q23_set_ops" -> QueryDef(q23, Some(q23Sql)),
+    "q24_cube" -> QueryDef(q24, Some(q24Sql)),
+    "q25_pivot" -> QueryDef(q25, Some(q25Sql)),
     "q20_rollup" -> QueryDef(q20, Some(q20Sql)),
     "q21_range_join" -> QueryDef(q21, Some(q21Sql)),
     "q01_pricing_summary" -> QueryDef(q01, Some(q01Sql)),

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -607,7 +608,127 @@ object TextQueries extends QueryModule {
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- q65: BM25 relevance ranking ---------------------------------------
+  // Okapi BM25 over the corpus for a fixed query-term set: per-doc term
+  // frequencies and document length are a narrow map; the corpus statistics
+  // (N, avgdl, per-term document frequency) are ONE tiny aggregated row
+  // cross-joined back as a broadcast — the corpus itself is never shuffled,
+  // the stats side is O(terms), and the final ranking sorts only the
+  // rounded scores. Every arithmetic step is rational (+,-,*,/ — each IEEE
+  // correctly-rounded, hence bit-identical cross-engine on identical
+  // inputs); the usual log-IDF is replaced by its rational core
+  // (N - df + 0.5)/(df + 0.5) — the log's argument — which preserves the
+  // BM25 ranking (log is monotone) while keeping the oracle exact.
+  // Constants appear as literals in BOTH engines so the parsed doubles are
+  // identical bit patterns.
+  private val BmTerms = Seq("spark", "filter", "stream")
+
+  private def q65(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val withTf = BmTerms.foldLeft(base) { (df, t) =>
+      df.withColumn(s"tf_$t",
+        size(filter(col("toks"), w => w === t)).cast("double"))
+    }
+    val stats = withTf.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).as("sum_dl") +:
+        BmTerms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1.0).otherwise(0.0)).as(s"df_$t"))): _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+    val score = BmTerms.map { t =>
+      val idf = (col("n_docs") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5))
+      val tf = col(s"tf_$t")
+      idf * (tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    val rounded = scored.select(
+      (col("doc_id") +: BmTerms.map(t => col(s"tf_$t").cast(LongType).as(s"tf_$t"))) :+
+        FP.micro(score).as("bm25_u"): _*)
+    val w = Window.orderBy(col("bm25_u").desc, col("doc_id"))
+    rounded
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 50)
+      .orderBy("rnk")
+  }
+
+  private val q65Sql = {
+    val toks = T.sqlTokens("text")
+    val tfs = BmTerms.map(t =>
+      s"len(list_filter(toks, w -> w = '$t'))::DOUBLE AS tf_$t").mkString(",\n  ")
+    val dfs = BmTerms.map(t =>
+      s"sum(CASE WHEN tf_$t > 0 THEN 1.0 ELSE 0.0 END) AS df_$t").mkString(",\n  ")
+    val score = BmTerms.map(t =>
+      s"((n_docs - df_$t + 0.5)/(df_$t + 0.5)) * (tf_$t * 2.2) / " +
+        s"(tf_$t + 1.2 * (0.25 + 0.75 * dl / avgdl))").mkString(" + ")
+    s"""WITH d0 AS (
+       |  SELECT doc_id, $toks AS toks FROM documents),
+       |t AS (
+       |  SELECT doc_id, len(toks)::DOUBLE AS dl,
+       |  $tfs
+       |  FROM d0),
+       |g AS (
+       |  SELECT count(*)::DOUBLE AS n_docs, sum(dl) AS sum_dl,
+       |  $dfs
+       |  FROM t),
+       |scored AS (
+       |  SELECT doc_id, ${BmTerms.map(t => s"CAST(tf_$t AS BIGINT) AS tf_$t").mkString(", ")},
+       |    ${FP.sqlMicro(score)} AS bm25_u
+       |  FROM t, g, (SELECT sum_dl / n_docs AS avgdl FROM g) a)
+       |SELECT * FROM (
+       |  SELECT *, row_number() OVER (ORDER BY bm25_u DESC, doc_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 50 ORDER BY rnk""".stripMargin
+  }
+
+  // ---- q66: document chunking into overlapping context windows -----------
+  // Training-data prep: split each document's token sequence into
+  // fixed-size windows (64 tokens, stride 48 → 16-token overlap for
+  // context continuity at the boundary). Pure narrow map + generator:
+  // chunk starts come from `sequence`/`explode` inside the row, the chunk
+  // content hash from an in-row slice — no shuffle anywhere, so the pass
+  // scales with scan bandwidth. Emitting md5(chunk) rather than the chunk
+  // text keeps the result (and the verify diff) small while still pinning
+  // the exact chunk contents.
+  private val ChunkW = 64
+  private val ChunkS = 48
+
+  private def q66(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("start_tok",
+        explode(sequence(lit(0), col("n") - 1, lit(ChunkS))))
+      .withColumn("end_tok", least(col("start_tok") + ChunkW, col("n")))
+      .select(col("doc_id"),
+        (col("start_tok") / ChunkS).cast(LongType).as("chunk_id"),
+        col("start_tok").cast(LongType).as("start_tok"),
+        col("end_tok").cast(LongType).as("end_tok"),
+        (col("end_tok") - col("start_tok")).cast(LongType).as("n_tok"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("start_tok") + 1, col("end_tok") - col("start_tok"))))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+
+  private val q66Sql = {
+    val toks = T.sqlTokens("text")
+    s"""WITH t AS (SELECT doc_id, $toks AS toks, len($toks) AS n FROM documents)
+       |SELECT doc_id,
+       |  CAST(s // $ChunkS AS BIGINT) AS chunk_id,
+       |  CAST(s AS BIGINT) AS start_tok,
+       |  CAST(least(s + $ChunkW, n) AS BIGINT) AS end_tok,
+       |  CAST(least(s + $ChunkW, n) - s AS BIGINT) AS n_tok,
+       |  md5(array_to_string(list_slice(toks, s + 1, least(s + $ChunkW, n)), ' '))
+       |    AS chunk_md5
+       |FROM t, unnest(generate_series(0, n - 1, $ChunkS)) u(s)
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "q65_bm25_rank" -> QueryDef(q65, Some(q65Sql)),
+    "q66_doc_chunking" -> QueryDef(q66, Some(q66Sql)),
     "q57_decontamination" -> QueryDef(q57, Some(q57Sql)),
     "q58_sequence_packing" -> QueryDef(q58, Some(q58Sql)),
     "q54_repetition_signals" -> QueryDef(q54, Some(q54Sql)),

@@ -127,6 +127,30 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("HashJoin"), s"expected a hash equi-join:\n$p")
   }
 
+  test("q25: explicit pivot values compile to one conditional-aggregate pass") {
+    val p = plan("q25_pivot")
+    // `.pivot(col, values)` with a literal value list must not spawn a
+    // distinct-values job: exactly one aggregate (partial+final) and no
+    // extra scan of the events table
+    assert(p.contains("partial_"), s"pivot must pre-aggregate map-side:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"pivot should scan events exactly once:\n$p")
+  }
+
+  test("q65: BM25 corpus stats broadcast; the corpus itself is never shuffled") {
+    val p = plan("q65_bm25_rank")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row stats side should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$p")
+  }
+
+  test("q66: chunking is a narrow map + generator — no aggregation shuffle") {
+    val p = plan("q66_doc_chunking")
+    assert(p.contains("Generate"), s"expected an explode generator:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate"),
+      s"chunking must not aggregate:\n$p")
+  }
+
   test("whole-stage codegen spans cover the relational hot path") {
     // AQE finalizes the plan only on execution; codegen markers appear then
     val df = SparkEntry.queries("q01_pricing_summary")(spark, d)
