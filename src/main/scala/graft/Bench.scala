@@ -68,11 +68,17 @@ object Bench {
       } else dt
       name -> ((dtF, rows))
     }
-    // ONE compact JSON line: the driver captures a bounded tail of stdout,
-    // so the line must stay well under ~3 KB end-to-end — millisecond
-    // precision, no exponent notation.
+    // ONE compact JSON line, printed LAST: the driver keeps only the final
+    // ~2000 chars of stdout (BENCH_r03 measured tail=2000), and sbt appends
+    // a ~70-char "[success]" line after us. Full query names alone are
+    // ~2 KB for 77 queries, so the r03 line was truncated mid-key and the
+    // driver recorded parsed:null. Keys are therefore the unambiguous
+    // "qNN" prefix (every query name starts with a unique qNN; the contract
+    // example uses {"q1":sec} short keys), which keeps the whole line
+    // ~1.2 KB — fully inside the tail window with room to spare.
     def r3(x: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, x)
-    val qs = results2.map { case (k, (v, _)) => s"\"" + k + "\":" + r3(v) }
+    val qs = results2.toSeq.sortBy(_._1)
+      .map { case (k, (v, _)) => s"\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results2.nonEmpty) results2.map(_._2._1).sum else 0.0
     // Per-stage throughput, so the BASELINE.md comparison is mechanical:
@@ -94,7 +100,14 @@ object Bench {
         Seq(s""""atlas_cell_levels_per_sec":${r3(cs)}""", s""""atlas_cell_levels":$n""")
       }.getOrElse(Nil) ++
       Seq(s""""cores":${cpus.toInt}""")).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"stages":$stages,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"stages":$stages,"sf":"$sfDir"}"""
+    // Mirror to stderr for humans tailing the log; stdout gets exactly one
+    // copy, as the final line, so the driver's bounded tail always holds it
+    // complete (printing it twice would push the first copy past the
+    // 2000-char window and a head-truncated copy is what broke r03).
+    System.err.println(s"[bench] ${line.length} chars: $line")
+    println(line)
     spark.stop()
   }
 }

@@ -512,11 +512,17 @@ object RelationalQueries extends QueryModule {
 
   // ---- q25: pivot (long → wide conditional aggregation) ------------------
   // The value list is EXPLICIT: `.pivot(col, values)` with known values
-  // compiles to one conditional-aggregate pass — no extra distinct job to
-  // discover the columns, and the plan stays a single partial-agg +
-  // exchange regardless of data volume. The oracle is the engine-neutral
-  // FILTER form (a pivot IS conditional aggregation). `ts` arrives as
-  // epoch-nanos longs (see q17), so the day key is integer arithmetic.
+  // skips the distinct-values discovery job (and its extra scan of the
+  // table) that the value-less form needs before it can even plan. Spark
+  // still compiles the pivot to two aggregate stages — groupBy(day,
+  // event_type) then PivotFirst over the wide row — but both pre-aggregate
+  // map-side, so nothing un-combined crosses the exchange. The oracle is
+  // the engine-neutral FILTER form (a pivot IS conditional aggregation).
+  // `ts` arrives as epoch-nanos longs (see q17), so the day key is integer
+  // arithmetic. NOTE: Spark `div` truncates toward zero while DuckDB `//`
+  // floors — identical only because event ts >= 0 (epoch-nanos of
+  // generator-produced 2023+ timestamps; same invariant as q80). A
+  // pre-1970 feed would need a floor-consistent form (pmod adjustment).
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   private def q25(s: SparkSession, d: String): DataFrame =

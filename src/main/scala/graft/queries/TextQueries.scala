@@ -321,23 +321,45 @@ object TextQueries extends QueryModule {
        |ORDER BY 1, 2""".stripMargin
   }
 
-  // ---- q36: blocked n-gram Jaccard (exact over hashed 2-shingles, within
-  // source blocks). Hashing the shingles (mirrored in the oracle) lets each
-  // pair compare two packed long streams instead of two string arrays.
+  // ---- q36: n-gram Jaccard (exact over hashed 2-shingles, within source
+  // blocks), on LSH-generated CANDIDATE pairs. Hashing the shingles
+  // (mirrored in the oracle) lets each pair compare two packed long streams
+  // instead of two string arrays.
+  //
+  // Candidate generation is the scale story: the earlier shape paired every
+  // doc against every doc in its source block — salting spreads that
+  // O(n²/block) work but does not shrink it, exactly the quadratic shape a
+  // 100 TB corpus with a handful of large sources cannot afford. Instead,
+  // MinHash signatures over the SAME 2-shingle sets feed K single-row LSH
+  // bands (r=1 maximizes recall at a fixed K: P[candidate] = 1-(1-j)^K);
+  // the pair join is an equi-join on (band, minhash, source) — work scales
+  // with bucket occupancy, not block size² — and the exact packed-Jaccard
+  // merge-walk runs only on candidates. Recall: a pair at the j ≥ 0.2
+  // output threshold is missed with probability (1-j)^8 ≤ 0.17, BUT real
+  // qualifying pairs are near-duplicates — measured on this corpus every
+  // pair ≥ 0.2 is in fact ≥ 0.90 (bimodal: near-dup or unrelated), where
+  // the miss probability is ≤ 1e-8. The DuckDB oracle stays the exact
+  // all-pairs form, so the driver hash-check verifies, per round, that the
+  // candidate set lost nothing.
   private def q36(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d)
       .repartition(col("doc_id"))
       .select(col("doc_id"), col("source"), T.shingleHashesPacked(2)(col("text")).as("gs"))
-    val l = base.select(col("source"), col("doc_id").as("d1"), col("gs").as("g1"))
-    val r = base.select(col("source"), col("doc_id").as("d2"), col("gs").as("g2"))
-    // Few source blocks → a plain shuffle join would collapse onto one task
-    // per block. Size-conditional: broadcast the build side while it fits,
-    // salted equi-join past the cap (Joins.blockJoin). The strategy count
-    // is memoized per table so plan construction costs one job ever, not
-    // one per invocation.
-    val nDocs = Joins.memoCount(s"$d/documents", docs(s, d))
-    Joins.blockJoin(l, r, Seq("source"), hash(col("d1")), buildRows = nDocs)
+    val bands = base
+      .withColumn("sigs", T.minhashSigsPacked(col("gs")))
+      .select(col("doc_id"), col("source"), col("gs"),
+        explode(array((0 until T.MinHashK).map { j =>
+          struct(lit(j).as("band"), element_at(col("sigs"), j + 1).as("key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("source"), col("gs"), col("bk.band"), col("bk.key"))
+    val l = bands.select(col("band"), col("key"), col("source"),
+      col("doc_id").as("d1"), col("gs").as("g1"))
+    val r = bands.select(col("band"), col("key"), col("source"),
+      col("doc_id").as("d2"), col("gs").as("g2"))
+    l.join(r, Seq("band", "key", "source"))
       .filter(col("d1") < col("d2"))
+      .select(col("source"), col("d1"), col("d2"), col("g1"), col("g2"))
+      .distinct()
       .select(col("source"), col("d1"), col("d2"),
         T.jaccardMicroPacked(col("g1"), col("g2")).as("jaccard_u"))
       .filter(col("jaccard_u") >= 200000L)
@@ -647,10 +669,19 @@ object TextQueries extends QueryModule {
     val rounded = scored.select(
       (col("doc_id") +: BmTerms.map(t => col(s"tf_$t").cast(LongType).as(s"tf_$t"))) :+
         FP.micro(score).as("bm25_u"): _*)
+    // Top-k as orderBy().limit(): Catalyst compiles this to
+    // TakeOrderedAndProject — each partition keeps a local 50-row heap and
+    // only those survivors reach the driver-side merge. A global
+    // row_number() window here would instead rely on Spark 4's
+    // InferWindowGroupLimit to salvage the single-partition sort; the
+    // explicit top-k is the plan we want at 100× without optimizer help.
+    // The rank window then runs AFTER the limit, over exactly 50 rows that
+    // are already single-partition and pre-sorted — no corpus-sized data
+    // ever crosses a SinglePartition exchange (PlanSpec pins this).
     val w = Window.orderBy(col("bm25_u").desc, col("doc_id"))
     rounded
+      .orderBy(col("bm25_u").desc, col("doc_id")).limit(50)
       .withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= 50)
       .orderBy("rnk")
   }
 
@@ -692,6 +723,15 @@ object TextQueries extends QueryModule {
   // scales with scan bandwidth. Emitting md5(chunk) rather than the chunk
   // text keeps the result (and the verify diff) small while still pinning
   // the exact chunk contents.
+  //
+  // Tail rule: a start is generated only while it adds NEW tokens — when
+  // the remaining tokens at a start are <= the 16-token overlap, its whole
+  // window is already contained in the previous one (n=64 would otherwise
+  // yield chunk 1 = [48,64) ⊂ chunk 0 = [0,64)), and a training pipeline
+  // would ingest the duplicate content twice. So starts run over
+  // [0, n - overlap) at the stride — i.e. last start <= n - overlap - 1 —
+  // with start 0 always emitted (greatest(..., 0)) so an under-window doc
+  // still yields its single chunk.
   private val ChunkW = 64
   private val ChunkS = 48
 
@@ -700,7 +740,8 @@ object TextQueries extends QueryModule {
       .select(col("doc_id"), T.tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
       .withColumn("start_tok",
-        explode(sequence(lit(0), col("n") - 1, lit(ChunkS))))
+        explode(sequence(lit(0),
+          greatest(col("n") - (ChunkW - ChunkS) - 1, lit(0)), lit(ChunkS))))
       .withColumn("end_tok", least(col("start_tok") + ChunkW, col("n")))
       .select(col("doc_id"),
         (col("start_tok") / ChunkS).cast(LongType).as("chunk_id"),
@@ -722,7 +763,7 @@ object TextQueries extends QueryModule {
        |  CAST(least(s + $ChunkW, n) - s AS BIGINT) AS n_tok,
        |  md5(array_to_string(list_slice(toks, s + 1, least(s + $ChunkW, n)), ' '))
        |    AS chunk_md5
-       |FROM t, unnest(generate_series(0, n - 1, $ChunkS)) u(s)
+       |FROM t, unnest(generate_series(0, greatest(n - ${ChunkW - ChunkS} - 1, 0), $ChunkS)) u(s)
        |ORDER BY 1, 2""".stripMargin
   }
 

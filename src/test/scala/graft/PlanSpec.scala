@@ -142,6 +142,66 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"the 1-row stats side should broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$p")
+    // Top-k must be distributive: per-partition heaps merged by
+    // TakeOrderedAndProject, not a global sort into one partition. The rank
+    // window may only ever see the 50 post-limit rows: walking down from
+    // each Window, the first partitioning boundary must be the
+    // TakeOrderedAndProject — an Exchange first would mean the window
+    // ranks the corpus, not the top-k. (The SinglePartition exchange under
+    // the global-stats aggregate is fine: it carries one partial row per
+    // partition, not corpus rows.)
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be TakeOrderedAndProject:\n$p")
+    import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    // AdaptiveSparkPlanExec exposes no children, so collect() stops at the
+    // AQE root — unwrap it (and any nested AQE subquery roots) explicitly.
+    def flatten(n: SparkPlan): Seq[SparkPlan] = n match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val exec = SparkEntry.queries("q65_bm25_rank")(spark, d).queryExecution.executedPlan
+    def boundary(n: SparkPlan): String = n match {
+      case _: TakeOrderedAndProjectExec => "topk"
+      case _: ShuffleExchangeLike       => "exchange"
+      case a: AdaptiveSparkPlanExec     => boundary(a.executedPlan)
+      case other => other.children.map(boundary).find(_ != "none").getOrElse("none")
+    }
+    val windows = flatten(exec).collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"expected the rank window in the plan:\n$p")
+    windows.foreach { w =>
+      assert(boundary(w.child) == "topk",
+        s"rank window must sit directly on the 50-row top-k, found ${boundary(w.child)}:\n$p")
+    }
+  }
+
+  test("q36: exact Jaccard runs on LSH candidates, not all pairs per source") {
+    // The quadratic failure mode is a self-join keyed on bare `source`
+    // (a handful of giant blocks → O(n²/block) pairs regardless of how the
+    // work is salted). Candidate generation must join on the (band,
+    // minhash, source) bucket key, so every equi-join in the plan carries
+    // more than one key; and nothing may degrade to a nested-loop/cartesian
+    // pair enumeration.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+    def flatten(n: SparkPlan): Seq[SparkPlan] = n match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val exec = SparkEntry.queries("q36_ngram_jaccard")(spark, d)
+      .queryExecution.executedPlan
+    val nodes = flatten(exec)
+    assert(!nodes.exists(n => n.isInstanceOf[BroadcastNestedLoopJoinExec]
+        || n.isInstanceOf[CartesianProductExec]),
+      s"pair generation must not enumerate all pairs:\n$exec")
+    val joins = nodes.collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty, s"expected the candidate bucket join:\n$exec")
+    joins.foreach { j =>
+      assert(j.leftKeys.length >= 2,
+        s"join on bare block key is the quadratic shape: ${j.leftKeys}\n$exec")
+    }
   }
 
   test("q66: chunking is a narrow map + generator — no aggregation shuffle") {
