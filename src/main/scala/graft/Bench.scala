@@ -39,7 +39,7 @@ object Bench {
         // ones, extra reps make a clean window far more likely. Bounded so
         // a genuinely slow query costs at most 2 extra runs.
         var extra = 0
-        while (extra < 2 && runs.map(_._1).min > 2.0) {
+        while (extra < 2 && runs.map(_._1).min > 1.0) {
           runs :+= rep()
           extra += 1
         }
@@ -53,9 +53,14 @@ object Bench {
     // look slow get ONE more run after the whole suite has finished —
     // typically several minutes later, far outside the original window.
     // BENCH_r02 measured the atlas trio at 14-30 s under such a burst;
-    // the same queries re-run clean at 2-3 s.
+    // the same queries re-run clean at 2-3 s. Threshold 1.0 s, not 2.5:
+    // BENCH_r03 published q70 at 1.24 s (vs 0.71 s measured clean in
+    // isolation — a 1.7x contention inflation that sat just under the old
+    // threshold and so never got its decorrelated re-run). Every 1 s+
+    // query re-running once costs ~15 s of bench wall time, cheap next to
+    // publishing a phantom 1.7x regression.
     val results2 = results.map { case (name, (dt, rows, fn)) =>
-      val dtF = if (dt > 2.5) {
+      val dtF = if (dt > 1.0) {
         // a FAILED re-run must never publish its time-to-failure as the
         // query's benchmark time — only a successful run may improve dt
         val t0 = System.nanoTime()

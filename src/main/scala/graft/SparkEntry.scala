@@ -19,6 +19,7 @@ object SparkEntry {
     GeoQueries,
     KernelQueries,
     ArgoQueries,
+    NetcdfQueries,
     SketchQueries,
     StreamMultimodalQueries)
 
