@@ -141,12 +141,20 @@ class Atlas(
     // every regional atlas, and a global 1/4° grid only at ~10⁸ — broadcast
     // it: the huge profile side is never shuffled at all, and the only
     // exchange left in the whole atlas is the partial-agg buffer shuffle
-    // (partitions × cells rows). Past the threshold, fall back to the
-    // shuffle hash join on the (well-distributed, radius/4) bin keys.
+    // (partitions × cells rows). Past the threshold, fall back to a
+    // SHUFFLE HASH join on the (well-distributed, radius/4) bin keys —
+    // hinted explicitly, because on this branch we KNOW the grid side
+    // exceeds the broadcast budget (Catalyst's size estimate cannot see
+    // that through the explode) and a sort-merge would pay a useless sort
+    // on throwaway bin keys. Cap overridable per session
+    // (spark.graft.atlasBroadcastMaxRows) so tests and memory-constrained
+    // deployments can exercise/force the shuffle path.
     val (lon1, lon2, lat1, lat2) = box
     val gridRows = ((lon2 - lon1) / reso).toLong * ((lat2 - lat1) / reso).toLong *
       (2 * nSub + 1) * (2 * nSub + 1)
-    val gSide = if (gridRows <= 2000000L) broadcast(g) else g
+    val maxBroadcastRows = s.conf.getOption("spark.graft.atlasBroadcastMaxRows")
+      .map(_.toLong).getOrElse(2000000L)
+    val gSide = if (gridRows <= maxBroadcastRows) broadcast(g) else g.hint("shuffle_hash")
     p.join(gSide, Seq("bi", "bj"))
       .withColumn("arg", Geo.haversineArg(col("plon"), col("plat"),
         col("glon"), col("glat")))

@@ -115,11 +115,14 @@ object AtlasSink {
   /** True NetCDF export (write_atlas_to_netcdf, atlas.py:576-636): dims
     * lon/lat/pres with coordinate variables, each data variable as f4 on
     * (pres, lat, lon) with its units attribute, and the reference's global
-    * atts. The atlas is O(cells × levels) — collecting it to the driver
-    * for a single-file export is the same single-node write the reference
-    * does after its compute, not a distributed-data collect. Variables are
-    * any of the long-format columns beyond (lon, lat, pres); cells absent
-    * from `df` (land, no data) are written as 0, matching the reference's
+    * atts. The atlas is O(cells × levels) — a single-file export is the
+    * same single-node write the reference does after its compute — but the
+    * driver must not hold EVERY variable's dense grid at once (a global
+    * 1/4°×64 grid is ~0.25 GB per variable): the file streams out through
+    * [[graft.sources.Nc3.writeStreaming]], collecting, scattering and
+    * dropping ONE variable's column at a time. Variables are any of the
+    * long-format columns beyond (lon, lat, pres); cells absent from `df`
+    * (land, no data) are written as 0, matching the reference's
     * zero-initialized arrays. */
   def writeNetcdf(out: String, atlas: Atlas, df: DataFrame,
                   profiles: DataFrame): Unit = {
@@ -134,20 +137,6 @@ object AtlasSink {
 
     val dataCols = df.columns.filterNot(Seq("lon", "lat", "pres").contains)
     val presIdx = pref.zipWithIndex.map { case (p, i) => p.toFloat -> i }.toMap
-    val grids = dataCols.map(_ -> new Array[Float](nP * nLat * nLon)).toMap
-    df.select((Seq("lon", "lat", "pres") ++ dataCols).map(col): _*)
-      .collect().foreach { r =>
-        val gi = math.round((r.getFloat(0) - lon1) / reso).toInt
-        val gj = math.round((r.getFloat(1) - lat1) / reso).toInt
-        val gk = presIdx(r.getFloat(2))
-        if (gi >= 0 && gi < nLon && gj >= 0 && gj < nLat) {
-          var c = 0
-          while (c < dataCols.length) {
-            grids(dataCols(c))((gk * nLat + gj) * nLon + gi) = r.getFloat(3 + c)
-            c += 1
-          }
-        }
-      }
 
     val dims = Seq(Nc3.Dim("lon", nLon), Nc3.Dim("lat", nLat),
       Nc3.Dim("pres", nP))
@@ -156,22 +145,41 @@ object AtlasSink {
       Nc3.Att("domain", Nc3.NcDouble, Array(lon1, lon2, lat1, lat2)),
       Nc3.Att("resolution", Nc3.NcDouble, Array(reso)),
       Nc3.Att("latest profile", Nc3.NcChar, String.valueOf(latest)))
-    val coordVars = Seq(
-      Nc3.VarSpec("lon", Seq("lon"), Nil, Nc3.NcFloat,
-        Array.tabulate(nLon)(i => (lon1 + i * reso).toFloat)),
-      Nc3.VarSpec("lat", Seq("lat"), Nil, Nc3.NcFloat,
-        Array.tabulate(nLat)(j => (lat1 + j * reso).toFloat)),
-      Nc3.VarSpec("pres", Seq("pres"), Nil, Nc3.NcFloat,
-        pref.map(_.toFloat)))
-    val dataVars = dataCols.toSeq.map { name =>
-      val atts = Units.get(name).map(u => Nc3.Att("units", Nc3.NcChar, u)).toSeq
-      Nc3.VarSpec(name, Seq("pres", "lat", "lon"), atts, Nc3.NcFloat, grids(name))
-    }
-    val bytes = Nc3.write(dims, gatts, coordVars ++ dataVars)
+    val coordData: Map[String, Array[Float]] = Map(
+      "lon" -> Array.tabulate(nLon)(i => (lon1 + i * reso).toFloat),
+      "lat" -> Array.tabulate(nLat)(j => (lat1 + j * reso).toFloat),
+      "pres" -> pref.map(_.toFloat))
+    val decls =
+      Seq("lon", "lat", "pres").map(n => Nc3.VarDecl(n, Seq(n), Nil, Nc3.NcFloat)) ++
+        dataCols.toSeq.map { name =>
+          val atts = Units.get(name).map(u => Nc3.Att("units", Nc3.NcChar, u)).toSeq
+          Nc3.VarDecl(name, Seq("pres", "lat", "lon"), atts, Nc3.NcFloat)
+        }
 
+    // one collect per data variable (narrow: lon, lat, pres, value) — so
+    // pin the long-format frame for the duration instead of recomputing
+    // the whole atlas aggregation per variable
+    val cached = df.persist()
     val p = new Path(out)
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    val os = fs.create(p, true)
-    try os.write(bytes) finally os.close()
+    try {
+      val os = fs.create(p, true)
+      try {
+        Nc3.writeStreaming(os, dims, gatts, decls) { d =>
+          coordData.getOrElse(d.name, {
+            val grid = new Array[Float](nP * nLat * nLon)
+            cached.select(col("lon"), col("lat"), col("pres"), col(d.name))
+              .collect().foreach { r =>
+                val gi = math.round((r.getFloat(0) - lon1) / reso).toInt
+                val gj = math.round((r.getFloat(1) - lat1) / reso).toInt
+                val gk = presIdx(r.getFloat(2))
+                if (gi >= 0 && gi < nLon && gj >= 0 && gj < nLat)
+                  grid((gk * nLat + gj) * nLon + gi) = r.getFloat(3)
+              }
+            grid
+          })
+        }
+      } finally os.close()
+    } finally cached.unpersist(false)
   }
 }

@@ -258,157 +258,227 @@ object Nc3 {
 
   // ---- writer -------------------------------------------------------------
 
+  /** Variable declaration without its data — enough to lay the whole file
+    * out (header, vsize, begin offsets), which is what lets the streaming
+    * writer serialize variable-by-variable. */
+  final case class VarDecl(name: String, dimNames: Seq[String],
+                           atts: Seq[Att], ncType: Int)
+
   /** One variable to write: `data` is an Array of the JVM type matching
     * `ncType` (NC_CHAR = Array[Byte]). Fixed variable: length = dim
     * product. Record variable (first dim is the record dim): length =
     * numRecs × per-record dim product, record-major. */
   final case class VarSpec(name: String, dimNames: Seq[String],
-                           atts: Seq[Att], ncType: Int, data: AnyRef)
+                           atts: Seq[Att], ncType: Int, data: AnyRef) {
+    def decl: VarDecl = VarDecl(name, dimNames, atts, ncType)
+  }
 
-  /** Serialize a classic file.
-    * @param version 1 = CDF-1 (32-bit offsets), 2 = CDF-2 (64-bit offsets,
-    *                the classic large-file format)
-    * @param numRecs record count for variables on the record dim (a dim
-    *                with length 0). In-memory writer: one file ≤ 2 GiB —
-    *                shard across files before that (CDF-2 raises the
-    *                FORMAT's per-variable limit; the 2 GiB cap here is the
-    *                byte-array backing, not the format). */
-  def write(dims: Seq[Dim], gatts: Seq[Att], vars: Seq[VarSpec],
-            version: Int = 1, numRecs: Int = 0): Array[Byte] = {
+  /** File layout from declarations alone: header bytes, per-variable vsize
+    * and begin offsets, total size. Shared by the in-memory and streaming
+    * writers so the two can never disagree on the format. */
+  private final class Layout(dims: Seq[Dim], gatts: Seq[Att],
+                             decls: Seq[VarDecl], version: Int, numRecs: Int) {
     require(version == 1 || version == 2, s"bad CDF version $version")
     require(dims.count(_.isRecord) <= 1, "at most one record dimension")
-    val dimIdx = dims.map(_.name).zipWithIndex.toMap
+    private val dimIdx = dims.map(_.name).zipWithIndex.toMap
 
-    def nameLen(s: String) = 4 + pad4(s.getBytes(StandardCharsets.UTF_8).length.toLong)
-    def attLen(a: Att): Long = {
+    private def nameLen(s: String) = 4 + pad4(s.getBytes(StandardCharsets.UTF_8).length.toLong)
+    private def attLen(a: Att): Long = {
       val n = a.value match {
         case s: String => s.getBytes(StandardCharsets.UTF_8).length
         case arr: Array[_] => arr.length
       }
       nameLen(a.name) + 8 + pad4(n.toLong * typeSize(a.ncType))
     }
-    def attListLen(as: Seq[Att]): Long = 8 + as.map(attLen).sum
+    private def attListLen(as: Seq[Att]): Long = 8 + as.map(attLen).sum
 
-    def isRec(v: VarSpec): Boolean =
+    def isRec(v: VarDecl): Boolean =
       v.dimNames.nonEmpty && dims(dimIdx(v.dimNames.head)).isRecord
     // the spec requires the unlimited dim to be OUTERMOST; a record dim in
     // any later position would be written as a fixed slab while the header
     // declares the record shape — a silently corrupt file. Fail fast.
-    vars.foreach { v =>
+    decls.foreach { v =>
       require(!v.dimNames.drop(1).exists(d => dims(dimIdx(d)).isRecord),
         s"variable ${v.name}: the record dimension must be the first dimension")
     }
     // per-record slab for record vars, full slab for fixed vars
-    def slabOf(v: VarSpec): Long =
+    def slabOf(v: VarDecl): Long =
       v.dimNames.filterNot(d => dims(dimIdx(d)).isRecord)
         .map(d => dims(dimIdx(d)).length.toLong).product * typeSize(v.ncType)
-    val recVars = vars.filter(isRec)
+    val recVars: Seq[VarDecl] = decls.filter(isRec)
     // the spec's single-record-variable special case: unpadded stride
     val recSize: Long =
       if (recVars.length == 1) slabOf(recVars.head)
       else recVars.map(v => pad4(slabOf(v))).sum
-    def vsizeOf(v: VarSpec): Long =
+    def vsizeOf(v: VarDecl): Long =
       if (isRec(v) && recVars.length == 1) slabOf(v) else pad4(slabOf(v))
-    // a mismatched array would silently overflow into the next variable's
-    // slab (or read back zero padding as data) — fail fast instead
-    vars.foreach { v =>
-      val per = slabOf(v) / typeSize(v.ncType)
-      val want = if (isRec(v)) per * numRecs else per
-      val got = v.data match { case a: Array[_] => a.length.toLong }
-      require(got == want,
-        s"variable ${v.name}: data length $got != expected $want")
-    }
 
-    val beginBytes = if (version == 2) 8 else 4
+    private val beginBytes = if (version == 2) 8 else 4
     val headerLen: Long = 4 + 4 + // magic + numrecs
       8 + dims.map(d => nameLen(d.name) + 4).sum + // dim list
       attListLen(gatts) +
-      8 + vars.map(v => nameLen(v.name) + 4 + 4L * v.dimNames.length +
+      8 + decls.map(v => nameLen(v.name) + 4 + 4L * v.dimNames.length +
         attListLen(v.atts) + 4 + 4 + beginBytes).sum
 
     // fixed variables first (file order), then the record block
-    val fixedVars = vars.filterNot(isRec)
-    val fixedBegins = fixedVars.scanLeft(pad4(headerLen))((off, v) => off + vsizeOf(v))
-    val recStart = fixedBegins.last
-    val recOffsets = recVars.scanLeft(0L)((off, v) => off + vsizeOf(v))
+    val fixedVars: Seq[VarDecl] = decls.filterNot(isRec)
+    private val fixedBegins =
+      fixedVars.scanLeft(pad4(headerLen))((off, v) => off + vsizeOf(v))
+    val recStart: Long = fixedBegins.last
+    private val recOffsets = recVars.scanLeft(0L)((off, v) => off + vsizeOf(v))
     val beginOf: Map[String, Long] =
       (fixedVars.map(_.name) zip fixedBegins).toMap ++
         (recVars.map(_.name) zip recOffsets.map(recStart + _)).toMap
-    val total = recStart + numRecs.toLong * recSize
-    require(total <= Int.MaxValue,
-      "in-memory writer limited to one <2 GiB file — shard across files")
-    val bb = ByteBuffer.allocate(total.toInt)
+    val total: Long = recStart + numRecs.toLong * recSize
 
-    def putName(s: String): Unit = {
-      val b = s.getBytes(StandardCharsets.UTF_8)
-      bb.putInt(b.length)
-      bb.put(b)
-      while ((bb.position() & 3) != 0) bb.put(0.toByte)
-    }
-    def putAttValue(t: Int, value: Any): Unit = {
-      value match {
-        case s: String => bb.put(s.getBytes(StandardCharsets.UTF_8))
-        case a: Array[Byte] => bb.put(a)
-        case a: Array[Short] => a.foreach(bb.putShort)
-        case a: Array[Int] => a.foreach(bb.putInt)
-        case a: Array[Float] => a.foreach(bb.putFloat)
-        case a: Array[Double] => a.foreach(bb.putDouble)
+    /** The serialized header, zero-padded out to the first variable's
+      * begin offset (pad4(headerLen)). */
+    def headerBytes(): Array[Byte] = {
+      val bb = ByteBuffer.allocate(pad4(headerLen).toInt)
+      def putName(s: String): Unit = {
+        val b = s.getBytes(StandardCharsets.UTF_8)
+        bb.putInt(b.length)
+        bb.put(b)
+        while ((bb.position() & 3) != 0) bb.put(0.toByte)
       }
-      while ((bb.position() & 3) != 0) bb.put(0.toByte)
-    }
-    def putAttList(as: Seq[Att]): Unit = {
-      bb.putInt(if (as.isEmpty) 0 else TagAttribute)
-      bb.putInt(as.length)
-      as.foreach { a =>
-        putName(a.name)
-        bb.putInt(a.ncType)
-        val n = a.value match {
-          case s: String => s.getBytes(StandardCharsets.UTF_8).length
-          case arr: Array[_] => arr.length
+      def putAttValue(t: Int, value: Any): Unit = {
+        value match {
+          case s: String => bb.put(s.getBytes(StandardCharsets.UTF_8))
+          case a: Array[Byte] => bb.put(a)
+          case a: Array[Short] => a.foreach(bb.putShort)
+          case a: Array[Int] => a.foreach(bb.putInt)
+          case a: Array[Float] => a.foreach(bb.putFloat)
+          case a: Array[Double] => a.foreach(bb.putDouble)
         }
-        bb.putInt(n)
-        putAttValue(a.ncType, a.value)
+        while ((bb.position() & 3) != 0) bb.put(0.toByte)
       }
+      def putAttList(as: Seq[Att]): Unit = {
+        bb.putInt(if (as.isEmpty) 0 else TagAttribute)
+        bb.putInt(as.length)
+        as.foreach { a =>
+          putName(a.name)
+          bb.putInt(a.ncType)
+          val n = a.value match {
+            case s: String => s.getBytes(StandardCharsets.UTF_8).length
+            case arr: Array[_] => arr.length
+          }
+          bb.putInt(n)
+          putAttValue(a.ncType, a.value)
+        }
+      }
+      bb.put('C'.toByte).put('D'.toByte).put('F'.toByte).put(version.toByte)
+      bb.putInt(numRecs)
+      bb.putInt(if (dims.isEmpty) 0 else TagDimension)
+      bb.putInt(dims.length)
+      dims.foreach { d => putName(d.name); bb.putInt(d.length) }
+      putAttList(gatts)
+      bb.putInt(if (decls.isEmpty) 0 else TagVariable)
+      bb.putInt(decls.length)
+      decls.foreach { v =>
+        putName(v.name)
+        bb.putInt(v.dimNames.length)
+        v.dimNames.foreach(d => bb.putInt(dimIdx(d)))
+        putAttList(v.atts)
+        bb.putInt(v.ncType)
+        bb.putInt(vsizeOf(v).toInt)
+        if (version == 2) bb.putLong(beginOf(v.name)) else bb.putInt(beginOf(v.name).toInt)
+      }
+      bb.array()
     }
+  }
 
-    bb.put('C'.toByte).put('D'.toByte).put('F'.toByte).put(version.toByte)
-    bb.putInt(numRecs)
-    bb.putInt(if (dims.isEmpty) 0 else TagDimension)
-    bb.putInt(dims.length)
-    dims.foreach { d => putName(d.name); bb.putInt(d.length) }
-    putAttList(gatts)
-    bb.putInt(if (vars.isEmpty) 0 else TagVariable)
-    bb.putInt(vars.length)
-    vars.foreach { v =>
-      putName(v.name)
-      bb.putInt(v.dimNames.length)
-      v.dimNames.foreach(d => bb.putInt(dimIdx(d)))
-      putAttList(v.atts)
-      bb.putInt(v.ncType)
-      bb.putInt(vsizeOf(v).toInt)
-      if (version == 2) bb.putLong(beginOf(v.name)) else bb.putInt(beginOf(v.name).toInt)
-    }
-    def putSlice(v: VarSpec, from: Int, count: Int): Unit = v.data match {
+  private def sliceInto(bb: ByteBuffer, data: AnyRef, from: Int, count: Int): Unit =
+    data match {
       case a: Array[Byte] => bb.put(a, from, count)
       case a: Array[Short] => (from until from + count).foreach(i => bb.putShort(a(i)))
       case a: Array[Int] => (from until from + count).foreach(i => bb.putInt(a(i)))
       case a: Array[Float] => (from until from + count).foreach(i => bb.putFloat(a(i)))
       case a: Array[Double] => (from until from + count).foreach(i => bb.putDouble(a(i)))
     }
-    fixedVars.foreach { v =>
-      bb.position(beginOf(v.name).toInt)
-      putSlice(v, 0, slabOf(v).toInt / typeSize(v.ncType))
+
+  /** Serialize a classic file in memory.
+    * @param version 1 = CDF-1 (32-bit offsets), 2 = CDF-2 (64-bit offsets,
+    *                the classic large-file format)
+    * @param numRecs record count for variables on the record dim (a dim
+    *                with length 0). In-memory writer: one file ≤ 2 GiB —
+    *                shard across files, or use [[writeStreaming]], before
+    *                that (CDF-2 raises the FORMAT's per-variable limit;
+    *                the 2 GiB cap here is the byte-array backing). */
+  def write(dims: Seq[Dim], gatts: Seq[Att], vars: Seq[VarSpec],
+            version: Int = 1, numRecs: Int = 0): Array[Byte] = {
+    val lay = new Layout(dims, gatts, vars.map(_.decl), version, numRecs)
+    // a mismatched array would silently overflow into the next variable's
+    // slab (or read back zero padding as data) — fail fast instead
+    vars.foreach { v =>
+      val per = lay.slabOf(v.decl) / typeSize(v.ncType)
+      val want = if (lay.isRec(v.decl)) per * numRecs else per
+      val got = v.data match { case a: Array[_] => a.length.toLong }
+      require(got == want,
+        s"variable ${v.name}: data length $got != expected $want")
+    }
+    require(lay.total <= Int.MaxValue,
+      "in-memory writer limited to one <2 GiB file — shard across files " +
+        "or use writeStreaming")
+    val bb = ByteBuffer.allocate(lay.total.toInt)
+    bb.put(lay.headerBytes())
+    val byName = vars.map(v => v.name -> v).toMap
+    lay.fixedVars.foreach { d =>
+      bb.position(lay.beginOf(d.name).toInt)
+      sliceInto(bb, byName(d.name).data, 0, lay.slabOf(d).toInt / typeSize(d.ncType))
     }
     // record block: records outermost, per-record slabs in variable order
     var r = 0
     while (r < numRecs) {
-      recVars.foreach { v =>
-        val per = (slabOf(v) / typeSize(v.ncType)).toInt
-        bb.position((beginOf(v.name) + r * recSize).toInt)
-        putSlice(v, r * per, per)
+      lay.recVars.foreach { d =>
+        val per = (lay.slabOf(d) / typeSize(d.ncType)).toInt
+        bb.position((lay.beginOf(d.name) + r * lay.recSize).toInt)
+        sliceInto(bb, byName(d.name).data, r * per, per)
       }
       r += 1
     }
     bb.array()
+  }
+
+  /** Stream a classic file variable-by-variable: the layout comes from the
+    * declarations alone, then each fixed variable's data is `fetch`ed,
+    * serialized through a bounded chunk buffer, and dropped before the
+    * next one is materialized. Peak memory = ONE variable's array + an
+    * 8 MB chunk — NOT #vars × grid + a whole-file buffer, which is what
+    * the in-memory [[write]] costs and what breaks a driver exporting a
+    * global atlas (a 1/4°×64-level grid is ~0.25 GB PER variable).
+    * Fixed-size variables only (record slabs interleave per record, so
+    * they cannot be fetched one variable at a time). File size is
+    * unbounded with version 2 (64-bit offsets). */
+  def writeStreaming(os: java.io.OutputStream, dims: Seq[Dim],
+                     gatts: Seq[Att], decls: Seq[VarDecl],
+                     version: Int = 1)(fetch: VarDecl => AnyRef): Unit = {
+    val lay = new Layout(dims, gatts, decls, version, numRecs = 0)
+    require(lay.recVars.isEmpty,
+      "writeStreaming supports fixed-size variables only")
+    require(version == 2 || lay.total <= Int.MaxValue,
+      "CDF-1 offsets are 32-bit — use version = 2 past 2 GiB")
+    os.write(lay.headerBytes())
+    val chunk = ByteBuffer.allocate(8 << 20)
+    def flush(): Unit = { os.write(chunk.array(), 0, chunk.position()); chunk.clear() }
+    lay.fixedVars.foreach { d =>
+      val data = fetch(d)
+      val elems = (lay.slabOf(d) / typeSize(d.ncType)).toInt
+      val got = data match { case a: Array[_] => a.length }
+      require(got == elems,
+        s"variable ${d.name}: data length $got != expected $elems")
+      val elemSize = typeSize(d.ncType)
+      val perChunk = chunk.capacity() / elemSize
+      var from = 0
+      while (from < elems) {
+        val n = math.min(perChunk, elems - from)
+        sliceInto(chunk, data, from, n)
+        flush()
+        from += n
+      }
+      // slab padding out to the next variable's begin offset
+      var pad = (lay.vsizeOf(d) - lay.slabOf(d)).toInt
+      while (pad > 0) { chunk.put(0.toByte); pad -= 1 }
+      flush()
+    }
   }
 }

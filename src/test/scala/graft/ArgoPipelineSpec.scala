@@ -177,6 +177,36 @@ class ArgoPipelineSpec extends SparkSuite {
     assert(n > 0, "high-latitude profile was cropped before the join")
   }
 
+  test("atlas past the broadcast cap: binned shuffle-hash join, identical cells") {
+    // At a global 1/4° grid (~10⁸ exploded rows) the broadcast branch of
+    // Atlas.pairs is out of budget and the shuffle-hash fallback is the
+    // branch a 100 TB run actually lives in — so it must be exercised, not
+    // just exist. Dropping the cap to 0 via conf forces it on the same
+    // small fixture; the fixed-point cell aggregation is partition-
+    // invariant, so both join strategies must produce BIT-identical cells.
+    val atlas = new Atlas(box = (0.0, 30.0, -50.0, -30.0), reso = 2.0)
+    def cells() = atlas.climTS(spark, profiles).filter($"CT" =!= 0.0f)
+      .select($"lon", $"lat", $"pres", $"CT", $"SR")
+      .as[(Float, Float, Float, Float, Float)].collect().toSeq.sorted
+    val pBroad = atlas.pairs(spark, profiles).queryExecution.executedPlan.toString
+    assert(pBroad.contains("BroadcastHashJoin"),
+      s"small grid should broadcast by default:\n$pBroad")
+    val viaBroadcast = cells()
+    assert(viaBroadcast.nonEmpty, "degenerate fixture: no cells with data")
+    spark.conf.set("spark.graft.atlasBroadcastMaxRows", "0")
+    try {
+      // the PAIR join (keys bi, bj) must be shuffle-hash; upstream summary
+      // dict joins legitimately keep broadcasting their tiny dims
+      val pShuf = atlas.pairs(spark, profiles).queryExecution.executedPlan.toString
+      assert(pShuf.contains("ShuffledHashJoin [bi"),
+        s"past the cap the bin join must be shuffle-hash:\n$pShuf")
+      assert(!pShuf.contains("BroadcastHashJoin [bi"),
+        s"grid must not broadcast past the cap:\n$pShuf")
+      assert(cells() == viaBroadcast,
+        "shuffle fallback must produce the exact broadcast-path cells")
+    } finally spark.conf.unset("spark.graft.atlasBroadcastMaxRows")
+  }
+
   test("atlas climEAPE R14: near-zero for a homogeneous ocean, SIGSTAR plausible") {
     val atlas = new Atlas(box = (8.0, 22.0, -42.0, -34.0), reso = 2.0)
     val out = atlas.climEAPE(spark, profiles, algo = "R14")

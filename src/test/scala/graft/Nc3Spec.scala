@@ -209,4 +209,32 @@ class Nc3Spec extends AnyFunSuite {
     assert(nc.readDoubles("a").toSeq === Seq(1.0, 2.0, 3.0))
     assert(nc.readDoubles("b").toSeq === Seq(4.0, 5.0, 6.0))
   }
+
+  test("streaming writer emits byte-identical files to the in-memory writer") {
+    // Shared Layout means the two writers agree on header/offsets BY
+    // CONSTRUCTION; this pins the slab serialization too — including the
+    // odd-length char slab whose pad bytes the streaming path must emit
+    // explicitly (the in-memory path gets them free from the zeroed
+    // whole-file buffer).
+    val dims = Seq(Nc3.Dim("x", 3), Nc3.Dim("s", 5))
+    val gatts = Seq(Nc3.Att("title", Nc3.NcChar, "stream"))
+    val vars = Seq(
+      Nc3.VarSpec("c", Seq("x", "s"), Nil, Nc3.NcChar,
+        "abcdefghijklmno".getBytes("UTF-8")), // 15 bytes → 1 pad byte
+      Nc3.VarSpec("a", Seq("x"), Seq(Nc3.Att("units", Nc3.NcChar, "m")),
+        Nc3.NcDouble, Array(1.5, -2.0, 3.25)),
+      Nc3.VarSpec("b", Seq("x"), Nil, Nc3.NcShort, Array[Short](7, 8, 9)))
+    for (version <- Seq(1, 2)) {
+      val inMem = Nc3.write(dims, gatts, vars, version = version)
+      val fetched = scala.collection.mutable.ArrayBuffer.empty[String]
+      val bos = new java.io.ByteArrayOutputStream()
+      Nc3.writeStreaming(bos, dims, gatts, vars.map(_.decl), version) { d =>
+        fetched += d.name
+        vars.find(_.name == d.name).get.data
+      }
+      assert(bos.toByteArray.toSeq === inMem.toSeq, s"version $version differs")
+      // one fetch per variable, in file order — the memory-bound contract
+      assert(fetched.toSeq === Seq("c", "a", "b"))
+    }
+  }
 }
