@@ -50,6 +50,17 @@ class Atlas(
     * < sf·reso degrees of arc). */
   val radiusDeg: Double = smoothingFactor * reso
 
+  /** Spatial bins are a FRACTION of the search radius (radius/4): with
+    * bin = radius the whole domain collapses into a handful of join keys
+    * (all the work lands on ≤6 tasks) and the candidate window overshoots
+    * the disc by 4×. Finer bins cost more exploded grid rows — but the
+    * grid side is cells × neighborhood, orders of magnitude smaller than
+    * the profile side, which stays one row per profile. `binW` is also the
+    * bucketing key contract for [[AtlasStore]]: a profile store bucketed
+    * on these bins joins co-located, with no profile-side shuffle at all. */
+  val nSub = 4
+  val binW: Double = radiusDeg / nSub
+
   // ---- grid (X11: mylinspace ≡ sequence arithmetic, atlas.py:83-90) ------
   def grid(s: SparkSession): DataFrame = {
     val (lon1, lon2, lat1, lat2) = box
@@ -102,25 +113,34 @@ class Atlas(
     * reference's kdx/coef/N reuse, atlas.py:289-306). */
   def pairs(s: SparkSession, profiles: DataFrame,
             aux: Option[Column] = None): DataFrame = {
-    // Bins are a FRACTION of the search radius (radius/4): with bin =
-    // radius the whole domain collapses into a handful of join keys (all
-    // the work lands on ≤6 tasks) and the candidate window overshoots the
-    // disc by 4×. Finer bins cost more exploded grid rows — but the grid
-    // side is cells × neighborhood, orders of magnitude smaller than the
-    // profile side, which stays one row per profile.
-    val nSub = 4
-    val binW = radiusDeg / nSub
     // CT/SR/IDX packed into ONE binary column ONCE per profile, before the
     // join fans each profile out to many cells: every downstream pair row
     // then carries (and every aggregator input decodes) a single flat byte
     // array instead of three boxed Seq columns — at 1M+ pairs the boxed
     // tuple decode dominated the whole atlas wall-time.
-    val p = crop(profiles)
+    //
+    // If the store already carries THIS atlas's bin columns
+    // (AtlasStore.bucketize stamps binW into the column metadata), reuse
+    // the stored attributes instead of recomputing the floor: a recomputed
+    // expression would erase the scan's bucketed output partitioning, and
+    // with it the whole point of the bucketed layout — the shuffle-free
+    // profile side of the pair join.
+    val storedBins = Seq("bi", "bj").forall { c =>
+      profiles.columns.contains(c) && {
+        val m = profiles.schema(c).metadata
+        m.contains(AtlasStore.BinWKey) && m.getDouble(AtlasStore.BinWKey) == binW
+      }
+    }
+    val cropped = crop(profiles)
       .select(Seq(col("LONGITUDE").as("plon"), col("LATITUDE").as("plat"),
         Atlas.pack3(col("CT"), col("SR"), col("IDX")).as("prof")) ++
-        aux.map(_.as("aux")).toSeq: _*)
-      .withColumn("bi", floor((col("plon") + 180.0) / binW).cast("int"))
-      .withColumn("bj", floor((col("plat") + 90.0) / binW).cast("int"))
+        aux.map(_.as("aux")).toSeq ++
+        (if (storedBins) Seq(col("bi"), col("bj")) else Nil): _*)
+    val p =
+      if (storedBins) cropped
+      else cropped
+        .withColumn("bi", floor((col("plon") + 180.0) / binW).cast("int"))
+        .withColumn("bj", floor((col("plat") + 90.0) / binW).cast("int"))
     val nBi = math.ceil(360.0 / binW).toInt
     // Longitude neighborhood: the exact in-radius bound at latitude φ is
     // Δλ ≤ 2·asin(sin(radius/2)/cos φ) (see crop) — the linearized

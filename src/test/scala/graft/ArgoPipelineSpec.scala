@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.argo.{ArgoSchemas, Atlas, Interpolator, SummaryBuilder}
+import graft.argo.{ArgoSchemas, Atlas, AtlasStore, Interpolator, SummaryBuilder}
 
 /** End-to-end pipeline test on FIXTURES.md-shaped synthetic data: smooth
   * analytic T/S fields sampled at irregular depths → summary → interpolated
@@ -205,6 +205,36 @@ class ArgoPipelineSpec extends SparkSuite {
       assert(cells() == viaBroadcast,
         "shuffle fallback must produce the exact broadcast-path cells")
     } finally spark.conf.unset("spark.graft.atlasBroadcastMaxRows")
+  }
+
+  test("bucketed profile store joins co-located: no profile-side exchange") {
+    // The 100 TB at-rest layout: profiles bucketed on the atlas bin key.
+    // Past the broadcast cap the pair join must then shuffle ONLY the
+    // exploded-grid side — the profile side's scan partitioning already
+    // satisfies the join distribution.
+    val atlas = new Atlas(box = (0.0, 30.0, -50.0, -30.0), reso = 2.0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed")
+    AtlasStore.saveBucketed(profiles, atlas, "profiles_bucketed", buckets = 8,
+      path = Some(tmp.resolve("t").toString))
+    try {
+      val bp = AtlasStore.loadBucketed(spark, "profiles_bucketed")
+      spark.conf.set("spark.graft.atlasBroadcastMaxRows", "0")
+      try {
+        val plan = atlas.pairs(spark, bp).queryExecution.executedPlan.toString
+        assert(plan.contains("ShuffledHashJoin [bi"),
+          s"expected the shuffle-hash pair join:\n$plan")
+        val nEx = "Exchange hashpartitioning\\(bi".r.findAllIn(plan).length
+        assert(nEx == 1, s"only the grid side may shuffle on the bin key, found $nEx:\n$plan")
+        assert(plan.contains("Bucketed: true"),
+          s"profile side must read as a bucketed scan:\n$plan")
+        def cells(src: org.apache.spark.sql.DataFrame) =
+          atlas.climTS(spark, src).filter($"CT" =!= 0.0f)
+            .select($"lon", $"lat", $"pres", $"CT", $"SR")
+            .as[(Float, Float, Float, Float, Float)].collect().toSeq.sorted
+        assert(cells(bp) == cells(profiles),
+          "bucketed store must produce the exact direct-path cells")
+      } finally spark.conf.unset("spark.graft.atlasBroadcastMaxRows")
+    } finally spark.sql("DROP TABLE IF EXISTS profiles_bucketed")
   }
 
   test("atlas climEAPE R14: near-zero for a homogeneous ocean, SIGSTAR plausible") {
