@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.argo.{Atlas, Interpolator, SummaryBuilder}
+import graft.argo.{Atlas, AtlasSink, Interpolator, SummaryBuilder}
 
 /** The full Argo pipeline (summary → interpolation → atlas) driven from
   * the deterministic testdata tables: orders become profile headers,
@@ -94,6 +94,38 @@ object ArgoQueries extends QueryModule {
       .filter(col("CT") =!= 0.0f)
   }
 
+  // ---- q76: the atlas NetCDF sink (S9) under the driver's gate -----------
+  // Round-trips q71's atlas THROUGH the dense NetCDF export: climTS →
+  // AtlasSink.writeNetcdf (streaming classic-format writer, reference
+  // atlas.py:576-636) → Nc3 read-back → long-format rows. The oracle is
+  // q71's OWN fixture, so the sink must reproduce the verified atlas
+  // bit-for-bit (float32 survives the f4 variable exactly); any drift in
+  // the (pres, lat, lon) scatter order, the coordinate variables, or the
+  // writer's layout breaks the hash against a fixture the sink never
+  // touched. The read-back is driver-side by construction — the file IS a
+  // single-node artifact bounded by the atlas grid; the at-scale sink
+  // path remains the long-format parquet (AtlasSink.write).
+  private def q76(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val profiles = pipeline(s, d)
+    val atlas = new Atlas(box = (-20.0, 50.0, -50.0, -20.0), reso = 5.0)
+    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-atlas-" + d.replaceAll("[^A-Za-z0-9.]", "_") + ".nc")
+    AtlasSink.writeNetcdf(out.toString, atlas, atlas.climTS(s, profiles), profiles)
+    val nc = new graft.sources.Nc3.NcFile(java.nio.file.Files.readAllBytes(out))
+    val lon = nc.readDoubles("lon").map(_.toFloat)
+    val lat = nc.readDoubles("lat").map(_.toFloat)
+    val pres = nc.readDoubles("pres").map(_.toFloat)
+    val ct = nc.readDoubles("CT")
+    val sr = nc.readDoubles("SR")
+    val rows = for {
+      k <- pres.indices; j <- lat.indices; i <- lon.indices
+      idx = (k * lat.length + j) * lon.length + i
+      if ct(idx) != 0.0 // mirror q71's CT =!= 0 gate (absent cells scatter as 0)
+    } yield (lon(i), lat(j), pres(k), ct(idx).toFloat, sr(idx).toFloat)
+    rows.toDF("lon", "lat", "pres", "CT", "SR")
+  }
+
   // ---- q72/q73: the two-pass EAPE aggregation (A2 R14 / A3 T25) ----------
   private def eape(algo: String)(s: SparkSession, d: String): DataFrame = {
     val profiles = pipeline(s, d)
@@ -142,6 +174,10 @@ object ArgoQueries extends QueryModule {
       QueryDef(q71, Some(FixtureOracle.sql("q71_argo_atlas"))),
     "q72_argo_eape_r14" ->
       QueryDef(eape("R14"), Some(FixtureOracle.sql("q72_argo_eape_r14"))),
+    // oracle = q71's fixture on purpose: the sink round-trip must
+    // reproduce the independently verified atlas exactly
+    "q76_atlas_netcdf_roundtrip" ->
+      QueryDef(q76, Some(FixtureOracle.sql("q71_argo_atlas"))),
     "q74_argo_atlas_masked" ->
       QueryDef(q74, Some(FixtureOracle.sql("q74_argo_atlas_masked"))),
     "q73_argo_eape_t25" ->
