@@ -156,20 +156,30 @@ object AtlasSink {
           Nc3.VarDecl(name, Seq("pres", "lat", "lon"), atts, Nc3.NcFloat)
         }
 
-    // one collect per data variable (narrow: lon, lat, pres, value) — so
-    // pin the long-format frame for the duration instead of recomputing
-    // the whole atlas aggregation per variable
+    // CDF-1 offsets are 32-bit; a fine global grid with several variables
+    // crosses 2 GiB, where the classic large-file variant (CDF-2) is the
+    // correct header — pick it automatically from the known dense size
+    val dataBytes = 4L * nP * nLat * nLon * dataCols.length
+    val version = if (dataBytes > Int.MaxValue / 2) 2 else 1
+
+    // one pass per data variable (narrow: lon, lat, pres, value) — so pin
+    // the long-format frame for the duration instead of recomputing the
+    // whole atlas aggregation per variable. toLocalIterator, not collect:
+    // the driver holds one PARTITION of boxed rows at a time while
+    // scattering into the dense grid, so peak memory really is one
+    // variable's grid — a whole-atlas collect of row objects would dwarf
+    // the grids the streaming writer just stopped holding.
     val cached = df.persist()
     val p = new Path(out)
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     try {
       val os = fs.create(p, true)
       try {
-        Nc3.writeStreaming(os, dims, gatts, decls) { d =>
+        Nc3.writeStreaming(os, dims, gatts, decls, version) { d =>
           coordData.getOrElse(d.name, {
             val grid = new Array[Float](nP * nLat * nLon)
             cached.select(col("lon"), col("lat"), col("pres"), col(d.name))
-              .collect().foreach { r =>
+              .toLocalIterator().forEachRemaining { r =>
                 val gi = math.round((r.getFloat(0) - lon1) / reso).toInt
                 val gj = math.round((r.getFloat(1) - lat1) / reso).toInt
                 val gk = presIdx(r.getFloat(2))

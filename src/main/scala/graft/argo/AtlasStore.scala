@@ -34,8 +34,11 @@ object AtlasStore {
     * [[Atlas.pairs]] computes, stamped with binW metadata. */
   def bucketize(profiles: DataFrame, atlas: Atlas): DataFrame = {
     val md = new MetadataBuilder().putDouble(BinWKey, atlas.binW).build()
-    profiles.select(
-      profiles.columns.toIndexedSeq.map(col) ++ Seq(
+    // drop bins from a previous parameterization first — re-bucketizing a
+    // loaded store for a new atlas must recompute, not duplicate columns
+    val base = profiles.drop("bi", "bj")
+    base.select(
+      base.columns.toIndexedSeq.map(col) ++ Seq(
         floor((col("LONGITUDE").cast("double") + 180.0) / atlas.binW)
           .cast("int").as("bi", md),
         floor((col("LATITUDE").cast("double") + 90.0) / atlas.binW)

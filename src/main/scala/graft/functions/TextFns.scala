@@ -179,16 +179,18 @@ object TextFns {
     u(_)
   }
 
-  /** packed hashes → all K minhash signatures in one pass. */
-  val minhashSigsPacked: Column => Column = {
+  /** packed hashes → the first `k` minhash signatures in one pass.
+    * Overflow-safe for any practical k: permA(k-1)·x < (2k+1)·1e15 stays
+    * far inside a signed 64-bit long. */
+  def minhashSigsPackedK(k: Int): Column => Column = {
     val u = udf((p: Array[Byte]) => {
       val bb = java.nio.ByteBuffer.wrap(p)
-      val sigs = Array.fill(MinHashK)(Long.MaxValue)
+      val sigs = Array.fill(k)(Long.MaxValue)
       var off = 0
       while (off < p.length) {
         val x = bb.getLong(off)
         var j = 0
-        while (j < MinHashK) {
+        while (j < k) {
           val h = (x * permA(j) + permB(j)) % HashMod
           if (h < sigs(j)) sigs(j) = h
           j += 1
@@ -199,6 +201,9 @@ object TextFns {
     })
     u(_)
   }
+
+  /** packed hashes → all [[MinHashK]] signatures (the q34 LSH banding). */
+  val minhashSigsPacked: Column => Column = minhashSigsPackedK(MinHashK)
 
   /** packed hashes → SimHash fingerprint (same semantics as [[simhash]]). */
   val simhashPacked: Column => Column = {

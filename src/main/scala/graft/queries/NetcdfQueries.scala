@@ -70,8 +70,10 @@ object NetcdfQueries extends QueryModule {
     val root = Paths.get(sys.props("java.io.tmpdir"),
       "graft-gdac-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
     if (Files.exists(root)) {
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.delete(p))
+      finally walk.close()
     }
     val profs = Tables.orders(s, d)
       .filter(col("o_orderkey") % 100 === 0)

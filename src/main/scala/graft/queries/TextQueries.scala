@@ -7,7 +7,6 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.{FP, TextFns => T}
-import graft.operators.Joins
 
 /** Training-data text pipeline over the `documents` table: exact and
   * near deduplication (MinHash+LSH, SimHash, n-gram Jaccard), language ID,
@@ -334,21 +333,23 @@ object TextQueries extends QueryModule {
   // bands (r=1 maximizes recall at a fixed K: P[candidate] = 1-(1-j)^K);
   // the pair join is an equi-join on (band, minhash, source) — work scales
   // with bucket occupancy, not block size² — and the exact packed-Jaccard
-  // merge-walk runs only on candidates. Recall: a pair at the j ≥ 0.2
-  // output threshold is missed with probability (1-j)^8 ≤ 0.17, BUT real
-  // qualifying pairs are near-duplicates — measured on this corpus every
-  // pair ≥ 0.2 is in fact ≥ 0.90 (bimodal: near-dup or unrelated), where
-  // the miss probability is ≤ 1e-8. The DuckDB oracle stays the exact
-  // all-pairs form, so the driver hash-check verifies, per round, that the
-  // candidate set lost nothing.
+  // merge-walk runs only on candidates. Recall at K=16: a pair at the
+  // j ≥ 0.2 output threshold is missed with probability (1-j)^16 ≤ 0.028,
+  // and real qualifying pairs are near-duplicates — measured on this
+  // corpus every pair ≥ 0.2 is in fact ≥ 0.90 (bimodal: near-dup or
+  // unrelated), where the miss probability is ≤ 1e-16. The DuckDB oracle
+  // stays the exact all-pairs form, so the driver hash-check verifies, per
+  // round, that the candidate set lost nothing.
+  private val JaccardBands = 16
+
   private def q36(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d)
       .repartition(col("doc_id"))
       .select(col("doc_id"), col("source"), T.shingleHashesPacked(2)(col("text")).as("gs"))
     val bands = base
-      .withColumn("sigs", T.minhashSigsPacked(col("gs")))
+      .withColumn("sigs", T.minhashSigsPackedK(JaccardBands)(col("gs")))
       .select(col("doc_id"), col("source"), col("gs"),
-        explode(array((0 until T.MinHashK).map { j =>
+        explode(array((0 until JaccardBands).map { j =>
           struct(lit(j).as("band"), element_at(col("sigs"), j + 1).as("key"))
         }: _*)).as("bk"))
       .select(col("doc_id"), col("source"), col("gs"), col("bk.band"), col("bk.key"))

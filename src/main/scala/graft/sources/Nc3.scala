@@ -21,10 +21,11 @@ import java.nio.charset.StandardCharsets
   * Record slabs interleave per record in variable order, each padded to 4
   * bytes except when there is exactly one record variable (the spec's
   * special case) — that is how the Argo `_prof.nc` HISTORY block is laid
-  * out. Files are handled in memory (one Argo float file is ~MBs); the
-  * writer caps one file at 2 GiB — the atlas sink shards across files
-  * before that. NetCDF-4/HDF5 is out of scope (the GDAC distributes
-  * classic).
+  * out. Reads are in memory (one Argo float file is ~MBs); the in-memory
+  * writer caps one file at 2 GiB, and [[writeStreaming]] lifts that cap
+  * (CDF-2 offsets) by serializing one variable at a time — the atlas sink
+  * streams through it. NetCDF-4/HDF5 is out of scope (the GDAC
+  * distributes classic).
   */
 object Nc3 {
   val NcByte = 1; val NcChar = 2; val NcShort = 3
@@ -312,6 +313,14 @@ object Nc3 {
       else recVars.map(v => pad4(slabOf(v))).sum
     def vsizeOf(v: VarDecl): Long =
       if (isRec(v) && recVars.length == 1) slabOf(v) else pad4(slabOf(v))
+    // the header's vsize field is a 32-bit int in BOTH classic variants
+    // (CDF-2 widens only the begin offsets) — a larger variable would
+    // silently truncate in putInt and corrupt external readers
+    decls.foreach { v =>
+      require(vsizeOf(v) <= Int.MaxValue,
+        s"variable ${v.name}: ${vsizeOf(v)} B exceeds the classic-format " +
+          "per-variable limit — split the variable (e.g. per-level slabs)")
+    }
 
     private val beginBytes = if (version == 2) 8 else 4
     val headerLen: Long = 4 + 4 + // magic + numrecs
