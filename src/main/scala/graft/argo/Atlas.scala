@@ -224,8 +224,13 @@ class Atlas(
     // Persist the PROFILES (one 600 B row each), not the pairs: the pair
     // fan-out multiplies rows by the cells-in-radius factor, so caching it
     // costs fan-out x more memory than re-running the (broadcast-join +
-    // filter) that produces it from cached profiles.
-    val prof = profiles.persist()
+    // filter) that produces it from cached profiles. If the caller handed
+    // us an already-persisted frame (e.g. the memoized interpolated
+    // store), it owns the lifecycle — persisting again would just warn,
+    // and the finally-unpersist would evict the SHARED cache out from
+    // under every later query.
+    val preCached = profiles.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val prof = if (preCached) profiles else profiles.persist()
     // Two pair sets over the same cached profiles: pass-1 (cell means)
     // never reads the aux payload, so it gets the BARE pairs — the per-
     // profile kernel precompute (64 rho evals for R14, 64 gammat
@@ -272,7 +277,7 @@ class Atlas(
           col("w"), col("prof"), col("aux"), col("cell")).as("EAPE_m"),
           first(col("SIG")).as("SIG_m"))
       explodeLevels(agg, Seq("EAPE_m" -> "EAPE", "SIG_m" -> "SIGSTAR"))
-    } finally prof.unpersist(blocking = false)
+    } finally if (!preCached) prof.unpersist(blocking = false)
   }
 
   /** Dense (cell, level) long-format output (S9: the atlas "NetCDF" sink is

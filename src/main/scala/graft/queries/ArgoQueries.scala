@@ -46,6 +46,27 @@ object ArgoQueries extends QueryModule {
     }
     Interpolator.interpolate(samples(summary), summary)
   }
+  /** Stage-2 memoization for the ATLAS family: one persisted interpolated
+    * frame per (session, dir) — the Spark analog of the reference's
+    * on-disk interpolated store (README.md:146-158), which its atlas
+    * stage reads instead of re-interpolating. ~600 B per profile, so the
+    * cache is MBs at test scale and ~2 GB at the full-corpus scale the
+    * reference quotes for the same artifact. q70 deliberately BYPASSES
+    * this cache: it is the benchmark's interpolation-throughput probe and
+    * must measure the kernel, not a cache read. */
+  private val interpCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]
+
+  private def pipelineCached(s: SparkSession, d: String): DataFrame = {
+    val perSession = interpCache.synchronized {
+      interpCache.computeIfAbsent(s,
+        _ => scala.collection.mutable.Map.empty[String, DataFrame])
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(d, pipeline(s, d).persist())
+    }
+  }
+
   private def rawHeader(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .filter(col("o_orderkey") % 10 === 0)
@@ -86,7 +107,7 @@ object ArgoQueries extends QueryModule {
 
   // ---- q71: the full three-stage pipeline into an atlas ------------------
   private def q71(s: SparkSession, d: String): DataFrame = {
-    val profiles = pipeline(s, d)
+    val profiles = pipelineCached(s, d)
     val atlas = new Atlas(box = (-20.0, 50.0, -50.0, -20.0), reso = 5.0)
     // no orderBy: rows-only check, and a global sort's range-sampling pass
     // would re-execute the whole aggregation subtree just to pick splits
@@ -107,7 +128,7 @@ object ArgoQueries extends QueryModule {
   // path remains the long-format parquet (AtlasSink.write).
   private def q76(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val profiles = pipeline(s, d)
+    val profiles = pipelineCached(s, d)
     val atlas = new Atlas(box = (-20.0, 50.0, -50.0, -20.0), reso = 5.0)
     val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       "graft-atlas-" + d.replaceAll("[^A-Za-z0-9.]", "_") + ".nc")
@@ -128,7 +149,7 @@ object ArgoQueries extends QueryModule {
 
   // ---- q72/q73: the two-pass EAPE aggregation (A2 R14 / A3 T25) ----------
   private def eape(algo: String)(s: SparkSession, d: String): DataFrame = {
-    val profiles = pipeline(s, d)
+    val profiles = pipelineCached(s, d)
     val atlas = new Atlas(box = (-20.0, 50.0, -50.0, -20.0), reso = 5.0)
     atlas.climEAPE(s, profiles, algo = algo)
       .filter(col("SIGSTAR") =!= 0.0f)
@@ -140,7 +161,7 @@ object ArgoQueries extends QueryModule {
   // cell BEFORE the neighbor explode and join, so land cells never
   // produce join work at all.
   private def q74(s: SparkSession, d: String): DataFrame = {
-    val profiles = pipeline(s, d)
+    val profiles = pipelineCached(s, d)
     val mask = graft.argo.Bathy.default
     val atlas = new Atlas(box = (-20.0, 50.0, -50.0, -20.0), reso = 5.0,
       landMask = mask.isLand)
