@@ -81,4 +81,18 @@ object Argostats {
   def toNetcdf(path: String, atlas: Atlas, df: DataFrame,
                profiles: DataFrame): Unit =
     AtlasSink.writeNetcdf(path, atlas, df, profiles)
+
+  /** `map_atlas(atlas, field, kz=43)` (figures/maps.py:8-48): one vertical
+    * level of a `climTS`/`climEAPE` frame through the precip16 colormap
+    * into a north-up PPM image; uncovered cells get the reference's
+    * "#CCCCCC" land grey (maps.py:57). The matplotlib axes/colorbar
+    * decoration has no engine analog — the pixels do. */
+  def mapAtlas(path: String, atlas: Atlas, clim: DataFrame, field: String,
+               kz: Int = 43): Unit = {
+    val (lon1, lon2, lat1, lat2) = atlas.box
+    val nlon = ((lon2 - lon1) / atlas.reso).toInt
+    val nlat = ((lat2 - lat1) / atlas.reso).toInt
+    graft.figures.Figures.writePpm(
+      graft.figures.Figures.mapAtlas(clim, atlas, field, kz), nlon, nlat, path)
+  }
 }

@@ -17,6 +17,7 @@ object SparkEntry {
     TextQueries,
     EmbeddingQueries,
     GeoQueries,
+    FigureQueries,
     KernelQueries,
     ArgoQueries,
     NetcdfQueries,

@@ -1,0 +1,116 @@
+package graft.figures
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.argo.{ArgoSchemas, Atlas}
+
+/** The reference's figures layer (`figures/maps.py`, `figures/
+  * first_profiles.py`) re-expressed data-first: each "figure" is a
+  * DataFrame of plot-ready values — raster pixels, scatter points,
+  * histogram bars — produced by the same distributed plans as every other
+  * query, plus one driver-side writer that serializes a raster to a
+  * binary PPM (P6) image. The matplotlib/cartopy calls the reference
+  * wraps around these numbers have no engine analog (and no libraries in
+  * this environment); everything up to the final `imshow` does.
+  *
+  * Scale note: the only driver-resident state is the pixel grid itself
+  * (nlon × nlat × 3 bytes — KBs for any plottable image), same bounded-
+  * output argument as the NetCDF sink; all normalization, colormap
+  * lookup and binning run distributed.
+  */
+object Figures {
+
+  /** Min-max normalize `value` to a micro-position t_u ∈ [0, 1_000_000]
+    * and attach precip16 channels — the data `pcolor(..., cmap=precip16)`
+    * renders (`figures/maps.py:32-48`). `value` must be an integer column
+    * (fixed-point, as the verified aggregates already produce) so the
+    * normalization `(v - min) * 1e6 div (max - min)` is exact integer
+    * arithmetic in every engine.
+    *
+    * The one-row min/max frame joins in as a broadcast nested loop of a
+    * single row — the stat never forces the cell frame to one partition. */
+  def colorize(cells: DataFrame, valueCol: String): DataFrame = {
+    val value = col(valueCol)
+    val stats = cells.agg(min(value).as("vmin"), max(value).as("vmax"))
+    // `div` (integer division) keeps both engines in exact Long arithmetic;
+    // needs (vmax - vmin) * 1e6 < 2^63, i.e. a value span < ~9.2e12 units —
+    // any fixed-point field this engine produces is orders below that.
+    val tU = when(col("vmax") > col("vmin"),
+      expr(s"(($valueCol - vmin) * 1000000L) div (vmax - vmin)"))
+      .otherwise(lit(0L))
+    val withT = cells.crossJoin(broadcast(stats)).withColumn("t_u", tU)
+    val (r, g, b) = Colormaps.precip16(col("t_u"))
+    withT.withColumn("r", r).withColumn("g", g).withColumn("b", b)
+      .drop("vmin", "vmax")
+  }
+
+  /** `map_atlas(atlas, field, kz)` (`figures/maps.py:8-48`): one vertical
+    * level of a long-format `climTS`/`climEAPE` frame as colormapped
+    * pixels. Returns (gi, gj, t_u, r, g, b) — `writePpm` turns it into
+    * the image. Fixed-point via micro-rounding the field first (the
+    * float→long step is per-row, so distribution-safe). */
+  def mapAtlas(clim: DataFrame, atlas: Atlas, field: String, kz: Int): DataFrame = {
+    require(kz >= 0 && kz < ArgoSchemas.NLevels,
+      s"kz=$kz outside [0, ${ArgoSchemas.NLevels})")
+    val (lon1, _, lat1, _) = atlas.box
+    val level = clim
+      .filter(col("pres") === lit(ArgoSchemas.Pref(kz).toFloat))
+      .select(
+        round((col("lon") - lon1) / atlas.reso).cast("int").as("gi"),
+        round((col("lat") - lat1) / atlas.reso).cast("int").as("gj"),
+        graft.functions.FP.micro(col(field)).as("v_u"))
+    colorize(level, "v_u")
+  }
+
+  /** `plot_first_profiles` (`figures/first_profiles.py:11-26`): the
+    * scatter layer — each float's first reported position. */
+  def firstProfilesData(summary: DataFrame): DataFrame =
+    summary.groupBy(col("WMO"))
+      .agg(min_by(col("LONGITUDE"), col("IPROF")).as("LONGITUDE"),
+        min_by(col("LATITUDE"), col("IPROF")).as("LATITUDE"))
+
+  /** `fig_wmo_n_prof` (`figures/first_profiles.py:93-101`): histogram of
+    * profiles-per-float, binsize 10 — the bar data. */
+  def nProfHistData(summary: DataFrame): DataFrame =
+    summary.groupBy(col("WMO")).agg(first(col("N_PROF")).as("N_PROF"))
+      .select((floor(col("N_PROF") / 10) * 10).cast(LongType).as("bin_lo"))
+      .groupBy(col("bin_lo")).agg(count(lit(1)).as("n_wmos"))
+      .orderBy("bin_lo")
+
+  /** Serialize a colorized raster to a binary PPM (P6). Pixels the frame
+    * doesn't cover (land / no-data cells — the reference paints them
+    * "#CCCCCC", `figures/maps.py:57`) get that same grey. Row 0 of the
+    * image is the TOP scanline = the maximum `gj` (north-up, like the
+    * reference's maps).
+    *
+    * Collects nlon × nlat pixel rows — bounded by the image, not the
+    * data; the frame feeding it has already reduced to one row per cell. */
+  def writePpm(raster: DataFrame, nlon: Int, nlat: Int, path: String,
+               gi: String = "gi", gj: String = "gj"): Unit = {
+    val px = new Array[Byte](nlon * nlat * 3)
+    java.util.Arrays.fill(px, 204.toByte) // #CCCCCC background
+    val it = raster
+      .select(col(gi).cast("int"), col(gj).cast("int"),
+        col("r").cast("int"), col("g").cast("int"), col("b").cast("int"))
+      .toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      val i = row.getInt(0); val j = row.getInt(1)
+      if (i >= 0 && i < nlon && j >= 0 && j < nlat) {
+        val off = ((nlat - 1 - j) * nlon + i) * 3
+        px(off) = row.getInt(2).toByte
+        px(off + 1) = row.getInt(3).toByte
+        px(off + 2) = row.getInt(4).toByte
+      }
+    }
+    val out = new BufferedOutputStream(new FileOutputStream(path))
+    try {
+      out.write(s"P6\n$nlon $nlat\n255\n".getBytes("US-ASCII"))
+      out.write(px)
+    } finally out.close()
+  }
+}

@@ -147,7 +147,9 @@ object GeoQueries extends QueryModule {
        |  FROM pairs WHERE d2 <= $Radius2)""".stripMargin
 
   // ---- q50: kernel-weighted per-cell mean (J1 + A1) ----------------------
-  private def q50(s: SparkSession, d: String): DataFrame =
+  /** The q50 aggregation without the presentation sort — shared with the
+    * figures layer (q77 colormaps these cell means). */
+  private[queries] def cellMeans(s: SparkSession, d: String): DataFrame =
     pairs(s, d)
       .groupBy(col("ci"), col("cj"))
       .agg(sum(col("wx_u")).as("swx"), sum(col("w_u")).as("sw"),
@@ -157,14 +159,22 @@ object GeoQueries extends QueryModule {
         round(col("swx").cast("double") / col("sw").cast("double") * 100.0)
           .cast(LongType).as("wmean_c"),
         col("n_prof"))
-      .orderBy("ci", "cj")
+
+  private def q50(s: SparkSession, d: String): DataFrame =
+    cellMeans(s, d).orderBy("ci", "cj")
+
+  /** WITH-body fragment ending in `cmeans(ci, cj, wmean_c, n_prof)`. */
+  private[queries] val cellMeansSql =
+    s"""$sqlPairs,
+       |cmeans AS (
+       |  SELECT ci, cj,
+       |    CAST(round(sum(wx_u)::DOUBLE / sum(w_u)::DOUBLE * 100.0) AS BIGINT) AS wmean_c,
+       |    count(*) AS n_prof
+       |  FROM wpairs GROUP BY 1, 2 HAVING sum(w_u) > 0)""".stripMargin
 
   private val q50Sql =
-    s"""WITH $sqlPairs
-       |SELECT ci, cj,
-       |  CAST(round(sum(wx_u)::DOUBLE / sum(w_u)::DOUBLE * 100.0) AS BIGINT) AS wmean_c,
-       |  count(*) AS n_prof
-       |FROM wpairs GROUP BY 1, 2 HAVING sum(w_u) > 0 ORDER BY 1, 2""".stripMargin
+    s"""WITH $cellMeansSql
+       |SELECT ci, cj, wmean_c, n_prof FROM cmeans ORDER BY 1, 2""".stripMargin
 
   // ---- q51: two-pass anomaly aggregation (A2's dataflow shape) -----------
   // Pass 1: per-cell weighted mean. Join means back onto the SAME pairs.

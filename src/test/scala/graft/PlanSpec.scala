@@ -211,6 +211,18 @@ class PlanSpec extends SparkSuite {
       s"chunking must not aggregate:\n$p")
   }
 
+  test("q77: colormap raster joins only broadcasts; cells aggregate partially") {
+    val p = plan("q77_atlas_colormap")
+    // two joins feed the raster: profile×grid (broadcast hash on bins) and
+    // cells×min/max-stats (broadcast nested loop of ONE row). Neither may
+    // shuffle the fact side; the colormap lerp itself is pure projection.
+    assert(p.contains("BroadcastHashJoin"), s"grid side should broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row stats side should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"nothing here warrants a sort-merge:\n$p")
+    assert(p.contains("partial_"), s"cell means must pre-aggregate map-side:\n$p")
+  }
+
   test("whole-stage codegen spans cover the relational hot path") {
     // AQE finalizes the plan only on execution; codegen markers appear then
     val df = SparkEntry.queries("q01_pricing_summary")(spark, d)
