@@ -53,7 +53,17 @@ object ArgoQueries extends QueryModule {
     * cache is MBs at test scale and ~2 GB at the full-corpus scale the
     * reference quotes for the same artifact. q70 deliberately BYPASSES
     * this cache: it is the benchmark's interpolation-throughput probe and
-    * must measure the kernel, not a cache read. */
+    * must measure the kernel, not a cache read.
+    *
+    * The bypass must be STRUCTURAL: Spark's CacheManager serves any query
+    * whose analyzed plan contains a subtree `sameResult` to a persisted
+    * plan, so persisting the bare `pipeline(...)` frame would silently
+    * turn q70 into a cache read the moment an atlas query materializes
+    * (observed: a 0.25 s "interpolation" pass that interpolated nothing).
+    * The persisted frame therefore wraps the pipeline in a filter(true)
+    * whose root no plan ever builds independently — the atlas family gets
+    * it via this method and hits the cache; q70's bare pipeline plan has
+    * no matching subtree and always recomputes. PlanSpec pins this. */
   private val interpCache =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]
 
@@ -63,7 +73,7 @@ object ArgoQueries extends QueryModule {
         _ => scala.collection.mutable.Map.empty[String, DataFrame])
     }
     perSession.synchronized {
-      perSession.getOrElseUpdate(d, pipeline(s, d).persist())
+      perSession.getOrElseUpdate(d, pipeline(s, d).filter(lit(true)).persist())
     }
   }
 

@@ -223,6 +223,24 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_"), s"cell means must pre-aggregate map-side:\n$p")
   }
 
+  test("q70 bypasses the memoized interp store; the atlas family hits it") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    // materialize the atlas family's persisted interpolated frame, the
+    // way a bench/verify run would before q70's late re-run
+    SparkEntry.queries("q71_argo_atlas")(spark, d).collect()
+    def interpCached(name: String): Boolean =
+      SparkEntry.queries(name)(spark, d).queryExecution.withCachedData.collect {
+        case r: InMemoryRelation => r
+      }.exists(_.output.exists(_.name == "CT")) // CT exists only post-interp
+    // CacheManager substitutes any subtree sameResult to a persisted plan,
+    // so this FAILS if the memoized frame is ever the bare pipeline plan:
+    // q70 would silently benchmark a cache read instead of the kernel.
+    assert(!interpCached("q70_argo_interp"),
+      "q70 must recompute interpolation, not read the memoized store")
+    assert(interpCached("q72_argo_eape_r14"),
+      "atlas family should reuse the memoized interpolated store")
+  }
+
   test("whole-stage codegen spans cover the relational hot path") {
     // AQE finalizes the plan only on execution; codegen markers appear then
     val df = SparkEntry.queries("q01_pricing_summary")(spark, d)
