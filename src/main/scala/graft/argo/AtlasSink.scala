@@ -164,11 +164,14 @@ object AtlasSink {
 
     // one pass per data variable (narrow: lon, lat, pres, value) — so pin
     // the long-format frame for the duration instead of recomputing the
-    // whole atlas aggregation per variable. toLocalIterator, not collect:
-    // the driver holds one PARTITION of boxed rows at a time while
-    // scattering into the dense grid, so peak memory really is one
-    // variable's grid — a whole-atlas collect of row objects would dwarf
-    // the grids the streaming writer just stopped holding.
+    // whole atlas aggregation per variable. Each pass is ONE parallel job
+    // that packs (flat grid offset, value) into primitive arrays per
+    // partition and collects those: peak driver memory stays one
+    // variable's dense grid plus its sparse pair list (≤ 2× the grid —
+    // a collect of boxed Row objects would be ~10× more, and the
+    // alternative, toLocalIterator, schedules one sequential job per
+    // partition: measured ~1 s of pure job-launch overhead per export
+    // at 32 shuffle partitions).
     val cached = df.persist()
     val p = new Path(out)
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
@@ -178,13 +181,25 @@ object AtlasSink {
         Nc3.writeStreaming(os, dims, gatts, decls, version) { d =>
           coordData.getOrElse(d.name, {
             val grid = new Array[Float](nP * nLat * nLon)
+            val idx = presIdx
+            val (lo1, la1, rs, nI, nJ) = (lon1, lat1, reso, nLon, nLat)
             cached.select(col("lon"), col("lat"), col("pres"), col(d.name))
-              .toLocalIterator().forEachRemaining { r =>
-                val gi = math.round((r.getFloat(0) - lon1) / reso).toInt
-                val gj = math.round((r.getFloat(1) - lat1) / reso).toInt
-                val gk = presIdx(r.getFloat(2))
-                if (gi >= 0 && gi < nLon && gj >= 0 && gj < nLat)
-                  grid((gk * nLat + gj) * nLon + gi) = r.getFloat(3)
+              .rdd.mapPartitions { it =>
+                val offs = new scala.collection.mutable.ArrayBuilder.ofInt
+                val vals = new scala.collection.mutable.ArrayBuilder.ofFloat
+                it.foreach { r =>
+                  val gi = math.round((r.getFloat(0) - lo1) / rs).toInt
+                  val gj = math.round((r.getFloat(1) - la1) / rs).toInt
+                  val gk = idx(r.getFloat(2))
+                  if (gi >= 0 && gi < nI && gj >= 0 && gj < nJ) {
+                    offs += (gk * nJ + gj) * nI + gi
+                    vals += r.getFloat(3)
+                  }
+                }
+                Iterator.single((offs.result(), vals.result()))
+              }.collect().foreach { case (offs, vals) =>
+                var i = 0
+                while (i < offs.length) { grid(offs(i)) = vals(i); i += 1 }
               }
             grid
           })
