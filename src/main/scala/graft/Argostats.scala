@@ -89,10 +89,8 @@ object Argostats {
     * decoration has no engine analog — the pixels do. */
   def mapAtlas(path: String, atlas: Atlas, clim: DataFrame, field: String,
                kz: Int = 43): Unit = {
-    val (lon1, lon2, lat1, lat2) = atlas.box
-    val nlon = ((lon2 - lon1) / atlas.reso).toInt
-    val nlat = ((lat2 - lat1) / atlas.reso).toInt
     graft.figures.Figures.writePpm(
-      graft.figures.Figures.mapAtlas(clim, atlas, field, kz), nlon, nlat, path)
+      graft.figures.Figures.mapAtlas(clim, atlas, field, kz),
+      atlas.nLon, atlas.nLat, path)
   }
 }

@@ -38,6 +38,12 @@ class Atlas(
 
   import ArgoSchemas.{NLevels, Pref}
 
+  /** Grid dimensions — the ONE definition of how box + reso discretize
+    * (grid generation, the NetCDF export and the PPM writer must agree
+    * on these or edge cells silently drop). */
+  val nLon: Int = ((box._2 - box._1) / reso).toInt
+  val nLat: Int = ((box._4 - box._3) / reso).toInt
+
   /** X4: sin²(deg2rad(sf·reso)/2) — the cutoff lives in haversine-ARG
     * space (atlas.py:311-313). */
   val dCritical: Double = {
@@ -63,9 +69,8 @@ class Atlas(
 
   // ---- grid (X11: mylinspace ≡ sequence arithmetic, atlas.py:83-90) ------
   def grid(s: SparkSession): DataFrame = {
-    val (lon1, lon2, lat1, lat2) = box
-    val nlon = ((lon2 - lon1) / reso).toInt
-    val nlat = ((lat2 - lat1) / reso).toInt
+    val (lon1, _, lat1, _) = box
+    val (nlon, nlat) = (nLon, nLat)
     val maskUdf = udf(landMask)
     s.range(nlon.toLong * nlat)
       .select((col("id") % nlon).cast("int").as("gi"),
@@ -169,9 +174,7 @@ class Atlas(
     // on throwaway bin keys. Cap overridable per session
     // (spark.graft.atlasBroadcastMaxRows) so tests and memory-constrained
     // deployments can exercise/force the shuffle path.
-    val (lon1, lon2, lat1, lat2) = box
-    val gridRows = ((lon2 - lon1) / reso).toLong * ((lat2 - lat1) / reso).toLong *
-      (2 * nSub + 1) * (2 * nSub + 1)
+    val gridRows = nLon.toLong * nLat.toLong * (2 * nSub + 1) * (2 * nSub + 1)
     val maxBroadcastRows = s.conf.getOption("spark.graft.atlasBroadcastMaxRows")
       .map(_.toLong).getOrElse(2000000L)
     val gSide = if (gridRows <= maxBroadcastRows) broadcast(g) else g.hint("shuffle_hash")

@@ -129,8 +129,8 @@ object AtlasSink {
     import graft.sources.Nc3
     val (lon1, lon2, lat1, lat2) = atlas.box
     val reso = atlas.reso
-    val nLon = ((lon2 - lon1) / reso).toInt
-    val nLat = ((lat2 - lat1) / reso).toInt
+    val nLon = atlas.nLon
+    val nLat = atlas.nLat
     val pref = ArgoSchemas.Pref
     val nP = pref.length
     val latest = profiles.agg(max(col("JULD"))).head().get(0)

@@ -87,26 +87,40 @@ object Figures {
     * image is the TOP scanline = the maximum `gj` (north-up, like the
     * reference's maps).
     *
-    * Collects nlon × nlat pixel rows — bounded by the image, not the
-    * data; the frame feeding it has already reduced to one row per cell. */
+    * Drains the pixels in ONE parallel job of packed (offset, rgb) pairs
+    * per partition (toLocalIterator would schedule a sequential job per
+    * partition — the overhead AtlasSink.writeNetcdf measured at ~1 s per
+    * export); driver memory is the pixel grid plus its sparse pair list,
+    * bounded by the image, not the data. */
   def writePpm(raster: DataFrame, nlon: Int, nlat: Int, path: String,
                gi: String = "gi", gj: String = "gj"): Unit = {
     val px = new Array[Byte](nlon * nlat * 3)
     java.util.Arrays.fill(px, 204.toByte) // #CCCCCC background
-    val it = raster
+    val (nI, nJ) = (nlon, nlat)
+    raster
       .select(col(gi).cast("int"), col(gj).cast("int"),
         col("r").cast("int"), col("g").cast("int"), col("b").cast("int"))
-      .toLocalIterator()
-    while (it.hasNext) {
-      val row = it.next()
-      val i = row.getInt(0); val j = row.getInt(1)
-      if (i >= 0 && i < nlon && j >= 0 && j < nlat) {
-        val off = ((nlat - 1 - j) * nlon + i) * 3
-        px(off) = row.getInt(2).toByte
-        px(off + 1) = row.getInt(3).toByte
-        px(off + 2) = row.getInt(4).toByte
+      .rdd.mapPartitions { it =>
+        val offs = new scala.collection.mutable.ArrayBuilder.ofInt
+        val rgbs = new scala.collection.mutable.ArrayBuilder.ofInt
+        it.foreach { row =>
+          val i = row.getInt(0); val j = row.getInt(1)
+          if (i >= 0 && i < nI && j >= 0 && j < nJ) {
+            offs += (nJ - 1 - j) * nI + i
+            rgbs += ((row.getInt(2) << 16) | (row.getInt(3) << 8) | row.getInt(4))
+          }
+        }
+        Iterator.single((offs.result(), rgbs.result()))
+      }.collect().foreach { case (offs, rgbs) =>
+        var k = 0
+        while (k < offs.length) {
+          val off = offs(k) * 3; val rgb = rgbs(k)
+          px(off) = (rgb >> 16).toByte
+          px(off + 1) = ((rgb >> 8) & 0xff).toByte
+          px(off + 2) = (rgb & 0xff).toByte
+          k += 1
+        }
       }
-    }
     val out = new BufferedOutputStream(new FileOutputStream(path))
     try {
       out.write(s"P6\n$nlon $nlat\n255\n".getBytes("US-ASCII"))

@@ -22,9 +22,35 @@ object ArgoQueries extends QueryModule {
   private[graft] def samplesProbe(summary: DataFrame): DataFrame = samples(summary)
   private[graft] def profilesProbe(s: SparkSession, d: String): DataFrame = pipeline(s, d)
 
-  /** One persisted summary per (session, dir), weakly keyed by session. */
-  private val summaryCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]
+  /** Per-(session, dir) memoizer for persisted frames. Keys are weak so a
+    * cache never outlives its session — which requires the VALUES to not
+    * strongly reach the key (WeakHashMap's documented trap: a DataFrame
+    * holds its SparkSession, so storing it directly would pin stopped
+    * sessions, their plans and the persisted frames forever). Values are
+    * therefore WeakReferences: the real owner of the cached data is the
+    * session's CacheManager, and if GC drops our handle between queries,
+    * rebuilding is cheap — persist() on the identical plan finds the
+    * existing InMemoryRelation and reuses it, nothing recomputes. */
+  private type FrameCache =
+    java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, java.lang.ref.WeakReference[DataFrame]]]
+
+  private def memo(cache: FrameCache, s: SparkSession, d: String)
+                  (build: => DataFrame): DataFrame = {
+    val perSession = cache.synchronized {
+      cache.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+    }
+    perSession.synchronized {
+      perSession.get(d).flatMap(r => Option(r.get())).getOrElse {
+        val df = build
+        perSession(d) = new java.lang.ref.WeakReference(df)
+        df
+      }
+    }
+  }
+
+  /** One persisted summary per (session, dir). */
+  private val summaryCache = new FrameCache
 
   /** Stage-2 profiles over the MEMOIZED stage-1 summary. The summary is
     * persisted and shared: within one query both the sample generator and
@@ -33,17 +59,10 @@ object ArgoQueries extends QueryModule {
     * atlas query family every query needs the same frame — the reference
     * stores stage 1's output on disk for exactly this reason
     * (toctools.py:72-83). Memoizing bounds the cached footprint to one
-    * ~1 MB frame per (session, scale dir) instead of one per invocation;
-    * the WeakHashMap releases it with the session. */
+    * ~1 MB frame per (session, scale dir) instead of one per invocation. */
   private def pipeline(s: SparkSession, d: String): DataFrame = {
-    val perSession = summaryCache.synchronized {
-      summaryCache.computeIfAbsent(s,
-        _ => scala.collection.mutable.Map.empty[String, DataFrame])
-    }
-    val summary = perSession.synchronized {
-      perSession.getOrElseUpdate(d,
-        SummaryBuilder.build(s, rawHeader(s, d)).persist())
-    }
+    val summary = memo(summaryCache, s, d)(
+      SummaryBuilder.build(s, rawHeader(s, d)).persist())
     Interpolator.interpolate(samples(summary), summary)
   }
   /** Stage-2 memoization for the ATLAS family: one persisted interpolated
@@ -64,18 +83,10 @@ object ArgoQueries extends QueryModule {
     * whose root no plan ever builds independently — the atlas family gets
     * it via this method and hits the cache; q70's bare pipeline plan has
     * no matching subtree and always recomputes. PlanSpec pins this. */
-  private val interpCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]
+  private val interpCache = new FrameCache
 
-  private def pipelineCached(s: SparkSession, d: String): DataFrame = {
-    val perSession = interpCache.synchronized {
-      interpCache.computeIfAbsent(s,
-        _ => scala.collection.mutable.Map.empty[String, DataFrame])
-    }
-    perSession.synchronized {
-      perSession.getOrElseUpdate(d, pipeline(s, d).filter(lit(true)).persist())
-    }
-  }
+  private def pipelineCached(s: SparkSession, d: String): DataFrame =
+    memo(interpCache, s, d)(pipeline(s, d).filter(lit(true)).persist())
 
   private def rawHeader(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)

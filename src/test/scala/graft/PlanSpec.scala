@@ -217,9 +217,10 @@ class PlanSpec extends SparkSuite {
     // cells×min/max-stats (broadcast nested loop of ONE row). Neither may
     // shuffle the fact side; the colormap lerp itself is pure projection.
     assert(p.contains("BroadcastHashJoin"), s"grid side should broadcast:\n$p")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      s"1-row stats side should broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"nothing here warrants a sort-merge:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"1-row stats side should broadcast-nested-loop (it has no equi-key):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"nothing here warrants a sort-merge or cartesian:\n$p")
     assert(p.contains("partial_"), s"cell means must pre-aggregate map-side:\n$p")
   }
 
