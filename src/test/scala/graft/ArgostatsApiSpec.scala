@@ -75,6 +75,15 @@ class ArgostatsApiSpec extends SparkSuite {
     assert(ct.exists(v => math.abs(v - tTrue(0.0)) < 0.2),
       "surface CT missing from the exported atlas")
     assert(nc.gatt("resolution").isDefined)
+    // map_atlas(atlas, field, kz) → the colormapped PPM figure
+    Argostats.mapAtlas(s"$tmp/ct_map.ppm", at, ts, "CT", kz = 0)
+    val ppm = Files.readAllBytes(java.nio.file.Paths.get(s"$tmp/ct_map.ppm"))
+    val header = s"P6\n${at.nLon} ${at.nLat}\n255\n".getBytes("US-ASCII")
+    assert(ppm.take(header.length).toSeq === header.toSeq)
+    assert(ppm.length === header.length + at.nLon * at.nLat * 3)
+    // data cells got colormapped: some pixel differs from the grey fill
+    assert(ppm.drop(header.length).exists(_ != 204.toByte),
+      "no colormapped pixels in the exported map")
   }
 
   test("the masked atlas prunes land cells through the packaged bathymetry") {
