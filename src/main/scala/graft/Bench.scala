@@ -40,18 +40,27 @@ object Bench {
           ((System.nanoTime() - t0) / 1e9, rows)
         }
         var runs = (1 to reps).map(_ => rep())
+        // Only SUCCESSFUL reps may supply the published time: a rep that
+        // throws fast (transient OOM, analysis error) would otherwise win
+        // minBy with its time-to-failure — and its bogus sub-second "min"
+        // would also suppress the contention retries below.
+        def bestOk = runs.filter(_._2 >= 0) match {
+          case ok if ok.nonEmpty => Some(ok.minBy(_._1))
+          case _ => None
+        }
         // Contention guard: on shared hardware a CPU spike during both
         // default reps of a multi-second query inflates its min by 5-10x
         // (observed on the CPU-bound atlas quartet: 3-4 s clean vs 14-30 s
         // contended). Cheap sub-second queries shrug this off; for slow
         // ones, extra reps make a clean window far more likely. Bounded so
-        // a genuinely slow query costs at most 2 extra runs.
+        // a genuinely slow (or persistently failing) query costs at most 2
+        // extra runs.
         var extra = 0
-        while (extra < 2 && runs.map(_._1).min > 1.0) {
+        while (extra < 2 && bestOk.forall(_._1 > 1.0)) {
           runs :+= rep()
           extra += 1
         }
-        val (dt, rows) = runs.minBy(_._1)
+        val (dt, rows) = bestOk.getOrElse(runs.minBy(_._1))
         System.err.println(f"[bench] $name%-24s $dt%8.2f s ($rows rows)")
         name -> ((dt, rows, fn))
       }.toMap

@@ -67,6 +67,11 @@ class Atlas(
   val nSub = 4
   val binW: Double = radiusDeg / nSub
 
+  /** Longitude bin count; profile AND grid bins live in [0, nBi) (both
+    * sides pmod-wrap, so a position reported at exactly +180° lands in
+    * the −180° bin instead of an unjoinable phantom bin). */
+  val nBi: Int = math.ceil(360.0 / binW).toInt
+
   // ---- grid (X11: mylinspace ≡ sequence arithmetic, atlas.py:83-90) ------
   def grid(s: SparkSession): DataFrame = {
     val (lon1, _, lat1, _) = box
@@ -144,9 +149,9 @@ class Atlas(
     val p =
       if (storedBins) cropped
       else cropped
-        .withColumn("bi", floor((col("plon") + 180.0) / binW).cast("int"))
+        .withColumn("bi",
+          pmod(floor((col("plon") + 180.0) / binW).cast("int"), lit(nBi)))
         .withColumn("bj", floor((col("plat") + 90.0) / binW).cast("int"))
-    val nBi = math.ceil(360.0 / binW).toInt
     // Longitude neighborhood: the exact in-radius bound at latitude φ is
     // Δλ ≤ 2·asin(sin(radius/2)/cos φ) (see crop) — the linearized
     // radius/cos φ slightly under-covers at high latitude. Evaluate at the

@@ -39,8 +39,8 @@ object AtlasStore {
     val base = profiles.drop("bi", "bj")
     base.select(
       base.columns.toIndexedSeq.map(col) ++ Seq(
-        floor((col("LONGITUDE").cast("double") + 180.0) / atlas.binW)
-          .cast("int").as("bi", md),
+        pmod(floor((col("LONGITUDE").cast("double") + 180.0) / atlas.binW)
+          .cast("int"), lit(atlas.nBi)).as("bi", md),
         floor((col("LATITUDE").cast("double") + 90.0) / atlas.binW)
           .cast("int").as("bj", md)): _*)
   }

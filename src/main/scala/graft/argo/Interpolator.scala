@@ -128,10 +128,22 @@ object Interpolator {
   // Array[Double] the converter is a bulk UnsafeArrayData.toDoubleArray
   // copy. Same for the float outputs. IDX stays Seq[Byte]: Array[Byte]
   // would map to BinaryType, not the schema's array<tinyint>.
-  private def interpUdf(algo: Int, eos: SeawaterEos) = udf(
-    (pres: Array[Double], temp: Array[Double], psal: Array[Double], qc: Array[Double]) => {
-      val (n, ct, sr, ix) = interpolateProfile(pres, temp, psal, qc, eos, algo)
-      (n, ct, sr, ix.toSeq)
+  //
+  // ONE UDF instance per (algo, eos), not one per call: ScalaUDF compares
+  // its function closure by reference, so a fresh closure makes two
+  // otherwise-identical interpolation plans fail sameResult — breaking
+  // exchange reuse and, worse, CacheManager dedup (a rebuilt memoized
+  // frame would re-persist and RE-RUN the whole interpolation instead of
+  // picking up the existing InMemoryRelation).
+  private val udfCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, SeawaterEos), org.apache.spark.sql.expressions.UserDefinedFunction]
+
+  private def interpUdf(algo: Int, eos: SeawaterEos) =
+    udfCache.computeIfAbsent((algo, eos), { case (a, e) => udf(
+      (pres: Array[Double], temp: Array[Double], psal: Array[Double], qc: Array[Double]) => {
+        val (n, ct, sr, ix) = interpolateProfile(pres, temp, psal, qc, e, a)
+        (n, ct, sr, ix.toSeq)
+      })
     })
 
   /** S3: adjusted-variable resolution — a float uses `*_ADJUSTED` columns

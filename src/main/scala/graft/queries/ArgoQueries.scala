@@ -152,7 +152,10 @@ object ArgoQueries extends QueryModule {
     val profiles = pipelineCached(s, d)
     val atlas = new Atlas(box = (-20.0, 50.0, -50.0, -20.0), reso = 5.0)
     val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft-atlas-" + d.replaceAll("[^A-Za-z0-9.]", "_") + ".nc")
+      // per-process name: two JVMs sharing /tmp (bench + verify on one
+      // host) must not overwrite each other's export mid-read-back
+      "graft-atlas-" + ProcessHandle.current().pid() + "-" +
+        d.replaceAll("[^A-Za-z0-9.]", "_") + ".nc")
     AtlasSink.writeNetcdf(out.toString, atlas, atlas.climTS(s, profiles), profiles)
     val nc = new graft.sources.Nc3.NcFile(java.nio.file.Files.readAllBytes(out))
     val lon = nc.readDoubles("lon").map(_.toFloat)

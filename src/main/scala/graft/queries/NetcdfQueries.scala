@@ -68,7 +68,10 @@ object NetcdfQueries extends QueryModule {
   private def writeGdac(s: SparkSession, d: String): String = {
     import s.implicits._
     val root = Paths.get(sys.props("java.io.tmpdir"),
-      "graft-gdac-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      // per-process root: a concurrent JVM's delete-and-rewrite must not
+      // race this process's executors mid-scan
+      "graft-gdac-" + ProcessHandle.current().pid() + "-" +
+        d.replaceAll("[^A-Za-z0-9.]", "_"))
     if (Files.exists(root)) {
       val walk = Files.walk(root)
       try walk.sorted(java.util.Comparator.reverseOrder())

@@ -333,14 +333,21 @@ object TextQueries extends QueryModule {
   // bands (r=1 maximizes recall at a fixed K: P[candidate] = 1-(1-j)^K);
   // the pair join is an equi-join on (band, minhash, source) — work scales
   // with bucket occupancy, not block size² — and the exact packed-Jaccard
-  // merge-walk runs only on candidates. Recall at K=16: a pair at the
-  // j ≥ 0.2 output threshold is missed with probability (1-j)^16 ≤ 0.028,
+  // merge-walk runs only on candidates. Recall at K=32: a pair at the
+  // j ≥ 0.2 output threshold is missed with probability (1-j)^32 ≤ 8e-4,
   // and real qualifying pairs are near-duplicates — measured on this
   // corpus every pair ≥ 0.2 is in fact ≥ 0.90 (bimodal: near-dup or
-  // unrelated), where the miss probability is ≤ 1e-16. The DuckDB oracle
-  // stays the exact all-pairs form, so the driver hash-check verifies, per
-  // round, that the candidate set lost nothing.
-  private val JaccardBands = 16
+  // unrelated), where the miss probability is astronomically small. The
+  // DuckDB oracle stays the exact all-pairs form, so the driver hash-check
+  // verifies, per round, that the candidate set lost nothing.
+  //
+  // The bucket join moves doc IDS only: exact-duplicate cliques collide in
+  // every band (K·m² join rows for an m-doc clique — the output itself is
+  // m² pairs, but the K× band multiplicity is pure waste), so candidates
+  // are deduped to distinct (source, d1, d2) BEFORE the packed shingle
+  // payloads join in by id. Hot buckets thus stream 16-byte rows, not
+  // shingle arrays, and each surviving pair decodes its payloads once.
+  private val JaccardBands = 32
 
   private def q36(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d)
@@ -348,19 +355,21 @@ object TextQueries extends QueryModule {
       .select(col("doc_id"), col("source"), T.shingleHashesPacked(2)(col("text")).as("gs"))
     val bands = base
       .withColumn("sigs", T.minhashSigsPackedK(JaccardBands)(col("gs")))
-      .select(col("doc_id"), col("source"), col("gs"),
+      .select(col("doc_id"), col("source"),
         explode(array((0 until JaccardBands).map { j =>
           struct(lit(j).as("band"), element_at(col("sigs"), j + 1).as("key"))
         }: _*)).as("bk"))
-      .select(col("doc_id"), col("source"), col("gs"), col("bk.band"), col("bk.key"))
-    val l = bands.select(col("band"), col("key"), col("source"),
-      col("doc_id").as("d1"), col("gs").as("g1"))
-    val r = bands.select(col("band"), col("key"), col("source"),
-      col("doc_id").as("d2"), col("gs").as("g2"))
-    l.join(r, Seq("band", "key", "source"))
+      .select(col("doc_id"), col("source"), col("bk.band"), col("bk.key"))
+    val l = bands.select(col("band"), col("key"), col("source"), col("doc_id").as("d1"))
+    val r = bands.select(col("band"), col("key"), col("source"), col("doc_id").as("d2"))
+    val cand = l.join(r, Seq("band", "key", "source"))
       .filter(col("d1") < col("d2"))
-      .select(col("source"), col("d1"), col("d2"), col("g1"), col("g2"))
+      .select(col("source"), col("d1"), col("d2"))
       .distinct()
+    val payload = base.select(col("doc_id"), col("gs"))
+    cand
+      .join(payload.select(col("doc_id").as("d1"), col("gs").as("g1")), Seq("d1"))
+      .join(payload.select(col("doc_id").as("d2"), col("gs").as("g2")), Seq("d2"))
       .select(col("source"), col("d1"), col("d2"),
         T.jaccardMicroPacked(col("g1"), col("g2")).as("jaccard_u"))
       .filter(col("jaccard_u") >= 200000L)

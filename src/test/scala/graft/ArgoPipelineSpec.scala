@@ -177,6 +177,26 @@ class ArgoPipelineSpec extends SparkSuite {
     assert(n > 0, "high-latitude profile was cropped before the join")
   }
 
+  test("a profile at exactly +180° joins through the wrapped bin") {
+    // floor((180+180)/binW) is one PAST the last longitude bin; without a
+    // pmod on the profile side that phantom bin matches no grid neighbor
+    // bin (the grid side wraps) and the profile silently contributes to
+    // no cell — the worst kind of dateline bug, invisible in the output.
+    val raw = Seq((ArgoSchemas.Dacs(0), 2900998,
+      new Timestamp(1577836800000L), 180.0f, -41.0f, 120, "D", "1", 1, 1))
+      .toDF("dac", "WMO", "JULD", "LONGITUDE", "LATITUDE", "N_LEVELS",
+        "data_mode", "platform_type", "position_qc", "juld_qc")
+    val depths = (0 until 120).map(k => k * 17.0 + (k % 3) * 1.5).toArray
+    val dlSamples = Seq((2900998, 0, depths.toSeq, depths.map(tTrue).toSeq,
+      depths.map(z => sTrue(z) / graft.functions.Seawater.UPS).toSeq,
+      depths.map(_ => 1.0).toSeq, 1))
+      .toDF("WMO", "IPROF", "PRES", "TEMP", "PSAL", "QC", "DATA_MODE")
+    val prof = Interpolator.interpolate(dlSamples, SummaryBuilder.build(spark, raw))
+    val atlas = new Atlas(box = (172.0, 180.0, -45.0, -37.0), reso = 2.0)
+    val n = atlas.climTS(spark, prof).filter($"CT" =!= 0.0f).count()
+    assert(n > 0, "the +180° profile fell into an unjoinable phantom bin")
+  }
+
   test("atlas past the broadcast cap: binned shuffle-hash join, identical cells") {
     // At a global 1/4° grid (~10⁸ exploded rows) the broadcast branch of
     // Atlas.pairs is out of budget and the shuffle-hash fallback is the

@@ -198,8 +198,13 @@ class PlanSpec extends SparkSuite {
       s"pair generation must not enumerate all pairs:\n$exec")
     val joins = nodes.collect { case j: BaseJoinExec => j }
     assert(joins.nonEmpty, s"expected the candidate bucket join:\n$exec")
-    joins.foreach { j =>
-      assert(j.leftKeys.length >= 2,
+    // the multi-key bucket join generates candidates; the single-key
+    // payload joins rehydrate shingle arrays by unique doc id (linear).
+    // What must never exist is a join keyed on the source block alone.
+    assert(joins.exists(_.leftKeys.length >= 3),
+      s"expected the (band, key, source) candidate join:\n$exec")
+    joins.filter(_.leftKeys.length == 1).foreach { j =>
+      assert(!j.leftKeys.head.references.exists(_.name == "source"),
         s"join on bare block key is the quadratic shape: ${j.leftKeys}\n$exec")
     }
   }
@@ -222,6 +227,16 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"nothing here warrants a sort-merge or cartesian:\n$p")
     assert(p.contains("partial_"), s"cell means must pre-aggregate map-side:\n$p")
+  }
+
+  test("two builds of the interpolation stage are sameResult (stable UDF)") {
+    // ScalaUDF compares its closure by reference; if the interp kernel UDF
+    // were re-created per call, a memoized frame rebuilt after GC would
+    // fail CacheManager dedup and silently re-run the interpolation.
+    val a = graft.queries.ArgoQueries.profilesProbe(spark, d).queryExecution.analyzed
+    val b = graft.queries.ArgoQueries.profilesProbe(spark, d).queryExecution.analyzed
+    assert(a.sameResult(b),
+      "independently built interpolation plans must be sameResult")
   }
 
   test("q70 bypasses the memoized interp store; the atlas family hits it") {
