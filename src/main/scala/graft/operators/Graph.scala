@@ -11,11 +11,13 @@ object Graph {
     * the canonical document of its near-duplicate cluster.
     *
     * Each iteration is one join (current labels onto the symmetric edge
-    * list) plus one groupBy-min, both shuffling on well-distributed vertex
-    * ids; the driver sees only the changed-label count. Iteration count is
-    * O(component diameter) — near-dup graphs are dense cliques of
-    * diameter 1-2, so this converges in 2-3 passes where a path graph
-    * would need its length (maxIters guards that pathology).
+    * list) plus one groupBy-min plus one pointer-jumping self-join, all
+    * shuffling on well-distributed vertex ids; the driver sees only the
+    * label-sum. The jump makes label reach DOUBLE per pass, so iteration
+    * count is O(log component diameter): dense near-dup cliques converge
+    * in 2-3 passes, and even a path/chain-shaped component (chained
+    * borderline near-dups) of length L needs only ~log₂ L passes, far
+    * under maxIters where plain propagation is O(L) and would throw.
     * `localCheckpoint` truncates the growing lineage each pass.
     *
     * Deterministic: the fixpoint (min reachable id per vertex) is unique
@@ -25,9 +27,9 @@ object Graph {
     * @param edges    (src, dst) pairs, undirected (one direction given)
     * @param vertices (id) — every vertex, including isolated ones
     * @param maxIters hard cap on passes; if the fixpoint is NOT reached
-    *                 (a path-shaped component longer than maxIters) the
-    *                 labels would be silently wrong, so this THROWS
-    *                 instead of returning unconverged output
+    *                 (a component of diameter > ~2^maxIters) the labels
+    *                 would be silently wrong, so this THROWS instead of
+    *                 returning unconverged output
     * @return (id, comp) with comp = min id in the component
     */
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
@@ -53,13 +55,37 @@ object Graph {
     while (!converged && it < maxIters) {
       val viaNeighbors = sym.join(labels, sym("src") === labels("id"))
         .select(sym("dst").as("id"), col("comp"))
-      val next = labels.union(viaNeighbors)
+      // checkpointing BEFORE the self-join below matters twice over: it
+      // truncates lineage, and it gives the join two leaf scans (a self-
+      // join over fresh union lineage trips Catalyst's union constraint
+      // rewrite on Spark 4.1: "key not found" during optimization)
+      val propagated = labels.union(viaNeighbors)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint()
-      val nextSum = labelSum(next)
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      labels = next
+      val pSum = labelSum(propagated)
+      if (pSum == prevSum) {
+        // sum unchanged across a propagation AND the previous jump — both
+        // monotone, so nothing moved: the propagation fixpoint is reached,
+        // where labels are constant per component and a jump is identity.
+        converged = true
+        labels = propagated
+      } else {
+        prevSum = pSum
+        // Pointer jumping: follow each label one hop (comp ← comp's comp)
+        // so reach DOUBLES per pass instead of growing by one —
+        // convergence in O(log diameter), which is what makes path-shaped
+        // components (chained near-dups A~B~C~…) converge long before
+        // maxIters where plain propagation is O(diameter) and throws.
+        // Safe: every label IS the id of a reachable vertex and
+        // labels(x) ≤ x, so a jump only lowers labels and never leaves
+        // the component — same unique fixpoint. Inner join is total:
+        // every comp value is a vertex id present in `propagated`.
+        val right = propagated
+          .select(col("id").as("jid"), col("comp").as("jcomp"))
+        labels = propagated.join(right, col("comp") === col("jid"))
+          .select(col("id"), col("jcomp").as("comp"))
+          .localCheckpoint()
+      }
       it += 1
     }
     if (!converged)

@@ -27,6 +27,19 @@ class GraphSpec extends SparkSuite {
     assert(a.forall(_._2 === 0L), "ring must collapse to vertex 0")
   }
 
+  test("a 300-vertex path converges in O(log L) passes (pointer jumping)") {
+    // Plain propagation needs L passes for a length-L path and would throw
+    // at the default maxIters=50; with the per-pass pointer jump, reach
+    // doubles each pass, so ~log2(300) + slack passes suffice. maxIters=12
+    // pins the asymptotic, not just the outcome.
+    val edges = (0L until 299L).map(i => (i, i + 1)).toDF("src", "dst")
+    val verts = (0L until 300L).toDF("id")
+    val got = Graph.connectedComponents(edges, verts, maxIters = 12)
+      .as[(Long, Long)].collect()
+    assert(got.length === 300)
+    assert(got.forall(_._2 == 0L), "path must collapse to vertex 0")
+  }
+
   test("empty vertex set returns an empty result, not an error") {
     val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
     val verts = Seq.empty[Long].toDF("id")
