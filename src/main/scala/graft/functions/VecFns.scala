@@ -83,26 +83,23 @@ object VecFns {
     * Seq[Double] — the array-element boxing is what dominates pairwise
     * similarity once candidates × dimension reach the tens of millions. */
   val packVec: Column => Column = {
-    val u = udf((a: Seq[Double]) => {
-      val bb = java.nio.ByteBuffer.allocate(8 * a.length)
-      var i = 0
-      while (i < a.length) { bb.putDouble(a(i)); i += 1 }
-      bb.array()
-    })
+    // null-safe by hand: Spark passes a null Seq straight into the lambda
+    // (only primitive-typed UDF args get the automatic null short-circuit)
+    val u = udf((a: Seq[Double]) =>
+      if (a == null) null
+      else {
+        val bb = java.nio.ByteBuffer.allocate(8 * a.length)
+        var i = 0
+        while (i < a.length) { bb.putDouble(a(i)); i += 1 }
+        bb.array()
+      })
     u(_)
   }
 
   /** Dot over two packed vectors; same left-to-right fold → bit-identical
-    * to [[dot]]/[[sqlDot]]. */
-  val dotPacked: (Column, Column) => Column = {
-    val u = udf((a: Array[Byte], b: Array[Byte]) => {
-      val ba = java.nio.ByteBuffer.wrap(a)
-      val bbf = java.nio.ByteBuffer.wrap(b)
-      var acc = 0.0
-      var off = 0
-      while (off < a.length) { acc += ba.getDouble(off) * bbf.getDouble(off); off += 8 }
-      acc
-    })
-    u(_, _)
-  }
+    * to [[dot]]/[[sqlDot]]. Native codegen expression (not a UDF): the
+    * per-pair dispatch cost is what dominates once candidates × dimension
+    * reach the tens of millions — see [[DotPackedExpr]]. */
+  val dotPacked: (Column, Column) => Column =
+    DotPackedExpr.dotPackedNative(_, _)
 }
