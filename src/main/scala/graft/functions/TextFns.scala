@@ -228,22 +228,9 @@ object TextFns {
   }
 
   /** Exact Jaccard in micro-units over two packed SORTED hash sets:
-    * merge-walk over the byte streams, zero per-pair allocation. */
-  val jaccardMicroPacked: (Column, Column) => Column = {
-    val u = udf((a: Array[Byte], b: Array[Byte]) => {
-      val ba = java.nio.ByteBuffer.wrap(a)
-      val bbf = java.nio.ByteBuffer.wrap(b)
-      var i = 0; var j = 0; var inter = 0
-      while (i < a.length && j < b.length) {
-        val x = ba.getLong(i)
-        val y = bbf.getLong(j)
-        if (x == y) { inter += 1; i += 8; j += 8 }
-        else if (x < y) i += 8
-        else j += 8
-      }
-      val union = a.length / 8 + b.length / 8 - inter
-      FP.roundHalfAway(inter.toDouble / union.toDouble * 1e6)
-    })
-    u(_, _)
-  }
+    * merge-walk over the byte streams, zero per-pair allocation. Native
+    * codegen expression, not a UDF — the per-pair dispatch matters once
+    * LSH hands over millions of candidates ([[JaccardMicroPackedExpr]]). */
+  val jaccardMicroPacked: (Column, Column) => Column =
+    JaccardMicroPackedExpr.jaccardMicroNative(_, _)
 }
