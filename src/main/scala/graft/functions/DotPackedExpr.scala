@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
 
 /** Native Catalyst expression for the packed-vector dot product
   * ([[VecFns.dotPacked]]): one codegen'd static call per PAIR instead of a
@@ -15,11 +15,18 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * oracle ([[VecFns.sqlDot]]): the same left-to-right IEEE double fold
   * over the same big-endian packed bytes.
   *
+  * Null semantics are SQL's (and the HOF spec's: `zip_with`/`aggregate`
+  * over a NULL list): NULL on either side ⇒ NULL, where the replaced UDF
+  * crashed. Mismatched non-null lengths THROW — packed vectors come from
+  * one embedding column, so unequal dimensions mean an upstream bug, and
+  * a truncated partial dot would be a silently wrong score.
+  *
   * Expression tier of SURVEY.md §7.3's preference order: compose
   * built-ins < native `Expression` with `doGenCode` < UDF.
   */
 case class DotPackedExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
   override def dataType: DataType = DoubleType
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -40,12 +47,15 @@ object DotPackedExpr {
     * left-to-right fold as the interpreted twin; ByteBuffer's default
     * big-endian order matches [[VecFns.packVec]]. */
   def dot(a: Array[Byte], b: Array[Byte]): Double = {
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"dot_packed: mismatched packed lengths ${a.length} vs ${b.length} " +
+          "bytes — both sides must pack the same embedding dimension")
     val ba = java.nio.ByteBuffer.wrap(a)
     val bb = java.nio.ByteBuffer.wrap(b)
     var acc = 0.0
     var off = 0
-    val n = math.min(a.length, b.length)
-    while (off < n) { acc += ba.getDouble(off) * bb.getDouble(off); off += 8 }
+    while (off < a.length) { acc += ba.getDouble(off) * bb.getDouble(off); off += 8 }
     acc
   }
 

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 
 /** Native Catalyst expression for the exact packed-set Jaccard
   * ([[TextFns.jaccardMicroPacked]]): the near-dup pair paths (MinHash
@@ -13,11 +13,18 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * same merge-walk over two sorted packed hash streams, zero per-pair
   * allocation, bit-identical fixed-point rounding.
   *
+  * Null semantics are SQL's: NULL on either side ⇒ NULL (a null packed
+  * set means null/degenerate upstream text; the `jaccard_u ≥ threshold`
+  * pair filters then drop that pair, same as the DuckDB oracle's NULL
+  * comparison). Unequal lengths are FINE here — two documents' shingle
+  * sets legitimately differ in size.
+  *
   * Expression tier of SURVEY.md §7.3's preference order: compose
   * built-ins < native `Expression` with `doGenCode` < UDF.
   */
 case class JaccardMicroPackedExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
   override def dataType: DataType = LongType
 
   override protected def nullSafeEval(a: Any, b: Any): Any =

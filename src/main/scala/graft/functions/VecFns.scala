@@ -78,7 +78,8 @@ object VecFns {
     u(_, _)
   }
 
-  /** Vector packed to flat bytes (64-bit LE doubles) ONCE per row: per-PAIR
+  /** Vector packed to flat bytes (64-bit big-endian doubles — ByteBuffer's
+    * default order, which [[DotPackedExpr.dot]] decodes) ONCE per row: per-PAIR
     * paths then decode a single binary value instead of a boxed
     * Seq[Double] — the array-element boxing is what dominates pairwise
     * similarity once candidates × dimension reach the tens of millions. */

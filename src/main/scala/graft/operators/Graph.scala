@@ -1,10 +1,21 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 
 /** Iterative graph primitives for the dedup family. */
 object Graph {
+
+  /** Drop a superseded localCheckpoint's storage blocks. Only call on a
+    * frame that will never be scanned again — its lineage is truncated,
+    * so the blocks cannot be recomputed. Without this, every propagation
+    * pass would leave two dead checkpointed label frames in executor
+    * storage for the life of the job. */
+  private def release(df: DataFrame): Unit = df.queryExecution.logical match {
+    case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+    case _              => () // not a checkpoint frame; nothing to drop
+  }
 
   /** Connected components by min-label propagation over an undirected edge
     * list: every vertex converges to the smallest id reachable from it —
@@ -53,6 +64,7 @@ object Graph {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
+      val prev = labels
       val viaNeighbors = sym.join(labels, sym("src") === labels("id"))
         .select(sym("dst").as("id"), col("comp"))
       // checkpointing BEFORE the self-join below matters twice over: it
@@ -85,9 +97,12 @@ object Graph {
         labels = propagated.join(right, col("comp") === col("jid"))
           .select(col("id"), col("jcomp").as("comp"))
           .localCheckpoint()
+        release(propagated) // consumed by the jump's eager checkpoint above
       }
+      release(prev) // superseded by this pass's labels
       it += 1
     }
+    release(sym)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters iterations — " +

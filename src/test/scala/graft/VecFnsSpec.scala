@@ -49,4 +49,61 @@ class VecFnsSpec extends SparkSuite {
     assert(plan.toLowerCase.contains("dot_packed"), s"expression missing:\n$plan")
     assert(!plan.contains("ScalaUDF"), s"dot must not be a UDF:\n$plan")
   }
+
+  test("generated dot code really executes (no silent interpreted fallback)") {
+    // LocalRelation inputs constant-fold to interpreted eval, so the tests
+    // above never run the doGenCode output. Drive the expression from
+    // spark.range (whole-stage codegen compiles it) with the fallback OFF,
+    // so a Janino-breaking typo in the generated call FAILS here instead
+    // of silently degrading the hot path to interpreted dispatch.
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val n = 8
+      def a = array((0 until n).map(i => (col("id") * (i + 1)).cast("double") / 7.0d): _*)
+      def b = array((0 until n).map(i => (col("id") - 3 * i).cast("double") * 1.25d): _*)
+      // the HOF spec column is CodegenFallback and would evict the whole
+      // projection from codegen — keep the native column in its own plan
+      val native = spark.range(0, 64, 1, 4)
+        .select(V.dotPacked(V.packVec(a), V.packVec(b)).as("native"))
+      val span = native.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w.toString
+      }
+      assert(span.exists(_.contains("dot_packed")),
+        s"dot_packed not inside a codegen span:\n${native.queryExecution.executedPlan}")
+      val hof = spark.range(0, 64, 1, 4).select(V.dot(a, b).as("hof"))
+      native.as[Double].collect().zip(hof.as[Double].collect()).foreach { case (nv, h) =>
+        assert(java.lang.Double.doubleToRawLongBits(nv) ===
+          java.lang.Double.doubleToRawLongBits(h), s"$nv != $h bitwise")
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
+  test("generated packed-Jaccard code really executes, and mismatched dims throw") {
+    import graft.functions.{TextFns => T, JaccardMicroPackedExpr => J}
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val t1 = concat_ws(" ", lit("alpha beta gamma delta"), col("id").cast("string"))
+      val t2 = concat_ws(" ", lit("alpha beta gamma epsilon"), (col("id") % 2).cast("string"))
+      val df = spark.range(0, 32, 1, 4)
+        .select(T.shingleHashesPacked(2)(t1).as("h1"), T.shingleHashesPacked(2)(t2).as("h2"))
+        .select(col("h1"), col("h2"), T.jaccardMicroPacked(col("h1"), col("h2")).as("j"))
+      val span = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w.toString
+      }
+      assert(span.exists(_.contains("jaccard_micro_packed")),
+        s"jaccard_micro_packed not inside a codegen span:\n${df.queryExecution.executedPlan}")
+      df.collect().foreach { r =>
+        assert(r.getLong(2) ===
+          J.jaccardMicro(r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1)))
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+
+    // dot over unequal packed dimensions must fail loudly, not truncate
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.DotPackedExpr.dot(new Array[Byte](16), new Array[Byte](8))
+    }
+    assert(e.getMessage.contains("mismatched packed lengths"))
+  }
 }
