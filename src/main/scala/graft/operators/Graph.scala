@@ -11,7 +11,9 @@ object Graph {
     * frame that will never be scanned again — its lineage is truncated,
     * so the blocks cannot be recomputed. Without this, every propagation
     * pass would leave two dead checkpointed label frames in executor
-    * storage for the life of the job. */
+    * storage for the life of the job. (Spark logs a WARN for every
+    * unpersist of a locally-checkpointed RDD by design; here it is the
+    * intended effect, not a recompute hazard.) */
   private def release(df: DataFrame): Unit = df.queryExecution.logical match {
     case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
     case _              => () // not a checkpoint frame; nothing to drop

@@ -265,4 +265,42 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("WholeStageCodegen") || p.contains("*("),
       s"no codegen spans:\n$p")
   }
+
+  test("sweep: no registered query plans a cartesian product or an exchange-fed global window") {
+    // Blanket guard over EVERY SparkEntry query, complementing the
+    // targeted pins above: the two shapes that are never right at 100 TB
+    // are (a) CartesianProduct — an unbounded N×M enumeration (1-row stat
+    // frames compile to BroadcastNestedLoopJoin, which this does not ban),
+    // and (b) a partition-less Window whose input arrives through an
+    // exchange — every corpus row moved into ONE partition to rank (the
+    // q65 shape is fine: its rank window sits on a 50-row
+    // TakeOrderedAndProject, no exchange below it).
+    import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def flatten(n: SparkPlan): Seq[SparkPlan] = n match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    def boundary(n: SparkPlan): String = n match {
+      case _: TakeOrderedAndProjectExec => "topk"
+      case _: ShuffleExchangeLike       => "exchange"
+      case a: AdaptiveSparkPlanExec     => boundary(a.executedPlan)
+      case other => other.children.map(boundary).find(_ != "none").getOrElse("none")
+    }
+    val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val nodes = flatten(
+        SparkEntry.queries(name)(spark, d).queryExecution.executedPlan)
+      nodes.collect { case _: CartesianProductExec =>
+        s"$name: CartesianProduct"
+      } ++ nodes.collect {
+        case w: WindowExec
+            if w.partitionSpec.isEmpty && boundary(w.child) == "exchange" =>
+          s"$name: partition-less window fed by an exchange"
+      }
+    }
+    assert(bad.isEmpty, s"scale-killer shapes found:\n${bad.mkString("\n")}")
+  }
 }
