@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CharHashExpr
+
+/** Content-fingerprinted document storage — the at-rest layout for the
+  * dedup family at 100 TB, the text twin of [[graft.argo.AtlasStore]].
+  *
+  * Exact dedup, dedup-group assignment and decontamination all key on a
+  * normalized content fingerprint (the hash-groupBy the q30/q37 oracles
+  * verify). From a plain store, every run of every such pass re-shuffles
+  * the whole corpus on that key — and in a training-data pipeline these
+  * passes run per ingest batch. Landing documents bucketed (and sorted)
+  * by the fingerprint makes the dedup groupBy a co-located scan-side
+  * aggregation (zero exchange), and a fingerprint equi-join between two
+  * stores with the SAME bucket count (training corpus × eval benchmark)
+  * co-locates both sides. The fingerprint is the same native rolling-hash
+  * expression q37 hash-checks against the DuckDB oracle, so the stored
+  * key is verified semantics, not a parallel implementation.
+  */
+object DocStore {
+  /** documents + `fp` content fingerprint: rolling hash over the
+    * whitespace-normalized lowercased text (the q37 expression). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.drop("fp").withColumn("fp",
+      CharHashExpr.charHashNative(
+        regexp_replace(lower(col("text")), "\\s+", " ")))
+
+  /** Land `docs` as a parquet table bucketed and sorted on the
+    * fingerprint. `buckets` sizes the parallelism of every later dedup
+    * pass reading this store — pick ~2-4× the cluster's cores at the
+    * target scale. */
+  def saveBucketed(docs: DataFrame, table: String, buckets: Int,
+                   path: Option[String] = None): Unit = {
+    val w = fingerprint(docs).write
+      .mode("overwrite").format("parquet")
+      .bucketBy(buckets, "fp").sortBy("fp")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  def loadBucketed(s: SparkSession, table: String): DataFrame = s.table(table)
+}

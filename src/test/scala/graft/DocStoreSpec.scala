@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.DocStore
+
+/** The bucketed document store must make the dedup family exchange-free
+  * while producing exactly the plain-path results. */
+class DocStoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$d/documents.parquet")
+
+  test("dedup over the bucketed store is exchange-free and matches the plain path") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-docstore")
+    DocStore.saveBucketed(docs, "docs_bucketed", buckets = 8,
+      path = Some(tmp.resolve("t").toString))
+    try {
+      val bd = DocStore.loadBucketed(spark, "docs_bucketed")
+      def dedup(src: org.apache.spark.sql.DataFrame) = src
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      val agg = dedup(bd)
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"dedup over the bucketed store must not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"store must read as a bucketed scan:\n$plan")
+      val got = agg.as[(Long, Long, Long)].collect().sorted.toSeq
+      val want = dedup(DocStore.fingerprint(docs))
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(got == want, "bucketed dedup must equal the plain-path groups")
+    } finally spark.sql("DROP TABLE IF EXISTS docs_bucketed")
+  }
+
+  test("fingerprint join between two same-bucketed stores shuffles neither side") {
+    // decontamination shape: training corpus × eval set, both at rest in
+    // fp-bucketed stores with the same bucket count
+    val tmp = java.nio.file.Files.createTempDirectory("graft-docstore2")
+    DocStore.saveBucketed(docs, "corpus_b", buckets = 8,
+      path = Some(tmp.resolve("c").toString))
+    DocStore.saveBucketed(docs.filter(col("doc_id") % 7 === 0), "eval_b",
+      buckets = 8, path = Some(tmp.resolve("e").toString))
+    try {
+      val joined = DocStore.loadBucketed(spark, "corpus_b").as("c")
+        .join(DocStore.loadBucketed(spark, "eval_b").as("e"), Seq("fp"))
+        .select(col("c.doc_id"), col("e.doc_id").as("eval_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"both sides are pre-bucketed on fp — nothing may shuffle:\n$plan")
+      assert(joined.count() >= docs.filter(col("doc_id") % 7 === 0).count(),
+        "every eval doc must find its own corpus copy")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS corpus_b")
+      spark.sql("DROP TABLE IF EXISTS eval_b")
+    }
+  }
+}
