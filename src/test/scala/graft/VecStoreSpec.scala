@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.KMeans
+import graft.sources.VecStore
+
+/** The IVF-partitioned embedding store must prune unprobed cells at the
+  * scan and preserve the corpus exactly. */
+class VecStoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+  private def embs = spark.read.parquet(s"$d/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  test("probing the partitioned store prunes unprobed cells at the scan") {
+    val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    val model = KMeans.fit(embs, "vec_id", "embedding", dim, k = 8, iters = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vecstore")
+      .resolve("store").toString
+    VecStore.savePartitioned(embs, model, tmp)
+
+    val probed = VecStore.load(spark, tmp).filter(col("cell").isin(1, 4))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"cell filter must prune partitions at the scan:\n$plan")
+
+    // pruned read ≡ post-hoc filter of the full assignment
+    val want = VecStore.assign(embs, model).filter(col("cell").isin(1, 4))
+      .select(col("vec_id")).as[Long].collect().sorted.toSeq
+    val got = probed.select(col("vec_id")).as[Long].collect().sorted.toSeq
+    assert(got == want && got.nonEmpty,
+      s"pruned scan returned ${got.size} rows, plain filter ${want.size}")
+
+    // the store holds the whole corpus across all cells
+    assert(VecStore.load(spark, tmp).count() == embs.count())
+  }
+}
