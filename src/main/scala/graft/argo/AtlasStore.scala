@@ -49,12 +49,9 @@ object AtlasStore {
     * key. `buckets` sizes the parallelism of every later pair join reading
     * this store — pick ~2-4× the cluster's cores at the target scale. */
   def saveBucketed(profiles: DataFrame, atlas: Atlas, table: String,
-                   buckets: Int, path: Option[String] = None): Unit = {
-    val w = bucketize(profiles, atlas).write
-      .mode("overwrite").format("parquet")
-      .bucketBy(buckets, "bi", "bj").sortBy("bi", "bj")
-    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
-  }
+                   buckets: Int, path: Option[String] = None): Unit =
+    graft.sources.Stores.landBucketed(
+      bucketize(profiles, atlas), table, buckets, Seq("bi", "bj"), path)
 
   def loadBucketed(s: SparkSession, table: String): DataFrame = s.table(table)
 }

@@ -55,6 +55,18 @@ object TextFns {
       s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
       s"(acc, c) -> (acc * $HashMult + c) % $HashMod)"
 
+  /** Normalized content fingerprint: the rolling hash over the
+    * whitespace-collapsed lowercased text. THE dedup key — q37 verifies it
+    * against the DuckDB oracle and [[graft.sources.DocStore]] buckets on
+    * it, so both must build the identical expression from here (a second
+    * copy drifting would silently split dedup groups). */
+  def contentFingerprint(text: Column): Column =
+    CharHashExpr.charHashNative(regexp_replace(lower(text), "\\s+", " "))
+
+  /** DuckDB twin of [[contentFingerprint]]. */
+  def sqlContentFingerprint(e: String): String =
+    sqlCharHash(s"regexp_replace(lower($e), '\\s+', ' ', 'g')")
+
   // ---- tokenization -------------------------------------------------------
 
   /** Lowercased whitespace tokens. */

@@ -45,11 +45,7 @@ object KMeans {
       .collect().map(_.getSeq[Double](0).toArray)
     var it = 0
     while (it < iters) {
-      val cents = centroids
-      val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
-      val assign = udf((v: Seq[Float]) => nearestCell(cents, norms, v))
-      val sums = vecs
-        .withColumn("cell", assign(col(vecCol)))
+      val sums = withCell(vecs, centroids, vecCol)
         .groupBy(col("cell"))
         .agg(Aggregates.weightedArrayMeanFP(dim)(lit(1L), col(vecCol)).as("s"))
         .collect()
@@ -64,6 +60,18 @@ object KMeans {
       it += 1
     }
     centroids
+  }
+
+  /** df + `cell` = [[nearestCell]] assignment of `vecCol` under `model` —
+    * the ONE assignment path shared by the IVF queries and the
+    * partitioned store ([[graft.sources.VecStore]]). A second copy
+    * drifting (tie-breaking, norm handling) would land vectors in cells
+    * the probe side never prunes to — wrong results, not just wasted IO. */
+  def withCell(df: DataFrame, model: Array[Array[Double]],
+               vecCol: String): DataFrame = {
+    val norms = model.map(c => math.sqrt(c.map(x => x * x).sum))
+    val assign = udf((v: Seq[Float]) => nearestCell(model, norms, v))
+    df.withColumn("cell", assign(col(vecCol)))
   }
 
   /** argmax of cos(v, centroid); |v| is a common factor so only the

@@ -280,13 +280,13 @@ object EmbeddingQueries extends QueryModule {
     val corpus = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val model = KMeans.fit(corpus, "vec_id", "embedding", Dim, KCells, KmIters)
     val norms = model.map(c => math.sqrt(c.map(x => x * x).sum))
-    val assign = udf((v: Seq[Float]) => KMeans.nearestCell(model, norms, v))
     import s.implicits._
     val cents = model.zipWithIndex
       .map { case (c, i) => (i, c.toSeq, norms(i)) }.toSeq
       .toDF("cell", "c_vec", "c_nrm")
-    val b = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      .withColumn("cell", assign(col("embedding")))
+    val b = KMeans.withCell(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      model, "embedding")
       .repartition(col("cell"))
       .withColumn("vec", col("embedding").cast("array<double>"))
       .select(col("cell"), col("vec_id"), V.packVec(col("vec")).as("pv"),

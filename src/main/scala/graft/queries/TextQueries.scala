@@ -394,15 +394,13 @@ object TextQueries extends QueryModule {
   // ---- q37: document fingerprint (rolling hash) + dedup groups -----------
   private def q37(s: SparkSession, d: String): DataFrame =
     docs(s, d)
-      .select(col("doc_id"),
-        graft.functions.CharHashExpr.charHashNative(
-          regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+      .select(col("doc_id"), T.contentFingerprint(col("text")).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
       .orderBy("keep_id")
 
   private val q37Sql =
-    s"""SELECT ${T.sqlCharHash("regexp_replace(lower(text), '\\s+', ' ', 'g')")} AS fp,
+    s"""SELECT ${T.sqlContentFingerprint("text")} AS fp,
        | min(doc_id) AS keep_id, count(*) AS n_docs
        |FROM documents GROUP BY 1 ORDER BY 2""".stripMargin
 

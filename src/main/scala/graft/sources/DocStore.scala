@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.CharHashExpr
+import graft.functions.TextFns
 
 /** Content-fingerprinted document storage — the at-rest layout for the
   * dedup family at 100 TB, the text twin of [[graft.argo.AtlasStore]].
@@ -21,24 +21,18 @@ import graft.functions.CharHashExpr
   * key is verified semantics, not a parallel implementation.
   */
 object DocStore {
-  /** documents + `fp` content fingerprint: rolling hash over the
-    * whitespace-normalized lowercased text (the q37 expression). */
+  /** documents + `fp` content fingerprint — built by
+    * [[TextFns.contentFingerprint]], the same expression q37 verifies. */
   def fingerprint(docs: DataFrame): DataFrame =
-    docs.drop("fp").withColumn("fp",
-      CharHashExpr.charHashNative(
-        regexp_replace(lower(col("text")), "\\s+", " ")))
+    docs.drop("fp").withColumn("fp", TextFns.contentFingerprint(col("text")))
 
   /** Land `docs` as a parquet table bucketed and sorted on the
     * fingerprint. `buckets` sizes the parallelism of every later dedup
     * pass reading this store — pick ~2-4× the cluster's cores at the
     * target scale. */
   def saveBucketed(docs: DataFrame, table: String, buckets: Int,
-                   path: Option[String] = None): Unit = {
-    val w = fingerprint(docs).write
-      .mode("overwrite").format("parquet")
-      .bucketBy(buckets, "fp").sortBy("fp")
-    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
-  }
+                   path: Option[String] = None): Unit =
+    Stores.landBucketed(fingerprint(docs), table, buckets, Seq("fp"), path)
 
   def loadBucketed(s: SparkSession, table: String): DataFrame = s.table(table)
 }

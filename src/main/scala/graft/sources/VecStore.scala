@@ -20,13 +20,10 @@ import graft.operators.KMeans
   * cell cardinality is low and probe joins broadcast.)
   */
 object VecStore {
-  /** embeddings + `cell` id from a trained coarse quantizer (the same
-    * deterministic assignment the q45 oracle verifies). */
-  def assign(embs: DataFrame, model: Array[Array[Double]]): DataFrame = {
-    val norms = model.map(c => math.sqrt(c.map(x => x * x).sum))
-    val u = udf((v: Seq[Float]) => KMeans.nearestCell(model, norms, v))
-    embs.drop("cell").withColumn("cell", u(col("embedding")))
-  }
+  /** embeddings + `cell` id from a trained coarse quantizer — delegated
+    * to [[KMeans.withCell]], the same assignment the q45 oracle verifies. */
+  def assign(embs: DataFrame, model: Array[Array[Double]]): DataFrame =
+    KMeans.withCell(embs.drop("cell"), model, "embedding")
 
   /** Land `embs` under `path` partitioned by quantizer cell. Pick the
     * quantizer k so one cell's vectors fit an executor comfortably at the

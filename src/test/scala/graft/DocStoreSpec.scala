@@ -43,15 +43,24 @@ class DocStoreSpec extends SparkSuite {
     DocStore.saveBucketed(docs.filter(col("doc_id") % 7 === 0), "eval_b",
       buckets = 8, path = Some(tmp.resolve("e").toString))
     try {
+      // the sf0.001 tables are tiny, so without this the eval side would
+      // BROADCAST and the no-exchange assertion could never fail — force
+      // the shuffle-family plan the join would take at scale
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val joined = DocStore.loadBucketed(spark, "corpus_b").as("c")
         .join(DocStore.loadBucketed(spark, "eval_b").as("e"), Seq("fp"))
         .select(col("c.doc_id"), col("e.doc_id").as("eval_id"))
       val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"with broadcast disabled the join must be shuffle-family:\n$plan")
       assert(!plan.contains("Exchange hashpartitioning"),
         s"both sides are pre-bucketed on fp — nothing may shuffle:\n$plan")
+      assert("Bucketed: true".r.findAllIn(plan).length == 2,
+        s"both sides must read as bucketed scans:\n$plan")
       assert(joined.count() >= docs.filter(col("doc_id") % 7 === 0).count(),
         "every eval doc must find its own corpus copy")
     } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.sql("DROP TABLE IF EXISTS corpus_b")
       spark.sql("DROP TABLE IF EXISTS eval_b")
     }

@@ -12,6 +12,30 @@ class PlanSpec extends SparkSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
 
+  import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec}
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+  import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+  /** Every node of a physical plan: collect() alone stops at AQE roots
+    * (no children) and never descends into expression subqueries — unwrap
+    * both, or shapes hiding in a scalar subquery escape every assertion. */
+  private def flattenPlan(n: SparkPlan): Seq[SparkPlan] = n match {
+    case a: AdaptiveSparkPlanExec => flattenPlan(a.executedPlan)
+    case other =>
+      (other +: other.children.flatMap(flattenPlan)) ++
+        other.subqueries.flatMap(flattenPlan)
+  }
+
+  /** First partitioning boundary walking down from `n`: "topk"
+    * (TakeOrderedAndProject), "exchange", or "none". */
+  private def firstBoundary(n: SparkPlan): String = n match {
+    case _: TakeOrderedAndProjectExec => "topk"
+    case _: ShuffleExchangeLike       => "exchange"
+    case a: AdaptiveSparkPlanExec     => firstBoundary(a.executedPlan)
+    case other =>
+      other.children.map(firstBoundary).find(_ != "none").getOrElse("none")
+  }
+
   test("q02: predicate pushdown and column pruning reach the parquet scan") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
@@ -151,28 +175,13 @@ class PlanSpec extends SparkSuite {
     // the global-stats aggregate is fine: it carries one partial row per
     // partition, not corpus rows.)
     assert(p.contains("TakeOrderedAndProject"), s"top-k must be TakeOrderedAndProject:\n$p")
-    import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec}
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.window.WindowExec
-    // AdaptiveSparkPlanExec exposes no children, so collect() stops at the
-    // AQE root — unwrap it (and any nested AQE subquery roots) explicitly.
-    def flatten(n: SparkPlan): Seq[SparkPlan] = n match {
-      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-      case other => other +: other.children.flatMap(flatten)
-    }
     val exec = SparkEntry.queries("q65_bm25_rank")(spark, d).queryExecution.executedPlan
-    def boundary(n: SparkPlan): String = n match {
-      case _: TakeOrderedAndProjectExec => "topk"
-      case _: ShuffleExchangeLike       => "exchange"
-      case a: AdaptiveSparkPlanExec     => boundary(a.executedPlan)
-      case other => other.children.map(boundary).find(_ != "none").getOrElse("none")
-    }
-    val windows = flatten(exec).collect { case w: WindowExec => w }
+    val windows = flattenPlan(exec).collect { case w: WindowExec => w }
     assert(windows.nonEmpty, s"expected the rank window in the plan:\n$p")
     windows.foreach { w =>
-      assert(boundary(w.child) == "topk",
-        s"rank window must sit directly on the 50-row top-k, found ${boundary(w.child)}:\n$p")
+      assert(firstBoundary(w.child) == "topk",
+        s"rank window must sit directly on the 50-row top-k, found ${firstBoundary(w.child)}:\n$p")
     }
   }
 
@@ -183,16 +192,10 @@ class PlanSpec extends SparkSuite {
     // minhash, source) bucket key, so every equi-join in the plan carries
     // more than one key; and nothing may degrade to a nested-loop/cartesian
     // pair enumeration.
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
-    def flatten(n: SparkPlan): Seq[SparkPlan] = n match {
-      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-      case other => other +: other.children.flatMap(flatten)
-    }
     val exec = SparkEntry.queries("q36_ngram_jaccard")(spark, d)
       .queryExecution.executedPlan
-    val nodes = flatten(exec)
+    val nodes = flattenPlan(exec)
     assert(!nodes.exists(n => n.isInstanceOf[BroadcastNestedLoopJoinExec]
         || n.isInstanceOf[CartesianProductExec]),
       s"pair generation must not enumerate all pairs:\n$exec")
@@ -275,29 +278,16 @@ class PlanSpec extends SparkSuite {
     // exchange — every corpus row moved into ONE partition to rank (the
     // q65 shape is fine: its rank window sits on a 50-row
     // TakeOrderedAndProject, no exchange below it).
-    import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec}
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     import org.apache.spark.sql.execution.window.WindowExec
-    def flatten(n: SparkPlan): Seq[SparkPlan] = n match {
-      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-      case other => other +: other.children.flatMap(flatten)
-    }
-    def boundary(n: SparkPlan): String = n match {
-      case _: TakeOrderedAndProjectExec => "topk"
-      case _: ShuffleExchangeLike       => "exchange"
-      case a: AdaptiveSparkPlanExec     => boundary(a.executedPlan)
-      case other => other.children.map(boundary).find(_ != "none").getOrElse("none")
-    }
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val nodes = flatten(
+      val nodes = flattenPlan(
         SparkEntry.queries(name)(spark, d).queryExecution.executedPlan)
       nodes.collect { case _: CartesianProductExec =>
         s"$name: CartesianProduct"
       } ++ nodes.collect {
         case w: WindowExec
-            if w.partitionSpec.isEmpty && boundary(w.child) == "exchange" =>
+            if w.partitionSpec.isEmpty && firstBoundary(w.child) == "exchange" =>
           s"$name: partition-less window fed by an exchange"
       }
     }

@@ -21,14 +21,20 @@ class VecStoreSpec extends SparkSuite {
       .resolve("store").toString
     VecStore.savePartitioned(embs, model, tmp)
 
-    val probed = VecStore.load(spark, tmp).filter(col("cell").isin(1, 4))
+    // probe the two most populous cells of the ACTUAL assignment —
+    // hard-coded ids would fail spuriously if a regenerated corpus or
+    // k-means tweak left a fixed cell empty
+    val cells = VecStore.assign(embs, model)
+      .groupBy("cell").count().orderBy(desc("count"), col("cell"))
+      .limit(2).select(col("cell")).as[Int].collect().toSeq
+    val probed = VecStore.load(spark, tmp).filter(col("cell").isin(cells: _*))
     val plan = probed.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [") &&
       "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
       s"cell filter must prune partitions at the scan:\n$plan")
 
     // pruned read ≡ post-hoc filter of the full assignment
-    val want = VecStore.assign(embs, model).filter(col("cell").isin(1, 4))
+    val want = VecStore.assign(embs, model).filter(col("cell").isin(cells: _*))
       .select(col("vec_id")).as[Long].collect().sorted.toSeq
     val got = probed.select(col("vec_id")).as[Long].collect().sorted.toSeq
     assert(got == want && got.nonEmpty,
