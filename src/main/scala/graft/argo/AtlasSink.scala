@@ -172,7 +172,12 @@ object AtlasSink {
     // alternative, toLocalIterator, schedules one sequential job per
     // partition: measured ~1 s of pure job-launch overhead per export
     // at 32 shuffle partitions).
-    val cached = df.persist()
+    // a caller may hand a frame it keeps memoized (q76 reuses the atlas
+    // cells) — unpersisting THAT would evict the caller's cache entry
+    // (CacheManager uncaches by sameResult), so only manage storage we
+    // created ourselves
+    val preCached = df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cached = if (preCached) df else df.persist()
     val p = new Path(out)
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     try {
@@ -205,6 +210,6 @@ object AtlasSink {
           })
         }
       } finally os.close()
-    } finally cached.unpersist(false)
+    } finally if (!preCached) cached.unpersist(false)
   }
 }

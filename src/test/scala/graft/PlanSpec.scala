@@ -260,6 +260,20 @@ class PlanSpec extends SparkSuite {
       "atlas family should reuse the memoized interpolated store")
   }
 
+  test("q71 bypasses the memoized atlas cells; the NetCDF export reuses them") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    // constructing q76 runs the sink eagerly and materializes the cells
+    SparkEntry.queries("q76_atlas_netcdf_roundtrip")(spark, d).collect()
+    def climCached(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.withCachedData.collect {
+        case r: InMemoryRelation => r
+      }.exists(_.output.exists(_.name == "pres")) // lowercase pres = cells
+    assert(climCached(graft.queries.ArgoQueries.climProbe(spark, d)),
+      "the export path must read the memoized atlas cells")
+    assert(!climCached(SparkEntry.queries("q71_argo_atlas")(spark, d)),
+      "q71 must aggregate the atlas, not read the memoized cells")
+  }
+
   test("whole-stage codegen spans cover the relational hot path") {
     // AQE finalizes the plan only on execution; codegen markers appear then
     val df = SparkEntry.queries("q01_pricing_summary")(spark, d)
