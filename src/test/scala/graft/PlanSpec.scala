@@ -212,6 +212,16 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q43: near-dup candidates come from the bucket equi-join; scoring is native") {
+    val p = plan("q43_embedding_neardup")
+    assert(p.contains("BroadcastHashJoin [bucket") || p.contains("ShuffledHashJoin [bucket"),
+      s"pair generation must equi-join on the LSH bucket:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the bucket join must stay hash-family (no sort of the corpus):\n$p")
+    assert(p.contains("dot_packed"),
+      s"pair scoring must be the native codegen expression:\n$p")
+  }
+
   test("q66: chunking is a narrow map + generator — no aggregation shuffle") {
     val p = plan("q66_doc_chunking")
     assert(p.contains("Generate"), s"expected an explode generator:\n$p")
