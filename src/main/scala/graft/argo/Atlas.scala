@@ -480,11 +480,22 @@ object Atlas {
     * the maintained result is bit-identical to a batch recompute
     * (StreamingSpec), which the reference's rescan-the-world atlas
     * (atlas.py:531-563) has no analog of. */
+  /** ONE shared UDAF instance for the TS cell-mean: Catalyst compares the
+    * typed-Aggregator expression by the wrapped objects, so a per-call
+    * `new` would defeat even object-identity plan comparison. (Note this
+    * alone does NOT make fresh aggTS builds `sameResult`: the buffer
+    * encoder is re-resolved per analysis with fresh LambdaVariable ids —
+    * see ArgoQueries.climPeek — so CacheManager reuse of memoized atlas
+    * frames works through the shared DataFrame object, never through
+    * plan substitution.) Sharing is safe: the aggregator is stateless
+    * (all state lives in the passed-in buffer) and is serialized per
+    * task anyway. */
+  private val profileMeanUdaf =
+    udaf(new ProfileMeanPacked2, ExpressionEncoder[(Double, Array[Byte])]())
+
   def aggTS(pairs: DataFrame): DataFrame =
     pairs.groupBy(col("gi"), col("gj"), col("glon"), col("glat"))
-      .agg(udaf(new ProfileMeanPacked2,
-        ExpressionEncoder[(Double, Array[Byte])]())
-        .apply(col("w"), col("prof")).as("ts"))
+      .agg(profileMeanUdaf(col("w"), col("prof")).as("ts"))
       .select(col("gi"), col("gj"), col("glon"), col("glat"),
         col("ts._1").as("CT_m"), col("ts._2").as("SR_m"))
 

@@ -88,6 +88,14 @@ object ArgoQueries extends QueryModule {
   private def pipelineCached(s: SparkSession, d: String): DataFrame =
     memo(interpCache, s, d)(pipeline(s, d).filter(lit(true)).persist())
 
+  /** THE atlas parameterization of the q71/q76 export family — one
+    * definition so the memo key below can be the dir alone (a per-atlas
+    * key would have to encode box, reso, smoothingFactor, eos AND the
+    * landMask closure; q74's masked atlas shares box/reso and must NEVER
+    * be served these unmasked cells). */
+  private[graft] val ExportAtlas =
+    new Atlas(box = (-20.0, 50.0, -50.0, -20.0), reso = 5.0)
+
   /** Atlas-cell memoization for the EXPORT consumers: the reference
     * computes an atlas once and exports/plots it many times (to_netcdf,
     * map_atlas), so the NetCDF round-trip (q76) reuses the cells instead
@@ -97,12 +105,25 @@ object ArgoQueries extends QueryModule {
     * bypass as q70 vs the interp store — PlanSpec pins it). */
   private val climCache = new FrameCache
 
-  private def climTSCached(s: SparkSession, d: String, atlas: Atlas): DataFrame =
-    memo(climCache, s, s"$d|${atlas.box}|${atlas.reso}")(
-      atlas.climTS(s, pipelineCached(s, d)).filter(lit(true)).persist())
+  private def climTSCached(s: SparkSession, d: String): DataFrame =
+    memo(climCache, s, d)(
+      ExportAtlas.climTS(s, pipelineCached(s, d)).filter(lit(true)).persist())
 
-  private[graft] def climProbe(s: SparkSession, d: String): DataFrame =
-    climTSCached(s, d, new Atlas(box = (-20.0, 50.0, -50.0, -20.0), reso = 5.0))
+  /** Read-only view of the memo for the PlanSpec guard: returns the
+    * registered frame or None, NEVER builds — so a test can only see a
+    * persisted frame that a q76 run actually registered, not one the
+    * probe itself created (the vacuity the old `climProbe` had).
+    *
+    * Why not assert cache substitution on a fresh `climTS` build instead:
+    * it can never happen. `ScalaAggregator`'s buffer encoder is
+    * re-resolved by `ResolveEncodersInUDF` at every analysis, minting
+    * fresh `LambdaVariable` ids that canonicalization does not normalize,
+    * so two builds of any UDAF-bearing plan are never `sameResult` — the
+    * memoized OBJECT is the only handle to the cached cells (which is
+    * also why q71/q74 structurally cannot be served stale cells). */
+  private[graft] def climPeek(s: SparkSession, d: String): Option[DataFrame] =
+    climCache.synchronized(Option(climCache.get(s))).flatMap(m =>
+      m.synchronized(m.get(d).flatMap(r => Option(r.get()))))
 
   private def rawHeader(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -145,7 +166,7 @@ object ArgoQueries extends QueryModule {
   // ---- q71: the full three-stage pipeline into an atlas ------------------
   private def q71(s: SparkSession, d: String): DataFrame = {
     val profiles = pipelineCached(s, d)
-    val atlas = new Atlas(box = (-20.0, 50.0, -50.0, -20.0), reso = 5.0)
+    val atlas = ExportAtlas
     // no orderBy: rows-only check, and a global sort's range-sampling pass
     // would re-execute the whole aggregation subtree just to pick splits
     atlas.climTS(s, profiles)
@@ -166,13 +187,12 @@ object ArgoQueries extends QueryModule {
   private def q76(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val profiles = pipelineCached(s, d)
-    val atlas = new Atlas(box = (-20.0, 50.0, -50.0, -20.0), reso = 5.0)
     val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       // per-process name: two JVMs sharing /tmp (bench + verify on one
       // host) must not overwrite each other's export mid-read-back
       "graft-atlas-" + ProcessHandle.current().pid() + "-" +
         d.replaceAll("[^A-Za-z0-9.]", "_") + ".nc")
-    AtlasSink.writeNetcdf(out.toString, atlas, climTSCached(s, d, atlas), profiles)
+    AtlasSink.writeNetcdf(out.toString, ExportAtlas, climTSCached(s, d), profiles)
     val nc = new graft.sources.Nc3.NcFile(java.nio.file.Files.readAllBytes(out))
     val lon = nc.readDoubles("lon").map(_.toFloat)
     val lat = nc.readDoubles("lat").map(_.toFloat)
@@ -190,7 +210,7 @@ object ArgoQueries extends QueryModule {
   // ---- q72/q73: the two-pass EAPE aggregation (A2 R14 / A3 T25) ----------
   private def eape(algo: String)(s: SparkSession, d: String): DataFrame = {
     val profiles = pipelineCached(s, d)
-    val atlas = new Atlas(box = (-20.0, 50.0, -50.0, -20.0), reso = 5.0)
+    val atlas = ExportAtlas
     atlas.climEAPE(s, profiles, algo = algo)
       .filter(col("SIGSTAR") =!= 0.0f)
   }
@@ -203,7 +223,7 @@ object ArgoQueries extends QueryModule {
   private def q74(s: SparkSession, d: String): DataFrame = {
     val profiles = pipelineCached(s, d)
     val mask = graft.argo.Bathy.default
-    val atlas = new Atlas(box = (-20.0, 50.0, -50.0, -20.0), reso = 5.0,
+    val atlas = new Atlas(box = ExportAtlas.box, reso = ExportAtlas.reso,
       landMask = mask.isLand)
     atlas.climTS(s, profiles)
       .filter(col("CT") =!= 0.0f)

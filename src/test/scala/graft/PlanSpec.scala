@@ -278,8 +278,16 @@ class PlanSpec extends SparkSuite {
       df.queryExecution.withCachedData.collect {
         case r: InMemoryRelation => r
       }.exists(_.output.exists(_.name == "pres")) // lowercase pres = cells
-    assert(climCached(graft.queries.ArgoQueries.climProbe(spark, d)),
-      "the export path must read the memoized atlas cells")
+    // climPeek is READ-ONLY: it can only see a memo entry that the q76
+    // run above registered — reverting q76 to a bare climTS fails here
+    // (the old probe persisted on a memo miss, so it passed vacuously)
+    val memoed = graft.queries.ArgoQueries.climPeek(spark, d)
+    assert(memoed.isDefined,
+      "q76 must register the memoized cells frame")
+    assert(memoed.get.storageLevel.useMemory,
+      "the memoized cells frame must be persisted")
+    assert(climCached(memoed.get),
+      "the export path must read the cached cells")
     assert(!climCached(SparkEntry.queries("q71_argo_atlas")(spark, d)),
       "q71 must aggregate the atlas, not read the memoized cells")
   }

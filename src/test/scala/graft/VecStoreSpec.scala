@@ -24,7 +24,8 @@ class VecStoreSpec extends SparkSuite {
     // probe the two most populous cells of the ACTUAL assignment —
     // hard-coded ids would fail spuriously if a regenerated corpus or
     // k-means tweak left a fixed cell empty
-    val cells = VecStore.assign(embs, model)
+    val assigned = VecStore.assign(embs, model)
+    val cells = assigned
       .groupBy("cell").count().orderBy(desc("count"), col("cell"))
       .limit(2).select(col("cell")).as[Int].collect().toSeq
     val probed = VecStore.load(spark, tmp).filter(col("cell").isin(cells: _*))
@@ -34,7 +35,7 @@ class VecStoreSpec extends SparkSuite {
       s"cell filter must prune partitions at the scan:\n$plan")
 
     // pruned read ≡ post-hoc filter of the full assignment
-    val want = VecStore.assign(embs, model).filter(col("cell").isin(cells: _*))
+    val want = assigned.filter(col("cell").isin(cells: _*))
       .select(col("vec_id")).as[Long].collect().sorted.toSeq
     val got = probed.select(col("vec_id")).as[Long].collect().sorted.toSeq
     assert(got == want && got.nonEmpty,
