@@ -60,9 +60,18 @@ object Bench {
           runs :+= rep()
           extra += 1
         }
-        val (dt, rows) = bestOk.getOrElse(runs.minBy(_._1))
-        System.err.println(f"[bench] $name%-24s $dt%8.2f s ($rows rows)")
-        name -> ((dt, rows, fn))
+        // A query whose every rep failed gets NO time: publishing its
+        // fastest time-to-failure would make a broken suite look FASTER
+        // than a healthy one in the machine-parsed JSON (rows=-1 is only
+        // visible on stderr). It is carried as None and surfaces in the
+        // "failed" list instead.
+        bestOk match {
+          case Some((dt, rows)) =>
+            System.err.println(f"[bench] $name%-24s $dt%8.2f s ($rows rows)")
+          case None =>
+            System.err.println(f"[bench] $name%-24s   FAILED (all ${runs.size} reps)")
+        }
+        name -> ((bestOk, fn))
       }.toMap
     // Second-chance pass, decorrelated in time: a sustained host-level CPU
     // burst can span every rep of one query (minutes apart from its
@@ -76,19 +85,23 @@ object Bench {
     // threshold and so never got its decorrelated re-run). Every 1 s+
     // query re-running once costs ~15 s of bench wall time, cheap next to
     // publishing a phantom 1.7x regression.
-    val results2 = results.map { case (name, (dt, rows, fn)) =>
-      val dtF = if (dt > 1.0) {
+    val results2 = results.map { case (name, (best, fn)) =>
+      // all-reps-failed queries get one decorrelated chance too: a
+      // transient condition (full /tmp, OOM burst) that cleared since
+      // should not mark the whole suite broken
+      val dtF = if (best.forall(_._1 > 1.0)) {
         // a FAILED re-run must never publish its time-to-failure as the
         // query's benchmark time — only a successful run may improve dt
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
+        val rows2 = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
         val dt2 = (System.nanoTime() - t0) / 1e9
-        if (ok && dt2 < dt)
-          System.err.println(f"[bench] $name%-24s $dt2%8.2f s (late re-run beat $dt%.2f)")
-        if (ok) math.min(dt, dt2) else dt
-      } else dt
-      name -> ((dtF, rows))
+        if (rows2 >= 0 && best.forall(dt2 < _._1)) {
+          System.err.println(f"[bench] $name%-24s $dt2%8.2f s (late re-run beat " +
+            best.map(b => f"${b._1}%.2f").getOrElse("FAILED") + ")")
+          Some((dt2, rows2))
+        } else best
+      } else best
+      name -> dtF.map { case (dt, rows) => (dt, rows) }
     }
     // ONE compact JSON line, printed LAST: the driver keeps only the final
     // ~2000 chars of stdout (BENCH_r03 measured tail=2000), and sbt appends
@@ -100,15 +113,19 @@ object Bench {
     // ~1.2 KB — fully inside the tail window with room to spare.
     def r3(x: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, x)
     val qs = results2.toSeq.sortBy(_._1)
-      .map { case (k, (v, _)) => s"\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+      .collect { case (k, Some((v, _))) => s"\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results2.nonEmpty) results2.map(_._2._1).sum else 0.0
+    // failed queries are OMITTED from "queries" (no bogus seconds) and
+    // named here so the driver-parsed line itself shows the breakage
+    val failed = results2.toSeq.sortBy(_._1)
+      .collect { case (k, None) => s"\"" + k.takeWhile(_ != '_') + "\"" }
+    val total = results2.values.flatten.map(_._1).sum
     // Per-stage throughput, so the BASELINE.md comparison is mechanical:
     // the reference publishes pipeline throughput (profiles interpolated
     // per second per core), not per-query seconds. q70's row count IS the
     // number of interpolated profiles; q71's is atlas (cell, level) rows.
     def tput(q: String): Option[(Double, Long)] =
-      results2.get(q).collect { case (dt, rows) if dt > 0 && rows > 0 =>
+      results2.get(q).flatten.collect { case (dt, rows) if dt > 0 && rows > 0 =>
         (rows / dt, rows)
       }
     val nCores = cpus.toDouble
@@ -122,8 +139,10 @@ object Bench {
         Seq(s""""atlas_cell_levels_per_sec":${r3(cs)}""", s""""atlas_cell_levels":$n""")
       }.getOrElse(Nil) ++
       Seq(s""""cores":${cpus.toInt}""")).mkString("{", ",", "}")
+    val failedPart =
+      if (failed.isEmpty) "" else failed.mkString(""","failed":[""", ",", "]")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"stages":$stages,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$failedPart,"stages":$stages,"sf":"$sfDir"}"""
     // Mirror to stderr for humans tailing the log; stdout gets exactly one
     // copy, as the final line, so the driver's bounded tail always holds it
     // complete (printing it twice would push the first copy past the
