@@ -35,17 +35,20 @@ object Figures {
     * single row — the stat never forces the cell frame to one partition. */
   def colorize(cells: DataFrame, valueCol: String): DataFrame = {
     val value = col(valueCol)
-    val stats = cells.agg(min(value).as("vmin"), max(value).as("vmax"))
+    // collision-proof internal names: colorize is a public API over
+    // arbitrary frames, so a caller-owned "vmin"/"vmax" column must
+    // neither turn the expression ambiguous nor get drop()ed below
+    val stats = cells.agg(min(value).as("__graft_vmin"), max(value).as("__graft_vmax"))
     // `div` (integer division) keeps both engines in exact Long arithmetic;
     // needs (vmax - vmin) * 1e6 < 2^63, i.e. a value span < ~9.2e12 units —
     // any fixed-point field this engine produces is orders below that.
-    val tU = when(col("vmax") > col("vmin"),
-      expr(s"(($valueCol - vmin) * 1000000L) div (vmax - vmin)"))
+    val tU = when(col("__graft_vmax") > col("__graft_vmin"),
+      expr(s"(($valueCol - __graft_vmin) * 1000000L) div (__graft_vmax - __graft_vmin)"))
       .otherwise(lit(0L))
     val withT = cells.crossJoin(broadcast(stats)).withColumn("t_u", tU)
     val (r, g, b) = Colormaps.precip16(col("t_u"))
     withT.withColumn("r", r).withColumn("g", g).withColumn("b", b)
-      .drop("vmin", "vmax")
+      .drop("__graft_vmin", "__graft_vmax")
   }
 
   /** `map_atlas(atlas, field, kz)` (`figures/maps.py:8-48`): one vertical
