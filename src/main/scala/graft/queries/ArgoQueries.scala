@@ -22,18 +22,22 @@ object ArgoQueries extends QueryModule {
   private[graft] def samplesProbe(summary: DataFrame): DataFrame = samples(summary)
   private[graft] def profilesProbe(s: SparkSession, d: String): DataFrame = pipeline(s, d)
 
-  /** Per-(session, dir) memoizer for persisted frames. Keys are weak so a
-    * cache never outlives its session — which requires the VALUES to not
-    * strongly reach the key (WeakHashMap's documented trap: a DataFrame
-    * holds its SparkSession, so storing it directly would pin stopped
-    * sessions, their plans and the persisted frames forever). Values are
-    * therefore WeakReferences: the real owner of the cached data is the
-    * session's CacheManager, and if GC drops our handle between queries,
-    * rebuilding is cheap — persist() on the identical plan finds the
-    * existing InMemoryRelation and reuses it, nothing recomputes. */
+  /** Per-(session, dir) memoizer for persisted frames. Values are STRONG
+    * references, deliberately: the memo handle is the ONLY handle to the
+    * persisted frame, and a rebuilt plan is NOT guaranteed to find the
+    * existing InMemoryRelation — UDAF-bearing plans are never `sameResult`
+    * across builds (fresh LambdaVariable ids per analysis, see
+    * [[climPeek]]) — so a weak value that GC cleared between two queries
+    * would make the rebuild register a SECOND copy of the cells while the
+    * orphaned first copy (reachable only through the CacheManager) could
+    * never be unpersisted again. The price of strength is that a value
+    * reaches its session, so the WeakHashMap's key-weakness never fires
+    * and entries live for the JVM: bounded at one small DataFrame handle
+    * per (session, dir) pair, and the cached DATA's lifetime is governed
+    * by the session's CacheManager either way. */
   private type FrameCache =
     java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, java.lang.ref.WeakReference[DataFrame]]]
+      scala.collection.mutable.Map[String, DataFrame]]
 
   private def memo(cache: FrameCache, s: SparkSession, d: String)
                   (build: => DataFrame): DataFrame = {
@@ -41,11 +45,7 @@ object ArgoQueries extends QueryModule {
       cache.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
     }
     perSession.synchronized {
-      perSession.get(d).flatMap(r => Option(r.get())).getOrElse {
-        val df = build
-        perSession(d) = new java.lang.ref.WeakReference(df)
-        df
-      }
+      perSession.getOrElseUpdate(d, build)
     }
   }
 
@@ -123,7 +123,7 @@ object ArgoQueries extends QueryModule {
     * also why q71/q74 structurally cannot be served stale cells). */
   private[graft] def climPeek(s: SparkSession, d: String): Option[DataFrame] =
     climCache.synchronized(Option(climCache.get(s))).flatMap(m =>
-      m.synchronized(m.get(d).flatMap(r => Option(r.get()))))
+      m.synchronized(m.get(d)))
 
   private def rawHeader(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -193,7 +193,11 @@ object ArgoQueries extends QueryModule {
       "graft-atlas-" + ProcessHandle.current().pid() + "-" +
         d.replaceAll("[^A-Za-z0-9.]", "_") + ".nc")
     AtlasSink.writeNetcdf(out.toString, ExportAtlas, climTSCached(s, d), profiles)
-    val nc = new graft.sources.Nc3.NcFile(java.nio.file.Files.readAllBytes(out))
+    val bytes = java.nio.file.Files.readAllBytes(out)
+    // the export is fully in memory now — delete, or every bench/verify
+    // invocation leaks one per-PID .nc into tmpdir for the host's lifetime
+    java.nio.file.Files.deleteIfExists(out)
+    val nc = new graft.sources.Nc3.NcFile(bytes)
     val lon = nc.readDoubles("lon").map(_.toFloat)
     val lat = nc.readDoubles("lat").map(_.toFloat)
     val pres = nc.readDoubles("pres").map(_.toFloat)

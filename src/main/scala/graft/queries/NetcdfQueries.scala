@@ -83,13 +83,26 @@ object NetcdfQueries extends QueryModule {
       .select(col("o_orderkey"), col("o_custkey"))
       .as[(Long, Long)].collect()
       .map { case (o, c) => Prof(o, c) }
+    // the tree must outlive this method — the returned scan reads it
+    // lazily at collect time — so cleanup is deleteOnExit, parents
+    // registered FIRST (the JVM deletes in reverse registration order,
+    // children before their directories); without it every bench/verify
+    // JVM leaks a per-PID GDAC tree into tmpdir for the host's lifetime
+    root.toFile.deleteOnExit()
     profs.groupBy(_.wmo).foreach { case (wmo, ps) =>
       // IPROF is file order: sort by orderkey (unique) so the oracle can
       // reproduce it as row_number() over the same ordering
       val sorted = ps.sortBy(_.orderkey)
-      val dir = root.resolve(dacOf(wmo)).resolve(wmo.toString)
+      val dacDir = root.resolve(dacOf(wmo))
+      val dir = dacDir.resolve(wmo.toString)
+      val preDac = Files.exists(dacDir)
+      val preDir = Files.exists(dir)
       Files.createDirectories(dir)
-      Files.write(dir.resolve(s"${wmo}_prof.nc"), profFile(sorted))
+      if (!preDac) dacDir.toFile.deleteOnExit()
+      if (!preDir) dir.toFile.deleteOnExit()
+      val f = dir.resolve(s"${wmo}_prof.nc")
+      Files.write(f, profFile(sorted))
+      f.toFile.deleteOnExit()
     }
     root.toString
   }
