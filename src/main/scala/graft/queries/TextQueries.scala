@@ -350,9 +350,15 @@ object TextQueries extends QueryModule {
   private val JaccardBands = 32
 
   private def q36(s: SparkSession, d: String): DataFrame = {
+    // the shingle projection runs BELOW the repartition: the exchange is
+    // then the common subtree all four consumers (band l/r, payload d1/d2)
+    // reuse, so the corpus is shingled+hashed ONCE and its shuffle files
+    // are re-read — projecting above the exchange instead recomputes the
+    // projection per consumer (4 full-corpus hash passes, observed), and
+    // shuffles raw text rather than the smaller packed hashes
     val base = docs(s, d)
-      .repartition(col("doc_id"))
       .select(col("doc_id"), col("source"), T.shingleHashesPacked(2)(col("text")).as("gs"))
+      .repartition(col("doc_id"))
     val bands = base
       .withColumn("sigs", T.minhashSigsPackedK(JaccardBands)(col("gs")))
       .select(col("doc_id"), col("source"),
@@ -364,13 +370,25 @@ object TextQueries extends QueryModule {
     val r = bands.select(col("band"), col("key"), col("source"), col("doc_id").as("d2"))
     val cand = l.join(r, Seq("band", "key", "source"))
       .filter(col("d1") < col("d2"))
-      .select(col("source"), col("d1"), col("d2"))
+      .select(col("source").as("src_cand"), col("d1"), col("d2"))
       .distinct()
-    val payload = base.select(col("doc_id"), col("gs"))
+    // the payloads keep ALL of base's columns and the output `source`
+    // comes from the d1 payload (identical value — the pair is same-source
+    // by the band join): pruning `source` out of the payload branch would
+    // give it a narrower scan subtree than the bands', and the four-way
+    // exchange reuse above only fires on identical subtrees. The
+    // `s1 === s2` filter is semantically free (always true for band-join
+    // candidates) but load-bearing for the plan: it keeps s2 alive against
+    // column pruning AND infers IsNotNull on both payload scans, matching
+    // the not-null filter the band join key already pushes to the bands'
+    // scan — without it the three scan subtrees differ and reuse dies
     cand
-      .join(payload.select(col("doc_id").as("d1"), col("gs").as("g1")), Seq("d1"))
-      .join(payload.select(col("doc_id").as("d2"), col("gs").as("g2")), Seq("d2"))
-      .select(col("source"), col("d1"), col("d2"),
+      .join(base.select(col("doc_id").as("d1"), col("source").as("s1"),
+        col("gs").as("g1")), Seq("d1"))
+      .join(base.select(col("doc_id").as("d2"), col("source").as("s2"),
+        col("gs").as("g2")), Seq("d2"))
+      .filter(col("s1") === col("s2"))
+      .select(col("s1").as("source"), col("d1"), col("d2"),
         T.jaccardMicroPacked(col("g1"), col("g2")).as("jaccard_u"))
       .filter(col("jaccard_u") >= 200000L)
       .orderBy("source", "d1", "d2")
