@@ -101,7 +101,7 @@ object Bench {
           Some((dt2, rows2))
         } else best
       } else best
-      name -> dtF.map { case (dt, rows) => (dt, rows) }
+      name -> dtF
     }
     // ONE compact JSON line, printed LAST: the driver keeps only the final
     // ~2000 chars of stdout (BENCH_r03 measured tail=2000), and sbt appends
@@ -119,7 +119,13 @@ object Bench {
     // named here so the driver-parsed line itself shows the breakage
     val failed = results2.toSeq.sortBy(_._1)
       .collect { case (k, None) => s"\"" + k.takeWhile(_ != '_') + "\"" }
-    val total = results2.values.flatten.map(_._1).sum
+    // fail CLOSED on the headline: a failed query must never make the
+    // published total SMALLER than a healthy run's (dropping its seconds
+    // would record the breakage as a speedup in any parser that compares
+    // "value" across runs and ignores the new "failed" key), so each
+    // failure bills a penalty far above any real query's time
+    val FailPenaltySec = 3600.0
+    val total = results2.values.flatten.map(_._1).sum + FailPenaltySec * failed.size
     // Per-stage throughput, so the BASELINE.md comparison is mechanical:
     // the reference publishes pipeline throughput (profiles interpolated
     // per second per core), not per-query seconds. q70's row count IS the

@@ -31,10 +31,13 @@ object ArgoQueries extends QueryModule {
     * would make the rebuild register a SECOND copy of the cells while the
     * orphaned first copy (reachable only through the CacheManager) could
     * never be unpersisted again. The price of strength is that a value
-    * reaches its session, so the WeakHashMap's key-weakness never fires
-    * and entries live for the JVM: bounded at one small DataFrame handle
-    * per (session, dir) pair, and the cached DATA's lifetime is governed
-    * by the session's CacheManager either way. */
+    * reaches its session, so the WeakHashMap's key-weakness never fires —
+    * and a pinned STOPPED session is not "one small handle", it is the
+    * whole SparkContext + plan graph + InMemoryRelation objects. [[memo]]
+    * therefore evicts stopped sessions' entries on every touch, so a
+    * process that cycles sessions (service, notebook, test harness) is
+    * bounded at live sessions plus at most the stopped ones created since
+    * the last memoized query. */
   private type FrameCache =
     java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String, DataFrame]]
@@ -42,6 +45,11 @@ object ArgoQueries extends QueryModule {
   private def memo(cache: FrameCache, s: SparkSession, d: String)
                   (build: => DataFrame): DataFrame = {
     val perSession = cache.synchronized {
+      val it = cache.entrySet().iterator()
+      while (it.hasNext) {
+        val k = it.next().getKey
+        if (k != null && k.sparkContext.isStopped) it.remove()
+      }
       cache.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
     }
     perSession.synchronized {
@@ -195,8 +203,12 @@ object ArgoQueries extends QueryModule {
     AtlasSink.writeNetcdf(out.toString, ExportAtlas, climTSCached(s, d), profiles)
     val bytes = java.nio.file.Files.readAllBytes(out)
     // the export is fully in memory now — delete, or every bench/verify
-    // invocation leaks one per-PID .nc into tmpdir for the host's lifetime
-    java.nio.file.Files.deleteIfExists(out)
+    // invocation leaks one per-PID file into tmpdir for the host's
+    // lifetime. Deletion goes through the SAME Hadoop FileSystem the sink
+    // wrote with: the local scheme is a ChecksumFileSystem, so a bare NIO
+    // delete of the .nc would strand the hidden sibling .crc it also wrote
+    val hp = new org.apache.hadoop.fs.Path(out.toString)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, false)
     val nc = new graft.sources.Nc3.NcFile(bytes)
     val lon = nc.readDoubles("lon").map(_.toFloat)
     val lat = nc.readDoubles("lat").map(_.toFloat)

@@ -212,6 +212,25 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q36: the corpus is shingled once — all four consumers reuse one exchange") {
+    // The shingle projection sits BELOW the doc_id repartition and the
+    // payload branches carry identical subtrees to the bands' (the
+    // semantically-free s1 === s2 filter keeps the columns and inferred
+    // not-null filters aligned — see q36's comments). That shape is
+    // deliberate and fragile: if pruning narrows any branch's scan, the
+    // corpus silently gets re-shingled per consumer (4 full hash passes)
+    // with every oracle still green. AQE realizes the reuse only at
+    // runtime, so execute first, then count: band-r, payload-d1 and
+    // payload-d2 must all be ReusedExchange references to the one
+    // materialized shuffle.
+    val df = SparkEntry.queries("q36_ngram_jaccard")(spark, d)
+    df.collect()
+    val fp = df.queryExecution.executedPlan.toString
+    val reused = "ReusedExchange".r.findAllIn(fp).length
+    assert(reused >= 3,
+      s"expected >=3 ReusedExchange refs to the shingle repartition, found $reused:\n$fp")
+  }
+
   test("q43: near-dup candidates come from the bucket equi-join; scoring is native") {
     val p = plan("q43_embedding_neardup")
     assert(p.contains("BroadcastHashJoin [bucket") || p.contains("ShuffledHashJoin [bucket"),
