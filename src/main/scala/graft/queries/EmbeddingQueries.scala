@@ -146,7 +146,10 @@ object EmbeddingQueries extends QueryModule {
   private val NearDupBits = 4
   private val NearDupThreshNano = 350000000L // cosine ≥ 0.35
 
-  private def q43(s: SparkSession, d: String): DataFrame = {
+  /** Embedding near-dup pairs (d1 < d2, cos_n ≥ threshold), unsorted —
+    * shared by q43 (the pair listing) and q67 (cluster resolution over
+    * the same graph, mirroring how q34's pairs feed q38). */
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
     val b = Tables.embeddings(s, d).select(
       col("vec_id"),
       col("embedding").cast("array<double>").as("vec"))
@@ -171,19 +174,57 @@ object EmbeddingQueries extends QueryModule {
         FP.nano(V.dotPacked(col("v1"), col("v2")) / (col("n1") * col("n2")))
           .as("cos_n"))
       .filter(col("cos_n") >= NearDupThreshNano)
-      .orderBy("d1", "d2")
   }
 
-  private val q43Sql =
-    s"""WITH b AS (
+  private def q43(s: SparkSession, d: String): DataFrame =
+    nearDupPairs(s, d).orderBy("d1", "d2")
+
+  /** Bucket + scored-pair CTEs shared by the q43 and q67 oracles. */
+  private val nearDupPairCtes =
+    s"""b AS (
        |  SELECT vec_id, embedding, ${V.sqlNorm("embedding", Dim)} AS nrm,
        |    ${V.sqlLshBucket("embedding", NearDupBits, Dim)} AS bucket
-       |  FROM embeddings)
-       |SELECT l.vec_id AS d1, r.vec_id AS d2,
-       |  ${FP.sqlNano(s"${V.sqlDot("l.embedding", "r.embedding", Dim)} / (l.nrm * r.nrm)")} AS cos_n
-       |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-       |WHERE ${FP.sqlNano(s"${V.sqlDot("l.embedding", "r.embedding", Dim)} / (l.nrm * r.nrm)")} >= $NearDupThreshNano
-       |ORDER BY 1, 2""".stripMargin
+       |  FROM embeddings),
+       |npairs AS (
+       |  SELECT l.vec_id AS d1, r.vec_id AS d2,
+       |    ${FP.sqlNano(s"${V.sqlDot("l.embedding", "r.embedding", Dim)} / (l.nrm * r.nrm)")} AS cos_n
+       |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |  WHERE ${FP.sqlNano(s"${V.sqlDot("l.embedding", "r.embedding", Dim)} / (l.nrm * r.nrm)")} >= $NearDupThreshNano)""".stripMargin
+
+  private val q43Sql =
+    s"""WITH $nearDupPairCtes
+       |SELECT d1, d2, cos_n FROM npairs ORDER BY 1, 2""".stripMargin
+
+  // ---- q67: SEMANTIC near-dup cluster resolution -------------------------
+  // The embedding-space analog of q38: exact/MinHash/SimHash/Jaccard dedup
+  // all miss paraphrases, so a training pipeline also clusters by the
+  // transitive closure of the embedding-cosine pair graph and keeps one
+  // canonical document per semantic cluster. Same min-label propagation
+  // operator (O(log diameter) pointer-jumping passes), same recursive-CTE
+  // oracle shape as q38 — the pair graph is q43's, already verified
+  // independently, so this composes two green components.
+  private def q67(s: SparkSession, d: String): DataFrame = {
+    val pairs = nearDupPairs(s, d)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val verts = Tables.embeddings(s, d).select(col("vec_id").as("id"))
+    graft.operators.Graph.connectedComponents(pairs, verts)
+      .select(col("id").as("vec_id"), col("comp").as("cluster"),
+        (col("id") === col("comp")).as("is_canonical"))
+      .orderBy("vec_id")
+  }
+
+  private val q67Sql =
+    s"""WITH RECURSIVE $nearDupPairCtes,
+       |edges AS (
+       |  SELECT d1 AS s, d2 AS t FROM npairs
+       |  UNION ALL SELECT d2 AS s, d1 AS t FROM npairs),
+       |reach(id, r) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT reach.id, e.t FROM reach JOIN edges e ON e.s = reach.r)
+       |SELECT id AS vec_id, min(r) AS cluster,
+       |  (id = min(r)) AS is_canonical
+       |FROM reach GROUP BY id ORDER BY 1""".stripMargin
 
   // ---- q44: IVF-style ANN (coarse centroids → probe nearest lists) -------
   // The inverted-file scale path: partition the corpus into coarse cells
@@ -396,6 +437,7 @@ object EmbeddingQueries extends QueryModule {
     "q41_ann_lsh" -> QueryDef(q41, Some(q41Sql)),
     "q42_label_centroid" -> QueryDef(q42, Some(q42Sql)),
     "q43_embedding_neardup" -> QueryDef(q43, Some(q43Sql)),
+    "q67_semantic_clusters" -> QueryDef(q67, Some(q67Sql)),
     "q44_ann_ivf" -> QueryDef(q44, Some(q44Sql)),
     "q45_ann_ivf_kmeans" ->
       QueryDef(q45, Some(FixtureOracle.sql("q45_ann_ivf_kmeans"))),
