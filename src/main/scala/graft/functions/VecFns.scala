@@ -56,6 +56,22 @@ object VecFns {
       when(planeProj(vec, p, n) > 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  /** Identity over a bucket value, marked non-deterministic — which it is
+    * NOT (it forwards its argument bit-for-bit; fixtures and oracles are
+    * unaffected). The marker exists purely to stop constraint propagation
+    * from recording `bucketAttr <=> <whole bucket expression>` at the
+    * projection: on a bucket self-join (both sides derived from the same
+    * table), Spark 4.1's InferFiltersFromConstraints substitutes the join
+    * key through that constraint and pushes a filter containing ONE
+    * side's `vec` reference into the OTHER side's branch — an unresolvable
+    * plan that fails at runtime with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND
+    * (surfaces under aggressive pruning, e.g. count() over the pairs).
+    * A single cached instance so repeated builds stay `sameResult`. */
+  val opaqueBucket: Column => Column = {
+    val u = udf((b: Long) => b).asNondeterministic()
+    u(_)
+  }
+
   def sqlLshBucket(vec: String, bits: Int, n: Int): String =
     (0 until bits).map(p =>
       s"CASE WHEN ${sqlPlaneProj(vec, p, n)} > 0 THEN ${1L << p} ELSE 0 END")

@@ -78,7 +78,9 @@ object EmbeddingQueries extends QueryModule {
       .repartition(col("vec_id"))
       .select(col("vec_id"), V.packVec(col("vec")).as("pv"),
         V.norm(col("vec")).as("nrm"),
-        V.lshBucket(col("vec"), LshBits, Dim).as("bucket"))
+        // opaqueBucket: same latent self-join constraint-inference bug as
+        // nearDupPairs (probes derive from this same frame) — see there
+        V.opaqueBucket(V.lshBucket(col("vec"), LshBits, Dim)).as("bucket"))
     val probes = b.filter(col("vec_id") % ProbeMod === 0).select(
       col("bucket"), col("vec_id").as("q_id"),
       col("pv").as("q_pv"), col("nrm").as("q_nrm"))
@@ -149,14 +151,30 @@ object EmbeddingQueries extends QueryModule {
   /** Embedding near-dup pairs (d1 < d2, cos_n ≥ threshold), unsorted —
     * shared by q43 (the pair listing) and q67 (cluster resolution over
     * the same graph, mirroring how q34's pairs feed q38). */
+  private[graft] def nearDupPairsProbe(s: SparkSession, d: String): DataFrame = nearDupPairs(s, d)
+
   private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+    // The bucket alias is wrapped in [[V.opaqueBucket]]: without it,
+    // Spark 4.1's constraint inference records `bucket <=> <whole bucket
+    // expression over vec>` at this projection, substitutes the self-join
+    // key through it, and pushes a filter carrying THIS side's `vec` into
+    // the OTHER side's branch — an unresolvable plan that fails at runtime
+    // (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) under count()-style pruning.
+    // (Root cause verified: the original shape passes with
+    // spark.sql.constraintPropagation.enabled=false; the wrapper blocks
+    // only this one constraint instead of a global conf flip.) The
+    // kernels run below the repartition so the exchange carries packed
+    // vectors; the broadcast side re-runs them over its own scan — a
+    // constant 2× on a linear pass, dominated by pair scoring, and
+    // measured identical before/after the wrapper (AQE declined the
+    // cross-side exchange reuse in both shapes).
     val b = Tables.embeddings(s, d).select(
       col("vec_id"),
       col("embedding").cast("array<double>").as("vec"))
-      .repartition(col("vec_id"))
       .select(col("vec_id"), V.packVec(col("vec")).as("pv"),
         V.norm(col("vec")).as("nrm"),
-        V.lshBucket(col("vec"), NearDupBits, Dim).as("bucket"))
+        V.opaqueBucket(V.lshBucket(col("vec"), NearDupBits, Dim)).as("bucket"))
+      .repartition(col("vec_id"))
     val l = b.select(col("bucket"), col("vec_id").as("d1"),
       col("pv").as("v1"), col("nrm").as("n1"))
     val r = b.select(col("bucket"), col("vec_id").as("d2"),

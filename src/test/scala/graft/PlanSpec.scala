@@ -231,6 +231,17 @@ class PlanSpec extends SparkSuite {
       s"expected >=3 ReusedExchange refs to the shingle repartition, found $reused:\n$fp")
   }
 
+  test("embedding bucket self-joins survive count()-style pruning") {
+    // Regression: with a deterministic bucket alias, Spark 4.1's constraint
+    // inference pushes a filter carrying one side's `vec` into the other
+    // side's branch of the bucket self-join; the plan is unresolvable and
+    // only surfaces under aggressive column pruning — an eager count() over
+    // the bare pair frame, exactly what a library user writes first.
+    // (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND; dodged by VecFns.opaqueBucket.)
+    assert(graft.queries.EmbeddingQueries.nearDupPairsProbe(spark, d).count() >= 0)
+    assert(SparkEntry.queries("q41_ann_lsh")(spark, d).count() >= 0)
+  }
+
   test("q43: near-dup candidates come from the bucket equi-join; scoring is native") {
     val p = plan("q43_embedding_neardup")
     assert(p.contains("BroadcastHashJoin [bucket") || p.contains("ShuffledHashJoin [bucket"),
