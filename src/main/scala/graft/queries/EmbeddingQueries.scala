@@ -72,16 +72,21 @@ object EmbeddingQueries extends QueryModule {
   private val LshBits = 6
 
   private def q41(s: SparkSession, d: String): DataFrame = {
-    val b = Tables.embeddings(s, d).select(
+    val raw = Tables.embeddings(s, d).select(
       col("vec_id"),
       col("embedding").cast("array<double>").as("vec"))
-      .repartition(col("vec_id"))
-      .select(col("vec_id"), V.packVec(col("vec")).as("pv"),
+    // opaqueBucket dodges the self-join constraint-inference bug (see
+    // nearDupPairs) at a price: deterministic filters cannot cross a
+    // projection holding a nondeterministic expression. So each branch
+    // filters FIRST and enriches only its surviving rows — the probe
+    // branch runs the kernels over 1/ProbeMod of the corpus, not all of
+    // it, without relying on optimizer pushdown at all.
+    def enrich(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), V.packVec(col("vec")).as("pv"),
         V.norm(col("vec")).as("nrm"),
-        // opaqueBucket: same latent self-join constraint-inference bug as
-        // nearDupPairs (probes derive from this same frame) — see there
         V.opaqueBucket(V.lshBucket(col("vec"), LshBits, Dim)).as("bucket"))
-    val probes = b.filter(col("vec_id") % ProbeMod === 0).select(
+    val b = enrich(raw.repartition(col("vec_id")))
+    val probes = enrich(raw.filter(col("vec_id") % ProbeMod === 0)).select(
       col("bucket"), col("vec_id").as("q_id"),
       col("pv").as("q_pv"), col("nrm").as("q_nrm"))
     val w = Window.partitionBy(col("q_id"))
@@ -151,9 +156,7 @@ object EmbeddingQueries extends QueryModule {
   /** Embedding near-dup pairs (d1 < d2, cos_n ≥ threshold), unsorted —
     * shared by q43 (the pair listing) and q67 (cluster resolution over
     * the same graph, mirroring how q34's pairs feed q38). */
-  private[graft] def nearDupPairsProbe(s: SparkSession, d: String): DataFrame = nearDupPairs(s, d)
-
-  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def nearDupPairs(s: SparkSession, d: String): DataFrame = {
     // The bucket alias is wrapped in [[V.opaqueBucket]]: without it,
     // Spark 4.1's constraint inference records `bucket <=> <whole bucket
     // expression over vec>` at this projection, substitutes the self-join
@@ -162,22 +165,24 @@ object EmbeddingQueries extends QueryModule {
     // (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) under count()-style pruning.
     // (Root cause verified: the original shape passes with
     // spark.sql.constraintPropagation.enabled=false; the wrapper blocks
-    // only this one constraint instead of a global conf flip.) The
-    // kernels run below the repartition so the exchange carries packed
-    // vectors; the broadcast side re-runs them over its own scan — a
-    // constant 2× on a linear pass, dominated by pair scoring, and
-    // measured identical before/after the wrapper (AQE declined the
-    // cross-side exchange reuse in both shapes).
-    val b = Tables.embeddings(s, d).select(
+    // only this one constraint instead of a global conf flip.)
+    val packed = Tables.embeddings(s, d).select(
       col("vec_id"),
       col("embedding").cast("array<double>").as("vec"))
       .select(col("vec_id"), V.packVec(col("vec")).as("pv"),
         V.norm(col("vec")).as("nrm"),
         V.opaqueBucket(V.lshBucket(col("vec"), NearDupBits, Dim)).as("bucket"))
-      .repartition(col("vec_id"))
-    val l = b.select(col("bucket"), col("vec_id").as("d1"),
-      col("pv").as("v1"), col("nrm").as("n1"))
-    val r = b.select(col("bucket"), col("vec_id").as("d2"),
+    // Only the STREAM side repartitions (a tiny-file corpus would
+    // otherwise score every pair on the scan's one or two partitions; at
+    // scale the scan is already wide and the exchange is one linear
+    // pass). The build side skips it: under the broadcast cap its rows
+    // go straight to the driver, and past the cap blockJoin's salted
+    // join re-shuffles on (bucket, salt) anyway — a vec_id exchange
+    // directly under either is pure dead weight.
+    val l = packed.repartition(col("vec_id"))
+      .select(col("bucket"), col("vec_id").as("d1"),
+        col("pv").as("v1"), col("nrm").as("n1"))
+    val r = packed.select(col("bucket"), col("vec_id").as("d2"),
       col("pv").as("v2"), col("nrm").as("n2"))
     // With few coarse buckets a shuffle join would collapse onto ≤2^bits
     // tasks. Size-conditional (Joins.blockJoin): broadcast the build side

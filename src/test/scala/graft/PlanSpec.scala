@@ -238,8 +238,12 @@ class PlanSpec extends SparkSuite {
     // only surfaces under aggressive column pruning — an eager count() over
     // the bare pair frame, exactly what a library user writes first.
     // (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND; dodged by VecFns.opaqueBucket.)
-    assert(graft.queries.EmbeddingQueries.nearDupPairsProbe(spark, d).count() >= 0)
+    assert(graft.queries.EmbeddingQueries.nearDupPairs(spark, d).count() >= 0)
     assert(SparkEntry.queries("q41_ann_lsh")(spark, d).count() >= 0)
+    // q45's cell key is the same shape (UDF-derived join key, probe side
+    // derived from the corpus frame) — empirically green today; pinned so
+    // a Spark upgrade that extends the inference to it is caught here
+    assert(SparkEntry.queries("q45_ann_ivf_kmeans")(spark, d).count() >= 0)
   }
 
   test("q43: near-dup candidates come from the bucket equi-join; scoring is native") {
