@@ -46,7 +46,8 @@ object Graph {
     * @return (id, comp) with comp = min id in the component
     */
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
-                          maxIters: Int = 50): DataFrame = {
+                          maxIters: Int = 50,
+                          allowDriverFastPath: Boolean = true): DataFrame = {
     // Materialize the edge list ONCE: every iteration joins against it,
     // and without a checkpoint each pass re-executes the whole upstream
     // candidate-generation pipeline (for near-dup edges: shingling +
@@ -54,6 +55,30 @@ object Graph {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
+    // Size-conditional, like Joins.blockJoin: a pair graph under the
+    // broadcast row cap is solved by union-find ON THE DRIVER — the edge
+    // list is by construction orders smaller than the corpus, and a
+    // ~log(diameter) ladder of tiny shuffle jobs (observed: 12 passes ≈
+    // 4 s for a 2,607-edge graph) is pure orchestration overhead for a
+    // microsecond problem. VERTICES are never collected (they scale with
+    // the corpus, not the graph): only edge-touched ids enter the
+    // broadcast label map; isolated vertices keep their own id via the
+    // left join below. Same unique fixpoint (min id per component), so
+    // the choice of path is invisible in the output. The cap is the
+    // shared `spark.graft.broadcastMaxRows` (edges are 16-byte pairs —
+    // the cap bounds the driver at tens of MB); past it, or when the
+    // caller pins the distributed path, the propagation loop below runs.
+    val nEdges = sym.count() / 2
+    val cap = edges.sparkSession.conf
+      .getOption("spark.graft.broadcastMaxRows").map(_.toLong)
+      .getOrElse(Joins.BroadcastMaxRows)
+    val idIsLong = sym.schema.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (allowDriverFastPath && idIsLong && nEdges <= cap) {
+      val out = driverComponents(sym, vertices)
+      release(sym)
+      return out
+    }
     var labels = vertices.select(col("id"), col("id").as("comp"))
       .localCheckpoint()
     // Convergence witness: min-propagation is MONOTONE — a label only ever
@@ -110,5 +135,40 @@ object Graph {
         s"connectedComponents did not converge in $maxIters iterations — " +
           "component diameter exceeds the cap; raise maxIters")
     labels
+  }
+
+  /** Small-graph fast path: union-find with path compression over the
+    * collected (capped — see caller) edge list, then a broadcast join
+    * labels the distributed vertices. Result is the identical unique
+    * fixpoint: min id per component for edge-touched vertices, own id for
+    * isolated ones. */
+  private def driverComponents(sym: DataFrame, vertices: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression: point every node on the walk at the root
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    sym.select(col("src"), col("dst")).collect().foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(ra) = rb
+    }
+    val minOf = scala.collection.mutable.HashMap.empty[Long, Long]
+    parent.keysIterator.foreach { v =>
+      val r = find(v)
+      minOf(r) = math.min(minOf.getOrElse(r, Long.MaxValue), v)
+    }
+    val s = vertices.sparkSession
+    import s.implicits._
+    val labelMap = parent.keysIterator.map(v => (v, minOf(find(v)))).toSeq
+      .toDF("id", "comp_m")
+    vertices.select(col("id"))
+      .join(broadcast(labelMap), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp_m"), col("id")).as("comp"))
   }
 }

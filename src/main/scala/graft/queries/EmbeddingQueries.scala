@@ -225,7 +225,11 @@ object EmbeddingQueries extends QueryModule {
   // canonical document per semantic cluster. Same min-label propagation
   // operator (O(log diameter) pointer-jumping passes), same recursive-CTE
   // oracle shape as q38 — the pair graph is q43's, already verified
-  // independently, so this composes two green components.
+  // independently, so this composes two green components. Unlike q38
+  // (which pins the distributed loop so that branch stays oracle-
+  // verified), this one keeps the adaptive default: under the broadcast
+  // cap the closure is solved by driver union-find — so the fast path
+  // carries its own green CORRECTNESS row too.
   private def q67(s: SparkSession, d: String): DataFrame = {
     val pairs = nearDupPairs(s, d)
       .select(col("d1").as("src"), col("d2").as("dst"))

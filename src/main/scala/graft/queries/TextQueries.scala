@@ -249,12 +249,17 @@ object TextQueries extends QueryModule {
   // the smallest doc_id reachable through MinHash pairs — the cluster's
   // canonical representative. The oracle computes the same closure with a
   // recursive CTE, so this is a full SQL-verified check of an iterative
-  // distributed graph algorithm.
+  // distributed graph algorithm. The driver fast path is PINNED OFF here,
+  // deliberately: at test scale every pair graph fits the cap, so without
+  // the pin no oracle row would ever exercise the distributed propagation
+  // loop — the branch a 100 TB pair graph runs. q67 keeps the adaptive
+  // default, so BOTH branches carry a green CORRECTNESS row.
   private def q38(s: SparkSession, d: String): DataFrame = {
     val pairs = minhashPairs(s, d)
       .select(col("d1").as("src"), col("d2").as("dst"))
     val verts = docs(s, d).select(col("doc_id").as("id"))
-    graft.operators.Graph.connectedComponents(pairs, verts)
+    graft.operators.Graph.connectedComponents(pairs, verts,
+      allowDriverFastPath = false)
       .select(col("id").as("doc_id"), col("comp").as("cluster"),
         (col("id") === col("comp")).as("is_canonical"))
       .orderBy("doc_id")
