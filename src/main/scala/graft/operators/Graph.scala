@@ -37,23 +37,36 @@ object Graph {
     * regardless of execution schedule, so converged output is
     * partition-invariant even though intermediate labels are not.
     *
-    * @param edges    (src, dst) pairs, undirected (one direction given)
-    * @param vertices (id) — every vertex, including isolated ones
+    * @param edges    (src, dst) pairs, undirected (one direction given).
+    *                 Every endpoint must also appear in `vertices` (both
+    *                 callers satisfy this: pairs are generated from the
+    *                 corpus the vertex list scans) — for dangling
+    *                 endpoints the two size paths legitimately disagree
+    *                 (the loop emits rows for them, the fast path does
+    *                 not), so that input is out of contract.
+    * @param vertices (id) — every vertex, including isolated ones; same
+    *                 id type as the edge endpoints
     * @param maxIters hard cap on passes; if the fixpoint is NOT reached
     *                 (a component of diameter > ~2^maxIters) the labels
     *                 would be silently wrong, so this THROWS instead of
     *                 returning unconverged output
+    * @param allowDriverFastPath false pins the distributed loop even for
+    *                 graphs under the broadcast cap (q38 does, so the
+    *                 loop keeps a driver-verified oracle row)
     * @return (id, comp) with comp = min id in the component
     */
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
                           maxIters: Int = 50,
                           allowDriverFastPath: Boolean = true): DataFrame = {
-    // Materialize the edge list ONCE: every iteration joins against it,
-    // and without a checkpoint each pass re-executes the whole upstream
-    // candidate-generation pipeline (for near-dup edges: shingling +
-    // MinHash + the LSH bucket join over the full corpus).
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // Materialize the edge list ONCE: every iteration joins against it
+    // (and the fast-path decision below counts it), and without a
+    // checkpoint each pass re-executes the whole upstream candidate-
+    // generation pipeline (for near-dup edges: shingling + MinHash + the
+    // LSH bucket join over the full corpus). Null endpoints are dropped
+    // up front: the loop's joins would drop them anyway, and the fast
+    // path's collect must never NPE on what the loop silently tolerates.
+    val es = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint()
     // Size-conditional, like Joins.blockJoin: a pair graph under the
     // broadcast row cap is solved by union-find ON THE DRIVER — the edge
@@ -65,20 +78,22 @@ object Graph {
     // broadcast label map; isolated vertices keep their own id via the
     // left join below. Same unique fixpoint (min id per component), so
     // the choice of path is invisible in the output. The cap is the
-    // shared `spark.graft.broadcastMaxRows` (edges are 16-byte pairs —
-    // the cap bounds the driver at tens of MB); past it, or when the
-    // caller pins the distributed path, the propagation loop below runs.
-    val nEdges = sym.count() / 2
-    val cap = edges.sparkSession.conf
-      .getOption("spark.graft.broadcastMaxRows").map(_.toLong)
-      .getOrElse(Joins.BroadcastMaxRows)
-    val idIsLong = sym.schema.forall(_.dataType ==
+    // shared one from Joins (spark.graft.broadcastMaxRows): at its 2M
+    // default the one-direction collect is a few hundred MB of transient
+    // boxed rows on the driver — size the cap to the driver, same as for
+    // the broadcast pair joins. The id-type gate keeps exotic callers
+    // (non-long ids) on the loop, whose joins are type-generic.
+    val idsAreLong = (es.schema ++ vertices.schema).forall(_.dataType ==
       org.apache.spark.sql.types.LongType)
-    if (allowDriverFastPath && idIsLong && nEdges <= cap) {
-      val out = driverComponents(sym, vertices)
-      release(sym)
+    if (allowDriverFastPath && idsAreLong && es.count() <= Joins.maxRows(es)) {
+      val out = driverComponents(es, vertices)
+      release(es)
       return out
     }
+    val sym = es
+      .union(es.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    release(es) // superseded: the loop only ever joins against sym
     var labels = vertices.select(col("id"), col("id").as("comp"))
       .localCheckpoint()
     // Convergence witness: min-propagation is MONOTONE — a label only ever
@@ -138,11 +153,11 @@ object Graph {
   }
 
   /** Small-graph fast path: union-find with path compression over the
-    * collected (capped — see caller) edge list, then a broadcast join
-    * labels the distributed vertices. Result is the identical unique
-    * fixpoint: min id per component for edge-touched vertices, own id for
-    * isolated ones. */
-  private def driverComponents(sym: DataFrame, vertices: DataFrame): DataFrame = {
+    * collected (capped — see caller) ONE-direction edge list, then a
+    * broadcast join labels the distributed vertices. Result is the
+    * identical unique fixpoint: min id per component for edge-touched
+    * vertices, own id for isolated ones. */
+  private def driverComponents(es: DataFrame, vertices: DataFrame): DataFrame = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -151,7 +166,7 @@ object Graph {
       while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    sym.select(col("src"), col("dst")).collect().foreach { row =>
+    es.collect().foreach { row =>
       val a = row.getLong(0); val b = row.getLong(1)
       parent.getOrElseUpdate(a, a)
       parent.getOrElseUpdate(b, b)

@@ -80,6 +80,17 @@ class GraphSpec extends SparkSuite {
     assert(got.forall(_._2 == 0L), "path must collapse to vertex 0")
   }
 
+  test("null edge endpoints are dropped identically on both paths") {
+    val edges = Seq((Option(1L), Option(2L)), (Option(3L), Option.empty[Long]),
+      (Option.empty[Long], Option(4L))).toDF("src", "dst")
+    val verts = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L)
+    assert(Graph.connectedComponents(edges, verts)
+      .as[(Long, Long)].collect().toMap === expected)
+    assert(Graph.connectedComponents(edges, verts, allowDriverFastPath = false)
+      .as[(Long, Long)].collect().toMap === expected)
+  }
+
   test("empty vertex set returns an empty result, not an error") {
     val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
     val verts = Seq.empty[Long].toDF("id")
