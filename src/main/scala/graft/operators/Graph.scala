@@ -158,7 +158,9 @@ object Graph {
     * identical unique fixpoint: min id per component for edge-touched
     * vertices, own id for isolated ones. */
   private def driverComponents(es: DataFrame, vertices: DataFrame): DataFrame = {
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    // LongMap: open-addressed on primitive keys — no per-entry boxing, a
+    // third of HashMap[Long, Long]'s footprint at the 2M-edge cap
+    val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = x
       while (parent(r) != r) r = parent(r)
@@ -173,7 +175,7 @@ object Graph {
       val ra = find(a); val rb = find(b)
       if (ra != rb) parent(ra) = rb
     }
-    val minOf = scala.collection.mutable.HashMap.empty[Long, Long]
+    val minOf = scala.collection.mutable.LongMap.empty[Long]
     parent.keysIterator.foreach { v =>
       val r = find(v)
       minOf(r) = math.min(minOf.getOrElse(r, Long.MaxValue), v)
