@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Loaders for the benchmark tables (see TESTDATA.md).
   *
@@ -27,7 +29,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  /** `events` with `ts` normalized to a session-timezone TIMESTAMP at µs
+    * precision, whatever the generator wrote: INT64 TIMESTAMP(NANOS)
+    * (read as epoch-nano longs under `nanosAsLong`), TIMESTAMP_NTZ
+    * (pandas naive µs), or a plain UTC timestamp. Downstream code reads
+    * event time solely via `unix_micros(ts)`, so every query keeps exact
+    * µs semantics — the precision DuckDB's oracle reader also lands on. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -314,11 +314,10 @@ object RelationalQueries extends QueryModule {
   // ---- q17: as-of join (J2/J6 general form): for each purchase, the last
   //           click at-or-before it by the same user ----------------------
   private def q17(s: SparkSession, d: String): DataFrame = {
-    // ts is LongType epoch-nanos; compare in µs — DuckDB's parquet reader
-    // truncates nanosecond timestamps to microseconds. Integral `div`, not
-    // `/`: double division loses precision above 2^53.
+    // `Tables.events` normalizes ts to a µs timestamp; compare as epoch-µs
+    // longs — the precision DuckDB's oracle reader also lands on.
     val ev = Tables.events(s, d)
-      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_us", unix_micros(col("ts")))
     graft.operators.AsOf.lastAtOrBefore(
         left = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("ts_us"), col("event_id")),
@@ -518,16 +517,16 @@ object RelationalQueries extends QueryModule {
   // event_type) then PivotFirst over the wide row — but both pre-aggregate
   // map-side, so nothing un-combined crosses the exchange. The oracle is
   // the engine-neutral FILTER form (a pivot IS conditional aggregation).
-  // `ts` arrives as epoch-nanos longs (see q17), so the day key is integer
-  // arithmetic. NOTE: Spark `div` truncates toward zero while DuckDB `//`
-  // floors — identical only because event ts >= 0 (epoch-nanos of
-  // generator-produced 2023+ timestamps; same invariant as q80). A
-  // pre-1970 feed would need a floor-consistent form (pmod adjustment).
+  // The day key is integer arithmetic on epoch-µs. NOTE: Spark `div`
+  // truncates toward zero while DuckDB `//` floors — identical only
+  // because event ts >= 0 (generator-produced 2023+ timestamps; same
+  // invariant as q80). A pre-1970 feed would need a floor-consistent
+  // form (pmod adjustment).
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   private def q25(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .withColumn("day", expr("ts div 86400000000000"))
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
       .groupBy(col("day"))
       .pivot("event_type", EventTypes)
       .agg(count(lit(1)))

@@ -18,9 +18,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * as event time advances.
   */
 object EventStreams {
-  /** Normalize the events table: epoch-nano long → timestamp (µs). */
-  def withEventTime(events: DataFrame): DataFrame =
-    events.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+  /** Normalize `ts` to an `event_time` timestamp (µs precision). Accepts
+    * either an epoch-nano long (legacy generator / test fixtures) or a
+    * (possibly NTZ) timestamp column, so the same transformation runs
+    * over batch tables and MemoryStream frames alike. */
+  def withEventTime(events: DataFrame): DataFrame = {
+    val et = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ =>
+        col("ts").cast(org.apache.spark.sql.types.TimestampType)
+    }
+    events.withColumn("event_time", et)
+  }
 
   /** Tumbling-window counts + value sums per event type. Works on both
     * batch and streaming frames; pass a watermark for streaming state GC. */
