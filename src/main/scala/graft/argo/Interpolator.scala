@@ -63,55 +63,113 @@ object Interpolator {
       algo: Int = 0): (Int, Array[Float], Array[Float], Array[Byte]) = {
     val empty = (0, new Array[Float](NLevels), new Array[Float](NLevels),
       new Array[Byte](NLevels))
-    // F6: keep QC == 1 samples (extract_raw_profile, interpolation.py:172-179)
-    val keep = qc.indices.filter(i => qc(i) == 1.0).toArray
-    if (keep.length < 5) return empty
-    val p = keep.map(pres)
-    val t = keep.map(temp)
-    val s = keep.map(psal)
+    // F6: keep QC == 1 samples (extract_raw_profile, interpolation.py:172-179).
+    // Imperative primitive-array pass: this kernel runs once per RECORD of
+    // the whole corpus, so collection/boxing overhead here multiplies by
+    // every profile ever ingested.
+    val nIn = qc.length
+    var nk = 0
+    var i = 0
+    while (i < nIn) { if (qc(i) == 1.0) nk += 1; i += 1 }
+    if (nk < 5) return empty
+    val p = new Array[Double](nk)
+    val t = new Array[Double](nk)
+    val s = new Array[Double](nk)
+    i = 0; var j = 0
+    while (i < nIn) {
+      if (qc(i) == 1.0) { p(j) = pres(i); t(j) = temp(i); s(j) = psal(i); j += 1 }
+      i += 1
+    }
     // F7: np.unique(PRES, return_index=True) → first-occurrence indices,
     // ordered by value; the reference's contiguity test is on the FIRST
     // and LAST of that value-ordered index list (len == jdx[-1]-jdx[0]+1),
     // which implicitly also rejects badly unsorted profiles — reproduced
     // exactly (stable sort keeps the first occurrence of duplicates first).
-    val byValue = p.indices.sortBy(p(_))
-    val jdx = scala.collection.mutable.ArrayBuffer.empty[Int]
-    var last = Double.NaN
-    for (i <- byValue) {
-      if (jdx.isEmpty || p(i) != last) { jdx += i; last = p(i) }
-    }
-    val contiguous = jdx.length == (jdx.last - jdx.head + 1)
-    if (!(contiguous && jdx.length > 10)) return empty
+    //
+    // Fast path: real profiles (and the driver's testdata) are strictly
+    // increasing in PRES, so detect that with one linear scan and skip the
+    // boxed index sort entirely — jdx is then the identity.
+    var sortedStrict = true
+    i = 1
+    while (sortedStrict && i < nk) { if (p(i) <= p(i - 1)) sortedStrict = false; i += 1 }
+    val jdx: Array[Int] =
+      if (sortedStrict) null // identity; never materialized
+      else {
+        val byValue = new Array[Integer](nk)
+        i = 0
+        while (i < nk) { byValue(i) = Integer.valueOf(i); i += 1 }
+        // TimSort is stable → first occurrence of duplicates stays first
+        java.util.Arrays.sort(byValue, new java.util.Comparator[Integer] {
+          def compare(a: Integer, b: Integer): Int =
+            java.lang.Double.compare(p(a.intValue), p(b.intValue))
+        })
+        val out = new Array[Int](nk)
+        var m = 0
+        var last = Double.NaN
+        i = 0
+        while (i < nk) {
+          val ix = byValue(i).intValue
+          if (m == 0 || p(ix) != last) { out(m) = ix; m += 1; last = p(ix) }
+          i += 1
+        }
+        val trimmed = java.util.Arrays.copyOf(out, m)
+        val contiguous = m == (trimmed(m - 1) - trimmed(0) + 1)
+        if (!(contiguous && m > 10)) return empty
+        trimmed
+      }
+    val nu = if (jdx == null) nk else jdx.length // distinct PRES count
+    if (nu <= 10) return empty
     val deltaMin = 1.2 * (p(1) - p(0))
-    val pMin = p.min
-    val pMax = p.max
-    val idx = Pref.indices
-      .filter(k => pMin - deltaMin <= Pref(k) && Pref(k) <= pMax).toArray
-    if (idx.length < 10) return empty
+    var pMin = p(0); var pMax = p(0)
+    i = 1
+    while (i < nk) {
+      val v = p(i)
+      if (v < pMin) pMin = v else if (v > pMax) pMax = v
+      i += 1
+    }
+    // Pref is ascending: the in-range target levels are the contiguous
+    // block [k0, k1] — two linear scans over 64 entries, no boxed filter
+    val loBound = pMin - deltaMin
+    var k0 = 0
+    while (k0 < Pref.length && Pref(k0) < loBound) k0 += 1
+    var k1 = Pref.length - 1
+    while (k1 >= 0 && Pref(k1) > pMax) k1 -= 1
+    val nt = k1 - k0 + 1
+    if (nt < 10) return empty
     // X5: TEOS-10 variables at the RAW sample pressures, before
     // interpolation — exactly the reference's add_eos10_variables
     // (interpolation.py:200-210): SR = SP·ups, CT = CT_from_t(SR, t, PRES)
     // via the pluggable EOS (production default: the real TEOS-10 port).
-    val xs = jdx.map(p(_)).toArray
-    val sr = jdx.map(i => Seawater.srFromSp(s(i))).toArray
-    val ct = jdx.indices.map(j => eos.ctFromT(sr(j), t(jdx(j)), xs(j))).toArray
+    //
+    // xs = p(jdx) is strictly increasing BY CONSTRUCTION (first occurrence
+    // per distinct value, in value order), so the old sortDedup calls were
+    // identities — the arrays feed the method directly.
+    val xs = new Array[Double](nu)
+    val sr = new Array[Double](nu)
+    val ct = new Array[Double](nu)
+    i = 0
+    while (i < nu) {
+      val ix = if (jdx == null) i else jdx(i)
+      xs(i) = p(ix)
+      sr(i) = Seawater.srFromSp(s(ix))
+      ct(i) = eos.ctFromT(sr(i), t(ix), xs(i))
+      i += 1
+    }
     // X6: the selected interpolation method (default: cubic spline with
     // scipy interp1d kind="cubic" semantics) applied to the (CT, SR) pair
-    val (dx1, dySr) = Interp.sortDedup(xs, sr)
-    val (_, dyCt) = Interp.sortDedup(xs, ct)
-    val targets = idx.map(Pref(_))
-    val (ctI, srI) = Methods(algo)(dx1, dyCt, dySr, targets)
+    val targets = java.util.Arrays.copyOfRange(Pref, k0, k1 + 1)
+    val (ctI, srI) = Methods(algo)(xs, ct, sr, targets)
     val ctOut = new Array[Float](NLevels)
     val srOut = new Array[Float](NLevels)
     val idxOut = new Array[Byte](NLevels)
     var k = 0
-    while (k < idx.length) {
-      ctOut(idx(k)) = ctI(k).toFloat
-      srOut(idx(k)) = srI(k).toFloat
-      idxOut(idx(k)) = 1
+    while (k < nt) {
+      ctOut(k0 + k) = ctI(k).toFloat
+      srOut(k0 + k) = srI(k).toFloat
+      idxOut(k0 + k) = 1
       k += 1
     }
-    (idx.length, ctOut, srOut, idxOut)
+    (nt, ctOut, srOut, idxOut)
   }
 
   /** JIT warm-up hook: run the full kernel once, return a checksum.
@@ -153,6 +211,10 @@ object Interpolator {
     * samples are gated by the flags that grade the values actually used.
     * `every` per WMO + broadcast join + `when`. */
   def resolveAdjusted(samples: DataFrame): DataFrame = {
+    // No *_ADJUSTED columns → the fold below is the identity, but the
+    // use_adj aggregate+join would still cost a groupBy and a broadcast
+    // per pipeline run. Resolution only matters when adjusted data exists.
+    if (!samples.columns.exists(_.endsWith("_ADJUSTED"))) return samples
     val allD = samples.groupBy(col("WMO"))
       .agg(min(col("DATA_MODE") === 1).as("use_adj"))
     def pick(name: String): Column =
@@ -171,9 +233,15 @@ object Interpolator {
     * @param algo interpolation method id from [[Methods]]
     * @param eos  equation of state for the CT conversion — pass the same
     *             instance the downstream Atlas uses so the pipeline never
-    *             mixes two EOS definitions */
+    *             mixes two EOS definitions
+    * @param repartitionSamples set false ONLY when the caller already
+    *             hash-distributed `samples` on (WMO, IPROF) with full
+    *             parallelism — e.g. after repartitioning the pre-array
+    *             header rows, so the exchange moved the ~30 B headers
+    *             instead of the ~4 KB sample arrays */
   def interpolate(samples: DataFrame, summary: DataFrame,
-                  algo: Int = 0, eos: SeawaterEos = Teos10): DataFrame = {
+                  algo: Int = 0, eos: SeawaterEos = Teos10,
+                  repartitionSamples: Boolean = true): DataFrame = {
     val resolved =
       if (samples.columns.contains("DATA_MODE")) resolveAdjusted(samples)
       else samples
@@ -185,8 +253,9 @@ object Interpolator {
     // per-float task decomposition (interpolation.py:147-149), and the
     // (WMO, IPROF) header equi-join below reuses this distribution.
     val nPart = samples.sparkSession.sessionState.conf.numShufflePartitions
-    val interpolated = resolved
-      .repartition(nPart, col("WMO"), col("IPROF"))
+    val interpolated = (if (repartitionSamples)
+        resolved.repartition(nPart, col("WMO"), col("IPROF"))
+      else resolved)
       .withColumn("r", interpUdf(algo, eos)(col("PRES"), col("TEMP"), col("PSAL"), col("QC")))
       .select(col("WMO").cast("int"), col("IPROF").cast("short"),
         col("r._1").as("NVALUES"),

@@ -71,7 +71,16 @@ object ArgoQueries extends QueryModule {
   private def pipeline(s: SparkSession, d: String): DataFrame = {
     val summary = memo(summaryCache, s, d)(
       SummaryBuilder.build(s, rawHeader(s, d)).persist())
-    Interpolator.interpolate(samples(summary), summary)
+    // Repartition the ~30 B header rows BEFORE the generator fans each out
+    // to ~4 KB of sample arrays: the kernel stage still gets its pinned
+    // (WMO, IPROF) distribution, but the exchange moves headers, not
+    // arrays (~60 MB less shuffle at sf0.1; the same ordering any at-scale
+    // ingest should use — shuffle first, widen after).
+    val nPart = s.sessionState.conf.numShufflePartitions
+    val headers = summary.select(col("WMO"), col("IPROF"), col("DATA_MODE"))
+      .repartition(nPart, col("WMO"), col("IPROF"))
+    Interpolator.interpolate(samples(headers), summary,
+      repartitionSamples = false)
   }
   /** Stage-2 memoization for the ATLAS family: one persisted interpolated
     * frame per (session, dir) — the Spark analog of the reference's
@@ -147,20 +156,40 @@ object ArgoQueries extends QueryModule {
         lit("D").as("data_mode"), lit("1").as("platform_type"),
         lit(1).as("position_qc"), lit(1).as("juld_qc"))
 
-  /** Deterministic sample arrays as pure column expressions: a smooth
-    * exponential T/S profile whose amplitude varies with the float id. */
+  /** Deterministic sample arrays: a smooth exponential T/S profile whose
+    * amplitude varies with the float id. ONE compiled UDF call per profile
+    * rather than four Catalyst `transform` lambdas: higher-order functions
+    * evaluate interpreted per ELEMENT (~480 boxed lambda evals per row),
+    * which alone cost ~0.5 s of the sf0.1 bench. The arithmetic is
+    * bit-identical (same `java.lang.Math.exp`, same operation order), so
+    * the golden fixtures are unchanged. A stable UDF instance keeps plans
+    * `sameResult`-equal across builds (same reason as Interpolator's UDF
+    * cache). */
+  private val genArraysUdf = udf { (wmo: Int) =>
+    val pres = new Array[Double](120)
+    val temp = new Array[Double](120)
+    val psal = new Array[Double](120)
+    val qcA = new Array[Double](120)
+    val amp = 16.0 + (wmo % 7).toDouble
+    var k = 0
+    while (k < 120) {
+      val p = k.toDouble * 17.0
+      pres(k) = p
+      temp(k) = 2.0 + amp * math.exp(-p / 500.0)
+      psal(k) = 34.5 + math.exp(-p / 300.0) * 0.5
+      qcA(k) = 1.0
+      k += 1
+    }
+    (pres, temp, psal, qcA)
+  }
+
   private def samples(summary: DataFrame): DataFrame =
     summary
       .select(col("WMO"), col("IPROF"), col("DATA_MODE"))
-      .withColumn("PRES",
-        transform(sequence(lit(0), lit(119)), k => k.cast("double") * 17.0))
-      .withColumn("amp", lit(16.0) + (col("WMO") % 7).cast("double"))
-      .withColumn("TEMP", transform(col("PRES"),
-        p => lit(2.0) + col("amp") * exp(-p / 500.0)))
-      .withColumn("PSAL", transform(col("PRES"),
-        p => lit(34.5) + exp(-p / 300.0) * 0.5))
-      .withColumn("QC", transform(col("PRES"), _ => lit(1.0)))
-      .drop("amp")
+      .withColumn("g", genArraysUdf(col("WMO")))
+      .select(col("WMO"), col("IPROF"), col("DATA_MODE"),
+        col("g._1").as("PRES"), col("g._2").as("TEMP"),
+        col("g._3").as("PSAL"), col("g._4").as("QC"))
 
   // ---- q70: summary + interpolation end-to-end ---------------------------
   private def q70(s: SparkSession, d: String): DataFrame = {
