@@ -123,6 +123,52 @@ class ArgoPipelineSpec extends SparkSuite {
     }
   }
 
+  test("non-monotone PRES: trailing duplicate dedups to the first occurrence; shuffled/reversed rejected") {
+    // The kernel's unique-PRES pass has a strictly-increasing fast path;
+    // these inputs pin the general (sort + first-occurrence) path to the
+    // reference's np.unique semantics (interpolation.py:234-249): the
+    // contiguity test on the value-ordered first-occurrence indices admits
+    // only profiles whose distinct values already sit in ascending order —
+    // in practice, sorted profiles with trailing repeats.
+    val n = 40
+    val pSorted = (0 until n).map(_ * 40.0)
+    val tOf = (p: Double) => 2.0 + 10.0 * math.exp(-p / 500.0)
+    val sOf = (p: Double) => 34.5 + 0.5 * math.exp(-p / 300.0)
+    def row(ip: Int, ps: Seq[Double]) =
+      (1, ip, ps, ps.map(tOf), ps.map(sOf), ps.map(_ => 1.0), 1)
+    val dup = pSorted.init :+ pSorted(n - 2) // trailing duplicate value
+    val shuffledP = { val r = new scala.util.Random(7); r.shuffle(pSorted) }
+    val df = Seq(
+      row(0, pSorted),            // fast path
+      row(1, dup),                // general path, accepted
+      row(2, shuffledP),          // non-contiguous → rejected
+      row(3, pSorted.reverse))    // reversed → rejected
+      .toDF("WMO", "IPROF", "PRES", "TEMP", "PSAL", "QC", "DATA_MODE")
+    val hdr = (0 to 3).map(ip => (1, ip.toShort)).toDF("WMO", "IPROF")
+      .withColumn("DAC", lit(0.toByte)).withColumn("JULD", current_timestamp())
+      .withColumn("LATITUDE", lit(0.0f)).withColumn("LONGITUDE", lit(0.0f))
+      .withColumn("DATA_MODE", lit(1.toByte)).withColumn("FLAG", lit(1.toByte))
+    val out = Interpolator.interpolate(df, hdr)
+      .select($"IPROF", $"NVALUES", $"CT", $"SR")
+      .as[(Short, Int, Seq[Float], Seq[Float])].collect().sortBy(_._1)
+    assert(out(2)._2 === 0, "shuffled PRES must be rejected by the contiguity gate")
+    assert(out(3)._2 === 0, "reversed PRES must be rejected by the contiguity gate")
+    assert(out(1)._2 > 10, "trailing-duplicate profile must pass the gate")
+    // the duplicated sample carries identical (T, S), so dedup-to-first
+    // must reproduce the dedupped profile's interpolation exactly
+    val dedupped = Seq(row(9, pSorted.init))
+      .toDF("WMO", "IPROF", "PRES", "TEMP", "PSAL", "QC", "DATA_MODE")
+    val hdr9 = Seq((1, 9.toShort)).toDF("WMO", "IPROF")
+      .withColumn("DAC", lit(0.toByte)).withColumn("JULD", current_timestamp())
+      .withColumn("LATITUDE", lit(0.0f)).withColumn("LONGITUDE", lit(0.0f))
+      .withColumn("DATA_MODE", lit(1.toByte)).withColumn("FLAG", lit(1.toByte))
+    val ref = Interpolator.interpolate(dedupped, hdr9)
+      .select($"NVALUES", $"CT", $"SR")
+      .as[(Int, Seq[Float], Seq[Float])].collect().head
+    assert((out(1)._2, out(1)._3, out(1)._4) === ref,
+      "trailing duplicate must interpolate exactly like the dedupped profile")
+  }
+
   test("interpolation method is pluggable: PCHIP (METHODS[1]) also reproduces the field") {
     val rows = Interpolator.interpolate(samples, summary, algo = 1)
       .select($"NVALUES", $"CT", $"SR", $"IDX")
