@@ -798,7 +798,80 @@ object TextQueries extends QueryModule {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // ---- q68: span-level dedup with document reconstruction ----------------
+  // The paragraph-dedup pattern of large-scale corpus prep (RefinedWeb /
+  // Dolma style), at word-span granularity because the synthetic documents
+  // carry no newline structure: split each document into NON-overlapping
+  // 16-token spans, keep only each span's FIRST occurrence corpus-wide
+  // (ordered by doc_id, then span position — the deterministic keep-first
+  // rule every dedup in this engine uses), and rebuild what remains of
+  // every document in order.
+  //
+  // Scale shape: ONE corpus-wide exchange, on the span's md5 — a
+  // row_number window PARTITIONED BY the hash (well-distributed: distinct
+  // spans ~ corpus size, duplicates per key are the dedup hits), so the
+  // keep-first decision and the surviving text stay on the same row and no
+  // second corpus shuffle is needed for reconstruction — then a per-doc
+  // regroup. No self-join, nothing quadratic; dedup identity is the HASH,
+  // so at 100 TB the window key is 16 bytes however long spans get. The
+  // md5 of the reconstructed text pins exact content through the oracle
+  // without shipping it.
+  private val SpanW = 16
+
+  private def q68(s: SparkSession, d: String): DataFrame = {
+    val spans = docs(s, d)
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .withColumn("start", explode(sequence(lit(0), col("n") - 1, lit(SpanW))))
+      .select(col("doc_id"),
+        expr(s"start div $SpanW").as("span_idx"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(SpanW))).as("span"))
+      .withColumn("h", md5(col("span")))
+    val keepFirst = Window.partitionBy(col("h"))
+      .orderBy(col("doc_id"), col("span_idx"))
+    val kept = spans
+      .withColumn("rn", row_number().over(keepFirst))
+      .filter(col("rn") === 1)
+    val keptAgg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("span_idx"), col("span")))),
+          x => x.getField("span")), " ")).as("kept_md5"))
+    spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val q68Sql = {
+    val toks = T.sqlTokens("text")
+    s"""WITH t AS (SELECT doc_id, $toks AS toks, len($toks) AS n FROM documents),
+       |spans AS (
+       |  SELECT doc_id, CAST(s // $SpanW AS BIGINT) AS span_idx,
+       |    array_to_string(list_slice(toks, s + 1, least(s + $SpanW, n)), ' ') AS span
+       |  FROM t, unnest(generate_series(0, n - 1, $SpanW)) u(s)
+       |  WHERE n > 0),
+       |r AS (
+       |  SELECT doc_id, span_idx, span,
+       |    row_number() OVER (PARTITION BY md5(span)
+       |                       ORDER BY doc_id, span_idx) AS rn
+       |  FROM spans),
+       |ka AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    md5(string_agg(span, ' ' ORDER BY span_idx)) AS kept_md5
+       |  FROM r WHERE rn = 1 GROUP BY 1),
+       |tot AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY 1)
+       |SELECT tot.doc_id, tot.n_spans,
+       |  COALESCE(ka.n_kept, 0) AS n_kept,
+       |  COALESCE(ka.kept_md5, md5('')) AS kept_md5
+       |FROM tot LEFT JOIN ka USING (doc_id) ORDER BY 1""".stripMargin
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "q68_span_dedup" -> QueryDef(q68, Some(q68Sql)),
     "q65_bm25_rank" -> QueryDef(q65, Some(q65Sql)),
     "q66_doc_chunking" -> QueryDef(q66, Some(q66Sql)),
     "q57_decontamination" -> QueryDef(q57, Some(q57Sql)),
