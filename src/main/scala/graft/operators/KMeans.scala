@@ -95,4 +95,94 @@ object KMeans {
     }
     best
   }
+
+  // ---- L2 variant (product-quantization codebooks) -------------------------
+  // PQ trains per-subspace codebooks under EUCLIDEAN distance (the ADC
+  // score is a sum of subspace L2² terms), where the cosine assignment
+  // above is wrong for sub-vectors: a subspace slice can have near-zero
+  // norm, making cosine unstable exactly where quantization must still
+  // pick a consistent cell. Same determinism discipline as [[fit]]:
+  // smallest-id init, strict `<` ties to the lowest cell, fixed-point
+  // integer mean updates, fixed iteration count.
+
+  /** argmin of ‖v − centroid‖²; strict `<` ⇒ ties break to the lowest
+    * cell. `v` may be shorter than dim (never happens for valid input);
+    * extra centroid dims then count as (0 − c_i)². */
+  def nearestCellL2(cents: Array[Array[Double]], v: Seq[Double]): Int = {
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var d = 0.0
+      var i = 0
+      while (i < cent.length) {
+        val x = (if (i < v.length) v(i) else 0.0) - cent(i)
+        d += x * x
+        i += 1
+      }
+      if (d < bestD) { best = c; bestD = d }
+      c += 1
+    }
+    best
+  }
+
+  /** Product-quantization codebooks: `m` per-subspace k-means trained
+    * JOINTLY — one assignment job per Lloyd iteration covers every
+    * subspace (cells explode to (m, cell) rows pre-aggregation; map-side
+    * combine collapses each partition to m×k packed buffers), instead of
+    * m independent fits each paying init + iters jobs of scheduling.
+    *
+    * @param vecs (idCol: long, vecCol: array&lt;float&gt; of m·subDim dims)
+    * @return codebooks(m)(cell) = centroid, as doubles */
+  def fitPq(vecs0: DataFrame, idCol: String, vecCol: String,
+            m: Int, subDim: Int, k: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val vecs = vecs0
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v")).persist()
+    try {
+      val initRows = vecs.orderBy(col(idCol)).limit(k)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+      require(initRows.length == k, s"need >= $k training vectors, got ${initRows.length}")
+      var books: Array[Array[Array[Double]]] = Array.tabulate(m)(mm =>
+        Array.tabulate(k)(j =>
+          java.util.Arrays.copyOfRange(initRows(j), mm * subDim, (mm + 1) * subDim)))
+      var it = 0
+      while (it < iters) {
+        val model = books
+        val assignAll = udf((v: Seq[Double]) => {
+          val cells = new Array[Int](m)
+          var mm = 0
+          while (mm < m) {
+            val sub = new Array[Double](subDim)
+            var i = 0
+            while (i < subDim) { sub(i) = v(mm * subDim + i); i += 1 }
+            cells(mm) = nearestCellL2(model(mm), sub)
+            mm += 1
+          }
+          cells
+        })
+        val sums = vecs
+          .withColumn("cells", assignAll(col("v")))
+          .select(col("v"), posexplode(col("cells")).as(Seq("m", "cell")))
+          // back to float for the aggregator's input encoder — lossless,
+          // the doubles are exact float values from the corpus cast above
+          .select(col("m"), col("cell"),
+            expr(s"cast(slice(v, m * $subDim + 1, $subDim) as array<float>)").as("sub"))
+          .groupBy(col("m"), col("cell"))
+          .agg(Aggregates.weightedArrayMeanFP(subDim)(lit(1L), col("sub")).as("s"))
+          .collect()
+        val next = books.map(_.map(_.clone())) // empty cells keep their centroid
+        sums.foreach { r =>
+          val mm = r.getInt(0)
+          val cell = r.getInt(1)
+          val s = r.getSeq[Long](2)
+          val cnt = s(subDim).toDouble
+          if (cnt > 0) next(mm)(cell) = Array.tabulate(subDim)(i => s(i) / 1e9 / cnt)
+        }
+        books = next
+        it += 1
+      }
+      books
+    } finally vecs.unpersist(blocking = false)
+  }
 }

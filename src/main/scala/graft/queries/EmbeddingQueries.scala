@@ -459,7 +459,97 @@ object EmbeddingQueries extends QueryModule {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // ---- q69: product-quantization ANN (asymmetric distance) ---------------
+  // THE memory-scale ANN path beyond q46's scalar quantization: each
+  // vector compresses to M=8 codebook bytes (64x smaller than the f32
+  // corpus), and search never decompresses — each probe precomputes its
+  // M×K table of subspace distances ‖q_sub − c‖² once, and a corpus row
+  // scores as EIGHT table lookups (ADC, Jégou et al. 2011, the layout
+  // IVF-PQ systems build on). Codebooks are per-subspace L2 k-means with
+  // the engine's determinism discipline (smallest-id init, ties to lowest
+  // cell, fixed-point updates — KMeans.fitPq trains all 8 jointly, one
+  // job per Lloyd iteration), so the index and its golden fixture are
+  // bit-reproducible under any parallelism. The exact-reconstruction
+  // identity (ADC score ≡ ‖q − decode(code)‖²) is asserted in KMeansSpec.
+  //
+  // Scale shape: training scans the (persisted) corpus iters times and
+  // moves only m×k buffers per partition; encode is a narrow map under
+  // broadcast codebooks; search is the q40 broadcast-probe shape — the
+  // corpus is never shuffled, and carries 8 B/row where q40 carries 512 B.
+  // At 100 TB you would train on a deterministic hash-sample (the same
+  // vec_id % S predicate q48 pins scan-side) — here the corpus IS the
+  // sample.
+  private val PqM = 8
+  private val PqSubDim = Dim / PqM
+  private val PqK = 16
+  private val PqIters = 4
+
+  private def q69(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cb = KMeans.fitPq(emb, "vec_id", "embedding", PqM, PqSubDim, PqK, PqIters)
+    val encode = udf((v: Seq[Float]) => {
+      val code = new Array[Byte](PqM)
+      var m = 0
+      while (m < PqM) {
+        val off = m * PqSubDim
+        val sub = new Array[Double](PqSubDim)
+        var i = 0
+        while (i < PqSubDim) { sub(i) = v(off + i).toDouble; i += 1 }
+        code(m) = KMeans.nearestCellL2(cb(m), sub).toByte
+        m += 1
+      }
+      code
+    })
+    // per-probe ADC table, packed: double ‖q_sub − c‖² at offset m·K + j
+    val tableUdf = udf((v: Seq[Float]) => {
+      val bbuf = java.nio.ByteBuffer.allocate(8 * PqM * PqK)
+      var m = 0
+      while (m < PqM) {
+        val off = m * PqSubDim
+        var j = 0
+        while (j < PqK) {
+          val cent = cb(m)(j)
+          var dsum = 0.0
+          var i = 0
+          while (i < PqSubDim) {
+            val x = v(off + i).toDouble - cent(i)
+            dsum += x * x
+            i += 1
+          }
+          bbuf.putDouble(8 * (m * PqK + j), dsum)
+          j += 1
+        }
+        m += 1
+      }
+      bbuf.array()
+    })
+    val adc = udf((code: Array[Byte], tab: Array[Byte]) => {
+      val bbuf = java.nio.ByteBuffer.wrap(tab)
+      var sum = 0.0
+      var m = 0
+      while (m < PqM) {
+        sum += bbuf.getDouble(8 * (m * PqK + (code(m) & 0xFF)))
+        m += 1
+      }
+      sum
+    })
+    val b = emb.repartition(col("vec_id"))
+      .select(col("vec_id"), encode(col("embedding")).as("code"))
+    val probes = emb.filter(col("vec_id") % ProbeMod === 0)
+      .select(col("vec_id").as("q_id"), tableUdf(col("embedding")).as("q_tab"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist_u"), col("vec_id"))
+    b.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adist_u", FP.micro(adc(col("code"), col("q_tab"))))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("adist_u"))
+      .orderBy("q_id", "rank")
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "q69_pq_ann" -> QueryDef(q69, Some(FixtureOracle.sql("q69_pq_ann"))),
     "q40_knn_bruteforce" -> QueryDef(q40, Some(q40Sql)),
     "q41_ann_lsh" -> QueryDef(q41, Some(q41Sql)),
     "q42_label_centroid" -> QueryDef(q42, Some(q42Sql)),
