@@ -75,11 +75,25 @@ object Interpolator {
     val p = new Array[Double](nk)
     val t = new Array[Double](nk)
     val s = new Array[Double](nk)
+    var hasNaN = false
     i = 0; var j = 0
     while (i < nIn) {
-      if (qc(i) == 1.0) { p(j) = pres(i); t(j) = temp(i); s(j) = psal(i); j += 1 }
+      if (qc(i) == 1.0) {
+        val pv = pres(i)
+        if (pv != pv) hasNaN = true
+        p(j) = pv; t(j) = temp(i); s(j) = psal(i); j += 1
+      }
       i += 1
     }
+    // A NaN PRES among kept samples (mis-flagged fill value) rejects the
+    // profile — the behavior the pre-rewrite code had implicitly: total-
+    // ordering max made pMax NaN, every `Pref(k) <= NaN` was false, and
+    // the empty target range returned NVALUES = 0. The explicit check is
+    // needed because NaN would now pass BOTH the strict-increase scan
+    // (`p(i) <= p(i-1)` is false for NaN operands) and the min/max scan
+    // (both branches skip NaN), and then poison the spline's tridiagonal
+    // solve into all-NaN output carrying IDX = 1.
+    if (hasNaN) return empty
     // F7: np.unique(PRES, return_index=True) → first-occurrence indices,
     // ordered by value; the reference's contiguity test is on the FIRST
     // and LAST of that value-ordered index list (len == jdx[-1]-jdx[0]+1),

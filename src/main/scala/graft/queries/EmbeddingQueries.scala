@@ -461,8 +461,9 @@ object EmbeddingQueries extends QueryModule {
 
   // ---- q69: product-quantization ANN (asymmetric distance) ---------------
   // THE memory-scale ANN path beyond q46's scalar quantization: each
-  // vector compresses to M=8 codebook bytes (64x smaller than the f32
-  // corpus), and search never decompresses — each probe precomputes its
+  // vector compresses to M=8 codebook bytes (32x smaller than the f32
+  // corpus; 64x vs the 512 B double-packed vectors q40 actually
+  // scores), and search never decompresses — each probe precomputes its
   // M×K table of subspace distances ‖q_sub − c‖² once, and a corpus row
   // scores as EIGHT table lookups (ADC, Jégou et al. 2011, the layout
   // IVF-PQ systems build on). Codebooks are per-subspace L2 k-means with

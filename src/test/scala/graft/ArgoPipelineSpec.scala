@@ -169,6 +169,34 @@ class ArgoPipelineSpec extends SparkSuite {
       "trailing duplicate must interpolate exactly like the dedupped profile")
   }
 
+  test("NaN PRES among kept samples rejects the profile (NVALUES = 0)") {
+    // A mis-flagged fill value must drop the profile, not poison the
+    // spline into all-NaN output carrying IDX = 1 (which the fixed-point
+    // atlas sums would silently count as zeros, biasing cell means).
+    val n = 40
+    val ps: Seq[Double] = (0 until n).map(_ * 40.0)
+    val tOf = (p: Double) => 2.0 + 10.0 * math.exp(-p / 500.0)
+    val withNaN = ps.updated(17, Double.NaN)
+    val badQcNaN = ps.updated(17, Double.NaN) // NaN sample flagged bad below
+    val df = Seq(
+      (1, 0, withNaN, withNaN.map(tOf), withNaN.map(_ => 35.0),
+        ps.map(_ => 1.0), 1),
+      // same NaN but QC-rejected at that index → profile must still pass
+      (1, 1, badQcNaN, badQcNaN.map(tOf), badQcNaN.map(_ => 35.0),
+        ps.indices.map(i => if (i == 17) 0.0 else 1.0), 1))
+      .toDF("WMO", "IPROF", "PRES", "TEMP", "PSAL", "QC", "DATA_MODE")
+    val hdr = Seq((1, 0.toShort), (1, 1.toShort)).toDF("WMO", "IPROF")
+      .withColumn("DAC", lit(0.toByte)).withColumn("JULD", current_timestamp())
+      .withColumn("LATITUDE", lit(0.0f)).withColumn("LONGITUDE", lit(0.0f))
+      .withColumn("DATA_MODE", lit(1.toByte)).withColumn("FLAG", lit(1.toByte))
+    val out = Interpolator.interpolate(df, hdr)
+      .select($"IPROF", $"NVALUES", $"CT")
+      .as[(Short, Int, Seq[Float])].collect().sortBy(_._1)
+    assert(out(0)._2 === 0, "NaN PRES must reject the profile")
+    assert(out(1)._2 > 10, "QC-masked NaN must not reject the profile")
+    assert(out(1)._3.forall(v => !v.isNaN), "no NaN may reach the output arrays")
+  }
+
   test("interpolation method is pluggable: PCHIP (METHODS[1]) also reproduces the field") {
     val rows = Interpolator.interpolate(samples, summary, algo = 1)
       .select($"NVALUES", $"CT", $"SR", $"IDX")
