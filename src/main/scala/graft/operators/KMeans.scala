@@ -140,9 +140,22 @@ object KMeans {
     val vecs = vecs0
       .select(col(idCol), col(vecCol).cast("array<double>").as("v")).persist()
     try {
-      val initRows = vecs.orderBy(col(idCol)).limit(k)
+      // Init: k vectors at a uniform id-order STRIDE through the corpus,
+      // not the k smallest ids — adjacent ids are often near-duplicates
+      // (same source, same shard), and seeding all k cells inside one
+      // neighborhood leaves most of the space uncovered for the few fixed
+      // Lloyd iterations to fix. Deterministic: id order and a computed
+      // stride, no RNG.
+      val n = vecs.count()
+      require(n >= k, s"need >= $k training vectors, got $n")
+      val stride = n / k // >= 1
+      val byId = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+      val initRows = vecs
+        .withColumn("rn", row_number().over(byId))
+        .filter((col("rn") - 1) % stride === 0)
+        .orderBy(col(idCol)).limit(k)
         .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
-      require(initRows.length == k, s"need >= $k training vectors, got ${initRows.length}")
+      require(initRows.length == k, s"stride init produced ${initRows.length} of $k")
       var books: Array[Array[Array[Double]]] = Array.tabulate(m)(mm =>
         Array.tabulate(k)(j =>
           java.util.Arrays.copyOfRange(initRows(j), mm * subDim, (mm + 1) * subDim)))
