@@ -474,8 +474,8 @@ object EmbeddingQueries extends QueryModule {
   // job per Lloyd iteration), so the index and its golden fixture are
   // bit-reproducible under any parallelism. The exact-reconstruction
   // identity (ADC score ≡ ‖q − decode(code)‖²) is asserted in KMeansSpec.
-  // Measured on the sf0.001 corpus: recall@5 vs exact L2 = 0.96 (q69)
-  // and 0.76 (q78, bounded by nProbe=3 of 8 cells), vs ~0.35 code-only.
+  // Measured on the sf0.001 corpus: recall@5 vs exact L2 = 0.94 (q69)
+  // and 0.72 (q78, bounded by nProbe=3 of 8 cells), vs ~0.35 code-only.
   //
   // Scale shape: training scans the (persisted) corpus iters times and
   // moves only m×k buffers per partition; encode is a narrow map under
@@ -487,7 +487,7 @@ object EmbeddingQueries extends QueryModule {
   private val PqM = 8
   private val PqSubDim = Dim / PqM
   private val PqK = 64
-  private val PqIters = 8
+  private val PqIters = 4
   private val PqShortlist = 50 // ADC candidates per probe before exact rerank
 
   /** Exact-rerank stage shared by q69/q78 — the production PQ pattern:
