@@ -94,6 +94,30 @@ object StreamMultimodalQueries extends QueryModule {
        | min(epoch_us(ts)) AS first_seen_us, count(*) AS n_dups
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q85: interval join (purchase ← preceding clicks) ------------------
+  // Batch form of EventStreams.purchaseClickJoin — the attribution join:
+  // every (purchase, click-by-same-user-within-the-preceding-window)
+  // pair. Under streaming the SAME transformation is a watermarked
+  // stream-stream interval join whose buffered state Spark bounds by the
+  // window (StreamingSpec asserts MemoryStream ≡ batch). In batch the
+  // time bound makes it a range join; the (user_id, time-band) keys are
+  // the scale story — never an unbounded cross of the two sides.
+  private val AttributionWindowUs = 30L * 60 * 1000000 // 30 min
+
+  private def q85(s: SparkSession, d: String): DataFrame =
+    EventStreams.purchaseClickJoin(Tables.events(s, d), AttributionWindowUs)
+      .orderBy("user_id", "purchase_id", "click_id")
+
+  private val q85Sql =
+    s"""SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+       |  epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us
+       |FROM events p JOIN events c
+       |  ON p.user_id = c.user_id
+       | AND p.event_type = 'purchase' AND c.event_type = 'click'
+       | AND epoch_us(c.ts) <= epoch_us(p.ts)
+       | AND epoch_us(c.ts) >= epoch_us(p.ts) - $AttributionWindowUs
+       |ORDER BY 1, 2, 3""".stripMargin
+
   // ---- q90: multimodal binary columns + per-partition decode -------------
   private def q90(s: SparkSession, d: String): DataFrame = {
     val media = Tables.documents(s, d).select(
@@ -226,6 +250,7 @@ object StreamMultimodalQueries extends QueryModule {
     "q81_user_activity" -> QueryDef(q81, Some(q81Sql)),
     "q82_sessionize" -> QueryDef(q82, Some(q82Sql)),
     "q84_stream_dedup" -> QueryDef(q84, Some(q84Sql)),
+    "q85_interval_join" -> QueryDef(q85, Some(q85Sql)),
     "q90_multimodal_decode" -> QueryDef(q90, Some(q90Sql)),
     "q91_frame_sample" -> QueryDef(q91, Some(q91Sql)),
     "q92_media_resize" -> QueryDef(q92, Some(q92Sql)))

@@ -69,6 +69,38 @@ object EventStreams {
       .agg(min(unix_micros(col("event_time"))).as("first_seen_us"),
         count(lit(1)).as("n_dups"))
 
+  /** Stream-stream INTERVAL JOIN: each purchase joined to the same user's
+    * clicks in the preceding `windowUs` — the attribution-join shape, and
+    * the one §2.9 Structured Streaming operator the rest of this file
+    * doesn't exercise. Written once against unbounded frames: in batch it
+    * is a plain range join; under streaming BOTH sides carry watermarks
+    * and the time-bound condition lets Spark GC each side's buffered rows
+    * once the watermark passes the interval (state stays O(window), not
+    * O(stream)). StreamingSpec replays a batch through MemoryStreams and
+    * asserts the joined pairs are identical.
+    *
+    * @param watermark e.g. Some("0 seconds") for streaming inputs; None in
+    *                  batch (withWatermark is a no-op there but keeping the
+    *                  plans literally identical makes the equality test
+    *                  sharper) */
+  def purchaseClickJoin(events: DataFrame, windowUs: Long,
+                        watermark: Option[String] = None): DataFrame = {
+    val base = withEventTime(events)
+    val marked = watermark.fold(base)(w => base.withWatermark("event_time", w))
+    val purchases = marked.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("event_time").as("p_time"))
+    val clicks = marked.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("event_time").as("c_time"))
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_time") <= col("p_time") &&
+        col("c_time") >= col("p_time") - expr(s"INTERVAL $windowUs MICROSECOND"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        unix_micros(col("p_time")).as("p_us"), unix_micros(col("c_time")).as("c_us"))
+  }
+
   // ---- gap-based sessionization (custom streaming state) ------------------
 
   /** One event inside the sessionizer. `vU` is the value in fixed-point

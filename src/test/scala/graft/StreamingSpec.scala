@@ -15,6 +15,9 @@ import graft.streaming.EventStreams
 case class Ev(ts: Long, user_id: Long, event_type: String, value: Double,
               props: String = "{}")
 
+/** Event row for the stream-stream interval-join test (needs event_id). */
+case class EvJ(ts: Long, user_id: Long, event_type: String, event_id: Long)
+
 /** Minimal profile row for the incremental-atlas test (the columns
   * [[graft.argo.Atlas.pairs]] touches). */
 case class StreamProf(LONGITUDE: Double, LATITUDE: Double, FLAG: Int,
@@ -134,6 +137,43 @@ class StreamingSpec extends SparkSuite {
       assert(streamed === batch)
       assert(batch.nonEmpty)
       assert(batch.exists(_._3 > 1), "fixture must contain duplicates")
+    } finally sq.stop()
+  }
+
+  test("purchaseClickJoin: watermarked stream-stream interval join equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val win = 30L * 60 * 1000000 // 30 min in µs
+    // 5-min spacing, in event-time order (the delivery MemoryStream gives);
+    // both sides of the self-join come from the one stream
+    val evs = (0 until 300).map { i =>
+      EvJ(ts = 1700000000L * 1000000000L + i * 300L * 1000000000L,
+        user_id = i % 4,
+        event_type = if (i % 3 == 0) "purchase" else "click",
+        event_id = i)
+    }
+    val mem = MemoryStream[EvJ]
+    val sq = EventStreams.purchaseClickJoin(mem.toDF(), win,
+      watermark = Some("0 seconds"))
+      .writeStream.format("memory").queryName("pcj_stream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt").toString)
+      .start()
+    try {
+      mem.addData(evs.take(150))
+      sq.processAllAvailable()
+      mem.addData(evs.drop(150))
+      sq.processAllAvailable()
+      val streamed = spark.table("pcj_stream")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val batch = EventStreams.purchaseClickJoin(evs.toDF(), win)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+      // the join must actually band in time: some clicks fall outside
+      val allPairs = evs.count(_.event_type == "purchase").toLong *
+        evs.count(_.event_type == "click") / 4
+      assert(batch.size < allPairs, "window bound never excluded anything")
     } finally sq.stop()
   }
 
