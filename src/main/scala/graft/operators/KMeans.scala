@@ -140,22 +140,39 @@ object KMeans {
     val vecs = vecs0
       .select(col(idCol), col(vecCol).cast("array<double>").as("v")).persist()
     try {
-      // Init: k vectors at a uniform id-order STRIDE through the corpus,
-      // not the k smallest ids — adjacent ids are often near-duplicates
-      // (same source, same shard), and seeding all k cells inside one
-      // neighborhood leaves most of the space uncovered for the few fixed
-      // Lloyd iterations to fix. Deterministic: id order and a computed
-      // stride, no RNG.
+      // Init: one representative per id-hash STRATUM, not the k smallest
+      // ids — adjacent ids are often near-duplicates (same source, same
+      // shard), and seeding all k cells inside one neighborhood leaves
+      // most of the space uncovered for the few fixed Lloyd iterations to
+      // fix. The MINSTD hash spreads selection pseudo-randomly with zero
+      // RNG state, and the whole init is one groupBy(min_by) — fully
+      // parallel and partition-invariant (a row_number stride over id
+      // order would need a global single-partition window, the exact
+      // shape this engine bans from every registered plan). Rare empty
+      // strata are filled from the k smallest unused ids (TakeOrdered —
+      // also distributed).
       val n = vecs.count()
       require(n >= k, s"need >= $k training vectors, got $n")
-      val stride = n / k // >= 1
-      val byId = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
-      val initRows = vecs
-        .withColumn("rn", row_number().over(byId))
-        .filter((col("rn") - 1) % stride === 0)
-        .orderBy(col(idCol)).limit(k)
-        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
-      require(initRows.length == k, s"stride init produced ${initRows.length} of $k")
+      val strata = vecs
+        .withColumn("stratum",
+          pmod(col(idCol) * 48271L % 2147483647L, lit(k)).cast("int"))
+        .groupBy(col("stratum"))
+        .agg(min_by(col("v"), col(idCol)).as("v"), min(col(idCol)).as("mid"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getSeq[Double](1).toArray, r.getLong(2)))
+        .toMap
+      val usedIds = strata.values.map(_._2).toSet
+      val fallback = vecs.orderBy(col(idCol)).limit(2 * k)
+        .select(col("v"), col(idCol)).collect()
+        .map(r => (r.getSeq[Double](0).toArray, r.getLong(1)))
+        .filterNot { case (_, id) => usedIds.contains(id) }
+      var fb = 0
+      val initRows = Array.tabulate(k) { c =>
+        strata.get(c) match {
+          case Some((v, _)) => v
+          case None => val v = fallback(fb)._1; fb += 1; v
+        }
+      }
       var books: Array[Array[Array[Double]]] = Array.tabulate(m)(mm =>
         Array.tabulate(k)(j =>
           java.util.Arrays.copyOfRange(initRows(j), mm * subDim, (mm + 1) * subDim)))

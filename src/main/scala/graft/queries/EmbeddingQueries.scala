@@ -474,8 +474,8 @@ object EmbeddingQueries extends QueryModule {
   // job per Lloyd iteration), so the index and its golden fixture are
   // bit-reproducible under any parallelism. The exact-reconstruction
   // identity (ADC score ≡ ‖q − decode(code)‖²) is asserted in KMeansSpec.
-  // Measured on the sf0.001 corpus: recall@5 vs exact L2 = 0.94 (q69)
-  // and 0.72 (q78, bounded by nProbe=3 of 8 cells), vs ~0.35 code-only.
+  // Measured on the sf0.001 corpus: recall@5 vs exact L2 = 0.98 (q69)
+  // and 0.78 (q78, bounded by coarse-cell recall at nProbe=4 of 8), vs ~0.35 code-only.
   //
   // Scale shape: training scans the (persisted) corpus iters times and
   // moves only m×k buffers per partition; encode is a narrow map under
@@ -488,15 +488,15 @@ object EmbeddingQueries extends QueryModule {
   private val PqSubDim = Dim / PqM
   private val PqK = 64
   private val PqIters = 4
-  private val PqShortlist = 50 // ADC candidates per probe before exact rerank
+  private val PqShortlist = 100 // ADC candidates per probe before exact rerank
 
   /** Exact-rerank stage shared by q69/q78 — the production PQ pattern:
     * the 8-byte codes produce a SHORTLIST (cheap, corpus-wide), and only
     * shortlist rows are scored exactly. Within-cluster neighbors sit at
     * noise-scale distances no 8-byte code can rank (measured recall@5
-    * ~0.35 code-only on this corpus), while ADC@50 recall is near-total —
-    * reranking 50 rows per probe recovers exact-search quality for free
-    * at corpus scale: the candidate set is probes × 50 rows, broadcast
+    * ~0.35 code-only on this corpus), while ADC@100 recall is near-total —
+    * reranking 100 rows per probe recovers exact-search quality for free
+    * at corpus scale: the candidate set is probes × 100 rows, broadcast
     * back against the corpus, so full vectors are only ever read for
     * candidates. Output distance is the EXACT ‖q − v‖² (micro-rounded). */
   private def rerankExact(s: SparkSession, emb: DataFrame,
@@ -605,7 +605,7 @@ object EmbeddingQueries extends QueryModule {
   // the cell equi-join prunes scoring to nProbe/k of the corpus (with
   // the VecStore partitioned layout, to nProbe/k of the FILES).
   private val IvfPqCells = 8
-  private val IvfPqNProbe = 3
+  private val IvfPqNProbe = 4
 
   private def q78(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
