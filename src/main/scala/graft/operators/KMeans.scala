@@ -151,8 +151,6 @@ object KMeans {
       // shape this engine bans from every registered plan). Rare empty
       // strata are filled from the k smallest unused ids (TakeOrdered —
       // also distributed).
-      val n = vecs.count()
-      require(n >= k, s"need >= $k training vectors, got $n")
       val strata = vecs
         .withColumn("stratum",
           pmod(col(idCol) * 48271L % 2147483647L, lit(k)).cast("int"))
@@ -161,11 +159,19 @@ object KMeans {
         .collect()
         .map(r => r.getInt(0) -> (r.getSeq[Double](1).toArray, r.getLong(2)))
         .toMap
-      val usedIds = strata.values.map(_._2).toSet
-      val fallback = vecs.orderBy(col(idCol)).limit(2 * k)
-        .select(col("v"), col(idCol)).collect()
-        .map(r => (r.getSeq[Double](0).toArray, r.getLong(1)))
-        .filterNot { case (_, id) => usedIds.contains(id) }
+      // All k strata covered ⇒ n >= k and no fallback needed; the count()
+      // and TakeOrdered jobs below only run in the rare sparse case, which
+      // matters when training costs are dominated by job scheduling (a
+      // typical fit here is ~8 short jobs over a persisted corpus).
+      lazy val fallback: Array[(Array[Double], Long)] = {
+        val n = vecs.count()
+        require(n >= k, s"need >= $k training vectors, got $n")
+        val usedIds = strata.values.map(_._2).toSet
+        vecs.orderBy(col(idCol)).limit(2 * k)
+          .select(col("v"), col(idCol)).collect()
+          .map(r => (r.getSeq[Double](0).toArray, r.getLong(1)))
+          .filterNot { case (_, id) => usedIds.contains(id) }
+      }
       var fb = 0
       val initRows = Array.tabulate(k) { c =>
         strata.get(c) match {
