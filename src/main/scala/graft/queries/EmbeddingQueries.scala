@@ -706,8 +706,84 @@ object EmbeddingQueries extends QueryModule {
     rerankExact(s, emb, shortlist)
   }
 
+  // ---- q87: semantic decontamination (eval-set cosine containment) -------
+  // The embedding-space twin of q57's n-gram decontamination: flag corpus
+  // vectors whose cosine against ANY held-out eval vector reaches the
+  // contamination threshold — paraphrased benchmark leakage that shares no
+  // shingles but sits next to the eval set in embedding space. The eval
+  // set is the benchmark suite, bounded by construction (like a k-means
+  // model: thousands of rows, not corpus-scale), so it collects once and
+  // ships to executors inside the scoring kernel's closure — the corpus
+  // pass is ONE narrow map with no join, no shuffle, and no window, and
+  // the per-(corpus, eval) cosines are rounded to nano-units BEFORE the
+  // threshold test and max, so the flag can't flip on the last float bit
+  // between engines.
+  private val SemEvalMod = 25
+  private val SemThreshNano = 300000000L // cosine ≥ 0.30
+
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val eval = emb.filter(col("vec_id") % SemEvalMod === 0)
+      .collect().map(_.getSeq[Float](1).toArray)
+      // id order is irrelevant (max/count are order-free) but a fixed
+      // order keeps the collected model bit-stable across runs anyway
+      .map(v => v.map(_.toDouble))
+    val evalNorms = eval.map { v =>
+      var ss = 0.0; var i = 0
+      while (i < Dim) { ss += v(i) * v(i); i += 1 }
+      math.sqrt(ss)
+    }
+    val score = udf((vf: Seq[Float]) => {
+      val q = new Array[Double](Dim)
+      var i = 0
+      while (i < Dim) { q(i) = vf(i).toDouble; i += 1 }
+      var ss = 0.0
+      i = 0
+      while (i < Dim) { ss += q(i) * q(i); i += 1 }
+      val qn = math.sqrt(ss)
+      var maxN = Long.MinValue
+      var hits = 0L
+      var e = 0
+      while (e < eval.length) {
+        val ev = eval(e)
+        var dot = 0.0
+        i = 0
+        while (i < Dim) { dot += q(i) * ev(i); i += 1 }
+        val cosN = FP.roundHalfAway(dot / (qn * evalNorms(e)) * 1e9)
+        if (cosN >= SemThreshNano) hits += 1
+        if (cosN > maxN) maxN = cosN
+        e += 1
+      }
+      (maxN, hits)
+    })
+    emb.filter(col("vec_id") % SemEvalMod =!= 0)
+      .withColumn("r", score(col("embedding")))
+      .select(col("vec_id"), col("r._1").as("max_cos_n"),
+        col("r._2").as("n_hits"))
+      .orderBy("vec_id")
+  }
+
+  private val q87Sql = {
+    val cos = s"${V.sqlDot("c.embedding", "e.e_emb", Dim)} / " +
+      s"(${V.sqlNorm("c.embedding", Dim)} * ${V.sqlNorm("e.e_emb", Dim)})"
+    s"""WITH ev AS (
+       |  SELECT vec_id AS e_id, embedding AS e_emb FROM embeddings
+       |  WHERE vec_id % $SemEvalMod = 0),
+       |corp AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id % $SemEvalMod <> 0),
+       |s AS (
+       |  SELECT c.vec_id, ${FP.sqlNano(cos)} AS cos_n
+       |  FROM corp c CROSS JOIN ev e)
+       |SELECT vec_id, max(cos_n) AS max_cos_n,
+       |  CAST(sum(CASE WHEN cos_n >= $SemThreshNano THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hits
+       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "q69_pq_ann" -> QueryDef(q69, Some(FixtureOracle.sql("q69_pq_ann"))),
+    "q87_semantic_decontam" -> QueryDef(q87, Some(q87Sql)),
     "q78_ivfpq_ann" -> QueryDef(q78, Some(FixtureOracle.sql("q78_ivfpq_ann"))),
     "q40_knn_bruteforce" -> QueryDef(q40, Some(q40Sql)),
     "q41_ann_lsh" -> QueryDef(q41, Some(q41Sql)),

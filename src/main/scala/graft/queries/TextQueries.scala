@@ -870,7 +870,126 @@ object TextQueries extends QueryModule {
        |FROM tot LEFT JOIN ka USING (doc_id) ORDER BY 1""".stripMargin
   }
 
+  // ---- q86: incremental corpus merge (ingest-batch upsert) ---------------
+  // A training corpus is not built once — crawls land in batches, and each
+  // batch must be merged against the accepted catalog without re-deduping
+  // the world: keep every existing entry, admit only batch documents whose
+  // content hash is NOT already in the store, first-occurrence-wins within
+  // the batch itself. Here the "batch" is the doc_id % 10 == 7 slice.
+  //
+  // Scale shape: one anti-join + one groupBy, BOTH on content_hash — the
+  // anti-join's output is already hash-partitioned on the grouping key, so
+  // the in-batch dedup reuses that exchange (Catalyst plans no second
+  // shuffle). Only the BATCH ever moves: from a [[graft.sources.DocStore]]
+  // bucketed landing the store side of the anti-join is a co-located scan
+  // (zero exchange), and the batch is orders of magnitude smaller than the
+  // corpus by construction. Nothing rescans or reshuffles the accepted
+  // catalog's text — the store side carries 16-byte hashes only.
+  private val MergeBatchMod = 10
+  private val MergeBatchRem = 7
+
+  private def q86(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+    val store = all.filter(col("doc_id") % MergeBatchMod =!= MergeBatchRem)
+    val batch = all.filter(col("doc_id") % MergeBatchMod === MergeBatchRem)
+    val admitted = batch
+      .join(store.select(col("content_hash")), Seq("content_hash"), "left_anti")
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("content_hash"), lit("batch").as("origin"))
+    store.select(col("doc_id"), col("content_hash"), lit("store").as("origin"))
+      .unionByName(admitted)
+      .orderBy("doc_id")
+  }
+
+  private val q86Sql =
+    s"""WITH a AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+       |store AS (SELECT * FROM a WHERE doc_id % $MergeBatchMod <> $MergeBatchRem),
+       |batch AS (SELECT * FROM a WHERE doc_id % $MergeBatchMod = $MergeBatchRem),
+       |admitted AS (
+       |  SELECT min(doc_id) AS doc_id, content_hash FROM batch
+       |  WHERE content_hash NOT IN (SELECT content_hash FROM store)
+       |  GROUP BY content_hash)
+       |SELECT doc_id, content_hash, 'store' AS origin FROM store
+       |UNION ALL
+       |SELECT doc_id, content_hash, 'batch' AS origin FROM admitted
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- q88: deterministic source mixing to a token budget ----------------
+  // The data-mixing pass that turns a curated corpus into a training mix:
+  // given per-source target WEIGHTS and a global token BUDGET (half the
+  // corpus here), derive a per-source acceptance rate and select documents
+  // with a deterministic id-hash threshold — the same MINSTD uniformizer
+  // q48/q56 pin scan-side, so the selection is reproducible, shardable,
+  // and needs no RNG state. Weights are a function of the source name
+  // (index % 4 + 1 — a stand-in for the quality tiers a real mix encodes);
+  // every rate is integer per-mille arithmetic, so both engines agree
+  // exactly.
+  //
+  // Scale shape: two corpus scans (per-source token stats, then the
+  // selection) and nothing else — the stats table is O(sources) and
+  // broadcasts back; the only shuffles move per-source partial aggregates.
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("source"),
+      size(T.tokens(col("text"))).cast(LongType).as("n_tok"),
+      (col("doc_id") * 48271L % 2147483647L % 1000L).as("u"))
+    val perSrc = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"))
+      .withColumn("w", expr("cast(substring(source, 4) as bigint) % 4 + 1"))
+    val tot = perSrc.agg(sum(col("tok_total")).as("gt"), sum(col("w")).as("gw"))
+    val rates = perSrc.crossJoin(broadcast(tot))
+      .withColumn("target_tok", expr("(gt div 2) * w div gw"))
+      .withColumn("rate_pm",
+        least(lit(1000L), expr("1000 * target_tok div tok_total")))
+      .select(col("source"), col("n_docs"), col("tok_total"), col("w"),
+        col("rate_pm"))
+    val kept = base.join(broadcast(rates.select(col("source"), col("rate_pm"))),
+        Seq("source"))
+      .filter(col("u") < col("rate_pm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tok_kept"))
+    rates.join(broadcast(kept), Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("tok_total"), col("w"),
+        col("rate_pm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tok_kept"), lit(0L)).as("tok_kept"))
+      .orderBy("source")
+  }
+
+  private val q88Sql = {
+    val nTok = s"len(${T.sqlTokens("text")})"
+    s"""WITH base AS (
+       |  SELECT source, CAST($nTok AS BIGINT) AS n_tok,
+       |    doc_id * 48271 % 2147483647 % 1000 AS u
+       |  FROM documents),
+       |per_src AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_tok) AS BIGINT) AS tok_total,
+       |    CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w
+       |  FROM base GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(sum(tok_total) AS BIGINT) AS gt,
+       |    CAST(sum(w) AS BIGINT) AS gw FROM per_src),
+       |rates AS (
+       |  SELECT source, n_docs, tok_total, w,
+       |    least(1000, 1000 * ((gt // 2) * w // gw) // tok_total) AS rate_pm
+       |  FROM per_src CROSS JOIN tot),
+       |kept AS (
+       |  SELECT b.source, count(*) AS n_kept,
+       |    CAST(sum(b.n_tok) AS BIGINT) AS tok_kept
+       |  FROM base b JOIN rates r ON b.source = r.source
+       |  WHERE b.u < r.rate_pm GROUP BY b.source)
+       |SELECT r.source, r.n_docs, r.tok_total, r.w, r.rate_pm,
+       |  coalesce(k.n_kept, 0) AS n_kept,
+       |  coalesce(k.tok_kept, 0) AS tok_kept
+       |FROM rates r LEFT JOIN kept k ON r.source = k.source
+       |ORDER BY 1""".stripMargin
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "q86_corpus_merge" -> QueryDef(q86, Some(q86Sql)),
+    "q88_source_mixing" -> QueryDef(q88, Some(q88Sql)),
     "q68_span_dedup" -> QueryDef(q68, Some(q68Sql)),
     "q65_bm25_rank" -> QueryDef(q65, Some(q65Sql)),
     "q66_doc_chunking" -> QueryDef(q66, Some(q66Sql)),

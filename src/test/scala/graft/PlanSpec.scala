@@ -335,6 +335,44 @@ class PlanSpec extends SparkSuite {
       s"no codegen spans:\n$p")
   }
 
+  test("q87: semantic decontamination is one narrow map — no joins, one sort exchange") {
+    // The eval set rides inside the scoring kernel, so the corpus pass
+    // must plan NO join of any kind and NO aggregation exchange; the only
+    // partitioning boundary allowed is the final orderBy's range exchange.
+    val nodes = flattenPlan(
+      SparkEntry.queries("q87_semantic_decontam")(spark, d)
+        .queryExecution.executedPlan)
+    val joins = nodes.filter(_.nodeName.toLowerCase.contains("join"))
+    assert(joins.isEmpty, s"expected a join-free plan, found: ${joins.map(_.nodeName)}")
+    val shuffles = nodes.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 1,
+      s"expected at most the orderBy exchange, found ${shuffles.size}")
+  }
+
+  test("q86: corpus merge anti-joins on the hash and reuses its partitioning") {
+    // The in-batch dedup groupBy keys on the SAME content_hash the anti
+    // join distributed on, so no exchange may sit between them: 2 join
+    // inputs + 1 final sort is the ceiling however AQE sizes the sides
+    // (broadcast anti at tiny SF trades a join-input exchange for the
+    // groupBy's own — the count bound holds either way).
+    val nodes = flattenPlan(
+      SparkEntry.queries("q86_corpus_merge")(spark, d)
+        .queryExecution.executedPlan)
+    assert(nodes.exists(_.toString.contains("LeftAnti")),
+      "expected a left-anti join against the store")
+    val shuffles = nodes.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 3,
+      s"batch dedup must reuse the anti join's hash partitioning, " +
+        s"found ${shuffles.size} exchanges")
+  }
+
+  test("q88: source mixing joins only broadcasts; stats aggregate partially") {
+    val p = plan("q88_source_mixing")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the O(sources) stats side must broadcast:\n$p")
+    assert(p.contains("partial_"), s"per-source stats must pre-aggregate:\n$p")
+  }
+
   test("sweep: no registered query plans a cartesian product or an exchange-fed global window") {
     // Blanket guard over EVERY SparkEntry query, complementing the
     // targeted pins above: the two shapes that are never right at 100 TB
