@@ -987,7 +987,140 @@ object TextQueries extends QueryModule {
        |ORDER BY 1""".stripMargin
   }
 
+  // ---- q89: n-gram LM quality scoring (the CCNet/KenLM filter) -----------
+  // The perplexity-style quality gate real pretraining pipelines run: a
+  // bigram LM with add-k smoothing is trained on a trusted reference
+  // subset (here lang='en' — the stand-in for "Wikipedia" in CCNet), and
+  // EVERY document is scored by its negative log-likelihood under that
+  // model; high-NLL documents are the out-of-domain / garbled ones a
+  // curation pass drops. p(w2|w1) = (c(w1,w2)+k) / (c(w1)+k·V), k=0.5.
+  //
+  // Determinism: each bigram's log-prob is micro-rounded PER TOKEN
+  // (FP.micro) and the per-document reduction is an integer sum, so the
+  // result is partition-invariant and engine-exact; the only float step
+  // (ln of a ratio of exactly-representable integers+0.5) is computed on
+  // bit-identical inputs in both engines.
+  //
+  // Scale shape: wordcount shapes only. Training is two token-stream
+  // aggregations over the reference subset; scoring explodes the corpus
+  // into (doc_id, bigram) rows and equi-joins the LM tables — Catalyst
+  // broadcasts them while small and falls back to a shuffle hash join
+  // when a 100-TB vocabulary outgrows the budget (nothing here forces
+  // broadcast). The vocabulary size V travels as a broadcast 1-row table.
+  private val LmK = 0.5
+
+  private def bigramsOf(t: Column): Column =
+    when(size(t) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+
+  private def q89(s: SparkSession, d: String): DataFrame = {
+    val withT = docs(s, d)
+      .select(col("doc_id"), col("lang"), T.tokens(col("text")).as("t"))
+    val train = withT.filter(col("lang") === "en")
+    val c2 = train.select(explode(bigramsOf(col("t"))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1 = train.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = c1.agg(count(lit(1)).as("v_sz"))
+    val lp = withT
+      .select(col("doc_id"), explode(bigramsOf(col("t"))).as("bg"))
+      .join(c2, Seq("bg"), "left")
+      .withColumn("w", substring_index(col("bg"), " ", 1))
+      .join(c1, Seq("w"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp_u", FP.micro(log(
+        (coalesce(col("c2"), lit(0L)) + lit(LmK)) /
+          (coalesce(col("c1"), lit(0L)) + lit(LmK) * col("v_sz")))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("lp_u"))).as("nll_u"))
+    withT.select(col("doc_id"))
+      .join(lp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_u"), lit(0L)).as("nll_u"))
+      .orderBy("doc_id")
+  }
+
+  private val q89Sql = {
+    val toks = T.sqlTokens("text")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, $toks AS t FROM documents),
+       |bg AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+       |  FROM toks),
+       |c2 AS (SELECT bg, count(*) AS c2 FROM bg WHERE lang = 'en' GROUP BY 1),
+       |c1 AS (SELECT w, count(*) AS c1
+       |       FROM (SELECT unnest(t) AS w FROM toks WHERE lang = 'en')
+       |       GROUP BY 1),
+       |v AS (SELECT count(*) AS v_sz FROM c1),
+       |lp AS (
+       |  SELECT b.doc_id,
+       |    ${FP.sqlMicro(
+            s"ln((coalesce(c2.c2, 0) + $LmK) / (coalesce(c1.c1, 0) + $LmK * v.v_sz))")} AS lp_u
+       |  FROM bg b
+       |  LEFT JOIN c2 USING (bg)
+       |  LEFT JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w
+       |  CROSS JOIN v),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |    CAST(-sum(lp_u) AS BIGINT) AS nll_u
+       |  FROM lp GROUP BY 1)
+       |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(a.nll_u, 0) AS nll_u
+       |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY 1""".stripMargin
+  }
+
+  // ---- q96: deterministic global shuffle → training shards ---------------
+  // The last step of a curation pipeline: assign every document to an
+  // output shard and fix the exact read order inside each shard, so any
+  // worker can materialize its shard independently and the whole training
+  // order is reproducible from doc ids alone (no RNG state, no global
+  // sort). Shard and order both derive from the q48/q56 MINSTD hash;
+  // `tok_offset` is the exclusive running token count, i.e. where each
+  // document starts in its shard's token stream.
+  //
+  // Scale shape: one scan + ONE hash-partitioned window (partitioned by
+  // shard — never single-partition). 16 shards here; at 100 TB you raise
+  // NShards with the cluster (shards ≫ executors), which also keeps each
+  // per-shard sort in one task's memory. Nothing else changes.
+  private val NShards = 16
+
+  private def q96(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(
+      col("doc_id"),
+      size(T.tokens(col("text"))).cast(LongType).as("n_tok"),
+      (col("doc_id") * 48271L % 2147483647L).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(NShards.toLong)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    base
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .withColumn("tok_offset",
+        coalesce(sum(col("n_tok")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("pos"), col("doc_id"), col("n_tok"),
+        col("tok_offset"))
+      .orderBy("shard", "pos")
+  }
+
+  private val q96Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, CAST(len(${T.sqlTokens("text")}) AS BIGINT) AS n_tok,
+       |    doc_id * 48271 % 2147483647 AS h,
+       |    doc_id * 48271 % 2147483647 % $NShards AS shard
+       |  FROM documents)
+       |SELECT shard, row_number() OVER w AS pos, doc_id, n_tok,
+       |  CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS tok_offset
+       |FROM base
+       |WINDOW w AS (PARTITION BY shard ORDER BY h, doc_id)
+       |ORDER BY 1, 2""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "q89_ngram_lm_score" -> QueryDef(q89, Some(q89Sql)),
+    "q96_train_shuffle" -> QueryDef(q96, Some(q96Sql)),
     "q86_corpus_merge" -> QueryDef(q86, Some(q86Sql)),
     "q88_source_mixing" -> QueryDef(q88, Some(q88Sql)),
     "q68_span_dedup" -> QueryDef(q68, Some(q68Sql)),
