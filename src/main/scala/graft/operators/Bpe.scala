@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic distributed BPE tokenizer training (Sennrich et al. 2016,
+  * the subword scheme GPT/Llama-family tokenizers build on).
+  *
+  * Classic BPE trains on the WORD HISTOGRAM, not the raw token stream: the
+  * corpus collapses to (word, count) once — a wordcount shuffle — and every
+  * training iteration scans only that (persisted) table. Each iteration:
+  *
+  *  - symbolize every word under the merges learned so far (a narrow map;
+  *    re-derived from the word each pass, so no mutable distributed state),
+  *  - count adjacent symbol pairs weighted by word count (groupBy with
+  *    map-side combine — reducer input is O(partitions × distinct pairs)),
+  *  - take the best pair with a FULL deterministic order (count desc, then
+  *    left/right lexicographic — a distributed TakeOrdered, never a global
+  *    sort), and append it to the merge list on the driver.
+  *
+  * Mirrors the [[KMeans]] discipline: per-iteration driver traffic is the
+  * MODEL (one pair), corpus-scale data never leaves the executors, integer
+  * weights make every count partition-invariant, and the iteration count is
+  * fixed — so the learned merge table is bit-reproducible under any
+  * parallelism, at any scale. At 100 TB the word histogram is the only
+  * corpus-sized job; its distinct-word output is orders of magnitude
+  * smaller and iterations price on IT.
+  */
+object Bpe {
+
+  /** End-of-word marker appended to every word's symbol sequence, so merges
+    * can distinguish word-final from word-internal contexts. */
+  val EndOfWord = "</w>"
+
+  final case class Merge(step: Int, left: String, right: String, count: Long)
+
+  /** Split `w` to characters + the end marker, then replay `merges` in
+    * learned order, each applied greedily left-to-right (the standard BPE
+    * application; overlapping occurrences consume the leftmost first). */
+  def symbolize(w: String, merges: Seq[(String, String)]): Array[String] = {
+    var syms: Array[String] =
+      (w.map(_.toString) :+ EndOfWord).toArray
+    merges.foreach { case (l, r) =>
+      val out = Array.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms
+  }
+
+  /** @param words (wordCol: string, countCol: long) — the corpus word
+    *              histogram; persisted internally for the training loop.
+    * @return the learned merge table, in training order */
+  def train(words0: DataFrame, wordCol: String, countCol: String,
+            nMerges: Int): Seq[Merge] = {
+    val words = words0.select(col(wordCol).as("w"), col(countCol).as("wc"))
+      .persist()
+    try {
+      val merges = Seq.newBuilder[Merge]
+      var learned: Seq[(String, String)] = Vector.empty
+      var step = 0
+      var exhausted = false
+      while (step < nMerges && !exhausted) {
+        val cur = learned // immutable snapshot for the closure
+        val symsUdf = udf((w: String) => symbolize(w, cur))
+        val best = words
+          .select(col("wc"), symsUdf(col("w")).as("syms"))
+          .filter(size(col("syms")) >= 2)
+          .select(col("wc"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+            .as("p"))
+          .groupBy(col("p.l").as("left"), col("p.r").as("right"))
+          .agg(sum(col("wc")).as("cnt"))
+          .orderBy(col("cnt").desc, col("left"), col("right"))
+          .limit(1)
+          .collect()
+        if (best.isEmpty) exhausted = true // every word fully merged
+        else {
+          val r = best(0)
+          val (l, rt, c) = (r.getString(0), r.getString(1), r.getLong(2))
+          merges += Merge(step, l, rt, c)
+          learned :+= (l, rt)
+          step += 1
+        }
+      }
+      merges.result()
+    } finally words.unpersist(blocking = false)
+  }
+}

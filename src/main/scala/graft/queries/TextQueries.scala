@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.{FP, TextFns => T}
+import graft.operators.Bpe
 
 /** Training-data text pipeline over the `documents` table: exact and
   * near deduplication (MinHash+LSH, SimHash, n-gram Jaccard), language ID,
@@ -1118,7 +1119,35 @@ object TextQueries extends QueryModule {
        |WINDOW w AS (PARTITION BY shard ORDER BY h, doc_id)
        |ORDER BY 1, 2""".stripMargin
 
+  // ---- q95: BPE tokenizer training (learned merge table) -----------------
+  // The other half of "token counting": q31 counts under a FIXED BPE-ish
+  // regex; this TRAINS the subword vocabulary itself — the merge table a
+  // GPT/Llama-style tokenizer ships — from the corpus word histogram, with
+  // operators/Bpe (driver-held model, one weighted pair-count job per
+  // merge, the KMeans job pattern). Output is the training artifact:
+  // (step, left, right, pair_count) in learned order.
+  //
+  // Oracle: golden fixture — the training loop is not SQL-expressible,
+  // but every count is an integer sum and the argmax order is total
+  // (count desc, pair lexicographic), so the table is bit-reproducible
+  // under any parallelism; BpeSpec checks the semantics against
+  // hand-derived merges and the greedy application rules.
+  private val BpeMerges = 12
+
+  private def q95(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = docs(s, d)
+      .select(explode(T.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    Bpe.train(words, "w", "wc", BpeMerges)
+      .map(m => (m.step.toLong, m.left, m.right, m.count))
+      .toDF("step", "left", "right", "pair_count")
+      .orderBy("step")
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "q95_bpe_train" -> QueryDef(q95, Some(FixtureOracle.sql("q95_bpe_train"))),
     "q89_ngram_lm_score" -> QueryDef(q89, Some(q89Sql)),
     "q96_train_shuffle" -> QueryDef(q96, Some(q96Sql)),
     "q86_corpus_merge" -> QueryDef(q86, Some(q86Sql)),

@@ -15,7 +15,8 @@ import graft.queries.FixtureOracle
   * aggregation), so a diff in regenerated fixtures IS a semantic change. */
 object MakeFixtures {
   val FixtureQueries: Seq[String] = Seq(
-    "q45_ann_ivf_kmeans", "q69_pq_ann", "q78_ivfpq_ann", "q47_countmin_hh", "q49_hll_distinct",
+    "q45_ann_ivf_kmeans", "q69_pq_ann", "q78_ivfpq_ann", "q95_bpe_train",
+    "q47_countmin_hh", "q49_hll_distinct",
     "q61_cubic_spline", "q62_gammat",
     "q63_pchip_interp", "q64_mr_pchip", "q70_argo_interp", "q71_argo_atlas",
     "q72_argo_eape_r14", "q73_argo_eape_t25", "q74_argo_atlas_masked")
