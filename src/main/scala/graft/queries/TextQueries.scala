@@ -1170,18 +1170,47 @@ object TextQueries extends QueryModule {
   // terms each in ~77% of documents, so the verified setting is 90% —
   // the knob is exercised, the result stays substantive. Probes are a
   // bounded hash-selected subset, as in q40.
-  private val SparseProbeMod = 50
+  // mod 250 (vs q40's 50): the synthetic vocabulary is 31 terms each in
+  // ~77% of documents — zero posting selectivity, so every probe touches
+  // every document on every shared term and the scored fan-out is
+  // probes × docs × vocab. A real corpus's inverted index is selective;
+  // here the probe subset carries the boundedness instead.
+  private val SparseProbeMod = 250
   private val SparseDfCapPct = 90
 
   private def q97(s: SparkSession, d: String): DataFrame = {
+    // The forward index (doc_id, term, tf) is materialized ONCE and every
+    // downstream consumer — dfreq, probes, both norms instances, the dot
+    // corpus side — replays over its cached partitions. Without the
+    // checkpoint, Catalyst plans each consumer its own tokenize → explode
+    // → groupBy subtree (consumer-specific column pruning defeats
+    // exchange reuse), and the corpus gets re-scanned per consumer:
+    // observed 6 s vs 1 s at sf0.1. At 100 TB this table is the standard
+    // materialized forward index — orders smaller than the text it
+    // indexes (distinct terms per doc, two longs wide) — and an at-rest
+    // version of it replaces the checkpoint the way DocStore/VecStore
+    // replace their recomputes.
+    // Partitioned by doc_id BEFORE the checkpoint: a document's whole
+    // posting row set then lives in one partition, so the (q_id, doc_id)
+    // dot aggregation below needs NO exchange at all (hash(doc_id) already
+    // clusters its grouping keys) and its map-side combine collapses the
+    // probes×terms fan-out in place — partitioned by (doc_id, w) instead,
+    // each partition saw ~one row per (probe, doc) group and the partial
+    // aggregate shipped the full fan-out (~15M rows at sf0.1, measured
+    // 2.4 s for the dots stage alone).
     val tf = docs(s, d)
       .select(col("doc_id"), explode(T.tokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .repartition(col("doc_id"))
+      .localCheckpoint()
     val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
+    // dfreq broadcasts (vocab-sized); the corpus-scale tf side is NEVER
+    // shuffled by term — a stopword term key space would collapse a
+    // term-keyed shuffle onto a handful of reducers.
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
     val weights = tf
-      .join(dfreq, Seq("w"))
+      .join(broadcast(dfreq), Seq("w"))
       .crossJoin(broadcast(nDocs))
       .filter(col("dfreq") * 100 <= col("n_docs") * SparseDfCapPct)
       .select(col("doc_id"), col("w"),
@@ -1190,14 +1219,25 @@ object TextQueries extends QueryModule {
       .agg(sum(col("u") * col("u")).as("nrm2_u"))
     val probes = weights.filter(col("doc_id") % SparseProbeMod === 0)
       .select(col("doc_id").as("q_id"), col("w"), col("u").as("qu"))
-    val dots = probes.join(weights, Seq("w"))
+    // Probes BROADCAST (the q40 shape): the corpus posting list is never
+    // shuffled by term — a term key space this small (31 here; stopword
+    // vocabularies generally) would collapse a shuffle join onto a handful
+    // of reducers. With the bounded probe side replicated, the join is
+    // map-side and the only exchange is the (q_id, doc_id) partial-agg,
+    // already collapsed by map-side combine.
+    val dots = weights.join(broadcast(probes), Seq("w"))
       .filter(col("doc_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("qu") * col("u")).as("dot_u"))
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_u").desc, col("doc_id"))
+    // probe norms broadcast explicitly: bounded by the probe subset at any
+    // scale, and the checkpointed lineage has no stats for Catalyst to
+    // discover that itself; the corpus-side norms join stays a co-located
+    // doc_id equi-join (both sides ride the checkpoint's partitioning)
     dots
-      .join(norms.select(col("doc_id").as("q_id"), col("nrm2_u").as("qn")),
+      .join(broadcast(norms.filter(col("doc_id") % SparseProbeMod === 0)
+        .select(col("doc_id").as("q_id"), col("nrm2_u").as("qn"))),
         Seq("q_id"))
       .join(norms, Seq("doc_id"))
       .withColumn("cos_u", FP.micro(col("dot_u").cast("double") /
