@@ -37,9 +37,14 @@ object Bpe {
   /** Split `w` to characters + the end marker, then replay `merges` in
     * learned order, each applied greedily left-to-right (the standard BPE
     * application; overlapping occurrences consume the leftmost first). */
-  def symbolize(w: String, merges: Seq[(String, String)]): Array[String] = {
-    var syms: Array[String] =
-      (w.map(_.toString) :+ EndOfWord).toArray
+  def symbolize(w: String, merges: Seq[(String, String)]): Array[String] =
+    applyMerges((w.map(_.toString) :+ EndOfWord).toArray, merges)
+
+  /** Replay `merges` in order over a symbol sequence, each applied greedily
+    * left-to-right. Shared by [[symbolize]] and the driver fast path. */
+  private[operators] def applyMerges(syms0: Array[String],
+                                     merges: Seq[(String, String)]): Array[String] = {
+    var syms = syms0
     merges.foreach { case (l, r) =>
       val out = Array.newBuilder[String]
       var i = 0
@@ -55,12 +60,28 @@ object Bpe {
 
   /** @param words (wordCol: string, countCol: long) — the corpus word
     *              histogram; persisted internally for the training loop.
+    * @param allowDriverFastPath false pins the distributed loop even for
+    *              histograms under the broadcast cap (so the loop can be
+    *              tested on driver-sized data — same contract as
+    *              [[Graph.connectedComponents]])
     * @return the learned merge table, in training order */
   def train(words0: DataFrame, wordCol: String, countCol: String,
-            nMerges: Int): Seq[Merge] = {
+            nMerges: Int, allowDriverFastPath: Boolean = true): Seq[Merge] = {
     val words = words0.select(col(wordCol).as("w"), col(countCol).as("wc"))
       .persist()
     try {
+      // Size-conditional, like Graph.connectedComponents: a word histogram
+      // under the broadcast row cap trains ON THE DRIVER — the distributed
+      // loop costs ~2 jobs per merge, pure orchestration overhead for an
+      // in-memory problem (this is how reference tokenizer trainers work:
+      // the histogram, not the corpus, is the training set, and it is
+      // orders smaller). Same counts, same total tie order, so the learned
+      // table is bit-identical to the loop's (asserted in BpeSpec).
+      if (allowDriverFastPath && words.count() <= Joins.maxRows(words)) {
+        val rows = words.collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        return trainDriver(rows, nMerges)
+      }
       val merges = Seq.newBuilder[Merge]
       var learned: Seq[(String, String)] = Vector.empty
       var step = 0
@@ -91,5 +112,49 @@ object Bpe {
       }
       merges.result()
     } finally words.unpersist(blocking = false)
+  }
+
+  /** Driver-side twin of the distributed loop: same weighted pair counts,
+    * same (count desc, left, right) total order, same early stop — the
+    * output must be bit-identical whichever path ran. */
+  private def trainDriver(words: Array[(String, Long)],
+                          nMerges: Int): Seq[Merge] = {
+    val merges = Seq.newBuilder[Merge]
+    var learned: Vector[(String, String)] = Vector.empty
+    var step = 0
+    var exhausted = false
+    // symbolizations evolve incrementally: replay only the NEWEST merge
+    // on each word instead of all merges from scratch every round
+    var syms: Array[Array[String]] =
+      words.map { case (w, _) => symbolize(w, Nil) }
+    while (step < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < syms.length) {
+        val ss = syms(i)
+        val wc = words(i)._2
+        var j = 0
+        while (j + 1 < ss.length) {
+          val k = (ss(j), ss(j + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + wc)
+          j += 1
+        }
+        i += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += Merge(step, l, r, c)
+        learned :+= (l, r)
+        val one = Array((l, r))
+        i = 0
+        while (i < syms.length) {
+          syms(i) = applyMerges(syms(i), one)
+          i += 1
+        }
+        step += 1
+      }
+    }
+    merges.result()
   }
 }

@@ -58,11 +58,23 @@ class BpeSpec extends SparkSuite {
       merges.map(m => (m.left, m.right))).toSeq.size === 1)
   }
 
-  test("train: partition-invariant (1 vs 4 partitions, repeated words)") {
+  test("train: partition-invariant (1 vs 4 partitions, distributed loop pinned)") {
     val rows = Seq("the", "cat", "sat", "on", "the", "mat", "the", "cat")
       .groupBy(identity).map { case (w, g) => (w, g.size.toLong) }.toSeq
     val w1 = rows.toDF("w", "wc").repartition(1)
     val w4 = rows.toDF("w", "wc").repartition(4)
-    assert(Bpe.train(w1, "w", "wc", 6) === Bpe.train(w4, "w", "wc", 6))
+    assert(Bpe.train(w1, "w", "wc", 6, allowDriverFastPath = false) ===
+      Bpe.train(w4, "w", "wc", 6, allowDriverFastPath = false))
+  }
+
+  test("train: driver fast path is bit-identical to the distributed loop") {
+    // irregular weights so ties and non-ties both occur; enough merges to
+    // hit the early-stop region on some words
+    val rows = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L), ("wide", 4L), ("nest", 1L))
+    val df = rows.toDF("w", "wc")
+    val driver = Bpe.train(df, "w", "wc", 10)
+    val loop = Bpe.train(df, "w", "wc", 10, allowDriverFastPath = false)
+    assert(driver === loop)
   }
 }
