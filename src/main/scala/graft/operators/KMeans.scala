@@ -136,10 +136,27 @@ object KMeans {
     * @param vecs (idCol: long, vecCol: array&lt;float&gt; of m·subDim dims)
     * @return codebooks(m)(cell) = centroid, as doubles */
   def fitPq(vecs0: DataFrame, idCol: String, vecCol: String,
-            m: Int, subDim: Int, k: Int, iters: Int): Array[Array[Array[Double]]] = {
+            m: Int, subDim: Int, k: Int, iters: Int,
+            allowDriverFastPath: Boolean = true): Array[Array[Array[Double]]] = {
     val vecs = vecs0
       .select(col(idCol), col(vecCol).cast("array<double>").as("v")).persist()
     try {
+      // Size-conditional, like Graph/Bpe: a training set under the
+      // broadcast cap (scaled by vector width — a row here is dim doubles,
+      // not two longs) trains ON THE DRIVER. The distributed fit costs
+      // ~2 jobs per Lloyd iteration, pure orchestration overhead for an
+      // in-memory problem; at 100 TB the PQ trainer runs on a
+      // hash-sampled subset that is ALSO driver-sized (FAISS trains
+      // codebooks on ~10^5-10^6 samples), so this is the path a real
+      // deployment takes too — the loop remains for oversized training
+      // sets and is pinned by KMeansSpec's equivalence test, which
+      // asserts the two paths produce bit-identical codebooks.
+      val rowCap = math.max(1L, Joins.maxRows(vecs) / math.max(1, m * subDim / 2))
+      if (allowDriverFastPath && vecs.count() <= rowCap) {
+        val rows = vecs.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        return fitPqDriver(rows, m, subDim, k, iters)
+      }
       // Init: one representative per id-hash STRATUM, not the k smallest
       // ids — adjacent ids are often near-duplicates (same source, same
       // shard), and seeding all k cells inside one neighborhood leaves
@@ -220,5 +237,81 @@ object KMeans {
       }
       books
     } finally vecs.unpersist(blocking = false)
+  }
+
+  /** Driver-side twin of the distributed PQ fit. Replicates the loop's
+    * arithmetic EXACTLY — hash-stratified min-id init with the smallest-
+    * unused-id fallback, per-subspace float-cast slices, nano-unit
+    * half-away rounding before integer sums, `s/1e9/cnt` means — so the
+    * codebooks are bit-identical whichever path ran (asserted in
+    * KMeansSpec). */
+  private def fitPqDriver(rows: Array[(Long, Array[Double])], m: Int,
+                          subDim: Int, k: Int,
+                          iters: Int): Array[Array[Array[Double]]] = {
+    // init: one representative per MINSTD stratum (min id wins)
+    val strata = new java.util.HashMap[Int, (Array[Double], Long)]()
+    rows.foreach { case (id, v) =>
+      val stratum = ((id * 48271L % 2147483647L % k) + k) % k
+      val cur = strata.get(stratum.toInt)
+      if (cur == null || id < cur._2) strata.put(stratum.toInt, (v, id))
+    }
+    lazy val fallback: Array[Array[Double]] = {
+      require(rows.length >= k, s"need >= $k training vectors, got ${rows.length}")
+      val used = (0 until k).flatMap(c => Option(strata.get(c)).map(_._2)).toSet
+      rows.sortBy(_._1).iterator
+        .filterNot { case (id, _) => used.contains(id) }
+        .take(k).map(_._2).toArray
+    }
+    var fb = 0
+    val initRows = Array.tabulate(k) { c =>
+      strata.get(c) match {
+        case null => val v = fallback(fb); fb += 1; v
+        case (v, _) => v
+      }
+    }
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m)(mm =>
+      Array.tabulate(k)(j =>
+        java.util.Arrays.copyOfRange(initRows(j), mm * subDim, (mm + 1) * subDim)))
+    val sub = new Array[Double](subDim)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Long](m, k, subDim)
+      val counts = Array.ofDim[Long](m, k)
+      rows.foreach { case (_, v) =>
+        var mm = 0
+        while (mm < m) {
+          val off = mm * subDim
+          var i = 0
+          while (i < subDim) { sub(i) = v(off + i); i += 1 }
+          val cell = nearestCellL2(books(mm), sub)
+          val s = sums(mm)(cell)
+          i = 0
+          while (i < subDim) {
+            // the loop aggregates float-cast slices: same quantization here
+            s(i) += graft.functions.FP.roundHalfAway(v(off + i).toFloat.toDouble * 1e9)
+            i += 1
+          }
+          counts(mm)(cell) += 1L
+          mm += 1
+        }
+      }
+      val next = books.map(_.map(_.clone())) // empty cells keep their centroid
+      var mm = 0
+      while (mm < m) {
+        var cell = 0
+        while (cell < k) {
+          val cnt = counts(mm)(cell).toDouble
+          if (cnt > 0) {
+            val s = sums(mm)(cell)
+            next(mm)(cell) = Array.tabulate(subDim)(i => s(i) / 1e9 / cnt)
+          }
+          cell += 1
+        }
+        mm += 1
+      }
+      books = next
+      it += 1
+    }
+    books
   }
 }

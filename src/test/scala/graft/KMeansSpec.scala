@@ -62,12 +62,31 @@ class KMeansSpec extends SparkSuite {
       .selectExpr("vec_id", "cast(embedding as array<float>) as embedding")
   }
 
-  test("fitPq is deterministic across partitionings") {
-    val a = KMeans.fitPq(corpus8(60).repartition(1), "vec_id", "embedding", 2, 4, 4, 3)
-    val b = KMeans.fitPq(corpus8(60).repartition(7, $"vec_id"), "vec_id", "embedding", 2, 4, 4, 3)
+  test("fitPq is deterministic across partitionings (distributed loop pinned)") {
+    val a = KMeans.fitPq(corpus8(60).repartition(1), "vec_id", "embedding",
+      2, 4, 4, 3, allowDriverFastPath = false)
+    val b = KMeans.fitPq(corpus8(60).repartition(7, $"vec_id"), "vec_id",
+      "embedding", 2, 4, 4, 3, allowDriverFastPath = false)
     a.zip(b).foreach { case (ba, bb) =>
       ba.zip(bb).foreach { case (ca, cb) =>
         assert(ca.toSeq === cb.toSeq, "PQ codebooks differ across partitionings")
+      }
+    }
+  }
+
+  test("fitPq driver fast path is bit-identical to the distributed loop") {
+    // plain ids, and a strided id space (changes the MINSTD strata and can
+    // leave some sparse — exercising the smallest-unused-id fallback)
+    for (idExpr <- Seq("vec_id", "vec_id * 7 + 3")) {
+      val df = corpus8(40).selectExpr(s"$idExpr as vec_id", "embedding")
+      val driver = KMeans.fitPq(df, "vec_id", "embedding", 2, 4, 4, 3)
+      val loop = KMeans.fitPq(df, "vec_id", "embedding", 2, 4, 4, 3,
+        allowDriverFastPath = false)
+      driver.zip(loop).foreach { case (ba, bb) =>
+        ba.zip(bb).foreach { case (ca, cb) =>
+          assert(ca.toSeq === cb.toSeq,
+            s"driver and loop codebooks differ (ids: $idExpr)")
+        }
       }
     }
   }
