@@ -27,15 +27,62 @@ object KMeans {
   /** @param vecs   (idCol: long, vecCol: array&lt;float&gt;) corpus
     * @return k centroids (index = cell id), as doubles */
   def fit(vecs0: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
-          iters: Int): Array[Array[Double]] = {
+          iters: Int,
+          allowDriverFastPath: Boolean = true): Array[Array[Double]] = {
     // Cache the training vectors for the duration of the fit: init + every
     // Lloyd iteration scans them, and without a persist each pass re-runs
     // the upstream scan/projection (MLlib's trainers cache their input for
     // the same reason). Unpersisted before returning.
     val vecs = vecs0.select(col(idCol), col(vecCol)).persist()
     try {
-      fitCached(vecs, idCol, vecCol, dim, k, iters)
+      // Size-conditional driver fast path, same contract as [[fitPq]]:
+      // under the width-scaled broadcast cap the Lloyd loop runs in
+      // memory with the exact distributed arithmetic (bit-identical —
+      // KMeansSpec asserts it); past the cap, the per-iteration jobs.
+      val rowCap = math.max(1L, Joins.maxRows(vecs) / math.max(1, dim / 2))
+      if (allowDriverFastPath && vecs.count() <= rowCap) {
+        val rows = vecs.select(col(idCol), col(vecCol)).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        fitDriver(rows, dim, k, iters)
+      } else fitCached(vecs, idCol, vecCol, dim, k, iters)
     } finally vecs.unpersist(blocking = false)
+  }
+
+  /** Driver-side twin of [[fitCached]]: smallest-id init, cosine
+    * assignment via the SAME [[nearestCell]] kernel, nano-unit integer
+    * sums, `s/1e9/cnt` means — bit-identical output. */
+  private def fitDriver(rows0: Array[(Long, Array[Float])], dim: Int, k: Int,
+                        iters: Int): Array[Array[Double]] = {
+    val rows = rows0.sortBy(_._1)
+    var centroids: Array[Array[Double]] =
+      rows.take(k).map(_._2.map(_.toDouble))
+    var it = 0
+    while (it < iters) {
+      val norms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+      val sums = Array.ofDim[Long](k, dim)
+      val counts = new Array[Long](k)
+      rows.foreach { case (_, v) =>
+        val cell = nearestCell(centroids, norms, v)
+        val s = sums(cell)
+        var i = 0
+        val m = math.min(dim, v.length)
+        while (i < m) {
+          s(i) += graft.functions.FP.roundHalfAway(v(i).toDouble * 1e9)
+          i += 1
+        }
+        counts(cell) += 1L
+      }
+      val next = centroids.map(_.clone()) // empty cells keep their centroid
+      var cell = 0
+      while (cell < k) {
+        val cnt = counts(cell).toDouble
+        if (cnt > 0) next(cell) = Array.tabulate(dim)(i => sums(cell)(i) / 1e9 / cnt)
+        cell += 1
+      }
+      centroids = next
+      it += 1
+    }
+    centroids
   }
 
   private def fitCached(vecs: DataFrame, idCol: String, vecCol: String,

@@ -34,11 +34,23 @@ class KMeansSpec extends SparkSuite {
     }
   }
 
-  test("deterministic across partitionings (fixed-point updates)") {
-    val a = KMeans.fit(corpus(90).repartition(1), "vec_id", "embedding", dim, 3, 5)
-    val b = KMeans.fit(corpus(90).repartition(7, $"vec_id"), "vec_id", "embedding", dim, 3, 5)
+  test("deterministic across partitionings (distributed loop pinned)") {
+    val a = KMeans.fit(corpus(90).repartition(1), "vec_id", "embedding",
+      dim, 3, 5, allowDriverFastPath = false)
+    val b = KMeans.fit(corpus(90).repartition(7, $"vec_id"), "vec_id",
+      "embedding", dim, 3, 5, allowDriverFastPath = false)
     a.zip(b).foreach { case (ca, cb) =>
       assert(ca.toSeq === cb.toSeq, "centroids differ across partitionings")
+    }
+  }
+
+  test("fit driver fast path is bit-identical to the distributed loop") {
+    val df = corpus(90)
+    val driver = KMeans.fit(df, "vec_id", "embedding", dim, 3, 5)
+    val loop = KMeans.fit(df, "vec_id", "embedding", dim, 3, 5,
+      allowDriverFastPath = false)
+    driver.zip(loop).foreach { case (ca, cb) =>
+      assert(ca.toSeq === cb.toSeq, "driver and loop centroids differ")
     }
   }
 
