@@ -42,7 +42,7 @@ object Bpe {
 
   /** Replay `merges` in order over a symbol sequence, each applied greedily
     * left-to-right. Shared by [[symbolize]] and the driver fast path. */
-  private[operators] def applyMerges(syms0: Array[String],
+  private[graft] def applyMerges(syms0: Array[String],
                                      merges: Seq[(String, String)]): Array[String] = {
     var syms = syms0
     merges.foreach { case (l, r) =>
