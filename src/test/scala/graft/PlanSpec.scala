@@ -231,6 +231,31 @@ class PlanSpec extends SparkSuite {
       s"expected >=3 ReusedExchange refs to the shingle repartition, found $reused:\n$fp")
   }
 
+  test("q97: the posting join broadcasts the probe side; no term-keyed shuffle") {
+    // The inverted-index join must never shuffle the corpus posting list
+    // by term: a stopword-grade key space (31 terms in the synthetic
+    // corpus) would collapse that exchange onto a handful of reducers.
+    // The bounded probe side broadcasts instead (the q40 shape), and the
+    // only shuffles key on doc-ish ids. Execute first — the join strategy
+    // and the checkpointed forward index are runtime artifacts.
+    val df = SparkEntry.queries("q97_sparse_cosine")(spark, d)
+    df.collect()
+    val exec = flattenPlan(df.queryExecution.executedPlan)
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    exec.foreach {
+      case j: SortMergeJoinExec =>
+        assert(!j.leftKeys.exists(_.references.exists(_.name == "w")),
+          s"term-keyed sort-merge join found:\n${df.queryExecution.executedPlan}")
+      case j: ShuffledHashJoinExec =>
+        assert(!j.leftKeys.exists(_.references.exists(_.name == "w")),
+          s"term-keyed shuffled-hash join found:\n${df.queryExecution.executedPlan}")
+      case _ =>
+    }
+    // and at least one broadcast join carries the probe side
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "expected the broadcast posting join")
+  }
+
   test("embedding bucket self-joins survive count()-style pruning") {
     // Regression: with a deterministic bucket alias, Spark 4.1's constraint
     // inference pushes a filter carrying one side's `vec` into the other
