@@ -1288,7 +1288,97 @@ object TextQueries extends QueryModule {
        |FROM ranked WHERE rank <= 5 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---- q98: the curation pipeline, end to end ----------------------------
+  // The verified stages composed the way a production run chains them —
+  // ONE lazy plan from raw corpus to training manifest:
+  //   benchmark split-off (source 'src0' plays the eval set) →
+  //   quality gate (token-count band) →
+  //   exact dedup, keep-first by content hash (q30's md5, q68's window) →
+  //   shingle decontamination vs the eval set (q57's shape: corpus
+  //     explodes 5-shingles, eval shingles broadcast, anti-join) →
+  //   deterministic per-source mixing rates (q56/q88's MINSTD per-mille) →
+  //   shard assignment + reproducible order (q96).
+  // Each stage is individually oracle-verified elsewhere; this row proves
+  // they COMPOSE — aliasing, nullability, and partitioning survive the
+  // chain — and gives a user the one-call pipeline shape to copy.
+  //
+  // Scale shape: narrow maps + one md5-partitioned window + the broadcast
+  // decontamination join + one shard-partitioned window. The corpus is
+  // never shuffled except on those keys; the eval side is bounded.
+  private def fiveShingles(t: Column): Column =
+    when(size(t) < 5, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - 4),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+          element_at(t, i + 2), element_at(t, i + 3), element_at(t, i + 4))))
+
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("source"), col("text"),
+      T.tokens(col("text")).as("t"))
+      .withColumn("n_tok", size(col("t")).cast(LongType))
+    val evalSh = base.filter(col("source") === "src0")
+      .select(explode(fiveShingles(col("t"))).as("sh")).distinct()
+    val gated = base.filter(col("source") =!= "src0")
+      .filter(col("n_tok").between(20, 2000))
+    val wDedup = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val deduped = gated.withColumn("rn", row_number().over(wDedup))
+      .filter(col("rn") === 1).drop("rn")
+    val contaminated = deduped
+      .select(col("doc_id"), explode(fiveShingles(col("t"))).as("sh"))
+      .join(broadcast(evalSh), Seq("sh"))
+      .select(col("doc_id")).distinct()
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val mixed = clean.filter(
+      col("doc_id") * 48271L % 2147483647L % 1000L <
+        lit(200L) + expr("cast(substring(source, 4) as bigint) % 4") * 200L)
+    val withShard = mixed
+      .withColumn("h", col("doc_id") * 48271L % 2147483647L)
+      .withColumn("shard", pmod(col("h"), lit(8L)))
+    val wShard = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    withShard
+      .withColumn("pos", row_number().over(wShard).cast(LongType))
+      .select(col("shard"), col("pos"), col("doc_id"), col("source"),
+        col("n_tok"))
+      .orderBy("shard", "pos")
+  }
+
+  private val q98Sql = {
+    val toks = T.sqlTokens("text")
+    val sh5 = "list_transform(range(1, len(t) - 3), i -> " +
+      "t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])"
+    s"""WITH base AS (
+       |  SELECT doc_id, source, text, $toks AS t,
+       |    CAST(len($toks) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |esh AS (
+       |  SELECT DISTINCT unnest($sh5) AS sh FROM base WHERE source = 'src0'),
+       |gated AS (
+       |  SELECT * FROM base
+       |  WHERE source <> 'src0' AND n_tok BETWEEN 20 AND 2000),
+       |deduped AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY md5(text)
+       |      ORDER BY doc_id) AS rn
+       |    FROM gated) WHERE rn = 1),
+       |contam AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id, unnest($sh5) AS sh FROM deduped) c
+       |  JOIN esh USING (sh)),
+       |clean AS (
+       |  SELECT * FROM deduped
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |mixed AS (
+       |  SELECT *, doc_id * 48271 % 2147483647 AS h
+       |  FROM clean
+       |  WHERE doc_id * 48271 % 2147483647 % 1000 <
+       |    200 + (CAST(substr(source, 4) AS BIGINT) % 4) * 200)
+       |SELECT h % 8 AS shard,
+       |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos,
+       |  doc_id, source, n_tok
+       |FROM mixed ORDER BY 1, 2""".stripMargin
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "q98_curation_pipeline" -> QueryDef(q98, Some(q98Sql)),
     "q97_sparse_cosine" -> QueryDef(q97, Some(q97Sql)),
     "q95_bpe_train" -> QueryDef(q95, Some(FixtureOracle.sql("q95_bpe_train"))),
     "q89_ngram_lm_score" -> QueryDef(q89, Some(q89Sql)),
