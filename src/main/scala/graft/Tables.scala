@@ -44,5 +44,16 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** `embeddings` with the vector column normalized to array&lt;float&gt; —
+    * the type every kernel/UDF downstream assumes. Same defensive shape
+    * as [[events]]: a regenerated testdata set that lands array&lt;double&gt;
+    * (pandas default) must degrade to a cast, not break every ANN query. */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "embeddings")
+    df.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => df
+      case _ => df.withColumn("embedding", col("embedding").cast("array<float>"))
+    }
+  }
 }
