@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.{FP, VecFns => V}
-import graft.operators.{Aggregates, Joins, KMeans}
+import graft.operators.{Aggregates, Joins, KMeans, Pca}
 
 /** Similarity search and vector analytics over the `embeddings` table
   * (64-dim `array<float>`).
@@ -781,7 +781,28 @@ object EmbeddingQueries extends QueryModule {
        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---- q99: PCA projection (embedding whitening / compression) -----------
+  // The pre-rotation pass an ANN pipeline runs before indexing (FAISS
+  // OPQ/PCA): one narrow aggregation reduces the corpus to a single packed
+  // co-moment buffer per partition (operators/Pca.scala), the d×d
+  // eigensolve happens on the driver, and the projection is a per-row map
+  // against the broadcast components. Everything up to the eigensolve is
+  // exact integer arithmetic, so the model — and the golden fixture built
+  // on it — is bit-reproducible under any parallelism.
+  private val PcaK = 8
+
+  private def q99(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val model = Pca.fit(emb, "embedding", Dim)
+    Pca.project(emb, model, "embedding", PcaK)
+      .select(col("vec_id"), posexplode(col("pc")).as(Seq("comp", "val_u")))
+      .select(col("vec_id"), col("comp").cast(LongType).as("comp"),
+        col("val_u"))
+      .orderBy("vec_id", "comp")
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "q99_pca_project" -> QueryDef(q99, Some(FixtureOracle.sql("q99_pca_project"))),
     "q69_pq_ann" -> QueryDef(q69, Some(FixtureOracle.sql("q69_pq_ann"))),
     "q87_semantic_decontam" -> QueryDef(q87, Some(q87Sql)),
     "q78_ivfpq_ann" -> QueryDef(q78, Some(FixtureOracle.sql("q78_ivfpq_ann"))),
