@@ -86,7 +86,10 @@ object TextQueries extends QueryModule {
   // ---- q32: quality scoring (length / punct / stopword ratios) -----------
   private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is")
 
-  private def q32(s: SparkSession, d: String): DataFrame = {
+  /** The q32 quality heuristic as reusable pieces — q100's calibration must
+    * rank the SAME score q32 publishes (a drifted copy would calibrate a
+    * different metric than the one the gate verifies). */
+  private def qualityPieces: (Column, Column, Column, Column) = {
     val toks = T.tokens(col("text"))
     val nTok = size(toks).cast("double")
     val stopRatio =
@@ -100,6 +103,11 @@ object TextQueries extends QueryModule {
     // density, plausible word lengths score high.
     val quality = least(nTok / 100.0, lit(1.0)) * 0.4 +
       alphaRatio * 0.3 + stopRatio * 0.2 + least(meanTokLen / 8.0, lit(1.0)) * 0.1
+    (stopRatio, alphaRatio, meanTokLen, quality)
+  }
+
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    val (stopRatio, alphaRatio, meanTokLen, quality) = qualityPieces
     docs(s, d).select(
       col("doc_id"),
       FP.micro(stopRatio).as("stop_ratio_u"),
@@ -109,17 +117,24 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
-  private val q32Sql = {
+  /** DuckDB twins of [[qualityPieces]] (stop, alpha, mtl, quality). */
+  private def sqlQualityPieces: (String, String, String, String) = {
     val toks = T.sqlTokens("text")
     val inList = Stopwords.map(w => s"'$w'").mkString(", ")
     val stop = s"len(list_filter($toks, w -> w IN ($inList)))::DOUBLE / len($toks)"
     val alpha = "length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / length(text)"
     val mtl = s"list_sum(list_transform($toks, w -> length(w)))::DOUBLE / len($toks)"
+    val quality = s"least(len($toks)/100.0, 1.0)*0.4 + ($alpha)*0.3 + ($stop)*0.2 + least(($mtl)/8.0, 1.0)*0.1"
+    (stop, alpha, mtl, quality)
+  }
+
+  private val q32Sql = {
+    val (stop, alpha, mtl, quality) = sqlQualityPieces
     s"""SELECT doc_id,
        | ${FP.sqlMicro(stop)} AS stop_ratio_u,
        | ${FP.sqlMicro(alpha)} AS alpha_ratio_u,
        | ${FP.sqlMicro(mtl)} AS mean_tok_len_u,
-       | ${FP.sqlMicro(s"least(len($toks)/100.0, 1.0)*0.4 + ($alpha)*0.3 + ($stop)*0.2 + least(($mtl)/8.0, 1.0)*0.1")} AS quality_u
+       | ${FP.sqlMicro(quality)} AS quality_u
        |FROM documents ORDER BY 1""".stripMargin
   }
 
@@ -619,6 +634,114 @@ object TextQueries extends QueryModule {
        |  coalesce(h.n_eval_docs, 0) AS n_eval_docs,
        |  (coalesce(h.n_hit, 0) * 1000) // b.n_shingles AS contam_pm
        |FROM base b LEFT JOIN hits h USING (doc_id) ORDER BY 1""".stripMargin
+  }
+
+  // ---- q79: contamination SPANS (longest contiguous eval overlap) --------
+  // q57 counts how many eval shingles a document shares; span detection
+  // answers the question decontamination actually acts on: is the overlap
+  // a few scattered phrases (benign) or one long verbatim quote of a
+  // benchmark item (leak)? Positions ride the shingle explode, the eval
+  // hash set broadcasts (q57's shape — the corpus is never shuffled by
+  // shingle), and only MATCHED (doc, pos) rows reach the per-doc
+  // aggregation, so reducer input is bounded by the contamination itself,
+  // not the corpus. The longest run over the sorted matched positions is
+  // one in-row aggregate() scan (q54's run-length trick); the oracle finds
+  // the same islands with the classic pos − row_number() gaps-and-islands.
+  private def q79(s: SparkSession, d: String): DataFrame = {
+    val k = DecontamK
+    val base = docs(s, d)
+      .withColumn("ws", T.tokens(col("text")))
+      .select(col("doc_id"),
+        posexplode(T.shingles(col("ws"), k)).as(Seq("pos0", "sh")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        T.charHash(col("sh")).as("h"))
+    val ev = base.filter(col("doc_id") % EvalMod === 0).select(col("h")).distinct()
+    val hits = base.filter(col("doc_id") % EvalMod =!= 0)
+      .join(broadcast(ev), "h")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("pos"))).as("ps"))
+    val run = aggregate(col("ps"),
+      struct(lit(-2).as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val r = when(x === acc.getField("prev") + 1, acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), r.as("run"),
+          greatest(acc.getField("best"), r).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs(s, d).filter(col("doc_id") % EvalMod =!= 0).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(size(col("ps")), lit(0)).cast(LongType).as("n_hit_pos"),
+        coalesce(run, lit(0L)).as("max_run"),
+        when(col("ps").isNull, lit(0L))
+          .otherwise(run + (k - 1)).as("max_span_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val q79Sql = {
+    val k = DecontamK
+    val shingleAt = (0 until k).map(o => s"ws[i + $o]").mkString(" || ' ' || ")
+    s"""WITH base AS (SELECT doc_id, ${T.sqlTokens("text")} AS ws FROM documents),
+       |sh AS (
+       |  SELECT doc_id, i AS pos, ${T.sqlCharHash(s"($shingleAt)")} AS h
+       |  FROM base, unnest(range(1, len(ws) - ${k - 2})) AS t(i)),
+       |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % $EvalMod = 0),
+       |hits AS (
+       |  SELECT DISTINCT s.doc_id, s.pos FROM sh s JOIN ev USING (h)
+       |  WHERE s.doc_id % $EvalMod <> 0),
+       |runs AS (
+       |  SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM hits),
+       |island AS (SELECT doc_id, grp, count(*) AS run FROM runs GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_hit_pos, max(run) AS max_run
+       |  FROM runs JOIN island USING (doc_id, grp) GROUP BY 1)
+       |SELECT b.doc_id,
+       |  coalesce(a.n_hit_pos, 0) AS n_hit_pos,
+       |  coalesce(a.max_run, 0) AS max_run,
+       |  CASE WHEN a.max_run IS NULL THEN 0
+       |       ELSE a.max_run + ${k - 1} END AS max_span_tokens
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % $EvalMod <> 0) b
+       |LEFT JOIN agg a USING (doc_id) ORDER BY 1""".stripMargin
+  }
+
+  // ---- q100: per-source quality calibration (percentile normalization) ---
+  // Raw quality scores are not comparable ACROSS sources (a mid-tier web
+  // page outscores a top-tier forum post on the same heuristic), so mixing
+  // recipes threshold the per-source PERCENTILE, not the raw score — the
+  // CCNet bucketing pattern. One window per source partition (never a
+  // global sort; sources calibrate independently, so at corpus scale the
+  // work spreads over sources and the skew bound is the largest single
+  // source). The (quality_u, doc_id) order makes ranks unique and
+  // percent_rank = (rank−1)/(n−1) an exactly-rounded IEEE quotient of
+  // integers — engine-exact, so the oracle hash-matches the µ-rounded
+  // percentile bit-for-bit.
+  private val KeepPctU = 500000L // keep the top half of each source
+
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    val (_, _, _, quality) = qualityPieces
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("quality_u"), col("doc_id"))
+    docs(s, d)
+      .select(col("doc_id"), col("source"), FP.micro(quality).as("quality_u"))
+      .withColumn("pct_u", FP.micro(percent_rank().over(w)))
+      .withColumn("keep", col("pct_u") >= KeepPctU)
+      .orderBy("doc_id")
+  }
+
+  private val q100Sql = {
+    val (_, _, _, quality) = sqlQualityPieces
+    s"""WITH q AS (
+       |  SELECT doc_id, source, ${FP.sqlMicro(quality)} AS quality_u
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, source, quality_u,
+       |    ${FP.sqlMicro("percent_rank() OVER (PARTITION BY source ORDER BY quality_u, doc_id)")} AS pct_u
+       |  FROM q)
+       |SELECT doc_id, source, quality_u, pct_u, pct_u >= $KeepPctU AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
   }
 
   // ---- q58: sequence packing (context-window assembly) -------------------
@@ -1389,6 +1512,8 @@ object TextQueries extends QueryModule {
     "q65_bm25_rank" -> QueryDef(q65, Some(q65Sql)),
     "q66_doc_chunking" -> QueryDef(q66, Some(q66Sql)),
     "q57_decontamination" -> QueryDef(q57, Some(q57Sql)),
+    "q79_contam_spans" -> QueryDef(q79, Some(q79Sql)),
+    "q100_quality_calibrate" -> QueryDef(q100, Some(q100Sql)),
     "q58_sequence_packing" -> QueryDef(q58, Some(q58Sql)),
     "q54_repetition_signals" -> QueryDef(q54, Some(q54Sql)),
     "q55_pii_redaction" -> QueryDef(q55, Some(q55Sql)),
