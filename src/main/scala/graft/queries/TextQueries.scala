@@ -189,14 +189,14 @@ object TextQueries extends QueryModule {
   private def q34(s: SparkSession, d: String): DataFrame =
     q34Body(s, d).orderBy("d1", "d2")
 
-  private def q34Body(s: SparkSession, d: String): DataFrame = {
-    // repartition BEFORE the hash projection: a small parquet file scans as
-    // one task, and the shingle hashing must run on all cores, after the
-    // Exchange (which also stops CollapseProject from inlining it into
-    // every downstream reference). Kernels are the compiled twins of the
-    // HOF spec in TextFns — bit-identical to the DuckDB oracle.
-    val base = docs(s, d)
-      .repartition(col("doc_id"))
+  /** (doc_id, hs, band, key) LSH band buckets for a documents frame — THE
+    * band construction, shared by the q34 pair join, the q101 streaming
+    * first-seen dedup, and the StreamingSpec replay (a second copy
+    * drifting would bucket stream-side docs differently from the batch
+    * dedup and silently miss duplicates). Public: the streaming spec
+    * feeds it a MemoryStream frame. */
+  def minhashBandFrame(docsDf: DataFrame): DataFrame = {
+    val base = docsDf
       .select(col("doc_id"), T.shingleHashesPacked(3)(col("text")).as("hs"))
     val withSigs = base
       .withColumn("sigs", T.minhashSigsPacked(col("hs")))
@@ -205,7 +205,7 @@ object TextQueries extends QueryModule {
           (0 until T.MinHashK).map(j =>
             element_at(col("sigs"), j + 1).as(s"sig$j"))): _*)
     // band key = the signature slice, stringified (portable join key)
-    val bands = withSigs.select(
+    withSigs.select(
       col("doc_id"), col("hs"),
       explode(array((0 until T.MinHashBands).map { b =>
         struct(lit(b).as("band"),
@@ -213,6 +213,15 @@ object TextQueries extends QueryModule {
             .map(r => col(s"sig${b * T.MinHashRows + r}")): _*).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("hs"), col("bk.band"), col("bk.key"))
+  }
+
+  private def q34Body(s: SparkSession, d: String): DataFrame = {
+    // repartition BEFORE the hash projection: a small parquet file scans as
+    // one task, and the shingle hashing must run on all cores, after the
+    // Exchange (which also stops CollapseProject from inlining it into
+    // every downstream reference). Kernels are the compiled twins of the
+    // HOF spec in TextFns — bit-identical to the DuckDB oracle.
+    val bands = minhashBandFrame(docs(s, d).repartition(col("doc_id")))
     val l = bands.select(col("band"), col("key"),
       col("doc_id").as("d1"), col("hs").as("hs1"))
     val r = bands.select(col("band"), col("key"),
@@ -293,6 +302,62 @@ object TextQueries extends QueryModule {
        |SELECT id AS doc_id, min(r) AS cluster,
        |  (id = min(r)) AS is_canonical
        |FROM reach GROUP BY id ORDER BY 1""".stripMargin
+
+  // ---- q101: streaming near-dup first-seen (ingest-side LSH dedup) -------
+  // The INGEST half of near-dedup: as documents arrive, is each one a
+  // near-duplicate of ANYTHING seen so far? State is the per-bucket
+  // first-seen table (streaming/DocStreams.bucketFirstSeen — one row per
+  // distinct LSH band bucket, min/count so arrival order cannot change the
+  // converged answer; StreamingSpec replays it through a MemoryStream).
+  // This batch twin IS the verified query: every doc resolves to the
+  // smallest doc_id sharing any band bucket. Docs too short to shingle
+  // (empty hs) are their own canonical — they get an all-sentinel
+  // signature that would otherwise bucket every empty doc together (the
+  // SQL side's NULL keys never join, so the filter also keeps the two
+  // engines on the same candidate set).
+  private def q101(s: SparkSession, d: String): DataFrame = {
+    val bands = minhashBandFrame(docs(s, d).repartition(col("doc_id")))
+      .filter(length(col("hs")) > 0) // hs is the PACKED byte set
+      .select(col("doc_id"), col("band"), col("key"))
+    val first = graft.streaming.DocStreams.bucketFirstSeen(bands)
+    val dupOf = bands.join(first, Seq("band", "key"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("first_id")).as("dup0"))
+    docs(s, d).select(col("doc_id"))
+      .join(dupOf, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup0"), col("doc_id")).as("dup_of"),
+        (coalesce(col("dup0"), col("doc_id")) < col("doc_id")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  private val q101Sql = {
+    val sigExprs = (0 until T.MinHashK)
+      .map(j => s"${T.sqlMinhash("hs", j)} AS sig$j").mkString(",\n    ")
+    val bandSelects = (0 until T.MinHashBands).map { b =>
+      val key = (0 until T.MinHashRows)
+        .map(r => s"sig${b * T.MinHashRows + r}").mkString(" || ':' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sigs WHERE len(hs) > 0"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      ${T.sqlShingles(s"(${T.sqlTokens("text")})", 3)},
+       |      sh -> ${T.sqlCharHash("sh")})) AS hs
+       |  FROM documents),
+       |sigs AS (SELECT doc_id, hs, $sigExprs FROM base),
+       |bands AS (
+       |  $bandSelects),
+       |m AS (SELECT band, key, min(doc_id) AS first_id FROM bands GROUP BY 1, 2),
+       |j AS (
+       |  SELECT b.doc_id, min(m.first_id) AS dup0
+       |  FROM bands b JOIN m ON b.band = m.band AND b.key = m.key
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(j.dup0, d.doc_id) AS dup_of,
+       |  coalesce(j.dup0, d.doc_id) < d.doc_id AS is_dup
+       |FROM documents d LEFT JOIN j USING (doc_id) ORDER BY 1""".stripMargin
+  }
 
   // ---- q35: SimHash near-duplicate pairs (Hamming LSH) -------------------
   private val MaxHamming = 8
@@ -1527,5 +1592,6 @@ object TextQueries extends QueryModule {
     "q36_ngram_jaccard" -> QueryDef(q36, Some(q36Sql)),
     "q37_fingerprint" -> QueryDef(q37, Some(q37Sql)),
     "q38_dedup_clusters" -> QueryDef(q38, Some(q38Sql)),
+    "q101_stream_neardup" -> QueryDef(q101, Some(q101Sql)),
     "q39_corpus_stats" -> QueryDef(q39, Some(q39Sql)))
 }

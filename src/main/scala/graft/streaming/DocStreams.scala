@@ -1,0 +1,29 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming document dedup — the near-duplicate twin of
+  * [[EventStreams.dedupFirstSeen]].
+  *
+  * Written once against an unbounded frame: in batch it is a plain
+  * aggregation; under streaming the state is ONE row per distinct LSH
+  * band bucket (min + count are order-independent, so arrival order
+  * cannot change the converged result — StreamingSpec replays a batch
+  * through MemoryStream and asserts equality). At corpus scale bucket
+  * cardinality is the state bound, tuned by the same band/row knobs as
+  * the batch near-dup family; an ingest pipeline keeps this running and
+  * gets "is this new document a near-dup of ANYTHING seen so far"
+  * without rescanning the corpus.
+  */
+object DocStreams {
+  /** First-seen doc per LSH band bucket. `bands` must carry
+    * (doc_id, band, key) — built by the SHARED band construction
+    * ([[graft.queries.TextQueries.minhashBandFrame]]); a second copy
+    * drifting would bucket stream-side docs differently from the batch
+    * dedup and silently miss duplicates. */
+  def bucketFirstSeen(bands: DataFrame): DataFrame =
+    bands.groupBy(col("band"), col("key"))
+      .agg(min(col("doc_id")).as("first_id"),
+        count(lit(1)).as("n_docs"))
+}

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.EventStreams
+import graft.streaming.{DocStreams, EventStreams}
 
 /** Streaming/batch consistency: the same EventStreams transformations run
   * over a MemoryStream must converge to the batch result on the same
@@ -17,6 +17,9 @@ case class Ev(ts: Long, user_id: Long, event_type: String, value: Double,
 
 /** Event row for the stream-stream interval-join test (needs event_id). */
 case class EvJ(ts: Long, user_id: Long, event_type: String, event_id: Long)
+
+/** Document row for the streaming near-dup test. */
+case class StreamDoc(doc_id: Long, text: String)
 
 /** Minimal profile row for the incremental-atlas test (the columns
   * [[graft.argo.Atlas.pairs]] touches). */
@@ -267,6 +270,43 @@ class StreamingSpec extends SparkSuite {
         .as[(Long, Long, Long, Long, Long)].collect().toSet
       assert(streamed === batch)
       assert(batch.size > 4) // real multi-session structure per user
+    } finally sq.stop()
+  }
+
+  test("near-dup bucketFirstSeen over MemoryStream equals the batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    // small vocabulary → genuine bucket collisions; the i % 5 docs are
+    // verbatim repeats, so first-seen state resolves real duplicates
+    val docsIn = (0 until 60).map { i =>
+      val words = (0 until 8).map(j => s"w${(i * 3 + j * 7) % 11}").mkString(" ")
+      StreamDoc(i.toLong,
+        if (i % 5 == 0) "alpha beta gamma delta epsilon zeta" else words)
+    }
+    def buckets(df: org.apache.spark.sql.DataFrame) =
+      DocStreams.bucketFirstSeen(
+        graft.queries.TextQueries.minhashBandFrame(df)
+          .filter(length($"hs") > 0) // hs is the PACKED byte set
+          .select($"doc_id", $"band", $"key"))
+    val mem = MemoryStream[StreamDoc]
+    val sq = buckets(mem.toDF())
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("complete")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-nd").toString)
+      .start()
+    try {
+      mem.addData(docsIn.take(30))
+      sq.processAllAvailable()
+      mem.addData(docsIn.drop(30))
+      sq.processAllAvailable()
+      val streamed = spark.table("neardup_stream")
+        .as[(Int, String, Long, Long)].collect().toSet
+      val batch = buckets(docsIn.toDF())
+        .as[(Int, String, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+      // the verbatim repeats share every band bucket with doc 0
+      assert(batch.exists { case (_, _, firstId, n) => firstId == 0L && n >= 12 })
     } finally sq.stop()
   }
 }
