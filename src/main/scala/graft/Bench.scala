@@ -134,6 +134,23 @@ object Bench {
       results2.get(q).flatten.collect { case (dt, rows) if dt > 0 && rows > 0 =>
         (rows / dt, rows)
       }
+    // Scale probe: the atlas pair join's NON-broadcast branch — the plan a
+    // global 1/4° grid runs (the exploded grid side exceeds any broadcast
+    // budget and falls back to a shuffle hash join on bin keys). The cap
+    // forced to 0 makes the fallback run at bench scale, so the branch a
+    // 100 TB deployment lives in carries a measured number, not just a
+    // plan assertion (ArgoPipelineSpec pins shape and results).
+    val fallbackSec: Option[Double] = {
+      try {
+        spark.conf.set("spark.graft.atlasBroadcastMaxRows", "0")
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries("q71_argo_atlas")(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] atlas_fallback          $dt%8.2f s ($n rows)")
+        if (n > 0) Some(dt) else None
+      } catch { case _: Throwable => None }
+      finally spark.conf.unset("spark.graft.atlasBroadcastMaxRows")
+    }
     val nCores = cpus.toDouble
     val stages = (
       tput("q70_argo_interp").map { case (ps, n) =>
@@ -144,6 +161,7 @@ object Bench {
       tput("q71_argo_atlas").map { case (cs, n) =>
         Seq(s""""atlas_cell_levels_per_sec":${r3(cs)}""", s""""atlas_cell_levels":$n""")
       }.getOrElse(Nil) ++
+      fallbackSec.map(dt => Seq(s""""atlas_fallback_sec":${r3(dt)}""")).getOrElse(Nil) ++
       Seq(s""""cores":${cpus.toInt}""")).mkString("{", ",", "}")
     val failedPart =
       if (failed.isEmpty) "" else failed.mkString(""","failed":[""", ",", "]")

@@ -934,6 +934,119 @@ object TextQueries extends QueryModule {
        |WHERE rnk <= 50 ORDER BY rnk""".stripMargin
   }
 
+  // ---- q102: hybrid retrieval — BM25 ⊕ TF-IDF cosine, RRF fusion ---------
+  // Production retrieval rarely trusts one ranker: the standard hybrid
+  // stack runs a lexical scorer and a vector scorer for the same query and
+  // fuses the two top-k lists with reciprocal-rank fusion
+  // (score = Σ 1/(k₀ + rank), k₀ = 60 — rank-based, so the two score
+  // scales never need calibrating). Here both arms are already-verified
+  // machinery over the same fixed query terms: the q65 BM25 top-50, and a
+  // full-norm TF-IDF cosine of the query pseudo-doc (tf = 1 per term)
+  // against every document — the q97 forward-index shape WITHOUT the df
+  // cap (the query terms are deliberately common; dropping them would rank
+  // nothing). Fusion itself touches only the two 50-row lists: a
+  // full-outer join + one exactly-rounded arithmetic expression, then the
+  // q65 top-k pattern (orderBy.limit → TakeOrderedAndProject; the rank
+  // window runs over 20 pre-sorted rows).
+  private val RrfK0 = 60
+
+  private def q102(s: SparkSession, d: String): DataFrame = {
+    val bm = q65(s, d).select(col("doc_id"), col("rnk").as("bm25_rnk"))
+    // forward index (see q97: materialized once, doc_id-partitioned so the
+    // per-doc aggregations below need no further exchange)
+    val tf = docs(s, d)
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .repartition(col("doc_id"))
+      .localCheckpoint()
+    val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
+    val weights = tf
+      .join(broadcast(dfreq), Seq("w"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("w"),
+        FP.micro(col("tf") * log(col("n_docs") / col("dfreq"))).as("u"))
+    val norms = weights.groupBy(col("doc_id"))
+      .agg(sum(col("u") * col("u")).as("nrm2_u"))
+    // the query as a pseudo-doc: tf = 1 per term → qu = µ(idf)
+    val qw = dfreq.filter(col("w").isInCollection(BmTerms))
+      .crossJoin(broadcast(nDocs))
+      .select(col("w"),
+        FP.micro(log(col("n_docs") / col("dfreq"))).as("qu"))
+    val qn = qw.agg(sum(col("qu") * col("qu")).as("qn2"))
+    val dots = weights.join(broadcast(qw), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("qu") * col("u")).as("dot_u"))
+    val cosd = dots.join(norms, Seq("doc_id")).crossJoin(broadcast(qn))
+      .withColumn("cos_u", FP.micro(col("dot_u").cast("double") /
+        (sqrt(col("qn2").cast("double")) * sqrt(col("nrm2_u").cast("double")))))
+    val wc = Window.orderBy(col("cos_u").desc, col("doc_id"))
+    val cr = cosd.orderBy(col("cos_u").desc, col("doc_id")).limit(50)
+      .withColumn("cos_rnk", row_number().over(wc).cast(LongType))
+      .select(col("doc_id"), col("cos_rnk"))
+    val fused = bm.join(cr, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_u", FP.micro(
+        coalesce(lit(1.0) / (lit(RrfK0) + col("bm25_rnk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK0) + col("cos_rnk")), lit(0.0))))
+    val wr = Window.orderBy(col("rrf_u").desc, col("doc_id"))
+    fused.orderBy(col("rrf_u").desc, col("doc_id")).limit(20)
+      .withColumn("rank", row_number().over(wr).cast(LongType))
+      .select(col("doc_id"), col("bm25_rnk"), col("cos_rnk"),
+        col("rrf_u"), col("rank"))
+      .orderBy("rank")
+  }
+
+  private val q102Sql = {
+    val toks = T.sqlTokens("text")
+    val terms = BmTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tf AS (
+       |  SELECT doc_id, w, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest($toks) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY 1, 2),
+       |nd AS (SELECT count(*) AS n_docs FROM documents),
+       |dfreq AS (SELECT w, count(*) AS dfreq FROM tf GROUP BY 1),
+       |weights AS (
+       |  SELECT t.doc_id, t.w,
+       |    ${FP.sqlMicro("t.tf * ln(CAST(nd.n_docs AS DOUBLE) / dfreq.dfreq)")} AS u
+       |  FROM tf t JOIN dfreq USING (w) CROSS JOIN nd),
+       |norms AS (
+       |  SELECT doc_id, CAST(sum(u * u) AS BIGINT) AS nrm2_u
+       |  FROM weights GROUP BY 1),
+       |qw AS (
+       |  SELECT w, ${FP.sqlMicro("ln(CAST(nd.n_docs AS DOUBLE) / dfreq.dfreq)")} AS qu
+       |  FROM dfreq CROSS JOIN nd WHERE w IN ($terms)),
+       |qn AS (SELECT CAST(sum(qu * qu) AS BIGINT) AS qn2 FROM qw),
+       |dots AS (
+       |  SELECT x.doc_id, CAST(sum(q.qu * x.u) AS BIGINT) AS dot_u
+       |  FROM weights x JOIN qw q USING (w) GROUP BY 1),
+       |cosd AS (
+       |  SELECT d.doc_id,
+       |    ${FP.sqlMicro(
+            "CAST(d.dot_u AS DOUBLE) / (sqrt(CAST(qn.qn2 AS DOUBLE)) * " +
+              "sqrt(CAST(n.nrm2_u AS DOUBLE)))")} AS cos_u
+       |  FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qn),
+       |cr AS (
+       |  SELECT doc_id, crnk FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY cos_u DESC, doc_id)
+       |      AS crnk FROM cosd)
+       |  WHERE crnk <= 50),
+       |bmr AS (SELECT doc_id, rnk FROM ($q65Sql) qq),
+       |f AS (
+       |  SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+       |    b.rnk AS bm25_rnk, c.crnk AS cos_rnk
+       |  FROM bmr b FULL JOIN cr c ON b.doc_id = c.doc_id),
+       |r AS (
+       |  SELECT doc_id, bm25_rnk, cos_rnk,
+       |    ${FP.sqlMicro(s"coalesce(1.0 / ($RrfK0 + bm25_rnk), 0.0) + " +
+            s"coalesce(1.0 / ($RrfK0 + cos_rnk), 0.0)")} AS rrf_u
+       |  FROM f)
+       |SELECT doc_id, bm25_rnk, cos_rnk, rrf_u, rank FROM (
+       |  SELECT *, row_number() OVER (ORDER BY rrf_u DESC, doc_id) AS rank
+       |  FROM r)
+       |WHERE rank <= 20 ORDER BY rank""".stripMargin
+  }
+
   // ---- q66: document chunking into overlapping context windows -----------
   // Training-data prep: split each document's token sequence into
   // fixed-size windows (64 tokens, stride 48 → 16-token overlap for
@@ -1575,6 +1688,7 @@ object TextQueries extends QueryModule {
     "q88_source_mixing" -> QueryDef(q88, Some(q88Sql)),
     "q68_span_dedup" -> QueryDef(q68, Some(q68Sql)),
     "q65_bm25_rank" -> QueryDef(q65, Some(q65Sql)),
+    "q102_hybrid_rank" -> QueryDef(q102, Some(q102Sql)),
     "q66_doc_chunking" -> QueryDef(q66, Some(q66Sql)),
     "q57_decontamination" -> QueryDef(q57, Some(q57Sql)),
     "q79_contam_spans" -> QueryDef(q79, Some(q79Sql)),
