@@ -22,27 +22,33 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Normalize a time column to a session-timezone TIMESTAMP at µs
+    * precision, whatever the generator wrote: INT64 TIMESTAMP(NANOS)
+    * (read as epoch-nano longs under `nanosAsLong`), TIMESTAMP_NTZ
+    * (pandas naive µs), DATE, or a plain UTC timestamp. The `ts` physical
+    * type has ALREADY changed once across driver testdata regens and broke
+    * every event query for a round — so every time column the queries
+    * touch goes through this, and downstream code reads time solely via
+    * `unix_micros`, keeping exact µs semantics (the precision DuckDB's
+    * oracle reader also lands on). */
+  private def normTs(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case LongType      => df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      case TimestampType => df
+      case _             => df.withColumn(c, col(c).cast(TimestampType))
+    }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events` with `ts` normalized to a session-timezone TIMESTAMP at µs
-    * precision, whatever the generator wrote: INT64 TIMESTAMP(NANOS)
-    * (read as epoch-nano longs under `nanosAsLong`), TIMESTAMP_NTZ
-    * (pandas naive µs), or a plain UTC timestamp. Downstream code reads
-    * event time solely via `unix_micros(ts)`, so every query keeps exact
-    * µs semantics — the precision DuckDB's oracle reader also lands on. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val df = load(s, d, "events")
-    df.schema("ts").dataType match {
-      case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampType => df
-      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
-    }
-  }
+  def orders(s: SparkSession, d: String): DataFrame =
+    normTs(load(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    normTs(load(s, d, "lineitem"), "l_shipdate")
+  def events(s: SparkSession, d: String): DataFrame =
+    normTs(load(s, d, "events"), "ts")
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   /** `embeddings` with the vector column normalized to array&lt;float&gt; —
     * the type every kernel/UDF downstream assumes. Same defensive shape
