@@ -1447,6 +1447,43 @@ object TextQueries extends QueryModule {
       .orderBy("step")
   }
 
+  // ---- q103: corpus tokenization under the TRAINED BPE vocabulary --------
+  // Closes the loop q95 opens: train the merge table, then APPLY it to
+  // every document — the pass that actually produces a training corpus's
+  // token stream. Application is a narrow per-row map against the
+  // driver-held merge table (tokenization at corpus scale is
+  // embarrassingly parallel; the model rides the closure like the k-means
+  // centroids), sharing Bpe.symbolize with the trainer so the applied
+  // rules are exactly the learned ones (BpeSpec pins the greedy-leftmost
+  // semantics; this query gives the APPLY path a driver-gated oracle row
+  // of its own). Word tokenization mirrors the training histogram's
+  // (lower, \s+ split, drop empties) — a drifted copy would tokenize
+  // words the vocabulary never saw.
+  private def q103(s: SparkSession, d: String): DataFrame = {
+    val words = docs(s, d)
+      .select(explode(T.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    val merges = Bpe.train(words, "w", "wc", BpeMerges)
+      .map(m => (m.left, m.right))
+    val tokUdf = udf((text: String) => {
+      val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      var n = 0L
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      ws.foreach { w =>
+        val syms = Bpe.symbolize(w, merges)
+        n += syms.length
+        seen ++= syms
+      }
+      (ws.length.toLong, n, seen.size.toLong)
+    })
+    docs(s, d)
+      .select(col("doc_id"), tokUdf(col("text")).as("t"))
+      .select(col("doc_id"), col("t._1").as("n_words"),
+        col("t._2").as("n_subtok"), col("t._3").as("n_distinct_subtok"))
+      .orderBy("doc_id")
+  }
+
   // ---- q97: sparse TF-IDF cosine top-k (inverted-index join) -------------
   // The SPARSE-retrieval complement to the dense ANN family (q40-q46,
   // q69/q78): documents as TF-IDF vectors, similarity computed term-at-
@@ -1682,6 +1719,7 @@ object TextQueries extends QueryModule {
     "q98_curation_pipeline" -> QueryDef(q98, Some(q98Sql)),
     "q97_sparse_cosine" -> QueryDef(q97, Some(q97Sql)),
     "q95_bpe_train" -> QueryDef(q95, Some(FixtureOracle.sql("q95_bpe_train"))),
+    "q103_bpe_tokenize" -> QueryDef(q103, Some(FixtureOracle.sql("q103_bpe_tokenize"))),
     "q89_ngram_lm_score" -> QueryDef(q89, Some(q89Sql)),
     "q96_train_shuffle" -> QueryDef(q96, Some(q96Sql)),
     "q86_corpus_merge" -> QueryDef(q86, Some(q86Sql)),
