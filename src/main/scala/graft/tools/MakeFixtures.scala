@@ -24,6 +24,11 @@ object MakeFixtures {
 
   def main(args: Array[String]): Unit = {
     val testRoot = args.headOption.getOrElse("/root/testdata")
+    // optional 2nd arg: comma-separated name prefixes — regenerate ONLY
+    // those fixtures (adding one query shouldn't churn every committed
+    // part-file name; results are deterministic, so a partial regen can
+    // never drift the others)
+    val only = args.lift(1).map(_.split(",").toSeq)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
@@ -32,7 +37,8 @@ object MakeFixtures {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for ((sf, _) <- FixtureOracle.Scales; name <- FixtureQueries) {
+    for ((sf, _) <- FixtureOracle.Scales;
+         name <- FixtureQueries if only.forall(_.exists(name.startsWith))) {
       val df = SparkEntry.queries(name)(spark, s"$testRoot/$sf")
       df.coalesce(1).write.mode("overwrite")
         .parquet(s"${FixtureOracle.Root}/$sf/$name.parquet")
