@@ -35,6 +35,11 @@ object Tables {
     df.schema(c).dataType match {
       case LongType      => df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
       case TimestampType => df
+      // DATE stays DATE: the DuckDB oracle reads the same parquet and
+      // would keep it a date — casting to timestamp here would make Spark
+      // outputs diverge from the oracle, the opposite of this helper's
+      // job. Date comparisons/extractions downstream work on either type.
+      case org.apache.spark.sql.types.DateType => df
       case _             => df.withColumn(c, col(c).cast(TimestampType))
     }
 

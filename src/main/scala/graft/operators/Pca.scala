@@ -91,23 +91,28 @@ object Pca {
     * eigensolve sees the same integer sums. */
   def fit(vecs0: DataFrame, vecCol: String, dim: Int,
           allowDriverFastPath: Boolean = true): Model = {
-    val vecs = vecs0.select(col(vecCol).cast("array<float>").as("v"))
-    val len = 1 + dim + dim * (dim + 1) / 2
-    val rowCap = math.max(1L, Joins.maxRows(vecs) / math.max(1, dim / 2))
-    val sums: Array[Long] =
-      if (allowDriverFastPath && vecs.count() <= rowCap) {
-        val b = new Array[Long](len)
-        vecs.collect().foreach { r =>
-          val xs = r.getSeq[Float](0)
-          if (xs != null && xs.length >= dim) accumulate(b, xs, dim)
+    // persist around the count + (collect | agg) pair, like KMeans.fit:
+    // without it the size probe and the accumulation each re-run the
+    // upstream scan/projection
+    val vecs = vecs0.select(col(vecCol).cast("array<float>").as("v")).persist()
+    try {
+      val len = 1 + dim + dim * (dim + 1) / 2
+      val rowCap = math.max(1L, Joins.maxRows(vecs) / math.max(1, dim / 2))
+      val sums: Array[Long] =
+        if (allowDriverFastPath && vecs.count() <= rowCap) {
+          val b = new Array[Long](len)
+          vecs.collect().foreach { r =>
+            val xs = r.getSeq[Float](0)
+            if (xs != null && xs.length >= dim) accumulate(b, xs, dim)
+          }
+          b
+        } else {
+          vecs.agg(udaf(new CoMomentFP(dim), ExpressionEncoder[Seq[Float]]())
+            .apply(col("v")).as("s"))
+            .head().getSeq[Long](0).toArray
         }
-        b
-      } else {
-        vecs.agg(udaf(new CoMomentFP(dim), ExpressionEncoder[Seq[Float]]())
-          .apply(col("v")).as("s"))
-          .head().getSeq[Long](0).toArray
-      }
-    fromSums(sums, dim)
+      fromSums(sums, dim)
+    } finally vecs.unpersist(blocking = false)
   }
 
   /** Covariance from the packed integer sums, then the eigensolve. */

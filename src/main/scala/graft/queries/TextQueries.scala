@@ -716,6 +716,12 @@ object TextQueries extends QueryModule {
     val k = DecontamK
     val base = docs(s, d)
       .withColumn("ws", T.tokens(col("text")))
+      // docs too short to shingle contribute NO rows (and land in the
+      // final left join with zeros, like the oracle): the Column-form
+      // T.shingles indexes element_at past the array end for size < k —
+      // sequence(0, greatest(size-k, -1)) is [0, -1], not empty — so the
+      // guard is load-bearing, not cosmetic
+      .filter(size(col("ws")) >= k)
       .select(col("doc_id"),
         posexplode(T.shingles(col("ws"), k)).as(Seq("pos0", "sh")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"),
@@ -952,14 +958,7 @@ object TextQueries extends QueryModule {
 
   private def q102(s: SparkSession, d: String): DataFrame = {
     val bm = q65(s, d).select(col("doc_id"), col("rnk").as("bm25_rnk"))
-    // forward index (see q97: materialized once, doc_id-partitioned so the
-    // per-doc aggregations below need no further exchange)
-    val tf = docs(s, d)
-      .select(col("doc_id"), explode(T.tokens(col("text"))).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      .repartition(col("doc_id"))
-      .localCheckpoint()
+    val tf = forwardIndex(s, d)
     val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
     val weights = tf
@@ -967,20 +966,27 @@ object TextQueries extends QueryModule {
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("w"),
         FP.micro(col("tf") * log(col("n_docs") / col("dfreq"))).as("u"))
+    // Norms/dots widen to decimal(38,0) BEFORE the multiply: without q97's
+    // df cap, a stopword-grade term in a long document can push u past
+    // ~3e9, where u·u overflows a Long (ANSI abort in Spark; silent
+    // HUGEINT promotion in DuckDB — the engines would diverge exactly when
+    // it matters). Decimal sums are exact integers, and the final
+    // decimal→double casts are correctly rounded in both engines, so the
+    // µ-rounded cosine stays engine-exact.
     val norms = weights.groupBy(col("doc_id"))
-      .agg(sum(col("u") * col("u")).as("nrm2_u"))
+      .agg(sum(col("u").cast("decimal(38,0)") * col("u")).as("nrm2"))
     // the query as a pseudo-doc: tf = 1 per term → qu = µ(idf)
     val qw = dfreq.filter(col("w").isInCollection(BmTerms))
       .crossJoin(broadcast(nDocs))
       .select(col("w"),
         FP.micro(log(col("n_docs") / col("dfreq"))).as("qu"))
-    val qn = qw.agg(sum(col("qu") * col("qu")).as("qn2"))
+    val qn = qw.agg(sum(col("qu").cast("decimal(38,0)") * col("qu")).as("qn2"))
     val dots = weights.join(broadcast(qw), Seq("w"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("qu") * col("u")).as("dot_u"))
+      .agg(sum(col("qu").cast("decimal(38,0)") * col("u")).as("dot"))
     val cosd = dots.join(norms, Seq("doc_id")).crossJoin(broadcast(qn))
-      .withColumn("cos_u", FP.micro(col("dot_u").cast("double") /
-        (sqrt(col("qn2").cast("double")) * sqrt(col("nrm2_u").cast("double")))))
+      .withColumn("cos_u", FP.micro(col("dot").cast("double") /
+        (sqrt(col("qn2").cast("double")) * sqrt(col("nrm2").cast("double")))))
     val wc = Window.orderBy(col("cos_u").desc, col("doc_id"))
     val cr = cosd.orderBy(col("cos_u").desc, col("doc_id")).limit(50)
       .withColumn("cos_rnk", row_number().over(wc).cast(LongType))
@@ -1011,20 +1017,20 @@ object TextQueries extends QueryModule {
        |    ${FP.sqlMicro("t.tf * ln(CAST(nd.n_docs AS DOUBLE) / dfreq.dfreq)")} AS u
        |  FROM tf t JOIN dfreq USING (w) CROSS JOIN nd),
        |norms AS (
-       |  SELECT doc_id, CAST(sum(u * u) AS BIGINT) AS nrm2_u
+       |  SELECT doc_id, sum(CAST(u AS HUGEINT) * u) AS nrm2
        |  FROM weights GROUP BY 1),
        |qw AS (
        |  SELECT w, ${FP.sqlMicro("ln(CAST(nd.n_docs AS DOUBLE) / dfreq.dfreq)")} AS qu
        |  FROM dfreq CROSS JOIN nd WHERE w IN ($terms)),
-       |qn AS (SELECT CAST(sum(qu * qu) AS BIGINT) AS qn2 FROM qw),
+       |qn AS (SELECT sum(CAST(qu AS HUGEINT) * qu) AS qn2 FROM qw),
        |dots AS (
-       |  SELECT x.doc_id, CAST(sum(q.qu * x.u) AS BIGINT) AS dot_u
+       |  SELECT x.doc_id, sum(CAST(q.qu AS HUGEINT) * x.u) AS dot
        |  FROM weights x JOIN qw q USING (w) GROUP BY 1),
        |cosd AS (
        |  SELECT d.doc_id,
        |    ${FP.sqlMicro(
-            "CAST(d.dot_u AS DOUBLE) / (sqrt(CAST(qn.qn2 AS DOUBLE)) * " +
-              "sqrt(CAST(n.nrm2_u AS DOUBLE)))")} AS cos_u
+            "CAST(d.dot AS DOUBLE) / (sqrt(CAST(qn.qn2 AS DOUBLE)) * " +
+              "sqrt(CAST(n.nrm2 AS DOUBLE)))")} AS cos_u
        |  FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qn),
        |cr AS (
        |  SELECT doc_id, crnk FROM (
@@ -1467,7 +1473,8 @@ object TextQueries extends QueryModule {
     val merges = Bpe.train(words, "w", "wc", BpeMerges)
       .map(m => (m.left, m.right))
     val tokUdf = udf((text: String) => {
-      val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val ws = T.tokensJvm(text).filter(_.nonEmpty) // the trainer's split
+
       var n = 0L
       val seen = scala.collection.mutable.HashSet.empty[String]
       ws.foreach { w =>
@@ -1516,32 +1523,37 @@ object TextQueries extends QueryModule {
   private val SparseProbeMod = 250
   private val SparseDfCapPct = 90
 
-  private def q97(s: SparkSession, d: String): DataFrame = {
-    // The forward index (doc_id, term, tf) is materialized ONCE and every
-    // downstream consumer — dfreq, probes, both norms instances, the dot
-    // corpus side — replays over its cached partitions. Without the
-    // checkpoint, Catalyst plans each consumer its own tokenize → explode
-    // → groupBy subtree (consumer-specific column pruning defeats
-    // exchange reuse), and the corpus gets re-scanned per consumer:
-    // observed 6 s vs 1 s at sf0.1. At 100 TB this table is the standard
-    // materialized forward index — orders smaller than the text it
-    // indexes (distinct terms per doc, two longs wide) — and an at-rest
-    // version of it replaces the checkpoint the way DocStore/VecStore
-    // replace their recomputes.
-    // Partitioned by doc_id BEFORE the checkpoint: a document's whole
-    // posting row set then lives in one partition, so the (q_id, doc_id)
-    // dot aggregation below needs NO exchange at all (hash(doc_id) already
-    // clusters its grouping keys) and its map-side combine collapses the
-    // probes×terms fan-out in place — partitioned by (doc_id, w) instead,
-    // each partition saw ~one row per (probe, doc) group and the partial
-    // aggregate shipped the full fan-out (~15M rows at sf0.1, measured
-    // 2.4 s for the dots stage alone).
-    val tf = docs(s, d)
+  /** The materialized forward index (doc_id, term, tf) — THE shared base
+    * of the sparse-retrieval arms (q97 cosine, q102 hybrid fusion). It is
+    * checkpointed ONCE and every downstream consumer — dfreq, probes,
+    * norms, the dot corpus side — replays over its cached partitions.
+    * Without the checkpoint, Catalyst plans each consumer its own
+    * tokenize → explode → groupBy subtree (consumer-specific column
+    * pruning defeats exchange reuse), and the corpus gets re-scanned per
+    * consumer: observed 6 s vs 1 s at sf0.1. At 100 TB this table is the
+    * standard materialized forward index — orders smaller than the text it
+    * indexes (distinct terms per doc, two longs wide) — and an at-rest
+    * version of it replaces the checkpoint the way DocStore/VecStore
+    * replace their recomputes.
+    *
+    * Partitioned by doc_id BEFORE the checkpoint: a document's whole
+    * posting row set then lives in one partition, so per-doc aggregations
+    * downstream (norms; the (q_id, doc_id) dots) need NO exchange at all
+    * (hash(doc_id) already clusters their grouping keys) and map-side
+    * combine collapses the probes×terms fan-out in place — partitioned by
+    * (doc_id, w) instead, each partition saw ~one row per (probe, doc)
+    * group and the partial aggregate shipped the full fan-out (~15M rows
+    * at sf0.1, measured 2.4 s for the dots stage alone). */
+  private def forwardIndex(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
       .select(col("doc_id"), explode(T.tokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
       .repartition(col("doc_id"))
       .localCheckpoint()
+
+  private def q97(s: SparkSession, d: String): DataFrame = {
+    val tf = forwardIndex(s, d)
     val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
     // dfreq broadcasts (vocab-sized); the corpus-scale tf side is NEVER
     // shuffled by term — a stopword term key space would collapse a

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Degenerate-document robustness: the generator's corpus never ships a
+  * 1-2 word or empty document, so the driver's oracle gate cannot catch a
+  * kernel that only crashes on one. This suite runs the text queries most
+  * exposed to short inputs over a corpus built to contain them.
+  *
+  * Regression anchor: the Column-form `TextFns.shingles` indexes
+  * element_at past the array end when size(words) < k —
+  * sequence(0, greatest(size−k, −1)) yields [0, −1], not an empty array —
+  * so an unguarded consumer aborts the whole job on the first short doc
+  * (observed: INVALID_ARRAY_INDEX_IN_ELEMENT_AT on a 2-word doc). */
+class EdgeDocsSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** A documents table whose ids 0/50 are eval-mod rows and which mixes
+    * normal docs with every short-doc shape the tokenizer can produce. */
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-edgedocs").toString
+    val texts = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "one",
+      2L -> "one two",
+      3L -> " ", // whitespace only → zero tokens
+      4L -> "the quick brown fox jumps over the lazy dog",
+      50L -> "spark filter stream spark filter",
+      51L -> "a b",
+      52L -> "completely unrelated words appear here today")
+    texts.map { case (id, t) =>
+      (id, t, "en", if (id % 2 == 0) "web" else "books", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q79 contamination spans survives sub-shingle-length documents") {
+    val out = SparkEntry.queries("q79_contam_spans")(spark, dir)
+      .select($"doc_id", $"n_hit_pos", $"max_run", $"max_span_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    // every non-eval doc appears, short ones with zeros
+    assert(out.map(_._1).toSeq ==
+      Seq(1L, 2L, 3L, 4L, 51L, 52L))
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L) == ((1L, 0L, 0L, 0L)))
+    assert(byId(3L) == ((3L, 0L, 0L, 0L)))
+    // doc 4 is a verbatim copy of EVAL doc 0 (0 % 50 == 0): all 7 of its
+    // 3-shingles match, in one contiguous run spanning the whole 9 words
+    assert(byId(4L) == ((4L, 7L, 7L, 9L)))
+  }
+
+  test("q101 near-dup first-seen handles unshingleable docs as their own canonical") {
+    val out = SparkEntry.queries("q101_stream_neardup")(spark, dir)
+      .select($"doc_id", $"dup_of", $"is_dup")
+      .as[(Long, Long, Boolean)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    // short docs: no bands → own canonical, never duplicates of each other
+    for (id <- Seq(1L, 2L, 3L, 51L)) assert(byId(id) == ((id, id, false)))
+    // the verbatim repeat resolves to the first copy
+    assert(byId(4L) == ((4L, 0L, true)))
+  }
+
+  test("q34/q36 pair queries return cleanly on a corpus with short docs") {
+    val pairs34 = SparkEntry.queries("q34_minhash_lsh")(spark, dir)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(pairs34.contains((0L, 4L))) // the verbatim near-dup pair
+    // short docs never pair with each other just for being short
+    assert(!pairs34.exists { case (a, b) => Set(1L, 2L, 3L, 51L)(a) && Set(1L, 2L, 3L, 51L)(b) })
+    val n36 = SparkEntry.queries("q36_ngram_jaccard")(spark, dir).count()
+    assert(n36 >= 1L) // 0 and 4 share source 'web' and all shingles
+  }
+
+  test("q103 BPE tokenization counts zero-token docs as zero") {
+    val out = SparkEntry.queries("q103_bpe_tokenize")(spark, dir)
+      .select($"doc_id", $"n_words", $"n_subtok").as[(Long, Long, Long)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(3L) == ((3L, 0L, 0L)))
+    assert(byId(1L)._2 == 1L && byId(1L)._3 >= 1L)
+  }
+}
