@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.{FP, TextFns => T}
-import graft.operators.Bpe
+import graft.operators.{Bpe, Logit}
 
 /** Training-data text pipeline over the `documents` table: exact and
   * near deduplication (MinHash+LSH, SimHash, n-gram Jaccard), language ID,
@@ -1491,6 +1491,42 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---- q104: TRAINED quality classifier (heuristic distillation) ---------
+  // The weak-supervision pattern every large curation pipeline runs: cheap
+  // labels from a heuristic (or an LLM judge) on a subset, a small linear
+  // model trained to generalize the gate, the cheap model scoring the
+  // whole corpus (CCNet trains against Wikipedia; fastText quality
+  // classifiers train against curated positives). Here the weak label is
+  // the q32-verified quality score thresholded at 0.5, and the model must
+  // RE-DISCOVER the gate from the raw signals — its learned weights
+  // approximate the heuristic's hand-set (0.4, 0.3, 0.2, 0.1) mixture,
+  // and the calibrated σ(w·x) score replaces the hard threshold.
+  // Training is operators/Logit: one fixed-point gradient job per
+  // iteration, driver holds only the weight vector; scoring is a narrow
+  // map against the broadcast weights. Oracle: golden fixture — GD is not
+  // SQL-expressible, but the quantized gradient makes the weight
+  // trajectory (and the µ-rounded scores) bit-reproducible under any
+  // parallelism (LogitSpec asserts it).
+  private val LogitIters = 300
+  private val LogitLr = 8.0
+
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    val (stopRatio, alphaRatio, meanTokLen, quality) = qualityPieces
+    val nTok = size(T.tokens(col("text"))).cast("double")
+    val f = (c: org.apache.spark.sql.Column) => nanvl(c, lit(0.0))
+    val x = array(lit(1.0),
+      f(least(nTok / 100.0, lit(1.0))),
+      f(alphaRatio), f(stopRatio),
+      f(least(meanTokLen / 8.0, lit(1.0))))
+    val feats = docs(s, d).select(col("doc_id"), x.as("x"),
+      (FP.micro(quality) >= 500000L).cast("double").as("y"))
+    val w = Logit.fit(feats, "x", "y", 5, LogitIters, LogitLr)
+    Logit.score(feats, w, "x", "score_u")
+      .select(col("doc_id"), col("y").cast(LongType).as("label"),
+        col("score_u"), (col("score_u") >= 500000L).as("pred_keep"))
+      .orderBy("doc_id")
+  }
+
   // ---- q97: sparse TF-IDF cosine top-k (inverted-index join) -------------
   // The SPARSE-retrieval complement to the dense ANN family (q40-q46,
   // q69/q78): documents as TF-IDF vectors, similarity computed term-at-
@@ -1732,6 +1768,8 @@ object TextQueries extends QueryModule {
     "q97_sparse_cosine" -> QueryDef(q97, Some(q97Sql)),
     "q95_bpe_train" -> QueryDef(q95, Some(FixtureOracle.sql("q95_bpe_train"))),
     "q103_bpe_tokenize" -> QueryDef(q103, Some(FixtureOracle.sql("q103_bpe_tokenize"))),
+    "q104_quality_classifier" ->
+      QueryDef(q104, Some(FixtureOracle.sql("q104_quality_classifier"))),
     "q89_ngram_lm_score" -> QueryDef(q89, Some(q89Sql)),
     "q96_train_shuffle" -> QueryDef(q96, Some(q96Sql)),
     "q86_corpus_merge" -> QueryDef(q86, Some(q86Sql)),

@@ -16,7 +16,7 @@ import graft.queries.FixtureOracle
 object MakeFixtures {
   val FixtureQueries: Seq[String] = Seq(
     "q45_ann_ivf_kmeans", "q69_pq_ann", "q78_ivfpq_ann", "q95_bpe_train",
-    "q99_pca_project", "q103_bpe_tokenize",
+    "q99_pca_project", "q103_bpe_tokenize", "q104_quality_classifier",
     "q47_countmin_hh", "q49_hll_distinct",
     "q61_cubic_spline", "q62_gammat",
     "q63_pchip_interp", "q64_mr_pchip", "q70_argo_interp", "q71_argo_atlas",
