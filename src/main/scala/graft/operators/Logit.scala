@@ -33,9 +33,14 @@ object Logit {
   def fit(feats0: DataFrame, xCol: String, yCol: String, dim: Int,
           iters: Int, lr: Double,
           allowDriverFastPath: Boolean = true): Array[Double] = {
+    // rows with a null/short feature vector or null label are SKIPPED
+    // (and excluded from n, the gradient divisor) — both fit paths must
+    // see exactly the same row set or their bit-equality breaks
     val feats = feats0
       .select(col(xCol).cast("array<double>").as("x"),
         col(yCol).cast("double").as("y"))
+      .filter(col("x").isNotNull && size(col("x")) >= dim &&
+        col("y").isNotNull)
       .persist()
     try {
       val n = feats.count()
@@ -108,13 +113,16 @@ object Logit {
     * against the broadcast weights. */
   def score(df: DataFrame, w: Array[Double], xCol: String,
             scoreCol: String): DataFrame = {
-    val u = udf((x: Seq[Double]) => {
-      var z = 0.0
-      var j = 0
-      val m = math.min(w.length, x.length)
-      while (j < m) { z += w(j) * x(j); j += 1 }
-      graft.functions.FP.roundHalfAway(1e6 / (1.0 + math.exp(-z)))
-    })
+    val u = udf((x: Seq[Double]) =>
+      if (x == null) null
+      else {
+        var z = 0.0
+        var j = 0
+        val m = math.min(w.length, x.length)
+        while (j < m) { z += w(j) * x(j); j += 1 }
+        java.lang.Long.valueOf(
+          graft.functions.FP.roundHalfAway(1e6 / (1.0 + math.exp(-z))))
+      })
     df.withColumn(scoreCol, u(col(xCol)))
   }
 }

@@ -94,9 +94,14 @@ object TextQueries extends QueryModule {
     val nTok = size(toks).cast("double")
     val stopRatio =
       size(filter(toks, w => w.isInCollection(Stopwords))).cast("double") / nTok
+    // nullif on the divisor: a zero-length text would otherwise ABORT the
+    // job under ANSI (double division by zero throws in Spark 4), while
+    // the DuckDB twin returns NULL — nullif makes Spark return the same
+    // NULL. (The token-count divisors below cannot be zero: split always
+    // yields at least [""].)
     val alphaRatio =
       length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double") /
-        length(col("text")).cast("double")
+        nullif(length(col("text")).cast("double"), lit(0.0))
     val meanTokLen =
       aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") / nTok
     // Monotone quality heuristic: long docs, mostly-alpha, moderate stopword
@@ -1472,13 +1477,21 @@ object TextQueries extends QueryModule {
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
     val merges = Bpe.train(words, "w", "wc", BpeMerges)
       .map(m => (m.left, m.right))
+    // per-executor memo on the DISTINCT word: under a Zipf distribution
+    // occurrences outnumber distinct words by orders of magnitude, so
+    // replaying the merge passes per occurrence is pure waste — the same
+    // histogram-not-corpus argument the trainer itself makes. Capped so a
+    // pathological vocabulary degrades to recompute, never to OOM.
+    val symCache = new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
     val tokUdf = udf((text: String) => {
       val ws = T.tokensJvm(text).filter(_.nonEmpty) // the trainer's split
-
       var n = 0L
       val seen = scala.collection.mutable.HashSet.empty[String]
       ws.foreach { w =>
-        val syms = Bpe.symbolize(w, merges)
+        val syms =
+          if (symCache.size < (1 << 20))
+            symCache.computeIfAbsent(w, Bpe.symbolize(_, merges))
+          else Bpe.symbolize(w, merges)
         n += syms.length
         seen ++= syms
       }
@@ -1513,13 +1526,16 @@ object TextQueries extends QueryModule {
   private def q104(s: SparkSession, d: String): DataFrame = {
     val (stopRatio, alphaRatio, meanTokLen, quality) = qualityPieces
     val nTok = size(T.tokens(col("text"))).cast("double")
-    val f = (c: org.apache.spark.sql.Column) => nanvl(c, lit(0.0))
+    // degenerate docs produce NULL (zero-length text → nullif divisor) or
+    // NaN ratios; both become zero features / a "not keep" label
+    val f = (c: org.apache.spark.sql.Column) =>
+      coalesce(nanvl(c, lit(0.0)), lit(0.0))
     val x = array(lit(1.0),
       f(least(nTok / 100.0, lit(1.0))),
       f(alphaRatio), f(stopRatio),
       f(least(meanTokLen / 8.0, lit(1.0))))
     val feats = docs(s, d).select(col("doc_id"), x.as("x"),
-      (FP.micro(quality) >= 500000L).cast("double").as("y"))
+      (FP.micro(f(quality)) >= 500000L).cast("double").as("y"))
     val w = Logit.fit(feats, "x", "y", 5, LogitIters, LogitLr)
     Logit.score(feats, w, "x", "score_u")
       .select(col("doc_id"), col("y").cast(LongType).as("label"),

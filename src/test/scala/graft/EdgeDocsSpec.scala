@@ -27,6 +27,7 @@ class EdgeDocsSpec extends SparkSuite {
       2L -> "one two",
       3L -> " ", // whitespace only → zero tokens
       4L -> "the quick brown fox jumps over the lazy dog",
+      5L -> "", // zero-LENGTH text → NaN quality ratios
       50L -> "spark filter stream spark filter",
       51L -> "a b",
       52L -> "completely unrelated words appear here today")
@@ -43,7 +44,7 @@ class EdgeDocsSpec extends SparkSuite {
       .as[(Long, Long, Long, Long)].collect()
     // every non-eval doc appears, short ones with zeros
     assert(out.map(_._1).toSeq ==
-      Seq(1L, 2L, 3L, 4L, 51L, 52L))
+      Seq(1L, 2L, 3L, 4L, 5L, 51L, 52L))
     val byId = out.map(r => r._1 -> r).toMap
     assert(byId(1L) == ((1L, 0L, 0L, 0L)))
     assert(byId(3L) == ((3L, 0L, 0L, 0L)))
@@ -58,7 +59,7 @@ class EdgeDocsSpec extends SparkSuite {
       .as[(Long, Long, Boolean)].collect()
     val byId = out.map(r => r._1 -> r).toMap
     // short docs: no bands → own canonical, never duplicates of each other
-    for (id <- Seq(1L, 2L, 3L, 51L)) assert(byId(id) == ((id, id, false)))
+    for (id <- Seq(1L, 2L, 3L, 5L, 51L)) assert(byId(id) == ((id, id, false)))
     // the verbatim repeat resolves to the first copy
     assert(byId(4L) == ((4L, 0L, true)))
   }
@@ -71,6 +72,19 @@ class EdgeDocsSpec extends SparkSuite {
     assert(!pairs34.exists { case (a, b) => Set(1L, 2L, 3L, 51L)(a) && Set(1L, 2L, 3L, 51L)(b) })
     val n36 = SparkEntry.queries("q36_ngram_jaccard")(spark, dir).count()
     assert(n36 >= 1L) // 0 and 4 share source 'web' and all shingles
+  }
+
+  test("q104 classifier trains and scores through NaN-feature documents") {
+    // the empty doc's ratios are 0/0 = NaN; the nanvl guards must turn
+    // them into zero features and a "not keep" label instead of an ANSI
+    // cast abort or NaN-poisoned gradients
+    val out = SparkEntry.queries("q104_quality_classifier")(spark, dir)
+      .select($"doc_id", $"label", $"score_u")
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._1).length == 9) // every doc, including the empty one
+    assert(out.forall { case (_, _, s) => s >= 0L && s <= 1000000L })
+    val empty = out.find(_._1 == 5L).get
+    assert(empty._2 == 0L)
   }
 
   test("q103 BPE tokenization counts zero-token docs as zero") {
