@@ -118,6 +118,44 @@ object StreamMultimodalQueries extends QueryModule {
        | AND epoch_us(c.ts) >= epoch_us(p.ts) - $AttributionWindowUs
        |ORDER BY 1, 2, 3""".stripMargin
 
+  // ---- q105: naive band theta-join, optimized by BandJoinRewrite ---------
+  // q53's discipline applied to TIME: the query is written the way a user
+  // would write it — crossJoin + |Δt| ≤ window filter, no keys at all
+  // (burst correlation across ALL users, so q85's user_id equi-key cannot
+  // help) — and relies on the Catalyst rule (graft.plans.BandJoinRewrite)
+  // to turn the O(purchases × clicks) nested loop into a ⌊t/window⌋-binned
+  // equi-join with a ±1-bin fan-out. The PlanSpec sweep proves no
+  // CartesianProduct survives; the DuckDB oracle runs the same naive join
+  // (its own optimizer handles the inequality via IEJoin), proving the
+  // rewritten plan computes exactly the naive semantics. All arithmetic is
+  // integral, so the oracle is exact.
+  private val BandUs = 60L * 1000000 // ±1 minute
+
+  private def q105(s: SparkSession, d: String): DataFrame = {
+    graft.plans.BandJoinRewrite.ensure(s)
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), unix_micros(col("ts")).as("p_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(unix_micros(col("ts")).as("c_us"))
+    p.crossJoin(c)
+      .filter(abs(col("p_us") - col("c_us")) <= lit(BandUs))
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_nearby_clicks"),
+        min(abs(col("c_us") - col("p_us"))).as("closest_us"))
+      .orderBy("purchase_id")
+  }
+
+  private val q105Sql =
+    s"""WITH p AS (
+       |  SELECT event_id AS purchase_id, epoch_us(ts) AS p_us
+       |  FROM events WHERE event_type = 'purchase'),
+       |c AS (SELECT epoch_us(ts) AS c_us FROM events WHERE event_type = 'click')
+       |SELECT purchase_id, count(*) AS n_nearby_clicks,
+       |  min(abs(c_us - p_us)) AS closest_us
+       |FROM p, c WHERE abs(p_us - c_us) <= $BandUs
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- q90: multimodal binary columns + per-partition decode -------------
   private def q90(s: SparkSession, d: String): DataFrame = {
     val media = Tables.documents(s, d).select(
@@ -251,6 +289,7 @@ object StreamMultimodalQueries extends QueryModule {
     "q82_sessionize" -> QueryDef(q82, Some(q82Sql)),
     "q84_stream_dedup" -> QueryDef(q84, Some(q84Sql)),
     "q85_interval_join" -> QueryDef(q85, Some(q85Sql)),
+    "q105_band_join" -> QueryDef(q105, Some(q105Sql)),
     "q90_multimodal_decode" -> QueryDef(q90, Some(q90Sql)),
     "q91_frame_sample" -> QueryDef(q91, Some(q91Sql)),
     "q92_media_resize" -> QueryDef(q92, Some(q92Sql)))

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.BandJoinRewrite
+
+/** [[graft.plans.BandJoinRewrite]]: the naive |a−b| ≤ c theta-join must
+  * become a binned equi-join with EXACTLY the naive pair set — including
+  * negative values (floor vs truncating division), the inclusive/exclusive
+  * boundary, and values sitting exactly on bin edges. */
+class BandJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  BandJoinRewrite.ensure(spark)
+
+  /** Hash-driven longs, mixed signs, dense enough for real bands, plus
+    * exact bin-edge and boundary-distance values. */
+  private val as: Seq[Long] =
+    (0 until 120).map(i => (i * 7919L % 997) * 13 - 6000) ++
+      Seq(-100L, -1L, 0L, 1L, 100L, 99L, -99L, 200L)
+  private val bs: Seq[Long] =
+    (0 until 140).map(i => (i * 104729L % 991) * 11 - 5200) ++
+      Seq(-199L, -100L, 0L, 100L, 199L, 299L)
+  private val C = 100L
+
+  private def naivePairs(le: Boolean): Set[(Long, Long)] =
+    (for { a <- as; b <- bs
+           if (if (le) math.abs(a - b) <= C else math.abs(a - b) < C) }
+      yield (a, b)).toSet
+
+  test("rewritten join emits exactly the naive pair multiset (<=)") {
+    val df = as.toDF("a").crossJoin(bs.toDF("b"))
+      .filter(abs(col("a") - col("b")) <= lit(C))
+    val got = df.as[(Long, Long)].collect().toSet
+    assert(got === naivePairs(le = true))
+    assert(got.nonEmpty)
+  }
+
+  test("strict < keeps the boundary pairs out") {
+    val df = as.toDF("a").crossJoin(bs.toDF("b"))
+      .filter(abs(col("a") - col("b")) < lit(C))
+    val got = df.as[(Long, Long)].collect().toSet
+    assert(got === naivePairs(le = false))
+    // the exact-distance pairs exist in the data and are excluded
+    assert(naivePairs(le = true).size > got.size)
+  }
+
+  test("the naive form plans as an equi-join, not a nested loop") {
+    val df = as.toDF("a").crossJoin(bs.toDF("b"))
+      .filter(abs(col("a") - col("b")) <= lit(C))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("declines gracefully when it cannot help") {
+    // double operands: left to run as written (still correct)
+    val dd = Seq(0.5, 1.5, 99.9).toDF("a")
+      .crossJoin(Seq(0.6, 120.0).toDF("b"))
+      .filter(abs(col("a") - col("b")) <= lit(1L))
+    assert(dd.count() === 2) // (0.5,0.6), (1.5,0.6)
+    // non-positive threshold: equality-only band, left as written
+    val z = Seq(5L, 6L).toDF("a").crossJoin(Seq(5L).toDF("b"))
+      .filter(abs(col("a") - col("b")) <= lit(0L))
+    assert(z.count() === 1)
+  }
+}
