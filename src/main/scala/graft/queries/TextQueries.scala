@@ -1597,10 +1597,7 @@ object TextQueries extends QueryModule {
     * group and the partial aggregate shipped the full fan-out (~15M rows
     * at sf0.1, measured 2.4 s for the dots stage alone). */
   private def forwardIndex(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
-      .select(col("doc_id"), explode(T.tokens(col("text"))).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    graft.sources.TermStore.forwardIndex(docs(s, d))
       .repartition(col("doc_id"))
       .localCheckpoint()
 

@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** The materialized forward index (doc_id, term, tf) at rest — the
+  * sparse-retrieval member of the layout family ([[DocStore]],
+  * [[VecStore]], [[graft.argo.AtlasStore]]).
+  *
+  * The q97/q102 sparse arms rebuild this table per session behind a
+  * localCheckpoint; a real deployment lands it ONCE per ingest — it is
+  * orders smaller than the text it indexes (distinct terms per doc, two
+  * longs wide) — and every retrieval pass reads it back. Bucketed by
+  * doc_id, the per-document aggregations those passes run (norms, the
+  * (probe, doc) dot sums — doc_id is a subset of the grouping keys, which
+  * is all a hash-clustered scan needs) become co-located scan-side
+  * aggregations with NO exchange, so the only shuffle left in a whole
+  * retrieval pass is the broadcast of the probe side.
+  */
+object TermStore {
+  /** THE forward-index construction (tokenize → explode → per-doc term
+    * counts) — shared verbatim by the q97/q102 in-session builds and this
+    * store, so an at-rest index can never drift from the verified one. */
+  def forwardIndex(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+
+  /** Land the forward index bucketed (and sorted) by doc_id. `buckets`
+    * sizes the parallelism of every later retrieval pass over the store. */
+  def saveBucketed(docs: DataFrame, table: String, buckets: Int,
+                   path: Option[String] = None): Unit =
+    Stores.landBucketed(forwardIndex(docs), table, buckets,
+      Seq("doc_id"), path)
+
+  def loadBucketed(s: SparkSession, table: String): DataFrame = s.table(table)
+}
