@@ -793,7 +793,12 @@ object EmbeddingQueries extends QueryModule {
 
   private def q99(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val model = Pca.fit(emb, "embedding", Dim)
+    // fast path PINNED OFF (the q38 discipline): at test scale every
+    // corpus fits the driver cap, so without the pin the driver gate
+    // would never exercise the distributed co-moment aggregation — the
+    // branch a 100 TB fit runs. PcaSpec asserts the two paths are
+    // bit-identical, so the fixture stays valid for both.
+    val model = Pca.fit(emb, "embedding", Dim, allowDriverFastPath = false)
     Pca.project(emb, model, "embedding", PcaK)
       .select(col("vec_id"), posexplode(col("pc")).as(Seq("comp", "val_u")))
       .select(col("vec_id"), col("comp").cast(LongType).as("comp"),
