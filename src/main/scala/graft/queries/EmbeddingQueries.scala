@@ -781,6 +781,39 @@ object EmbeddingQueries extends QueryModule {
        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---- q106: ANN recall evaluation (index-quality harness) ---------------
+  // The metric every ANN deployment tunes against: per-probe recall@k of
+  // the approximate index vs exact brute force. Both arms are the
+  // already-verified queries (q40 ground truth, q44 IVF), so this is a
+  // composition — two small ranked frames joined on (probe, neighbor),
+  // integer per-mille recall. A real pipeline runs exactly this after
+  // every index build to pick nProbe/cells; at corpus scale the ground
+  // truth comes from the same bounded probe subset, so the evaluation
+  // cost is probes × corpus, never corpus².
+  private def q106(s: SparkSession, d: String): DataFrame = {
+    val brute = q40(s, d).filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"))
+    val ivf = q44(s, d).select(col("q_id"), col("n_id")).withColumn("hit", lit(1L))
+    brute.join(ivf, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_pm", expr("(n_hit * 1000) div n_true"))
+      .orderBy("q_id")
+  }
+
+  private val q106Sql =
+    s"""WITH brute AS (
+       |  SELECT q_id, n_id FROM ($q40Sql) b WHERE rank <= 3),
+       |ivf AS (SELECT q_id, n_id FROM ($q44Sql) v)
+       |SELECT b.q_id, count(*) AS n_true,
+       |  CAST(sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hit,
+       |  (CAST(sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000) // count(*) AS recall_pm
+       |FROM brute b LEFT JOIN ivf i ON b.q_id = i.q_id AND b.n_id = i.n_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- q99: PCA projection (embedding whitening / compression) -----------
   // The pre-rotation pass an ANN pipeline runs before indexing (FAISS
   // OPQ/PCA): one narrow aggregation reduces the corpus to a single packed
@@ -808,6 +841,7 @@ object EmbeddingQueries extends QueryModule {
 
   def defs: Map[String, QueryDef] = Map(
     "q99_pca_project" -> QueryDef(q99, Some(FixtureOracle.sql("q99_pca_project"))),
+    "q106_ann_recall" -> QueryDef(q106, Some(q106Sql)),
     "q69_pq_ann" -> QueryDef(q69, Some(FixtureOracle.sql("q69_pq_ann"))),
     "q87_semantic_decontam" -> QueryDef(q87, Some(q87Sql)),
     "q78_ivfpq_ann" -> QueryDef(q78, Some(FixtureOracle.sql("q78_ivfpq_ann"))),
