@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -814,6 +814,58 @@ object EmbeddingQueries extends QueryModule {
        |FROM brute b LEFT JOIN ivf i ON b.q_id = i.q_id AND b.n_id = i.n_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q107: PCA-reduced ANN (candidate generation + exact rerank) -------
+  // What q99's projection is FOR in a search stack: score candidates in
+  // the 16-dim PCA space (4× fewer multiplies per pair than full width;
+  // OPQ's pre-rotation idea without the codebooks), keep a top-50
+  // shortlist per probe, then rerank ONLY the shortlist with the exact
+  // full-width cosine — the same shortlist-rerank contract as q69/q78.
+  // The reduced-space scores are integer dots of µ-unit components
+  // (exact, total order), so candidates — and the fixture built on the
+  // result — are bit-reproducible at any parallelism. q107 keeps the
+  // adaptive fit default (driver path at test scale), complementing
+  // q99's pinned distributed path: both Pca.fit branches carry a
+  // driver-gated oracle row.
+  private val PcaAnnK = 16 // wider than q99's 8: the candidate generator
+  private val PcaShortlist = 50 // needs recall, the summary needs compression
+
+  private def q107(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val model = Pca.fit(emb, "embedding", Dim)
+    val red = Pca.project(emb, model, "embedding", PcaAnnK)
+      .select(col("vec_id"), col("pc"))
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    val probesR = red.filter(col("vec_id") % ProbeMod === 0)
+      .select(col("vec_id").as("q_id"), col("pc").as("q_pc"))
+    val wS = Window.partitionBy(col("q_id"))
+      .orderBy(col("rcos_n").desc, col("vec_id"))
+    val shortlist = red.crossJoin(broadcast(probesR))
+      .filter(col("vec_id") =!= col("q_id"))
+      // reduced-space cosine from exact integer dots; nullif keeps an
+      // all-zero projection (a vector at the mean) from dividing by zero
+      .withColumn("rcos_n", FP.nano(idot(col("q_pc"), col("pc")).cast("double") /
+        nullif(sqrt(idot(col("q_pc"), col("q_pc")).cast("double")) *
+          sqrt(idot(col("pc"), col("pc")).cast("double")), lit(0.0))))
+      .withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= PcaShortlist)
+      .select(col("q_id"), col("vec_id"))
+    val b = base(s, d)
+    val probesF = b.filter(col("vec_id") % ProbeMod === 0).select(
+      col("vec_id").as("q_id"), col("pv").as("q_pv"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_n").desc, col("vec_id"))
+    shortlist
+      .join(b, Seq("vec_id"))
+      .join(broadcast(probesF), Seq("q_id"))
+      .withColumn("cos_n",
+        FP.nano(V.dotPacked(col("q_pv"), col("pv")) / (col("q_nrm") * col("nrm"))))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("cos_n"))
+      .orderBy("q_id", "rank")
+  }
+
   // ---- q99: PCA projection (embedding whitening / compression) -----------
   // The pre-rotation pass an ANN pipeline runs before indexing (FAISS
   // OPQ/PCA): one narrow aggregation reduces the corpus to a single packed
@@ -842,6 +894,7 @@ object EmbeddingQueries extends QueryModule {
   def defs: Map[String, QueryDef] = Map(
     "q99_pca_project" -> QueryDef(q99, Some(FixtureOracle.sql("q99_pca_project"))),
     "q106_ann_recall" -> QueryDef(q106, Some(q106Sql)),
+    "q107_pca_ann" -> QueryDef(q107, Some(FixtureOracle.sql("q107_pca_ann"))),
     "q69_pq_ann" -> QueryDef(q69, Some(FixtureOracle.sql("q69_pq_ann"))),
     "q87_semantic_decontam" -> QueryDef(q87, Some(q87Sql)),
     "q78_ivfpq_ann" -> QueryDef(q78, Some(FixtureOracle.sql("q78_ivfpq_ann"))),

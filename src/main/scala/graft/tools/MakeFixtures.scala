@@ -17,6 +17,7 @@ object MakeFixtures {
   val FixtureQueries: Seq[String] = Seq(
     "q45_ann_ivf_kmeans", "q69_pq_ann", "q78_ivfpq_ann", "q95_bpe_train",
     "q99_pca_project", "q103_bpe_tokenize", "q104_quality_classifier",
+    "q107_pca_ann",
     "q47_countmin_hh", "q49_hll_distinct",
     "q61_cubic_spline", "q62_gammat",
     "q63_pchip_interp", "q64_mr_pchip", "q70_argo_interp", "q71_argo_atlas",
