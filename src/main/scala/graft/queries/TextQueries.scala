@@ -633,8 +633,13 @@ object TextQueries extends QueryModule {
   // realized counts.
   private def q56(s: SparkSession, d: String): DataFrame =
     docs(s, d)
+      // try_cast + coalesce: a source name without the numeric suffix
+      // (any real-world corpus) gets the base rate instead of an ANSI
+      // cast ABORT; identical values for the generator's srcN names
       .withColumn("rate",
-        lit(5) + pmod(substring(col("source"), 4, 10).cast("int"), lit(3)) * 10)
+        lit(5) + pmod(coalesce(
+          expr("try_cast(substring(source, 4, 10) AS int)"), lit(0)),
+          lit(3)) * 10)
       .withColumn("keep",
         pmod(pmod(col("doc_id") * 48271L, lit(2147483647L)), lit(100)) < col("rate"))
       .groupBy(col("source"), col("rate"))
@@ -649,9 +654,9 @@ object TextQueries extends QueryModule {
       |  CAST(sum(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
       |FROM (
       |  SELECT source, doc_id,
-      |    5 + (CAST(substr(source, 4) AS INT) % 3) * 10 AS rate,
+      |    5 + (coalesce(TRY_CAST(substr(source, 4) AS INT), 0) % 3) * 10 AS rate,
       |    ((doc_id * 48271) % 2147483647) % 100
-      |      < 5 + (CAST(substr(source, 4) AS INT) % 3) * 10 AS keep
+      |      < 5 + (coalesce(TRY_CAST(substr(source, 4) AS INT), 0) % 3) * 10 AS keep
       |  FROM documents)
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
@@ -1249,7 +1254,7 @@ object TextQueries extends QueryModule {
       (col("doc_id") * 48271L % 2147483647L % 1000L).as("u"))
     val perSrc = base.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"))
-      .withColumn("w", expr("cast(substring(source, 4) as bigint) % 4 + 1"))
+      .withColumn("w", expr("coalesce(try_cast(substring(source, 4) as bigint), 0) % 4 + 1"))
     val tot = perSrc.agg(sum(col("tok_total")).as("gt"), sum(col("w")).as("gw"))
     val rates = perSrc.crossJoin(broadcast(tot))
       .withColumn("target_tok", expr("(gt div 2) * w div gw"))
@@ -1279,7 +1284,7 @@ object TextQueries extends QueryModule {
        |per_src AS (
        |  SELECT source, count(*) AS n_docs,
        |    CAST(sum(n_tok) AS BIGINT) AS tok_total,
-       |    CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w
+       |    coalesce(TRY_CAST(substr(source, 4) AS BIGINT), 0) % 4 + 1 AS w
        |  FROM base GROUP BY source),
        |tot AS (
        |  SELECT CAST(sum(tok_total) AS BIGINT) AS gt,
@@ -1728,7 +1733,7 @@ object TextQueries extends QueryModule {
     val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
     val mixed = clean.filter(
       col("doc_id") * 48271L % 2147483647L % 1000L <
-        lit(200L) + expr("cast(substring(source, 4) as bigint) % 4") * 200L)
+        lit(200L) + expr("coalesce(try_cast(substring(source, 4) as bigint), 0) % 4") * 200L)
     val withShard = mixed
       .withColumn("h", col("doc_id") * 48271L % 2147483647L)
       .withColumn("shard", pmod(col("h"), lit(8L)))
@@ -1769,7 +1774,7 @@ object TextQueries extends QueryModule {
        |  SELECT *, doc_id * 48271 % 2147483647 AS h
        |  FROM clean
        |  WHERE doc_id * 48271 % 2147483647 % 1000 <
-       |    200 + (CAST(substr(source, 4) AS BIGINT) % 4) * 200)
+       |    200 + (coalesce(TRY_CAST(substr(source, 4) AS BIGINT), 0) % 4) * 200)
        |SELECT h % 8 AS shard,
        |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos,
        |  doc_id, source, n_tok

@@ -87,6 +87,36 @@ class EdgeDocsSpec extends SparkSuite {
     assert(empty._2 == 0L)
   }
 
+  /** sf0.001 with its documents table REPLACED by the degenerate corpus —
+    * so every registered query (whatever tables it reads) can run. */
+  private lazy val fullDir: String = {
+    val dst = java.nio.file.Files.createTempDirectory("graft-edgefull")
+    val src = java.nio.file.Paths.get("/root/testdata/sf0.001")
+    java.nio.file.Files.list(src).forEach { p =>
+      java.nio.file.Files.copy(p, dst.resolve(p.getFileName.toString))
+    }
+    java.nio.file.Files.delete(dst.resolve("documents.parquet"))
+    spark.read.parquet(s"$dir/documents.parquet")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dst.resolve("documents.parquet").toString)
+    dst.toString
+  }
+
+  test("sweep: every registered query survives the degenerate corpus") {
+    // The generator never ships empty/1-word/dup-of-eval documents, so the
+    // driver's oracle gate cannot catch a kernel that only crashes on one
+    // (ANSI division by zero, out-of-range element_at, NaN casts…). Every
+    // query must RUN — result values are the per-query tests' business.
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, fullDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
+        }
+    }
+    assert(failures.isEmpty, s"queries crashed on the degenerate corpus:\n${failures.mkString("\n")}")
+  }
+
   test("q103 BPE tokenization counts zero-token docs as zero") {
     val out = SparkEntry.queries("q103_bpe_tokenize")(spark, dir)
       .select($"doc_id", $"n_words", $"n_subtok").as[(Long, Long, Long)].collect()
