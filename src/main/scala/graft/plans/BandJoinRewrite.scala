@@ -18,10 +18,15 @@ import org.apache.spark.sql.types._
   * — gets an O(n·m) CartesianProduct / BroadcastNestedLoop plan. This rule
   * rebuilds it as a binned equi-join:
   *
-  *  - the LARGER side (by plan statistics) gets ONE bin `⌊x/c⌋` — never
+  *  - the LARGER side (by plan statistics) gets ONE bin `⌊x/2c⌋` — never
   *    replicated;
-  *  - the smaller side explodes to its bin ±1 (|x−y| ≤ c ⟹ the floor-bins
-  *    differ by at most one — a proven over-cover);
+  *  - the smaller side explodes to its bin ±1 (|x−y| ≤ c ⟹ the real bin
+  *    distance is ≤ ½, so the floor-bins differ by at most one — a proven
+  *    over-cover). Bin width 2c, not c, for overflow-freedom: ⌊x/2c⌋ is
+  *    within ±2⁶²/c of zero for ANY Long input, so the ±1 neighbor can
+  *    never overflow — with width-c bins, c = 1 and x = Long.MaxValue
+  *    would make `bin + 1` an ANSI ARITHMETIC_OVERFLOW in a query the
+  *    un-rewritten plan runs fine;
   *  - the sides meet in an equi-join on the bin and the ORIGINAL predicate
   *    is re-applied above it, so the rewrite can only be wrong by missing
   *    pairs, which the ±1 fan-out rules out — never by admitting false
@@ -33,6 +38,15 @@ import org.apache.spark.sql.types._
   * is no floating-point edge where two in-band rows could land more than
   * one bin apart. Fractional thresholds/operands are left to run as
   * written.
+  *
+  * Known limitation (shared with any static rule): the value RANGE is not
+  * knowable at plan time, so a threshold wide relative to the data
+  * collapses the keyspace to a few bins — the shuffled equi-join then
+  * leans on AQE's skew-join handling (on by default) the way any
+  * low-cardinality key join does; correctness is unaffected (the original
+  * predicate is re-applied). The spatial sibling can decline past 60°
+  * because its domain is bounded; an unbounded Long domain has no such
+  * line to draw.
   */
 object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   /** Bin-helper column prefix; also the idempotence marker (see
@@ -78,7 +92,9 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           if litLong(lc).isDefined => (a, b, litLong(lc).get)
     }
     hit.flatMap { case (a, b, c) =>
-      if (c < 1 || !integral(a) || !integral(b) ||
+      // c upper bound: binW = 2c must not overflow (absurd thresholds
+      // select everything anyway — let the join run as written)
+      if (c < 1 || c > Long.MaxValue / 2 - 1 || !integral(a) || !integral(b) ||
         !a.deterministic || !b.deterministic) None
       else {
         // one operand per side, either orientation
@@ -89,12 +105,14 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             a.references.subsetOf(right.outputSet)) Some((b, a))
           else None
         sides.map { case (exprL, exprR) =>
-          // Exact Long floor-division: IntegralDivide truncates toward
-          // zero, so shift negative non-multiples down one bin.
+          // Exact Long floor-division by 2c (see the class doc for why the
+          // doubled width): IntegralDivide truncates toward zero, so shift
+          // negative non-multiples down one bin.
+          val binW = 2 * c
           def bin(e0: Expression): Expression = {
             val e = Cast(e0, LongType)
-            val q = IntegralDivide(e, Literal(c))
-            val r = Remainder(e, Literal(c))
+            val q = IntegralDivide(e, Literal(binW))
+            val r = Remainder(e, Literal(binW))
             If(And(LessThan(e, Literal(0L)), Not(EqualTo(r, Literal(0L)))),
               Subtract(q, Literal(1L)), q)
           }

@@ -636,9 +636,13 @@ object TextQueries extends QueryModule {
       // try_cast + coalesce: a source name without the numeric suffix
       // (any real-world corpus) gets the base rate instead of an ANSI
       // cast ABORT; identical values for the generator's srcN names
+      // length-free substring, matching the oracle's substr(source, 4)
+      // exactly — a 10-char cap would int-parse a DIFFERENT prefix than
+      // DuckDB for very long numeric suffixes (both sides overflow to
+      // NULL identically on the full suffix)
       .withColumn("rate",
         lit(5) + pmod(coalesce(
-          expr("try_cast(substring(source, 4, 10) AS int)"), lit(0)),
+          expr("try_cast(substring(source, 4) AS int)"), lit(0)),
           lit(3)) * 10)
       .withColumn("keep",
         pmod(pmod(col("doc_id") * 48271L, lit(2147483647L)), lit(100)) < col("rate"))

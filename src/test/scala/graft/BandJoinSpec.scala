@@ -53,6 +53,23 @@ class BandJoinSpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("Long-extreme values neither overflow nor change the pair set") {
+    // width-c bins would compute Long.MaxValue + 1 on the explode side
+    // for c = 1 (ANSI abort); the 2c width keeps every bin at ≤ 2⁶²
+    val ext = Seq(Long.MaxValue, Long.MaxValue - 1, Long.MinValue,
+      Long.MinValue + 1, 0L, 1L)
+    val df = ext.toDF("a").crossJoin(ext.toDF("b"))
+      .filter(abs(col("a") - col("b")) <= lit(1L))
+    // the re-applied a−b itself overflows under ANSI for far-apart pairs
+    // in the NAIVE plan too — the rewrite must only ever see pairs whose
+    // bins adjoin, so the in-band pairs come back and nothing throws
+    val got = df.as[(Long, Long)].collect().toSet
+    val want = (for { a <- ext; b <- ext
+                      if (BigInt(a) - BigInt(b)).abs <= 1 } yield (a, b)).toSet
+    assert(got === want)
+    assert(want.size === 12) // 6 self-pairs + 3 adjacent pairs × 2 orders
+  }
+
   test("declines gracefully when it cannot help") {
     // double operands: left to run as written (still correct)
     val dd = Seq(0.5, 1.5, 99.9).toDF("a")
