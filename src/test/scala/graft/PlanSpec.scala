@@ -256,6 +256,26 @@ class PlanSpec extends SparkSuite {
       "expected the broadcast posting join")
   }
 
+  test("q102: the hybrid fusion keeps q97's no-term-shuffle contract") {
+    // q102's cosine arm rides the same forward index; a regression that
+    // shuffles postings by term would hide inside the fusion plan
+    val df = SparkEntry.queries("q102_hybrid_rank")(spark, d)
+    df.collect()
+    val exec = flattenPlan(df.queryExecution.executedPlan)
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    exec.foreach {
+      case j: SortMergeJoinExec =>
+        assert(!j.leftKeys.exists(_.references.exists(_.name == "w")),
+          s"term-keyed sort-merge join found:\n${df.queryExecution.executedPlan}")
+      case j: ShuffledHashJoinExec =>
+        assert(!j.leftKeys.exists(_.references.exists(_.name == "w")),
+          s"term-keyed shuffled-hash join found:\n${df.queryExecution.executedPlan}")
+      case _ =>
+    }
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "expected the broadcast query-term join")
+  }
+
   test("embedding bucket self-joins survive count()-style pruning") {
     // Regression: with a deterministic bucket alias, Spark 4.1's constraint
     // inference pushes a filter carrying one side's `vec` into the other
