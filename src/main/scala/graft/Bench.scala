@@ -141,6 +141,9 @@ object Bench {
     // 100 TB deployment lives in carries a measured number, not just a
     // plan assertion (ArgoPipelineSpec pins shape and results).
     val fallbackSec: Option[Double] = {
+      // save/restore rather than unset: unset would clobber a pre-existing
+      // session override of the cap
+      val prior = spark.conf.getOption("spark.graft.atlasBroadcastMaxRows")
       try {
         spark.conf.set("spark.graft.atlasBroadcastMaxRows", "0")
         val t0 = System.nanoTime()
@@ -148,8 +151,16 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] atlas_fallback          $dt%8.2f s ($n rows)")
         if (n > 0) Some(dt) else None
-      } catch { case _: Throwable => None }
-      finally spark.conf.unset("spark.graft.atlasBroadcastMaxRows")
+      } catch { case e: Throwable =>
+        // a crash in the forced-fallback branch must be VISIBLE, not a
+        // silently absent stages key
+        System.err.println(s"[bench] atlas_fallback          FAILED: " +
+          s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(300)}")
+        None
+      } finally prior match {
+        case Some(v) => spark.conf.set("spark.graft.atlasBroadcastMaxRows", v)
+        case None => spark.conf.unset("spark.graft.atlasBroadcastMaxRows")
+      }
     }
     val nCores = cpus.toDouble
     val stages = (
@@ -162,7 +173,7 @@ object Bench {
         Seq(s""""atlas_cell_levels_per_sec":${r3(cs)}""", s""""atlas_cell_levels":$n""")
       }.getOrElse(Nil) ++
       fallbackSec.map(dt => Seq(s""""atlas_fallback_sec":${r3(dt)}""")).getOrElse(Nil) ++
-      Seq(s""""cores":${cpus.toInt}""")).mkString("{", ",", "}")
+      Seq(s""""cores":${cpus.toInt}""", s""""reps":$reps""")).mkString("{", ",", "}")
     val failedPart =
       if (failed.isEmpty) "" else failed.mkString(""","failed":[""", ",", "]")
     val line =

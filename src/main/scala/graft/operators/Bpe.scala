@@ -40,6 +40,27 @@ object Bpe {
   def symbolize(w: String, merges: Seq[(String, String)]): Array[String] =
     applyMerges((w.map(_.toString) :+ EndOfWord).toArray, merges)
 
+  /** Per-JVM (= per-executor) symbolization memo. A map captured in a UDF
+    * closure is deserialized fresh for every task, so it can only ever be
+    * a per-TASK memo; holding the caches in this JVM singleton makes the
+    * Zipf amortization real — every task on an executor shares one memo.
+    * Keyed by the merge table itself (structural Vector equality — an Int
+    * fingerprint could collide across vocabularies and silently return
+    * another vocabulary's tokenization), so concurrent queries with
+    * different trained tables never share entries. Bounded two ways: at
+    * most a handful of vocabularies are retained, and callers cap the
+    * per-vocabulary entry count before inserting. */
+  private val symCaches =
+    new java.util.concurrent.ConcurrentHashMap[Vector[(String, String)],
+      java.util.concurrent.ConcurrentHashMap[String, Array[String]]]()
+
+  def symCacheFor(merges: Vector[(String, String)])
+      : java.util.concurrent.ConcurrentHashMap[String, Array[String]] = {
+    if (symCaches.size > 4) symCaches.clear() // drop stale vocabularies
+    symCaches.computeIfAbsent(merges,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, Array[String]]())
+  }
+
   /** Replay `merges` in order over a symbol sequence, each applied greedily
     * left-to-right. Shared by [[symbolize]] and the driver fast path. */
   private[graft] def applyMerges(syms0: Array[String],

@@ -78,9 +78,28 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
+  /** An inter-side equality conjunct means the join already carries a real
+    * equi-key (e.g. a keyed interval join written with abs()): Spark plans
+    * it as a hash/sort-merge join on that key, and the x3 explode + bin
+    * shuffle of this rewrite would only regress it. Correctness would be
+    * preserved either way (every conjunct is re-applied), so this is purely
+    * a cost decision: decline. */
+  private def hasInterSideEquiKey(left: LogicalPlan, right: LogicalPlan,
+      conjuncts: Seq[Expression]): Boolean =
+    conjuncts.exists {
+      case Equality(x, y) =>
+        x.references.nonEmpty && y.references.nonEmpty &&
+          ((x.references.subsetOf(left.outputSet) &&
+            y.references.subsetOf(right.outputSet)) ||
+            (y.references.subsetOf(left.outputSet) &&
+              x.references.subsetOf(right.outputSet)))
+      case _ => false
+    }
+
   private def rewrite(left: LogicalPlan, right: LogicalPlan,
       conjuncts: Seq[Expression], hint: JoinHint,
       out: Seq[Attribute]): Option[LogicalPlan] = {
+    if (hasInterSideEquiKey(left, right, conjuncts)) return None
     val hit = conjuncts.collectFirst {
       case LessThanOrEqual(Abs(Subtract(a, b, _), _), lc)
           if litLong(lc).isDefined => (a, b, litLong(lc).get)

@@ -711,19 +711,29 @@ object EmbeddingQueries extends QueryModule {
   // vectors whose cosine against ANY held-out eval vector reaches the
   // contamination threshold — paraphrased benchmark leakage that shares no
   // shingles but sits next to the eval set in embedding space. The eval
-  // set is the benchmark suite, bounded by construction (like a k-means
-  // model: thousands of rows, not corpus-scale), so it collects once and
-  // ships to executors inside the scoring kernel's closure — the corpus
-  // pass is ONE narrow map with no join, no shuffle, and no window, and
-  // the per-(corpus, eval) cosines are rounded to nano-units BEFORE the
-  // threshold test and max, so the flag can't flip on the last float bit
-  // between engines.
+  // set plays a fixed-size benchmark suite, and its driver collect is
+  // bounded by CONSTRUCTION, not by hope: the predicate keeps at most
+  // SemEvalMax rows (id % mod = 0 AND id < mod·max — a pure scan-side
+  // filter both engines push down) — O(benchmark) collected bytes at ANY
+  // corpus size. (A bare modulus would collect corpus/25 rows — a driver
+  // OOM at 100×; the cap already binds at the sf0.01 gate, so the oracle
+  // verifies the bounded split itself.) The model ships to executors
+  // inside the scoring kernel's closure — the corpus pass is ONE narrow
+  // map with no join, no shuffle, and no window, and the per-(corpus,
+  // eval) cosines are rounded to nano-units BEFORE the threshold test and
+  // max, so the flag can't flip on the last float bit between engines.
   private val SemEvalMod = 25
+  private val SemEvalMax = 10L // fixed benchmark size; binds at sf0.01+
   private val SemThreshNano = 300000000L // cosine ≥ 0.30
+
+  /** The eval-set membership predicate — shared by the collect and the
+    * corpus complement so no vector can fall in both or neither. */
+  private def semEvalPred: Column =
+    col("vec_id") % SemEvalMod === 0 && col("vec_id") < SemEvalMod * SemEvalMax
 
   private def q87(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val eval = emb.filter(col("vec_id") % SemEvalMod === 0)
+    val eval = emb.filter(semEvalPred)
       .collect().map(_.getSeq[Float](1).toArray)
       // id order is irrelevant (max/count are order-free) but a fixed
       // order keeps the collected model bit-stable across runs anyway
@@ -756,7 +766,7 @@ object EmbeddingQueries extends QueryModule {
       }
       (maxN, hits)
     })
-    emb.filter(col("vec_id") % SemEvalMod =!= 0)
+    emb.filter(!semEvalPred)
       .withColumn("r", score(col("embedding")))
       .select(col("vec_id"), col("r._1").as("max_cos_n"),
         col("r._2").as("n_hits"))
@@ -768,10 +778,10 @@ object EmbeddingQueries extends QueryModule {
       s"(${V.sqlNorm("c.embedding", Dim)} * ${V.sqlNorm("e.e_emb", Dim)})"
     s"""WITH ev AS (
        |  SELECT vec_id AS e_id, embedding AS e_emb FROM embeddings
-       |  WHERE vec_id % $SemEvalMod = 0),
+       |  WHERE vec_id % $SemEvalMod = 0 AND vec_id < ${SemEvalMod * SemEvalMax}),
        |corp AS (
        |  SELECT vec_id, embedding FROM embeddings
-       |  WHERE vec_id % $SemEvalMod <> 0),
+       |  WHERE NOT (vec_id % $SemEvalMod = 0 AND vec_id < ${SemEvalMod * SemEvalMax})),
        |s AS (
        |  SELECT c.vec_id, ${FP.sqlNano(cos)} AS cos_n
        |  FROM corp c CROSS JOIN ev e)

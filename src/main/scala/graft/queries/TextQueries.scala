@@ -807,8 +807,14 @@ object TextQueries extends QueryModule {
 
   private def q100(s: SparkSession, d: String): DataFrame = {
     val (_, _, _, quality) = qualityPieces
+    // asc_nulls_last, explicitly: quality_u is NULL for a zero-length text
+    // (the nullif divisor in qualityPieces), and Spark's default ascending
+    // order puts NULLs FIRST while DuckDB's puts them LAST — on any corpus
+    // with one empty document every percent_rank in its source would
+    // silently diverge from the oracle (EdgeDocsSpec pins the NULL rank).
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("quality_u"), col("doc_id"))
+      .partitionBy(col("source"))
+      .orderBy(col("quality_u").asc_nulls_last, col("doc_id"))
     docs(s, d)
       .select(col("doc_id"), col("source"), FP.micro(quality).as("quality_u"))
       .withColumn("pct_u", FP.micro(percent_rank().over(w)))
@@ -823,7 +829,7 @@ object TextQueries extends QueryModule {
        |  FROM documents),
        |r AS (
        |  SELECT doc_id, source, quality_u,
-       |    ${FP.sqlMicro("percent_rank() OVER (PARTITION BY source ORDER BY quality_u, doc_id)")} AS pct_u
+       |    ${FP.sqlMicro("percent_rank() OVER (PARTITION BY source ORDER BY quality_u NULLS LAST, doc_id)")} AS pct_u
        |  FROM q)
        |SELECT doc_id, source, quality_u, pct_u, pct_u >= $KeepPctU AS keep
        |FROM r ORDER BY doc_id""".stripMargin
@@ -975,9 +981,9 @@ object TextQueries extends QueryModule {
     val tf = forwardIndex(s, d)
     val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
-    val weights = tf
-      .join(broadcast(dfreq), Seq("w"))
-      .crossJoin(broadcast(nDocs))
+    // two-tier df join, no cap (the query terms are deliberately common;
+    // dropping them would rank nothing) — see q97's joinDfreq
+    val weights = joinDfreq(tf, dfreq, nDocs, None)
       .select(col("doc_id"), col("w"),
         FP.micro(col("tf") * log(col("n_docs") / col("dfreq"))).as("u"))
     // Norms/dots widen to decimal(38,0) BEFORE the multiply: without q97's
@@ -1485,14 +1491,17 @@ object TextQueries extends QueryModule {
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
     val merges = Bpe.train(words, "w", "wc", BpeMerges)
-      .map(m => (m.left, m.right))
+      .map(m => (m.left, m.right)).toVector
     // per-executor memo on the DISTINCT word: under a Zipf distribution
     // occurrences outnumber distinct words by orders of magnitude, so
     // replaying the merge passes per occurrence is pure waste — the same
-    // histogram-not-corpus argument the trainer itself makes. Capped so a
-    // pathological vocabulary degrades to recompute, never to OOM.
-    val symCache = new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+    // histogram-not-corpus argument the trainer itself makes. The closure
+    // captures only the merge table; the cache itself is the JVM-singleton
+    // Bpe.symCacheFor (a map captured here would deserialize fresh per
+    // task — a per-task memo only). Capped so a pathological vocabulary
+    // degrades to recompute, never to OOM.
     val tokUdf = udf((text: String) => {
+      val symCache = Bpe.symCacheFor(merges)
       val ws = T.tokensJvm(text).filter(_.nonEmpty) // the trainer's split
       var n = 0L
       val seen = scala.collection.mutable.HashSet.empty[String]
@@ -1610,17 +1619,63 @@ object TextQueries extends QueryModule {
       .repartition(col("doc_id"))
       .localCheckpoint()
 
+  /** Default head threshold of [[joinDfreq]]: a term in more than this
+    * percent of documents is "head". */
+  private val DfHeadPctDefault = 2
+
+  /** The document-frequency join of the sparse-retrieval arms — TWO-TIER.
+    *
+    * `dfreq` is vocabulary-sized: by Heaps' law a 100 TB corpus holds
+    * 10⁸–10⁹ distinct terms — multi-GB, past any broadcast budget — so
+    * broadcasting it whole (the round-5 plan) dies at scale; but shuffling
+    * the postings by term instead collapses onto the stopword keys (a
+    * handful of reducers take most of the corpus). The dichotomy is false —
+    * the two failure modes live at opposite ends of the df spectrum:
+    *
+    *  - HEAD (df > headPct% of docs): the skew makers. Σdf over the
+    *    vocabulary = n_docs · avgDistinctTermsPerDoc, so at most
+    *    avgDistinctTermsPerDoc · 100 / headPct terms can clear the
+    *    threshold — the head relation is bounded by the AVERAGE DOCUMENT,
+    *    not the corpus (≈25k terms for 500-term docs at 2%): a
+    *    kilobyte-scale broadcast at any corpus size, and the corpus-scale
+    *    head postings (the bulk, by Zipf) stay put on tf's partitioning.
+    *  - TAIL (df ≤ headPct%): skew-free by construction — no key matches
+    *    more than headPct% of documents — so the standard shuffle
+    *    equi-join on `w` is safe; AQE's skew handling covers the residual
+    *    spread. (At gate scale AQE usually converts this join to a
+    *    broadcast from the MEASURED tail size — exactly the adaptivity a
+    *    10⁹-term vocabulary needs in the other direction.)
+    *
+    * PlanSpec pins both properties on the registered queries: no
+    * term-keyed shuffle outside the tail tier, no dfreq-derived broadcast
+    * without a tier/probe bound; a branch-parity spec forces all-head and
+    * all-tail via spark.graft.dfHeadPct and asserts identical results.
+    *
+    * @param capPct drop terms in more than capPct% of documents (q97's
+    *               stopword cap) BEFORE the split — the inner join then
+    *               drops their postings by never matching them.
+    * @return tf's columns plus (dfreq, n_docs). */
+  private def joinDfreq(tf: DataFrame, dfreq: DataFrame, nDocs: DataFrame,
+      capPct: Option[Int]): DataFrame = {
+    val headPct = tf.sparkSession.conf
+      .get("spark.graft.dfHeadPct", DfHeadPctDefault.toString).toInt
+    val d0 = dfreq.crossJoin(broadcast(nDocs))
+    val d = capPct.map(c => d0.filter(col("dfreq") * 100 <= col("n_docs") * c))
+      .getOrElse(d0)
+    val head = d.filter(col("dfreq") * 100 > col("n_docs") * headPct)
+    val tail = d.filter(col("dfreq") * 100 <= col("n_docs") * headPct)
+    tf.join(broadcast(head), Seq("w"))
+      .unionByName(tf.join(tail, Seq("w")))
+  }
+
   private def q97(s: SparkSession, d: String): DataFrame = {
     val tf = forwardIndex(s, d)
     val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
-    // dfreq broadcasts (vocab-sized); the corpus-scale tf side is NEVER
-    // shuffled by term — a stopword term key space would collapse a
-    // term-keyed shuffle onto a handful of reducers.
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
-    val weights = tf
-      .join(broadcast(dfreq), Seq("w"))
-      .crossJoin(broadcast(nDocs))
-      .filter(col("dfreq") * 100 <= col("n_docs") * SparseDfCapPct)
+    // two-tier df join (see joinDfreq): head terms broadcast (bounded),
+    // tail terms shuffle skew-free — never a vocab-scale broadcast, never
+    // a stopword-collapsed term shuffle; the cap rides the dfreq side.
+    val weights = joinDfreq(tf, dfreq, nDocs, Some(SparseDfCapPct))
       .select(col("doc_id"), col("w"),
         FP.micro(col("tf") * log(col("n_docs") / col("dfreq"))).as("u"))
     val norms = weights.groupBy(col("doc_id"))

@@ -70,6 +70,23 @@ class BandJoinSpec extends SparkSuite {
     assert(want.size === 12) // 6 self-pairs + 3 adjacent pairs × 2 orders
   }
 
+  test("declines when the join already carries an inter-side equi-key") {
+    // A keyed interval join written with abs(): the equi-key already gives
+    // Spark a selective hash join — the x3 explode + bin shuffle could
+    // only regress it, so the rule must leave the plan alone. Pair set is
+    // identical either way; what's pinned is the ABSENCE of the band
+    // machinery (its Tag-prefixed helper columns) from the plan.
+    val l = Seq((1L, 10L), (2L, 20L), (2L, 205L)).toDF("k", "a")
+    val r = Seq((1L, 15L), (2L, 100L), (2L, 210L)).toDF("k", "b")
+    val df = l.join(r, l("k") === r("k") &&
+      abs(col("a") - col("b")) <= lit(C))
+    val got = df.select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(got === Set((10L, 15L), (20L, 100L), (205L, 210L)))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("__band_"),
+      s"equi-keyed join must not be band-rewritten:\n$plan")
+  }
+
   test("declines gracefully when it cannot help") {
     // double operands: left to run as written (still correct)
     val dd = Seq(0.5, 1.5, 99.9).toDF("a")

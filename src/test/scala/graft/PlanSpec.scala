@@ -231,49 +231,82 @@ class PlanSpec extends SparkSuite {
       s"expected >=3 ReusedExchange refs to the shingle repartition, found $reused:\n$fp")
   }
 
-  test("q97: the posting join broadcasts the probe side; no term-keyed shuffle") {
-    // The inverted-index join must never shuffle the corpus posting list
-    // by term: a stopword-grade key space (31 terms in the synthetic
-    // corpus) would collapse that exchange onto a handful of reducers.
-    // The bounded probe side broadcasts instead (the q40 shape), and the
-    // only shuffles key on doc-ish ids. Execute first — the join strategy
-    // and the checkpointed forward index are runtime artifacts.
-    val df = SparkEntry.queries("q97_sparse_cosine")(spark, d)
+  /** [[flattenPlan]] plus descent into AQE query-stage wrappers, so
+    * broadcast/shuffle EXCHANGES (which hide inside stages once AQE has
+    * materialized them) are reachable too. */
+  private def deepFlatten(n: SparkPlan): Seq[SparkPlan] = n match {
+    case a: AdaptiveSparkPlanExec => deepFlatten(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      q +: deepFlatten(q.plan)
+    case other =>
+      (other +: other.children.flatMap(deepFlatten)) ++
+        other.subqueries.flatMap(deepFlatten)
+  }
+
+  /** The two-tier df-join contract (see TextQueries.joinDfreq). Round 5
+    * broadcast the WHOLE vocabulary-sized dfreq — multi-GB at 100 TB by
+    * Heaps' law; the round-4 alternative (shuffle postings by term)
+    * collapses onto stopword keys. The two-tier plan must hold BOTH ends:
+    *  (a) a term-keyed shuffle join may exist ONLY as the tail tier —
+    *      recognizable by the `df*100 <= n_docs*headPct` bound on its
+    *      dfreq side, which caps every join key at headPct% of documents
+    *      (skew-free by construction);
+    *  (b) every broadcast whose subtree derives from dfreq must carry a
+    *      bound — a tier split (`*100`), an explicit term list (IN), or a
+    *      probe-mod filter (%). An UNfiltered dfreq broadcast is the
+    *      vocabulary-scale regression this pin exists to catch. */
+  private def assertTwoTierTermContract(name: String): Unit = {
+    val df = SparkEntry.queries(name)(spark, d)
     df.collect()
-    val exec = flattenPlan(df.queryExecution.executedPlan)
+    val exec = deepFlatten(df.queryExecution.executedPlan)
     import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     exec.foreach {
-      case j: SortMergeJoinExec =>
-        assert(!j.leftKeys.exists(_.references.exists(_.name == "w")),
-          s"term-keyed sort-merge join found:\n${df.queryExecution.executedPlan}")
-      case j: ShuffledHashJoinExec =>
-        assert(!j.leftKeys.exists(_.references.exists(_.name == "w")),
-          s"term-keyed shuffled-hash join found:\n${df.queryExecution.executedPlan}")
+      case j: SortMergeJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name == "w")) =>
+        assert(j.toString.contains("* 100) <= "),
+          s"term-keyed sort-merge join outside the tail tier:\n$j")
+      case j: ShuffledHashJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name == "w")) =>
+        assert(j.toString.contains("* 100) <= "),
+          s"term-keyed shuffled-hash join outside the tail tier:\n$j")
+      case b: BroadcastExchangeExec =>
+        val s = b.child.treeString
+        // a grouping-free aggregate at the broadcast root is ONE row
+        // (q102's qn scalar) — bounded however deep its inputs are
+        val scalarRoot = b.child.toString.linesIterator.next().contains("keys=[]")
+        if (s.contains("dfreq#") && !scalarRoot)
+          assert(s.contains("* 100)") || s.contains(" IN ") || s.contains("% "),
+            s"vocabulary-scale dfreq broadcast without a tier/term/probe bound:\n$s")
       case _ =>
     }
-    // and at least one broadcast join carries the probe side
     assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
       "expected the broadcast posting join")
   }
 
-  test("q102: the hybrid fusion keeps q97's no-term-shuffle contract") {
-    // q102's cosine arm rides the same forward index; a regression that
-    // shuffles postings by term would hide inside the fusion plan
-    val df = SparkEntry.queries("q102_hybrid_rank")(spark, d)
-    df.collect()
-    val exec = flattenPlan(df.queryExecution.executedPlan)
-    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
-    exec.foreach {
-      case j: SortMergeJoinExec =>
-        assert(!j.leftKeys.exists(_.references.exists(_.name == "w")),
-          s"term-keyed sort-merge join found:\n${df.queryExecution.executedPlan}")
-      case j: ShuffledHashJoinExec =>
-        assert(!j.leftKeys.exists(_.references.exists(_.name == "w")),
-          s"term-keyed shuffled-hash join found:\n${df.queryExecution.executedPlan}")
-      case _ =>
+  test("q97: two-tier df join — no vocab broadcast, no skewed term shuffle") {
+    assertTwoTierTermContract("q97_sparse_cosine")
+  }
+
+  test("q102: the hybrid fusion keeps q97's two-tier df-join contract") {
+    assertTwoTierTermContract("q102_hybrid_rank")
+  }
+
+  test("q97/q102 tier-branch parity: forced all-head ≡ forced all-tail ≡ default") {
+    // At gate scale the synthetic vocabulary is all-head (31 common
+    // terms), so the tail shuffle branch would ship no rows through the
+    // driver gate — force each tier to carry the WHOLE vocabulary and pin
+    // result equality, the same both-branches discipline as the atlas
+    // broadcast fallback (ArgoPipelineSpec).
+    def run(q: String): Seq[org.apache.spark.sql.Row] =
+      SparkEntry.queries(q)(spark, d).collect().toSeq
+    val base = Seq("q97_sparse_cosine", "q102_hybrid_rank").map(q => q -> run(q))
+    for (pct <- Seq("-1", "101")) { // -1: every term head; 101: every term tail
+      spark.conf.set("spark.graft.dfHeadPct", pct)
+      try base.foreach { case (q, want) =>
+        assert(run(q) == want, s"$q diverged at dfHeadPct=$pct")
+      } finally spark.conf.unset("spark.graft.dfHeadPct")
     }
-    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
-      "expected the broadcast query-term join")
   }
 
   test("embedding bucket self-joins survive count()-style pruning") {
