@@ -69,6 +69,77 @@ object Figures {
     colorize(level, "v_u")
   }
 
+  /** The reference's `plottopo` contour levels (`figures/maps.py:62`). */
+  val TopoLevels: Seq[Double] = Seq(-4000.0, -2000.0, -100.0)
+
+  /** The contour layer of `plottopo` (`figures/maps.py:60-66`): the cells
+    * of an elevation raster whose edge to the east or north neighbor
+    * crosses one of `levels` — painted black, the discrete analog of
+    * `ax.contour(TOPO.h, [-4000, -2000, -100], colors="k")`.
+    *
+    * Neighbors come from two window LEADS over the gridded frame (east:
+    * rows of constant gj ordered by gi; north: columns of constant gi) —
+    * never a self-join of the grid, and each window partition is a single
+    * raster row or column, so the work spreads across the grid at any
+    * resolution. The crossing test is half-open (min < L ≤ max) so a
+    * plateau sitting exactly on a level marks its boundary, not its whole
+    * interior.
+    *
+    * @param topo (gi, gj, h) — a DENSE elevation raster (consecutive
+    *             indices; [[topoGrid]] builds one from the synthetic
+    *             bathymetry, a real deployment reads its topo grid). */
+  def topoContourOverlay(topo: DataFrame,
+      levels: Seq[Double] = TopoLevels): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val east = Window.partitionBy(col("gj")).orderBy(col("gi"))
+    val north = Window.partitionBy(col("gi")).orderBy(col("gj"))
+    def crosses(a: Column, b: Column): Column =
+      levels.map(l => least(a, b) < l && greatest(a, b) >= l)
+        .reduce(_ || _)
+    topo
+      .withColumn("__hE", lead(col("h"), 1).over(east))
+      .withColumn("__hN", lead(col("h"), 1).over(north))
+      .filter((col("__hE").isNotNull && crosses(col("h"), col("__hE"))) ||
+        (col("__hN").isNotNull && crosses(col("h"), col("__hN"))))
+      .select(col("gi"), col("gj"),
+        lit(0L).as("r"), lit(0L).as("g"), lit(0L).as("b"))
+  }
+
+  /** [[graft.argo.Bathy.syntheticElevation]] sampled at the atlas grid
+    * cells — INCLUDING land cells (the reference's contour input is the
+    * full topo grid, and coast-adjacent crossings need both sides; the
+    * land-pruned [[Atlas.grid]] serves the CLIMATOLOGY, not the contours). */
+  def topoGrid(s: org.apache.spark.sql.SparkSession, atlas: Atlas): DataFrame = {
+    val (lon1, _, lat1, _) = atlas.box
+    val reso = atlas.reso
+    val hUdf = udf(graft.argo.Bathy.syntheticElevation _)
+    s.range(atlas.nLon.toLong * atlas.nLat)
+      .select((col("id") % atlas.nLon).cast("int").as("gi"),
+        (col("id") / atlas.nLon).cast("int").as("gj"))
+      .withColumn("h", hUdf(lit(lon1) + col("gi") * reso,
+        lit(lat1) + col("gj") * reso))
+  }
+
+  /** `map_atlas(..., plottopo=True)` (`figures/maps.py:8,60-66`): the
+    * colormapped raster with the bathymetry contour cells layered on top.
+    * Contour pixels win DETERMINISTICALLY (the base raster is anti-joined
+    * first — relying on write order would leave overlap pixels
+    * partition-order dependent); the overlay is image-bounded, so its
+    * anti-join side broadcasts. */
+  def mapAtlas(clim: DataFrame, atlas: Atlas, field: String, kz: Int,
+               plottopo: Boolean): DataFrame = {
+    val base = mapAtlas(clim, atlas, field, kz)
+    if (!plottopo) base
+    else {
+      val overlay = topoContourOverlay(topoGrid(clim.sparkSession, atlas))
+        .withColumn("v_u", lit(null).cast(LongType))
+        .withColumn("t_u", lit(null).cast(LongType))
+      base.join(broadcast(overlay.select("gi", "gj")), Seq("gi", "gj"),
+          "left_anti")
+        .unionByName(overlay)
+    }
+  }
+
   /** `plot_first_profiles` (`figures/first_profiles.py:11-26`): the
     * scatter layer — each float's first reported position. */
   def firstProfilesData(summary: DataFrame): DataFrame =

@@ -1614,10 +1614,26 @@ object TextQueries extends QueryModule {
     * (doc_id, w) instead, each partition saw ~one row per (probe, doc)
     * group and the partial aggregate shipped the full fan-out (~15M rows
     * at sf0.1, measured 2.4 s for the dots stage alone). */
-  private def forwardIndex(s: SparkSession, d: String): DataFrame =
-    graft.sources.TermStore.forwardIndex(docs(s, d))
-      .repartition(col("doc_id"))
-      .localCheckpoint()
+  private def forwardIndex(s: SparkSession, d: String): DataFrame = {
+    // At-rest fast path: a deployment lands the forward index ONCE
+    // (TermStore.saveBucketed) and points retrieval at it with
+    //   spark.graft.termStore = "<corpusDir>=<tableName>"
+    // — the session then neither re-tokenizes the corpus nor reshuffles
+    // the postings by doc_id (the doc_id BUCKETS of the store give the
+    // same clustering the repartition+checkpoint builds per session, which
+    // at 100 TB is a full postings shuffle on every session start). The
+    // corpusDir guard keeps a store from silently serving a different
+    // corpus than the one the query names (TermStoreSpec pins plan shape
+    // and result parity on the registered queries).
+    s.conf.get("spark.graft.termStore", "").split("=", 2) match {
+      case Array(dir, table) if dir == d && s.catalog.tableExists(table) =>
+        graft.sources.TermStore.loadBucketed(s, table)
+      case _ =>
+        graft.sources.TermStore.forwardIndex(docs(s, d))
+          .repartition(col("doc_id"))
+          .localCheckpoint()
+    }
+  }
 
   /** Default head threshold of [[joinDfreq]]: a term in more than this
     * percent of documents is "head". */

@@ -93,6 +93,63 @@ class FiguresSpec extends SparkSuite {
     assert(px.slice(9, 12).toSeq === Seq(250, 25, 0))     // (1, gj=0) -> row 1
   }
 
+  test("topoContourOverlay marks exactly the level-crossing cells") {
+    // hand-computed oracle on a 4×3 grid against the reference's levels
+    // (-4000, -2000, -100): a cell is contour iff its east or north edge
+    // crosses a level under the half-open min < L <= max rule
+    val h = Seq(
+      (0, 0, -5000.0), (1, 0, -3000.0), (2, 0, -1500.0), (3, 0, -50.0),
+      (0, 1, -5000.0), (1, 1, -4500.0), (2, 1, -2500.0), (3, 1, -150.0),
+      (0, 2, -120.0), (1, 2, -90.0), (2, 2, -2000.0), (3, 2, -6000.0))
+      .toDF("gi", "gj", "h")
+    val got = Figures.topoContourOverlay(h)
+      .select($"gi", $"gj", $"r", $"g", $"b")
+      .as[(Int, Int, Long, Long, Long)].collect().toSet
+    assert(got.forall { case (_, _, r, g, b) => r == 0 && g == 0 && b == 0 })
+    val want = Set((0, 0), (1, 0), (2, 0), (3, 0),
+      (0, 1), (1, 1), (2, 1), (3, 1),
+      (0, 2), (1, 2), (2, 2)) // (3,2) has no east/north neighbor
+    assert(got.map(c => (c._1, c._2)) === want)
+  }
+
+  test("mapAtlas plottopo layers black contour cells over the raster, deterministically") {
+    // same fixture as the level-selector test: base raster has (0,0) white
+    // and (1,1) red. The synthetic elevation in this 2×2 box is +100 m on
+    // the gj=1 row (inside continent 1) and -6000 m on gj=0, so both
+    // columns cross every level on their north edge: overlay = {(0,0),
+    // (1,0)} — (0,0) must be OVERRIDDEN to black (contours win over data
+    // pixels, the reference draws them last), (1,0) appears black where
+    // the base had nothing, (1,1) keeps its data color.
+    val atlas = new Atlas(box = (10.0, 30.0, -50.0, -30.0), reso = 10.0)
+    val p0 = ArgoSchemas.Pref(0).toFloat
+    val clim = Seq(
+      (10.0f, -50.0f, p0, 5.0f),
+      (20.0f, -40.0f, p0, 25.0f))
+      .toDF("lon", "lat", "pres", "CT")
+    val out = Figures.mapAtlas(clim, atlas, "CT", kz = 0, plottopo = true)
+      .select($"gi", $"gj", $"r", $"g", $"b")
+      .as[(Int, Int, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (0, 0, 0L, 0L, 0L),
+      (1, 0, 0L, 0L, 0L),
+      (1, 1, 255L, 25L, 0L)))
+    // plottopo=false keeps the old raster exactly
+    val base = Figures.mapAtlas(clim, atlas, "CT", kz = 0)
+      .select($"gi", $"gj").as[(Int, Int)].collect().toSet
+    assert(base === Set((0, 0), (1, 1)))
+  }
+
+  test("synthetic elevation is sign-consistent with the land mask") {
+    val rnd = new scala.util.Random(7)
+    (0 until 2000).foreach { _ =>
+      val lon = rnd.nextDouble() * 360 - 180
+      val lat = rnd.nextDouble() * 180 - 90
+      assert(graft.argo.Bathy.syntheticLand(lon, lat) ==
+        (graft.argo.Bathy.syntheticElevation(lon, lat) >= 0.0),
+        s"sign mismatch at ($lon, $lat)")
+    }
+  }
+
   test("first-profile scatter + N_PROF histogram data are deterministic") {
     val summary = Seq(
       (100, 1.toShort, 5.0f, -5.0f, 30.toShort),

@@ -42,4 +42,46 @@ class TermStoreSpec extends SparkSuite {
       assert(got.nonEmpty)
     } finally spark.sql("DROP TABLE IF EXISTS terms_bucketed")
   }
+
+  test("registered q97/q102 ride the store when spark.graft.termStore points at it") {
+    // The round-5 layout proof lived only on hand-built frames; this is
+    // the REGISTERED retrieval queries over the at-rest index: identical
+    // results, a bucketed scan instead of a per-session re-tokenize, no
+    // checkpoint materialization, and every doc_id exchange fed by a
+    // map-side partial aggregate (the postings themselves are never
+    // reshuffled by doc_id — at 100 TB the per-session
+    // repartition+checkpoint is a full postings shuffle on session start).
+    val tmp = java.nio.file.Files.createTempDirectory("graft-termstore-q")
+    TermStore.saveBucketed(docs, "terms_q97", buckets = 8,
+      path = Some(tmp.resolve("t").toString))
+    try {
+      val want97 = SparkEntry.queries("q97_sparse_cosine")(spark, d).collect().toSeq
+      val want102 = SparkEntry.queries("q102_hybrid_rank")(spark, d).collect().toSeq
+      spark.conf.set("spark.graft.termStore", s"$d=terms_q97")
+      try {
+        val df97 = SparkEntry.queries("q97_sparse_cosine")(spark, d)
+        assert(df97.collect().toSeq == want97,
+          "q97 over the store must equal the recompute path")
+        df97.queryExecution.executedPlan // force final AQE plan after collect
+        val p = df97.queryExecution.executedPlan.toString
+        assert(p.contains("Bucketed: true"),
+          s"q97 must scan the bucketed store:\n$p")
+        assert(!p.contains("Scan ExistingRDD"),
+          s"no per-session checkpoint materialization over the store:\n$p")
+        // any doc_id exchange must carry AGGREGATED rows (partial-combined
+        // norms, finished dots), never the raw postings: an aggregate must
+        // sit between the exchange and whatever it reads
+        val lines = p.linesIterator.toVector
+        lines.zipWithIndex.foreach { case (ln, i) =>
+          if (ln.contains("Exchange hashpartitioning(doc_id")) {
+            val below = lines.drop(i + 1).take(4).mkString("\n")
+            assert(below.contains("HashAggregate"),
+              s"doc_id exchange fed by raw postings, not an aggregate:\n$ln\n$below")
+          }
+        }
+        assert(SparkEntry.queries("q102_hybrid_rank")(spark, d).collect().toSeq
+          == want102, "q102 over the store must equal the recompute path")
+      } finally spark.conf.unset("spark.graft.termStore")
+    } finally spark.sql("DROP TABLE IF EXISTS terms_q97")
+  }
 }
