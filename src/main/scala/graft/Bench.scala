@@ -79,12 +79,15 @@ object Bench {
     // look slow get ONE more run after the whole suite has finished —
     // typically several minutes later, far outside the original window.
     // BENCH_r02 measured the atlas trio at 14-30 s under such a burst;
-    // the same queries re-run clean at 2-3 s. Threshold 1.0 s, not 2.5:
-    // BENCH_r03 published q70 at 1.24 s (vs 0.71 s measured clean in
-    // isolation — a 1.7x contention inflation that sat just under the old
-    // threshold and so never got its decorrelated re-run). Every 1 s+
-    // query re-running once costs ~15 s of bench wall time, cheap next to
-    // publishing a phantom 1.7x regression.
+    // the same queries re-run clean at 2-3 s. Threshold history: 2.5 →
+    // 1.0 (BENCH_r03 published q70 at 1.24 s vs 0.71 s clean) → 0.5:
+    // BENCH_r05 published q33 at 0.998 s and q32 at 0.820 s — 6-7x their
+    // clean ~0.13 s, diff-identical code — because the burst spanned both
+    // in-loop reps and both numbers sat just UNDER the 1.0 s line, so
+    // neither got its decorrelated re-run (a clean full-suite re-run
+    // reproduced 0.11/0.14 s). Every 0.5 s+ query re-running once costs
+    // ~20 s of bench wall time, cheap next to publishing phantom 6x
+    // regressions.
     val results2 = results.map { case (name, (best, fn)) =>
       // all-reps-failed queries get one decorrelated chance too: a
       // transient condition (full /tmp, OOM burst) that cleared since
@@ -162,6 +165,78 @@ object Bench {
         case None => spark.conf.unset("spark.graft.atlasBroadcastMaxRows")
       }
     }
+    // Scale rehearsal: the heaviest corpus queries on a ~10× blowup of
+    // documents + embeddings — a PERF gate, not a correctness one (the
+    // driver's DuckDB gate owns values): each query must COMPLETE and its
+    // wall time lands in the JSON, so a superlinear plan (quadratic
+    // candidate generation, a collapsed join key space, a driver-bounded
+    // collect that grew with the corpus) surfaces empirically instead of
+    // by plan reading. Replicas are near-dup PERTURBED (a per-replica
+    // suffix token; shifted ids) so the dedup family sees realistic
+    // near-dup structure, not 10 bit-identical corpus copies.
+    val Scale10Queries = Seq("q36_ngram_jaccard", "q38_dedup_clusters",
+      "q67_semantic_clusters", "q97_sparse_cosine", "q102_hybrid_rank")
+    val scale10: Seq[(String, Double)] =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALE10", "1") == "0") Nil
+      else try {
+        import org.apache.spark.sql.functions._
+        val dir = java.nio.file.Files.createTempDirectory("graft-scale10").toString
+        val tb = System.nanoTime()
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val nd = docs.agg(max("doc_id")).head.getLong(0) + 1
+        val nv = emb.agg(max("vec_id")).head.getLong(0) + 1
+        val reps10 = spark.range(10).select(col("id").as("__rep"))
+        docs.crossJoin(reps10)
+          .withColumn("doc_id", col("doc_id") + col("__rep") * nd)
+          .withColumn("text", when(col("__rep") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" v"), col("__rep"))))
+          .drop("__rep")
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        // replica vectors get a per-rep DIMENSION ROTATION: norm-preserving,
+        // keeps each replica's internal near-dup structure (a≈b stays a≈b
+        // under the same rotation) while decorrelating replicas from each
+        // other — bit-identical copies would give every vector 9 exact
+        // dups and grow the near-dup pair set quadratically (measured 25×
+        // wall on q67 at 10×), an artifact of the fixture, not the plan
+        val dim = emb.select(size(col("embedding"))).head.getInt(0)
+        emb.crossJoin(reps10)
+          .withColumn("vec_id", col("vec_id") + col("__rep") * nv)
+          .withColumn("embedding", transform(sequence(lit(0), lit(dim - 1)),
+            i => element_at(col("embedding"),
+              (pmod(i + col("__rep") * 7, lit(dim)) + 1).cast("int"))))
+          .drop("__rep")
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        System.err.println(f"[bench] scale10 build           ${(System.nanoTime() - tb) / 1e9}%8.2f s")
+        Scale10Queries.flatMap { name =>
+          // min of `reps` runs, same warm-number discipline as the main
+          // loop: single-rep scale10 times were observed to swing 5x on
+          // shared hardware (q102: 6.2 s vs 31.6 s run to run)
+          def one(): (Double, Long) = {
+            val t0 = System.nanoTime()
+            val n = try SparkEntry.queries(name)(spark, dir).count()
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] scale10 $name FAILED: " +
+                  s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
+                -1L
+              }
+            ((System.nanoTime() - t0) / 1e9, n)
+          }
+          val runs = (1 to reps).map(_ => one())
+          val ok = runs.filter(_._2 >= 0)
+          val (dt, n) =
+            if (ok.nonEmpty) ok.minBy(_._1) else (0.0, -1L)
+          System.err.println(f"[bench] scale10 ${name.takeWhile(_ != '_')}%-16s $dt%8.2f s ($n rows)")
+          // a failed scale10 query bills the same closed-fail penalty as
+          // the main suite so breakage can't read as a speedup
+          Some(name.takeWhile(_ != '_') ->
+            (if (n >= 0) dt else FailPenaltySec))
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] scale10 stage FAILED: " +
+          s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
+        Nil
+      }
     val nCores = cpus.toDouble
     val stages = (
       tput("q70_argo_interp").map { case (ps, n) =>
@@ -173,6 +248,9 @@ object Bench {
         Seq(s""""atlas_cell_levels_per_sec":${r3(cs)}""", s""""atlas_cell_levels":$n""")
       }.getOrElse(Nil) ++
       fallbackSec.map(dt => Seq(s""""atlas_fallback_sec":${r3(dt)}""")).getOrElse(Nil) ++
+      (if (scale10.isEmpty) Nil
+       else Seq(scale10.map { case (k, v) => s"\"$k\":${r3(v)}" }
+         .mkString("\"scale10\":{", ",", "}"))) ++
       Seq(s""""cores":${cpus.toInt}""", s""""reps":$reps""")).mkString("{", ",", "}")
     val failedPart =
       if (failed.isEmpty) "" else failed.mkString(""","failed":[""", ",", "]")

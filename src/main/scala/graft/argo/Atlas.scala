@@ -195,8 +195,15 @@ class Atlas(
   def climTS(s: SparkSession, profiles: DataFrame): DataFrame = {
     val pr = pairs(s, profiles)
     val cellMeans = Atlas.aggTS(pr)
-    explodeLevels(cellMeans, Seq("CT_m" -> "CT", "SR_m" -> "SR"))
+    finalizeTS(cellMeans)
   }
+
+  /** The cell-frame → long-format finalization climTS applies to
+    * [[Atlas.aggTS]]'s output — public so the STREAMING form of the same
+    * aggregation (aggTS as a complete-mode streaming query; the state IS
+    * the cell frame) can finalize its state table identically (q108). */
+  def finalizeTS(cells: DataFrame): DataFrame =
+    explodeLevels(cells, Seq("CT_m" -> "CT", "SR_m" -> "SR"))
 
   /** A2 (R14) / A3 (T25): two chained aggregations sharing one pair set.
     * @param algo "R14" or "T25" */

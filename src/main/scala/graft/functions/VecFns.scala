@@ -26,26 +26,48 @@ object VecFns {
 
   def sqlNorm(a: String, n: Int): String = s"sqrt(${sqlDot(a, a, n)})"
 
-  /** Signed ±1.0 pseudo-random hyperplane component for plane `p`, dim `i`
-    * (1-based column): parity of an affine hash. Deterministic and portable
-    * — the "random" planes are a pure function of (p, i). */
-  def planeSign(p: Int, i: Column): Column =
-    when(((i * lit(2L * p + 3L) + lit(97L * p + 13L)) % TextFns.HashMod) % 2 === 1,
-      lit(1.0)).otherwise(lit(-1.0))
+  /** Deterministic ±1 sign vector of pseudo-random hyperplane `p` over
+    * dims 1..n — a STRONG splitmix-style mix, precomputed on the driver
+    * and inlined as LITERALS into both engines' expressions (the planes
+    * are data-independent constants, so literal tables cost nothing and
+    * make mixing quality a free choice).
+    *
+    * Why not hash inline in the expression: the previous affine-parity
+    * family `((i·(2p+3) + 97p+13) % HashMod) % 2` was degenerate — for
+    * realistic (p, i) the affine value never reaches HashMod, so the
+    * outer parity collapses to parity(i + p + 1): every plane was one of
+    * exactly TWO complementary sign patterns, and sign-LSH produced 2
+    * occupied buckets on ANY data — quadratic candidate generation that
+    * the scale10 bench stage caught at 10× (measured: 16 nominal buckets,
+    * 2 occupied, 100M candidate pairs at 20k vectors). */
+  def planeSignsJvm(p: Int, n: Int): IndexedSeq[Double] =
+    (1 to n).map { i =>
+      var h = p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL
+      h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+      if ((h & 1L) == 1L) 1.0 else -1.0
+    }
 
-  def sqlPlaneSign(p: Int, i: String): String =
-    s"CASE WHEN (($i * ${2L * p + 3L} + ${97L * p + 13L}) % ${TextFns.HashMod}) % 2 = 1 " +
-      "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END"
+  /** The dims (1-based) where plane `p` is +1 — for consumers that fold
+    * ±x by sign (the centered-bucket thresholds). */
+  def posDims(p: Int, n: Int): Seq[Int] = {
+    val s = planeSignsJvm(p, n)
+    (1 to n).filter(i => s(i - 1) > 0)
+  }
 
   /** Projection of the vector onto pseudo-random hyperplane `p`. */
-  def planeProj(vec: Column, p: Int, n: Int): Column =
+  def planeProj(vec: Column, p: Int, n: Int): Column = {
+    val signs = lit(planeSignsJvm(p, n).toArray)
     aggregate(sequence(lit(1), lit(n)), lit(0.0),
-      (acc, i) => acc + element_at(vec, i) * planeSign(p, i))
+      (acc, i) => acc + element_at(vec, i) * element_at(signs, i))
+  }
 
-  def sqlPlaneProj(vec: String, p: Int, n: Int): String =
+  def sqlPlaneProj(vec: String, p: Int, n: Int): String = {
+    val signs = planeSignsJvm(p, n)
+      .map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(range(1, ${n + 1}), i -> " +
-      s"CAST($vec[i] AS DOUBLE) * ${sqlPlaneSign(p, "i")})), (acc, x) -> acc + x)"
+      s"CAST($vec[i] AS DOUBLE) * ($signs)[i])), (acc, x) -> acc + x)"
+  }
 
   /** Random-hyperplane LSH bucket: `bits` sign bits packed into a long.
     * Collision probability rises with cosine similarity — the standard
@@ -75,6 +97,31 @@ object VecFns {
   def sqlLshBucket(vec: String, bits: Int, n: Int): String =
     (0 until bits).map(p =>
       s"CASE WHEN ${sqlPlaneProj(vec, p, n)} > 0 THEN ${1L << p} ELSE 0 END")
+      .mkString("(", " + ", ")")
+
+  /** CENTERED sign-LSH: bit p is sign(h_p·v − h_p·μ) — the hyperplanes
+    * pass through the corpus mean, not the origin. Uncentered sign-LSH
+    * collapses whenever the vectors share a dominant common component
+    * (sign(h·v) ≈ sign(h·μ) for every v): on the synthetic corpus FOUR
+    * uncentered bits yielded exactly TWO occupied buckets — quadratic
+    * candidate generation, caught empirically by the scale10 bench stage.
+    * `thresh(p)` must be the identical exact value in both engines: the
+    * per-plane h_p·μ built from the nano fixed-point per-dimension mean
+    * (see EmbeddingQueries.planeThresholds); the comparison is then one
+    * deterministic double compare per plane. */
+  def lshBucketCentered(vec: Column, bits: Int, n: Int,
+      thresh: Seq[Double]): Column =
+    (0 until bits).map(p =>
+      when(planeProj(vec, p, n) > lit(thresh(p)), lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** DuckDB twin; `thresh` is a SQL list expression (1-based) of the same
+    * `bits` per-plane thresholds. */
+  def sqlLshBucketCentered(vec: String, bits: Int, n: Int,
+      thresh: String): String =
+    (0 until bits).map(p =>
+      s"CASE WHEN ${sqlPlaneProj(vec, p, n)} > $thresh[${p + 1}] " +
+        s"THEN ${1L << p} ELSE 0 END")
       .mkString("(", " + ", ")")
 
   // ---- compiled kernel (hot path) -----------------------------------------

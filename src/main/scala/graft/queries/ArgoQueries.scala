@@ -252,6 +252,42 @@ object ArgoQueries extends QueryModule {
     rows.toDF("lon", "lat", "pres", "CT", "SR")
   }
 
+  // ---- q108: the INCREMENTAL atlas under the driver's gate ---------------
+  // q71's aggregation executed AS a Structured Streaming query: the
+  // pipeline profiles land as parquet files, the FILE SOURCE replays them
+  // in several micro-batches (maxFilesPerTrigger=1 — exactly the shape of
+  // an incremental GDAC sync, where new profile files appear and the
+  // atlas state updates without a full rescan), Atlas.aggTS maintains the
+  // per-cell packed buffers as complete-mode streaming state, and the
+  // finalized state table must hash-match q71's OWN fixture oracle —
+  // bit-identical to the batch atlas, because every contribution is
+  // fixed-point and order-independent. StreamingSpec proved this on
+  // synthetic rows since round 5; this row puts the streaming execution
+  // itself under the hard gate on the production pipeline's profiles.
+  // Scale: the only driver-resident artifact is the memory-sink cell
+  // frame, bounded by the atlas grid (same argument as the NetCDF sink);
+  // the profiles stream through executors.
+  private val streamQn = new java.util.concurrent.atomic.AtomicInteger
+  private def q108(s: SparkSession, d: String): DataFrame = {
+    val profiles = pipelineCached(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-atlas")
+    // 4 part files → 4 micro-batches: multi-batch state maintenance is
+    // what's under test; one file would degenerate to a single fold
+    profiles.coalesce(4).write.mode("overwrite")
+      .parquet(dir.resolve("profiles").toString)
+    val sdf = s.readStream.schema(profiles.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.resolve("profiles").toString)
+    val qn = s"graft_atlas_stream_${streamQn.incrementAndGet()}"
+    val q = Atlas.aggTS(ExportAtlas.pairs(s, sdf))
+      .writeStream.format("memory").queryName(qn).outputMode("complete")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    ExportAtlas.finalizeTS(s.table(qn))
+      .filter(col("CT") =!= 0.0f)
+  }
+
   // ---- q72/q73: the two-pass EAPE aggregation (A2 R14 / A3 T25) ----------
   private def eape(algo: String)(s: SparkSession, d: String): DataFrame = {
     val profiles = pipelineCached(s, d)
@@ -308,5 +344,9 @@ object ArgoQueries extends QueryModule {
       QueryDef(q74, Some(FixtureOracle.sql("q74_argo_atlas_masked"))),
     "q73_argo_eape_t25" ->
       QueryDef(eape("T25"), Some(FixtureOracle.sql("q73_argo_eape_t25"))),
+    // oracle = q71's fixture on purpose: the incrementally maintained
+    // atlas must be BIT-identical to the batch one
+    "q108_atlas_stream" ->
+      QueryDef(q108, Some(FixtureOracle.sql("q71_argo_atlas"))),
     "q83_json_props" -> QueryDef(q83, Some(q83Sql)))
 }

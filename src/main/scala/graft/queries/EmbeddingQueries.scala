@@ -68,10 +68,54 @@ object EmbeddingQueries extends QueryModule {
        |SELECT q_id, rank, n_id, cos_n FROM r WHERE rank <= 5
        |ORDER BY 1, 2""".stripMargin
 
+  // ---- centered-LSH thresholds (shared by q41 / q43 / q67 buckets) -------
+  /** Per-plane thresholds h_p·μ for [[V.lshBucketCentered]] — the
+    * driver-held model of the bucketers (`bits` doubles, bounded like the
+    * k-means centroids, NOT corpus-scale). μ is the per-dimension corpus
+    * mean in exact nano fixed-point: per-row nano rounding, integer sum,
+    * truncating integer division — every step engine-exact (DuckDB's `//`
+    * and Spark's `div` both truncate toward zero), so the oracle computes
+    * bit-identical thresholds and therefore identical buckets. Memoized
+    * per (dir, bits): the three bucket consumers per suite run share one
+    * tiny aggregation. */
+  private val threshMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[Double]]
+
+  private def planeThresholds(s: SparkSession, d: String, bits: Int): Seq[Double] =
+    threshMemo.getOrElseUpdate((d, bits), {
+      val mu = Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")))
+        .select((col("pos") + 1).as("dm"),
+          FP.nano(col("col").cast("double")).as("vn"))
+        .groupBy("dm")
+        .agg(expr("sum(vn) div count(1)").as("mu_n"))
+      val cols = (0 until bits).map(p =>
+        sum(when(col("dm").isInCollection(V.posDims(p, Dim)), col("mu_n"))
+          .otherwise(-col("mu_n"))).as(s"t$p"))
+      val row = mu.agg(cols.head, cols.tail: _*).head()
+      (0 until bits).map(p =>
+        if (row.isNullAt(p)) 0.0 else row.getLong(p) / 1e9)
+    })
+
+  /** Oracle twin of [[planeThresholds]]: CTEs `mu` (per-dim nano mean)
+    * and `th` (the per-plane threshold list `ts`, 1-based). */
+  private def sqlThresholdCtes(bits: Int): String = {
+    val items = (0 until bits).map(p =>
+      s"(SELECT CAST(sum(CASE WHEN dm IN (${V.posDims(p, Dim).mkString(", ")}) " +
+        s"THEN mu_n ELSE -mu_n END) AS DOUBLE) / 1e9 FROM mu)")
+      .mkString(",\n    ")
+    s"""mu AS (
+       |  SELECT d AS dm,
+       |    CAST(sum(CAST(round(CAST(embedding[d] AS DOUBLE) * 1e9) AS BIGINT)) AS BIGINT) // count(*) AS mu_n
+       |  FROM embeddings, range(1, ${Dim + 1}) t(d) GROUP BY d),
+       |th AS (SELECT [$items] AS ts)""".stripMargin
+  }
+
   // ---- q41: LSH-bucketed approximate nearest neighbors -------------------
   private val LshBits = 6
 
   private def q41(s: SparkSession, d: String): DataFrame = {
+    val th = planeThresholds(s, d, LshBits)
     val raw = Tables.embeddings(s, d).select(
       col("vec_id"),
       col("embedding").cast("array<double>").as("vec"))
@@ -84,7 +128,8 @@ object EmbeddingQueries extends QueryModule {
     def enrich(df: DataFrame): DataFrame =
       df.select(col("vec_id"), V.packVec(col("vec")).as("pv"),
         V.norm(col("vec")).as("nrm"),
-        V.opaqueBucket(V.lshBucket(col("vec"), LshBits, Dim)).as("bucket"))
+        V.opaqueBucket(V.lshBucketCentered(col("vec"), LshBits, Dim, th))
+          .as("bucket"))
     val b = enrich(raw.repartition(col("vec_id")))
     val probes = enrich(raw.filter(col("vec_id") % ProbeMod === 0)).select(
       col("bucket"), col("vec_id").as("q_id"),
@@ -102,10 +147,11 @@ object EmbeddingQueries extends QueryModule {
   }
 
   private val q41Sql =
-    s"""WITH b AS (
+    s"""WITH ${sqlThresholdCtes(LshBits)},
+       |b AS (
        |  SELECT vec_id, embedding, ${V.sqlNorm("embedding", Dim)} AS nrm,
-       |    ${V.sqlLshBucket("embedding", LshBits, Dim)} AS bucket
-       |  FROM embeddings),
+       |    ${V.sqlLshBucketCentered("embedding", LshBits, Dim, "ts")} AS bucket
+       |  FROM embeddings CROSS JOIN th),
        |p AS (SELECT bucket, vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
        |      FROM b WHERE vec_id % $ProbeMod = 0),
        |s AS (
@@ -166,12 +212,17 @@ object EmbeddingQueries extends QueryModule {
     // (Root cause verified: the original shape passes with
     // spark.sql.constraintPropagation.enabled=false; the wrapper blocks
     // only this one constraint instead of a global conf flip.)
+    // CENTERED buckets (V.lshBucketCentered): with uncentered planes this
+    // corpus occupied exactly 2 of the 16 buckets — quadratic candidates,
+    // caught by the scale10 bench stage at 10×
+    val th = planeThresholds(s, d, NearDupBits)
     val packed = Tables.embeddings(s, d).select(
       col("vec_id"),
       col("embedding").cast("array<double>").as("vec"))
       .select(col("vec_id"), V.packVec(col("vec")).as("pv"),
         V.norm(col("vec")).as("nrm"),
-        V.opaqueBucket(V.lshBucket(col("vec"), NearDupBits, Dim)).as("bucket"))
+        V.opaqueBucket(V.lshBucketCentered(col("vec"), NearDupBits, Dim, th))
+          .as("bucket"))
     // Only the STREAM side repartitions (a tiny-file corpus would
     // otherwise score every pair on the scan's one or two partitions; at
     // scale the scan is already wide and the exchange is one linear
@@ -204,10 +255,11 @@ object EmbeddingQueries extends QueryModule {
 
   /** Bucket + scored-pair CTEs shared by the q43 and q67 oracles. */
   private val nearDupPairCtes =
-    s"""b AS (
+    s"""${sqlThresholdCtes(NearDupBits)},
+       |b AS (
        |  SELECT vec_id, embedding, ${V.sqlNorm("embedding", Dim)} AS nrm,
-       |    ${V.sqlLshBucket("embedding", NearDupBits, Dim)} AS bucket
-       |  FROM embeddings),
+       |    ${V.sqlLshBucketCentered("embedding", NearDupBits, Dim, "ts")} AS bucket
+       |  FROM embeddings CROSS JOIN th),
        |npairs AS (
        |  SELECT l.vec_id AS d1, r.vec_id AS d2,
        |    ${FP.sqlNano(s"${V.sqlDot("l.embedding", "r.embedding", Dim)} / (l.nrm * r.nrm)")} AS cos_n
