@@ -501,12 +501,28 @@ object TextQueries extends QueryModule {
   }
 
   // ---- q37: document fingerprint (rolling hash) + dedup groups -----------
-  private def q37(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
-      .select(col("doc_id"), T.contentFingerprint(col("text")).as("fp"))
+  private def q37(s: SparkSession, d: String): DataFrame = {
+    // At-rest fast path (the q97/TermStore discipline): point
+    //   spark.graft.docStore = "<corpusDir>=<tableName>"
+    // at a fingerprint-bucketed DocStore and the scan already carries
+    // `fp` (the SAME TextFns.contentFingerprint expression — shared via
+    // DocStore.fingerprint, so the stored key cannot drift from the
+    // verified one) and the dedup groupBy below rides the buckets with
+    // NO exchange at all (DocStoreSpec pins plan + parity on this
+    // registered query). At 100 TB that is the difference between a
+    // per-ingest corpus reshuffle and a co-located scan.
+    val withFp = s.conf.get("spark.graft.docStore", "").split("=", 2) match {
+      case Array(dir, table) if dir == d && s.catalog.tableExists(table) =>
+        graft.sources.DocStore.loadBucketed(s, table)
+          .select(col("doc_id"), col("fp"))
+      case _ => docs(s, d)
+        .select(col("doc_id"), T.contentFingerprint(col("text")).as("fp"))
+    }
+    withFp
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
       .orderBy("keep_id")
+  }
 
   private val q37Sql =
     s"""SELECT ${T.sqlContentFingerprint("text")} AS fp,
@@ -1591,6 +1607,16 @@ object TextQueries extends QueryModule {
   // probes × docs × vocab. A real corpus's inverted index is selective;
   // here the probe subset carries the boundedness instead.
   private val SparseProbeMod = 250
+  // Fixed probe-set bound (the q87 discipline): a bare modulus makes the
+  // probe side a corpus FRACTION, so the probes×postings fan-out grows
+  // quadratically with the corpus — real retrieval probes are a fixed
+  // query workload. ids 0, 250, … 5750: non-binding at the sf0.01 gate
+  // and at sf0.1 (bench continuity), binding on the scale10 blowup.
+  private val SparseProbeMax = 24L
+  private def sparseProbePred(id: Column): Column =
+    id % SparseProbeMod === 0 && id < SparseProbeMod * SparseProbeMax
+  private def sqlSparseProbePred(id: String): String =
+    s"$id % $SparseProbeMod = 0 AND $id < ${SparseProbeMod * SparseProbeMax}"
   private val SparseDfCapPct = 90
 
   /** The materialized forward index (doc_id, term, tf) — THE shared base
@@ -1696,7 +1722,7 @@ object TextQueries extends QueryModule {
         FP.micro(col("tf") * log(col("n_docs") / col("dfreq"))).as("u"))
     val norms = weights.groupBy(col("doc_id"))
       .agg(sum(col("u") * col("u")).as("nrm2_u"))
-    val probes = weights.filter(col("doc_id") % SparseProbeMod === 0)
+    val probes = weights.filter(sparseProbePred(col("doc_id")))
       .select(col("doc_id").as("q_id"), col("w"), col("u").as("qu"))
     // Probes BROADCAST (the q40 shape): the corpus posting list is never
     // shuffled by term — a term key space this small (31 here; stopword
@@ -1715,7 +1741,7 @@ object TextQueries extends QueryModule {
     // discover that itself; the corpus-side norms join stays a co-located
     // doc_id equi-join (both sides ride the checkpoint's partitioning)
     dots
-      .join(broadcast(norms.filter(col("doc_id") % SparseProbeMod === 0)
+      .join(broadcast(norms.filter(sparseProbePred(col("doc_id")))
         .select(col("doc_id").as("q_id"), col("nrm2_u").as("qn"))),
         Seq("q_id"))
       .join(norms, Seq("doc_id"))
@@ -1748,7 +1774,7 @@ object TextQueries extends QueryModule {
        |  SELECT p.doc_id AS q_id, x.doc_id,
        |    CAST(sum(p.u * x.u) AS BIGINT) AS dot_u
        |  FROM weights p JOIN weights x USING (w)
-       |  WHERE p.doc_id % $SparseProbeMod = 0 AND x.doc_id <> p.doc_id
+       |  WHERE ${sqlSparseProbePred("p.doc_id")} AND x.doc_id <> p.doc_id
        |  GROUP BY 1, 2),
        |scored AS (
        |  SELECT d.q_id, d.doc_id,

@@ -65,4 +65,29 @@ class DocStoreSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS eval_b")
     }
   }
+
+  test("registered q37 rides the store when spark.graft.docStore points at it") {
+    // The layout proof above lives on hand-built frames; this is the
+    // REGISTERED fingerprint-dedup query over the at-rest store:
+    // identical results, a bucketed scan carrying the precomputed fp, and
+    // NO fp exchange anywhere in the plan (the groupBy rides the buckets
+    // — at 100 TB that is the per-ingest corpus reshuffle gone).
+    val tmp = java.nio.file.Files.createTempDirectory("graft-docstore-q")
+    DocStore.saveBucketed(docs, "docs_q37", buckets = 8,
+      path = Some(tmp.resolve("t").toString))
+    try {
+      val want = SparkEntry.queries("q37_fingerprint")(spark, d).collect().toSeq
+      spark.conf.set("spark.graft.docStore", s"$d=docs_q37")
+      try {
+        val df = SparkEntry.queries("q37_fingerprint")(spark, d)
+        assert(df.collect().toSeq == want,
+          "q37 over the store must equal the recompute path")
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.contains("Bucketed: true"),
+          s"q37 must scan the bucketed store:\n$p")
+        assert(!p.contains("Exchange hashpartitioning(fp"),
+          s"the dedup groupBy must ride the fp buckets, not reshuffle:\n$p")
+      } finally spark.conf.unset("spark.graft.docStore")
+    } finally spark.sql("DROP TABLE IF EXISTS docs_q37")
+  }
 }
