@@ -331,6 +331,43 @@ class ArgoPipelineSpec extends SparkSuite {
     } finally spark.sql("DROP TABLE IF EXISTS profiles_bucketed")
   }
 
+  test("registered q71 rides the atlas store when spark.graft.atlasStore points at it") {
+    // The co-location proof above lives on hand-built profiles; this is
+    // the REGISTERED atlas query over the at-rest store: identical cells,
+    // a bucketed profile scan, and — under the forced shuffle fallback —
+    // exactly ONE bin-key exchange (the exploded grid side; the 100 TB
+    // profile side stays where its buckets put it).
+    val d = "/root/testdata/sf0.001"
+    val prof = graft.queries.ArgoQueries.profilesProbe(spark, d)
+    val atlas = graft.queries.ArgoQueries.ExportAtlas
+    val tmp = java.nio.file.Files.createTempDirectory("graft-atlasstore-q")
+    AtlasStore.saveBucketed(prof, atlas, "atlas_q71", buckets = 8,
+      path = Some(tmp.resolve("t").toString))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"lon", $"lat", $"pres", $"CT", $"SR")
+        .as[(Float, Float, Float, Float, Float)].collect().toSeq.sorted
+    try {
+      val want = rows(SparkEntry.queries("q71_argo_atlas")(spark, d))
+      spark.conf.set("spark.graft.atlasStore", s"$d=atlas_q71")
+      try {
+        val df = SparkEntry.queries("q71_argo_atlas")(spark, d)
+        assert(rows(df) == want, "q71 over the store must equal the memo path")
+        assert(df.queryExecution.executedPlan.toString.contains("Bucketed: true"),
+          "q71 must scan the bucketed store")
+        spark.conf.set("spark.graft.atlasBroadcastMaxRows", "0")
+        try {
+          val df2 = SparkEntry.queries("q71_argo_atlas")(spark, d)
+          assert(rows(df2) == want,
+            "store + forced shuffle fallback must still match")
+          val p2 = df2.queryExecution.executedPlan.toString
+          val nEx = "Exchange hashpartitioning\\(bi".r.findAllIn(p2).length
+          assert(nEx == 1,
+            s"only the grid side may shuffle on the bin key, found $nEx:\n$p2")
+        } finally spark.conf.unset("spark.graft.atlasBroadcastMaxRows")
+      } finally spark.conf.unset("spark.graft.atlasStore")
+    } finally spark.sql("DROP TABLE IF EXISTS atlas_q71")
+  }
+
   test("atlas climEAPE R14: near-zero for a homogeneous ocean, SIGSTAR plausible") {
     val atlas = new Atlas(box = (8.0, 22.0, -42.0, -34.0), reso = 2.0)
     val out = atlas.climEAPE(spark, profiles, algo = "R14")
