@@ -396,18 +396,43 @@ object EmbeddingQueries extends QueryModule {
   private val KCells = 8
   private val KmIters = 4
 
+  /** Land the IVF-partitioned [[graft.sources.VecStore]] for corpus `d`
+    * with the SAME trained quantizer q45 uses (the k-means fit is
+    * deterministic — fixed init, fixed-point sums — so the stored cells
+    * are bit-identical to q45's in-query assignment). Point
+    * `spark.graft.vecStore = "<d>=<path>"` at the result and q45's corpus
+    * scan prunes to the probed cells (dynamic partition pruning on the
+    * cell directory key) instead of reading everything. */
+  def landVecStore(s: SparkSession, d: String, path: String): Unit = {
+    val corpus = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val model = KMeans.fit(corpus, "vec_id", "embedding", Dim, KCells, KmIters)
+    graft.sources.VecStore.savePartitioned(corpus, model, path)
+  }
+
   private def q45(s: SparkSession, d: String): DataFrame = {
     val corpus = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // the MODEL is needed either way (query-time probe→cell routing); a
+    // deployment persists it beside the store — retraining here is the
+    // same bit-identical fit, so store cells and cents always agree
     val model = KMeans.fit(corpus, "vec_id", "embedding", Dim, KCells, KmIters)
     val norms = model.map(c => math.sqrt(c.map(x => x * x).sum))
     import s.implicits._
     val cents = model.zipWithIndex
       .map { case (c, i) => (i, c.toSeq, norms(i)) }.toSeq
       .toDF("cell", "c_vec", "c_nrm")
-    val b = KMeans.withCell(
-      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
-      model, "embedding")
-      .repartition(col("cell"))
+    // At-rest fast path (the TermStore/DocStore/AtlasStore discipline):
+    // the cell-partitioned store already carries the assignment, and the
+    // cell join below prunes its SCAN to the probed directories —
+    // VecStoreSpec pins parity + pruning on this registered query.
+    val withCells = s.conf.get("spark.graft.vecStore", "").split("=", 2) match {
+      case Array(dir, path) if dir == d &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(path)) =>
+        graft.sources.VecStore.load(s, path)
+          .select(col("cell"), col("vec_id"), col("embedding"))
+      case _ => KMeans.withCell(corpus, model, "embedding")
+        .repartition(col("cell"))
+    }
+    val b = withCells
       .withColumn("vec", col("embedding").cast("array<double>"))
       .select(col("cell"), col("vec_id"), V.packVec(col("vec")).as("pv"),
         col("vec"), V.norm(col("vec")).as("nrm"))

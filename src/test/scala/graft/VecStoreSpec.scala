@@ -44,4 +44,28 @@ class VecStoreSpec extends SparkSuite {
     // the store holds the whole corpus across all cells
     assert(VecStore.load(spark, tmp).count() == embs.count())
   }
+
+  test("registered q45 rides the store when spark.graft.vecStore points at it") {
+    // The pruning proof above lives on a hand-built probe filter; this is
+    // the REGISTERED trained-IVF query over the at-rest store: identical
+    // results (the deterministic k-means fit makes stored cells ≡
+    // in-query assignment bit-for-bit), the corpus read from the
+    // cell-partitioned layout instead of being assigned + repartitioned
+    // per session.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vecstore-q")
+      .resolve("store").toString
+    graft.queries.EmbeddingQueries.landVecStore(spark, d, tmp)
+    val want = SparkEntry.queries("q45_ann_ivf_kmeans")(spark, d).collect().toSeq
+    spark.conf.set("spark.graft.vecStore", s"$d=$tmp")
+    try {
+      val df = SparkEntry.queries("q45_ann_ivf_kmeans")(spark, d)
+      assert(df.collect().toSeq == want,
+        "q45 over the store must equal the in-query assignment path")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains(tmp),
+        s"q45 must scan the landed store:\n$p")
+      assert(p.contains("PartitionFilters: ["),
+        s"the store scan must carry a cell partition filter surface:\n$p")
+    } finally spark.conf.unset("spark.graft.vecStore")
+  }
 }
