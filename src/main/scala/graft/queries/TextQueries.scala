@@ -1655,11 +1655,20 @@ object TextQueries extends QueryModule {
       case Array(dir, table) if dir == d && s.catalog.tableExists(table) =>
         graft.sources.TermStore.loadBucketed(s, table)
       case _ =>
-        graft.sources.TermStore.forwardIndex(docs(s, d))
-          .repartition(col("doc_id"))
-          .localCheckpoint()
+        // memoized per (session, corpus): q97 and q102 are separate
+        // registered queries over the SAME index — without the memo each
+        // invocation re-tokenizes and re-shuffles the corpus into its own
+        // checkpoint (the pipelineCached discipline; the reference builds
+        // its index artifacts once per session too)
+        fwdMemo.getOrElseUpdate((System.identityHashCode(s), d),
+          graft.sources.TermStore.forwardIndex(docs(s, d))
+            .repartition(col("doc_id"))
+            .localCheckpoint())
     }
   }
+
+  private val fwdMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   /** Default head threshold of [[joinDfreq]]: a term in more than this
     * percent of documents is "head". */
