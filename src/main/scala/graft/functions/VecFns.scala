@@ -110,18 +110,22 @@ object VecFns {
     * (see EmbeddingQueries.planeThresholds); the comparison is then one
     * deterministic double compare per plane. */
   def lshBucketCentered(vec: Column, bits: Int, n: Int,
-      thresh: Seq[Double]): Column =
-    (0 until bits).map(p =>
-      when(planeProj(vec, p, n) > lit(thresh(p)), lit(1L << p)).otherwise(lit(0L)))
+      thresh: Seq[Double], p0: Int = 0): Column =
+    (0 until bits).map(j =>
+      when(planeProj(vec, p0 + j, n) > lit(thresh(p0 + j)), lit(1L << j))
+        .otherwise(lit(0L)))
       .reduce(_ + _)
 
-  /** DuckDB twin; `thresh` is a SQL list expression (1-based) of the same
-    * `bits` per-plane thresholds. */
+  /** DuckDB twin; `thresh` is a SQL list expression (1-based) of the
+    * per-plane thresholds, indexed by GLOBAL plane id `p0 + j`.
+    * `p0` selects the plane block — a multi-TABLE LSH (OR-amplification:
+    * a pair is a candidate if it collides in ANY table) gives table `t`
+    * the planes [t·bits, (t+1)·bits). */
   def sqlLshBucketCentered(vec: String, bits: Int, n: Int,
-      thresh: String): String =
-    (0 until bits).map(p =>
-      s"CASE WHEN ${sqlPlaneProj(vec, p, n)} > $thresh[${p + 1}] " +
-        s"THEN ${1L << p} ELSE 0 END")
+      thresh: String, p0: Int = 0): String =
+    (0 until bits).map(j =>
+      s"CASE WHEN ${sqlPlaneProj(vec, p0 + j, n)} > $thresh[${p0 + j + 1}] " +
+        s"THEN ${1L << j} ELSE 0 END")
       .mkString("(", " + ", ")")
 
   // ---- compiled kernel (hot path) -----------------------------------------

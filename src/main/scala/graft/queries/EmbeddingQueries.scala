@@ -112,10 +112,17 @@ object EmbeddingQueries extends QueryModule {
   }
 
   // ---- q41: LSH-bucketed approximate nearest neighbors -------------------
-  private val LshBits = 6
+  // MULTI-TABLE centered sign-LSH (see nearDupPairs): T tables of b bits
+  // each, candidates from ANY table, deduped, scored exactly once. One
+  // 6-bit table measured recall@3 ≈ 0.07 vs the q40 ground truth — a
+  // near-neighbor must agree on all 6 signs to be seen at all; 4×4-bit
+  // tables measure ≈ 0.5 at the same candidate volume (VecFnsSpec pins
+  // the floor).
+  private val LshTables = 4
+  private val LshTableBits = 4
 
   private def q41(s: SparkSession, d: String): DataFrame = {
-    val th = planeThresholds(s, d, LshBits)
+    val th = planeThresholds(s, d, LshTables * LshTableBits)
     val raw = Tables.embeddings(s, d).select(
       col("vec_id"),
       col("embedding").cast("array<double>").as("vec"))
@@ -124,20 +131,31 @@ object EmbeddingQueries extends QueryModule {
     // projection holding a nondeterministic expression. So each branch
     // filters FIRST and enriches only its surviving rows — the probe
     // branch runs the kernels over 1/ProbeMod of the corpus, not all of
-    // it, without relying on optimizer pushdown at all.
-    def enrich(df: DataFrame): DataFrame =
-      df.select(col("vec_id"), V.packVec(col("vec")).as("pv"),
-        V.norm(col("vec")).as("nrm"),
-        V.opaqueBucket(V.lshBucketCentered(col("vec"), LshBits, Dim, th))
-          .as("bucket"))
-    val b = enrich(raw.repartition(col("vec_id")))
-    val probes = enrich(raw.filter(col("vec_id") % ProbeMod === 0)).select(
-      col("bucket"), col("vec_id").as("q_id"),
+    // it, without relying on optimizer pushdown at all. Buckets are
+    // projected before the table explode (a nondeterministic-marked
+    // expression may not sit under a Generate directly).
+    def banded(df: DataFrame): DataFrame = df
+      .select(Seq(col("vec_id"), V.packVec(col("vec")).as("pv"),
+        V.norm(col("vec")).as("nrm")) ++
+        (0 until LshTables).map(t =>
+          V.opaqueBucket(V.lshBucketCentered(col("vec"), LshTableBits, Dim, th,
+            t * LshTableBits)).as(s"__b$t")): _*)
+      .select(col("vec_id"), col("pv"), col("nrm"),
+        explode(array((0 until LshTables).map(t =>
+          struct(lit(t).as("tbl"), col(s"__b$t").as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("pv"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val b = banded(raw.repartition(col("vec_id")))
+    val probes = banded(raw.filter(col("vec_id") % ProbeMod === 0)).select(
+      col("bucket"), col("tbl"), col("vec_id").as("q_id"),
       col("pv").as("q_pv"), col("nrm").as("q_nrm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_n").desc, col("vec_id"))
-    b.join(broadcast(probes), Seq("bucket"))
+    b.join(broadcast(probes), Seq("bucket", "tbl"))
       .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(first(col("q_pv")).as("q_pv"), first(col("q_nrm")).as("q_nrm"),
+        first(col("pv")).as("pv"), first(col("nrm")).as("nrm"))
       .withColumn("cos_n",
         FP.nano(V.dotPacked(col("q_pv"), col("pv")) / (col("q_nrm") * col("nrm"))))
       .withColumn("rank", row_number().over(w).cast(LongType))
@@ -146,24 +164,34 @@ object EmbeddingQueries extends QueryModule {
       .orderBy("q_id", "rank")
   }
 
-  private val q41Sql =
-    s"""WITH ${sqlThresholdCtes(LshBits)},
+  private val q41Sql = {
+    val bands = (0 until LshTables).map(t =>
+      s"  SELECT vec_id, $t AS tbl, ${V.sqlLshBucketCentered("embedding",
+        LshTableBits, Dim, "ts", t * LshTableBits)} AS bucket " +
+        "FROM b CROSS JOIN th")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH ${sqlThresholdCtes(LshTables * LshTableBits)},
        |b AS (
-       |  SELECT vec_id, embedding, ${V.sqlNorm("embedding", Dim)} AS nrm,
-       |    ${V.sqlLshBucketCentered("embedding", LshBits, Dim, "ts")} AS bucket
-       |  FROM embeddings CROSS JOIN th),
-       |p AS (SELECT bucket, vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
-       |      FROM b WHERE vec_id % $ProbeMod = 0),
+       |  SELECT vec_id, embedding, ${V.sqlNorm("embedding", Dim)} AS nrm
+       |  FROM embeddings),
+       |bands AS (
+       |$bands),
+       |p AS (SELECT vec_id, tbl, bucket FROM bands WHERE vec_id % $ProbeMod = 0),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS q_id, x.vec_id AS n_id
+       |  FROM bands x JOIN p ON x.tbl = p.tbl AND x.bucket = p.bucket
+       |  WHERE x.vec_id <> p.vec_id),
        |s AS (
-       |  SELECT p.q_id, b.vec_id AS n_id,
-       |    ${FP.sqlNano(s"${V.sqlDot("p.q_emb", "b.embedding", Dim)} / (p.q_nrm * b.nrm)")} AS cos_n
-       |  FROM b JOIN p ON b.bucket = p.bucket WHERE b.vec_id <> p.q_id),
+       |  SELECT c.q_id, c.n_id,
+       |    ${FP.sqlNano(s"${V.sqlDot("q.embedding", "x.embedding", Dim)} / (q.nrm * x.nrm)")} AS cos_n
+       |  FROM cand c JOIN b q ON q.vec_id = c.q_id JOIN b x ON x.vec_id = c.n_id),
        |r AS (
        |  SELECT q_id, n_id, cos_n, row_number() OVER (
        |    PARTITION BY q_id ORDER BY cos_n DESC, n_id) AS rank
        |  FROM s)
        |SELECT q_id, rank, n_id, cos_n FROM r WHERE rank <= 3
        |ORDER BY 1, 2""".stripMargin
+  }
 
   // ---- q42: per-label centroid via whole-array Aggregator (A1 core) ------
   private def q42(s: SparkSession, d: String): DataFrame =
@@ -197,6 +225,7 @@ object EmbeddingQueries extends QueryModule {
   // MinHash bands. The bucket self-join shuffles each side once on the
   // bucket key; no row ever meets more than its own bucket.
   private val NearDupBits = 4
+  private val NearDupTables = 4
   private val NearDupThreshNano = 350000000L // cosine ≥ 0.35
 
   /** Embedding near-dup pairs (d1 < d2, cos_n ≥ threshold), unsorted —
@@ -212,17 +241,34 @@ object EmbeddingQueries extends QueryModule {
     // (Root cause verified: the original shape passes with
     // spark.sql.constraintPropagation.enabled=false; the wrapper blocks
     // only this one constraint instead of a global conf flip.)
-    // CENTERED buckets (V.lshBucketCentered): with uncentered planes this
-    // corpus occupied exactly 2 of the 16 buckets — quadratic candidates,
-    // caught by the scale10 bench stage at 10×
-    val th = planeThresholds(s, d, NearDupBits)
+    // CENTERED buckets (V.lshBucketCentered): with uncentered/weak planes
+    // this corpus occupied exactly 2 of the 16 buckets — quadratic
+    // candidates, caught by the scale10 bench stage at 10×.
+    //
+    // MULTI-TABLE (OR-amplification — the q34 band pattern in embedding
+    // space): one b-bit table keeps only pairs agreeing on ALL b signs,
+    // collision prob (1−θ/π)^b ≈ 0.66 at cosine 0.95 — a third of TRUE
+    // near-dups never became candidates. T independent tables lift recall
+    // to 1−(1−p)^T ≈ 0.99 at the same cosine; candidates come from ANY
+    // table and are deduped before scoring, so each surviving pair is
+    // scored exactly once (VecFnsSpec pins the recall floor).
+    val th = planeThresholds(s, d, NearDupTables * NearDupBits)
     val packed = Tables.embeddings(s, d).select(
       col("vec_id"),
       col("embedding").cast("array<double>").as("vec"))
-      .select(col("vec_id"), V.packVec(col("vec")).as("pv"),
-        V.norm(col("vec")).as("nrm"),
-        V.opaqueBucket(V.lshBucketCentered(col("vec"), NearDupBits, Dim, th))
-          .as("bucket"))
+      .select(Seq(col("vec_id"), V.packVec(col("vec")).as("pv"),
+        V.norm(col("vec")).as("nrm")) ++
+        (0 until NearDupTables).map(t =>
+          V.opaqueBucket(V.lshBucketCentered(col("vec"), NearDupBits, Dim, th,
+            t * NearDupBits)).as(s"__b$t")): _*)
+    // buckets projected FIRST, then exploded: a nondeterministic-marked
+    // expression (opaqueBucket) may not sit under a Generate directly
+    def banded(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), col("pv"), col("nrm"),
+        explode(array((0 until NearDupTables).map(t =>
+          struct(lit(t).as("tbl"), col(s"__b$t").as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("pv"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     // Only the STREAM side repartitions (a tiny-file corpus would
     // otherwise score every pair on the scan's one or two partitions; at
     // scale the scan is already wide and the exchange is one linear
@@ -230,20 +276,26 @@ object EmbeddingQueries extends QueryModule {
     // go straight to the driver, and past the cap blockJoin's salted
     // join re-shuffles on (bucket, salt) anyway — a vec_id exchange
     // directly under either is pure dead weight.
-    val l = packed.repartition(col("vec_id"))
-      .select(col("bucket"), col("vec_id").as("d1"),
+    val l = banded(packed.repartition(col("vec_id")))
+      .select(col("bucket"), col("tbl"), col("vec_id").as("d1"),
         col("pv").as("v1"), col("nrm").as("n1"))
-    val r = packed.select(col("bucket"), col("vec_id").as("d2"),
-      col("pv").as("v2"), col("nrm").as("n2"))
-    // With few coarse buckets a shuffle join would collapse onto ≤2^bits
-    // tasks. Size-conditional (Joins.blockJoin): broadcast the build side
-    // while it fits — the stream side keeps its even vec_id distribution
-    // and every core scores pairs — and switch to the salted equi-join
-    // past the cap. (At scale also raise NearDupBits: bucket count should
-    // grow with corpus density anyway to bound candidates per bucket.)
+    val r = banded(packed)
+      .select(col("bucket"), col("tbl"), col("vec_id").as("d2"),
+        col("pv").as("v2"), col("nrm").as("n2"))
+    // With few coarse buckets a shuffle join would collapse onto
+    // ≤T·2^bits tasks. Size-conditional (Joins.blockJoin): broadcast the
+    // build side while it fits — the stream side keeps its even vec_id
+    // distribution and every core scores pairs — and switch to the salted
+    // equi-join past the cap. (At scale also raise NearDupBits: bucket
+    // count should grow with corpus density anyway to bound candidates
+    // per bucket.)
     val nVecs = Joins.memoCount(s"$d/embeddings", Tables.embeddings(s, d))
-    Joins.blockJoin(l, r, Seq("bucket"), hash(col("d1")), buildRows = nVecs)
+    Joins.blockJoin(l, r, Seq("bucket", "tbl"), hash(col("d1")),
+        buildRows = nVecs * NearDupTables)
       .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(first(col("v1")).as("v1"), first(col("n1")).as("n1"),
+        first(col("v2")).as("v2"), first(col("n2")).as("n2"))
       .select(col("d1"), col("d2"),
         FP.nano(V.dotPacked(col("v1"), col("v2")) / (col("n1") * col("n2")))
           .as("cos_n"))
@@ -254,17 +306,29 @@ object EmbeddingQueries extends QueryModule {
     nearDupPairs(s, d).orderBy("d1", "d2")
 
   /** Bucket + scored-pair CTEs shared by the q43 and q67 oracles. */
-  private val nearDupPairCtes =
-    s"""${sqlThresholdCtes(NearDupBits)},
+  private val nearDupPairCtes = {
+    val bands = (0 until NearDupTables).map(t =>
+      s"  SELECT vec_id, $t AS tbl, ${V.sqlLshBucketCentered("embedding",
+        NearDupBits, Dim, "ts", t * NearDupBits)} AS bucket " +
+        "FROM b CROSS JOIN th")
+      .mkString("\n  UNION ALL\n")
+    val cos = FP.sqlNano(
+      s"${V.sqlDot("x.embedding", "y.embedding", Dim)} / (x.nrm * y.nrm)")
+    s"""${sqlThresholdCtes(NearDupTables * NearDupBits)},
        |b AS (
-       |  SELECT vec_id, embedding, ${V.sqlNorm("embedding", Dim)} AS nrm,
-       |    ${V.sqlLshBucketCentered("embedding", NearDupBits, Dim, "ts")} AS bucket
-       |  FROM embeddings CROSS JOIN th),
+       |  SELECT vec_id, embedding, ${V.sqlNorm("embedding", Dim)} AS nrm
+       |  FROM embeddings),
+       |bands AS (
+       |$bands),
+       |cand AS (
+       |  SELECT DISTINCT l.vec_id AS d1, r.vec_id AS d2
+       |  FROM bands l JOIN bands r
+       |    ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
        |npairs AS (
-       |  SELECT l.vec_id AS d1, r.vec_id AS d2,
-       |    ${FP.sqlNano(s"${V.sqlDot("l.embedding", "r.embedding", Dim)} / (l.nrm * r.nrm)")} AS cos_n
-       |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-       |  WHERE ${FP.sqlNano(s"${V.sqlDot("l.embedding", "r.embedding", Dim)} / (l.nrm * r.nrm)")} >= $NearDupThreshNano)""".stripMargin
+       |  SELECT c.d1, c.d2, $cos AS cos_n
+       |  FROM cand c JOIN b x ON x.vec_id = c.d1 JOIN b y ON y.vec_id = c.d2
+       |  WHERE $cos >= $NearDupThreshNano)""".stripMargin
+  }
 
   private val q43Sql =
     s"""WITH $nearDupPairCtes
