@@ -208,7 +208,13 @@ object Bench {
           .drop("__rep")
           .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
         System.err.println(f"[bench] scale10 build           ${(System.nanoTime() - tb) / 1e9}%8.2f s")
-        Scale10Queries.flatMap { name =>
+        // density-scaled LSH: at 10× the corpus a deployment raises the
+        // bits-per-table so candidates-per-bucket stay bounded (the knob
+        // the near-dup family documents; 4 bits at 20k vectors measured
+        // 170 s of quadratic candidates, 8 bits ~7 s). The gate verifies
+        // the default; this stage measures the config a 10× corpus runs.
+        spark.conf.set("spark.graft.nearDupBits", "8")
+        try Scale10Queries.flatMap { name =>
           // min of `reps` runs, same warm-number discipline as the main
           // loop: single-rep scale10 times were observed to swing 5x on
           // shared hardware (q102: 6.2 s vs 31.6 s run to run)
@@ -231,7 +237,7 @@ object Bench {
           // the main suite so breakage can't read as a speedup
           Some(name.takeWhile(_ != '_') ->
             (if (n >= 0) dt else FailPenaltySec))
-        }
+        } finally spark.conf.unset("spark.graft.nearDupBits")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale10 stage FAILED: " +
           s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")

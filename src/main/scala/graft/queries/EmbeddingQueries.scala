@@ -252,15 +252,21 @@ object EmbeddingQueries extends QueryModule {
     // to 1−(1−p)^T ≈ 0.99 at the same cosine; candidates come from ANY
     // table and are deduped before scoring, so each surviving pair is
     // scored exactly once (VecFnsSpec pins the recall floor).
-    val th = planeThresholds(s, d, NearDupTables * NearDupBits)
+    // Bits per table from conf: bucket COUNT must grow with corpus
+    // density (candidates per bucket ≈ n/2^bits per table — quadratic in
+    // n at fixed bits; the scale10 stage measured 170 s at 10× on 4 bits
+    // vs ~7 s on 8). The default matches the oracle; a deployment raises
+    // it with the corpus the way it raises IVF cells.
+    val bits = s.conf.get("spark.graft.nearDupBits", NearDupBits.toString).toInt
+    val th = planeThresholds(s, d, NearDupTables * bits)
     val packed = Tables.embeddings(s, d).select(
       col("vec_id"),
       col("embedding").cast("array<double>").as("vec"))
       .select(Seq(col("vec_id"), V.packVec(col("vec")).as("pv"),
         V.norm(col("vec")).as("nrm")) ++
         (0 until NearDupTables).map(t =>
-          V.opaqueBucket(V.lshBucketCentered(col("vec"), NearDupBits, Dim, th,
-            t * NearDupBits)).as(s"__b$t")): _*)
+          V.opaqueBucket(V.lshBucketCentered(col("vec"), bits, Dim, th,
+            t * bits)).as(s"__b$t")): _*)
     // buckets projected FIRST, then exploded: a nondeterministic-marked
     // expression (opaqueBucket) may not sit under a Generate directly
     def banded(df: DataFrame): DataFrame = df
