@@ -134,28 +134,33 @@ object EmbeddingQueries extends QueryModule {
     // it, without relying on optimizer pushdown at all. Buckets are
     // projected before the table explode (a nondeterministic-marked
     // expression may not sit under a Generate directly).
-    def banded(df: DataFrame): DataFrame = df
-      .select(Seq(col("vec_id"), V.packVec(col("vec")).as("pv"),
-        V.norm(col("vec")).as("nrm")) ++
+    // band frames carry IDS ONLY (the q36 discipline — see nearDupPairs);
+    // payloads join in once per DEDUPED candidate
+    def bandedIds(df: DataFrame): DataFrame = df
+      .select(Seq(col("vec_id")) ++
         (0 until LshTables).map(t =>
           V.opaqueBucket(V.lshBucketCentered(col("vec"), LshTableBits, Dim, th,
             t * LshTableBits)).as(s"__b$t")): _*)
-      .select(col("vec_id"), col("pv"), col("nrm"),
+      .select(col("vec_id"),
         explode(array((0 until LshTables).map(t =>
           struct(lit(t).as("tbl"), col(s"__b$t").as("bucket"))): _*)).as("tb"))
-      .select(col("vec_id"), col("pv"), col("nrm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val b = banded(raw.repartition(col("vec_id")))
-    val probes = banded(raw.filter(col("vec_id") % ProbeMod === 0)).select(
-      col("bucket"), col("tbl"), col("vec_id").as("q_id"),
-      col("pv").as("q_pv"), col("nrm").as("q_nrm"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    def payload(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), V.packVec(col("vec")).as("pv"),
+        V.norm(col("vec")).as("nrm"))
+    val b = bandedIds(raw.repartition(col("vec_id")))
+    val probeBands = bandedIds(raw.filter(col("vec_id") % ProbeMod === 0))
+      .select(col("bucket"), col("tbl"), col("vec_id").as("q_id"))
+    val cand = b.join(broadcast(probeBands), Seq("bucket", "tbl"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+    val qPay = payload(raw.filter(col("vec_id") % ProbeMod === 0)).select(
+      col("vec_id").as("q_id"), col("pv").as("q_pv"), col("nrm").as("q_nrm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_n").desc, col("vec_id"))
-    b.join(broadcast(probes), Seq("bucket", "tbl"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(first(col("q_pv")).as("q_pv"), first(col("q_nrm")).as("q_nrm"),
-        first(col("pv")).as("pv"), first(col("nrm")).as("nrm"))
+    cand
+      .join(broadcast(qPay), Seq("q_id"))
+      .join(payload(raw), Seq("vec_id"))
       .withColumn("cos_n",
         FP.nano(V.dotPacked(col("q_pv"), col("pv")) / (col("q_nrm") * col("nrm"))))
       .withColumn("rank", row_number().over(w).cast(LongType))
@@ -268,40 +273,39 @@ object EmbeddingQueries extends QueryModule {
           V.opaqueBucket(V.lshBucketCentered(col("vec"), bits, Dim, th,
             t * bits)).as(s"__b$t")): _*)
     // buckets projected FIRST, then exploded: a nondeterministic-marked
-    // expression (opaqueBucket) may not sit under a Generate directly
-    def banded(df: DataFrame): DataFrame = df
-      .select(col("vec_id"), col("pv"), col("nrm"),
+    // expression (opaqueBucket) may not sit under a Generate directly.
+    // The band frame carries IDS ONLY — the q36 discipline: candidates
+    // dedup on 16-byte id pairs BEFORE any payload touches an exchange
+    // (payload-through-the-bands measured 3× the whole query at 1×:
+    // every candidate occurrence dragged two 512 B packed vectors through
+    // the dedup shuffle).
+    val bandedIds = packed
+      .select(col("vec_id"),
         explode(array((0 until NearDupTables).map(t =>
           struct(lit(t).as("tbl"), col(s"__b$t").as("bucket"))): _*)).as("tb"))
-      .select(col("vec_id"), col("pv"), col("nrm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     // Only the STREAM side repartitions (a tiny-file corpus would
-    // otherwise score every pair on the scan's one or two partitions; at
-    // scale the scan is already wide and the exchange is one linear
-    // pass). The build side skips it: under the broadcast cap its rows
-    // go straight to the driver, and past the cap blockJoin's salted
-    // join re-shuffles on (bucket, salt) anyway — a vec_id exchange
-    // directly under either is pure dead weight.
-    val l = banded(packed.repartition(col("vec_id")))
-      .select(col("bucket"), col("tbl"), col("vec_id").as("d1"),
-        col("pv").as("v1"), col("nrm").as("n1"))
-    val r = banded(packed)
-      .select(col("bucket"), col("tbl"), col("vec_id").as("d2"),
-        col("pv").as("v2"), col("nrm").as("n2"))
+    // otherwise enumerate every candidate on the scan's one or two
+    // partitions; at scale the scan is already wide and the exchange is
+    // one linear pass). The build side skips it: under the broadcast cap
+    // its rows go straight to the driver, and past the cap blockJoin's
+    // salted join re-shuffles on (bucket, salt) anyway.
+    val l = bandedIds.repartition(col("vec_id"))
+      .select(col("bucket"), col("tbl"), col("vec_id").as("d1"))
+    val r = bandedIds.select(col("bucket"), col("tbl"), col("vec_id").as("d2"))
     // With few coarse buckets a shuffle join would collapse onto
     // ≤T·2^bits tasks. Size-conditional (Joins.blockJoin): broadcast the
-    // build side while it fits — the stream side keeps its even vec_id
-    // distribution and every core scores pairs — and switch to the salted
-    // equi-join past the cap. (At scale also raise NearDupBits: bucket
-    // count should grow with corpus density anyway to bound candidates
-    // per bucket.)
+    // build side while it fits, salted equi-join past the cap.
     val nVecs = Joins.memoCount(s"$d/embeddings", Tables.embeddings(s, d))
-    Joins.blockJoin(l, r, Seq("bucket", "tbl"), hash(col("d1")),
+    val cand = Joins.blockJoin(l, r, Seq("bucket", "tbl"), hash(col("d1")),
         buildRows = nVecs * NearDupTables)
       .filter(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(first(col("v1")).as("v1"), first(col("n1")).as("n1"),
-        first(col("v2")).as("v2"), first(col("n2")).as("n2"))
+      .select(col("d1"), col("d2")).distinct()
+    cand
+      .join(packed.select(col("vec_id").as("d1"),
+        col("pv").as("v1"), col("nrm").as("n1")), Seq("d1"))
+      .join(packed.select(col("vec_id").as("d2"),
+        col("pv").as("v2"), col("nrm").as("n2")), Seq("d2"))
       .select(col("d1"), col("d2"),
         FP.nano(V.dotPacked(col("v1"), col("v2")) / (col("n1") * col("n2")))
           .as("cos_n"))
