@@ -24,8 +24,26 @@ object EmbeddingQueries extends QueryModule {
   private val Dim = 64
   private val ProbeMod = 50 // vec_id % ProbeMod == 0 → probe set
 
+  /** Similarity-grade vectors — the embedding analog of the document
+    * validity gates (F7): drop NULL embeddings, wrong-width embeddings,
+    * and zero-norm vectors BEFORE any cosine math. A real corpus carries
+    * all three (failed encoder runs, schema drift), and under ANSI any
+    * one of them aborts the whole job — DIVIDE_BY_ZERO on the norm
+    * product, INVALID_ARRAY_INDEX on a short array, an NPE inside a
+    * trainer collect (all three observed on a planted dirty corpus). On
+    * the driver gate's corpora every vector is valid, so this filter is
+    * an IDENTITY there and the SQL oracles read the bare table;
+    * EdgeVecsSpec sweeps the dirty-corpus behavior — degenerate vectors
+    * simply never enter similarity results, the way QC-failed profiles
+    * never enter the atlas. */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
+      .filter(aggregate(col("embedding").cast("array<double>"), lit(0.0),
+        (a, x) => a + x * x) > 0.0)
+
   private def base(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).select(
+    vecs(s, d).select(
       col("vec_id"),
       col("embedding").cast("array<double>").as("vec"))
       .repartition(col("vec_id"))
@@ -123,7 +141,7 @@ object EmbeddingQueries extends QueryModule {
 
   private def q41(s: SparkSession, d: String): DataFrame = {
     val th = planeThresholds(s, d, LshTables * LshTableBits)
-    val raw = Tables.embeddings(s, d).select(
+    val raw = vecs(s, d).select(
       col("vec_id"),
       col("embedding").cast("array<double>").as("vec"))
     // opaqueBucket dodges the self-join constraint-inference bug (see
@@ -264,7 +282,7 @@ object EmbeddingQueries extends QueryModule {
     // it with the corpus the way it raises IVF cells.
     val bits = s.conf.get("spark.graft.nearDupBits", NearDupBits.toString).toInt
     val th = planeThresholds(s, d, NearDupTables * bits)
-    val packed = Tables.embeddings(s, d).select(
+    val packed = vecs(s, d).select(
       col("vec_id"),
       col("embedding").cast("array<double>").as("vec"))
       .select(Seq(col("vec_id"), V.packVec(col("vec")).as("pv"),
@@ -391,13 +409,13 @@ object EmbeddingQueries extends QueryModule {
   private val NProbe = 2
 
   private def q44(s: SparkSession, d: String): DataFrame = {
-    val b = Tables.embeddings(s, d).select(
+    val b = vecs(s, d).select(
       col("label"), col("vec_id"),
       col("embedding").cast("array<double>").as("vec"))
       .repartition(col("label"))
       .select(col("label"), col("vec_id"), V.packVec(col("vec")).as("pv"),
         col("vec"), V.norm(col("vec")).as("nrm"))
-    val cents = Tables.embeddings(s, d)
+    val cents = vecs(s, d)
       .groupBy(col("label"))
       .agg(Aggregates.weightedArrayMeanFP(Dim)(lit(1L), col("embedding"))
         .as("sums"))
@@ -478,13 +496,13 @@ object EmbeddingQueries extends QueryModule {
     * scan prunes to the probed cells (dynamic partition pruning on the
     * cell directory key) instead of reading everything. */
   def landVecStore(s: SparkSession, d: String, path: String): Unit = {
-    val corpus = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val corpus = vecs(s, d).select(col("vec_id"), col("embedding"))
     val model = KMeans.fit(corpus, "vec_id", "embedding", Dim, KCells, KmIters)
     graft.sources.VecStore.savePartitioned(corpus, model, path)
   }
 
   private def q45(s: SparkSession, d: String): DataFrame = {
-    val corpus = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val corpus = vecs(s, d).select(col("vec_id"), col("embedding"))
     // the MODEL is needed either way (query-time probe→cell routing); a
     // deployment persists it beside the store — retraining here is the
     // same bit-identical fit, so store cells and cents always agree
@@ -542,7 +560,7 @@ object EmbeddingQueries extends QueryModule {
   // oracle reproduces the quantize→dequantize arithmetic bit-for-bit, so
   // this verifies the quantization kernel itself, not just the search.
   private def q46(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
+    val emb = vecs(s, d)
     val mm = emb.select(posexplode(col("embedding")).as(Seq("dpos", "x")))
       .groupBy(col("dpos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .collect().map(r => (r.getInt(0), r.getFloat(1).toDouble,
@@ -676,7 +694,7 @@ object EmbeddingQueries extends QueryModule {
   }
 
   private def q69(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val emb = vecs(s, d).select(col("vec_id"), col("embedding"))
     val cb = KMeans.fitPq(emb, "vec_id", "embedding", PqM, PqSubDim, PqK, PqIters)
     val encode = udf((v: Seq[Float]) => {
       val code = new Array[Byte](PqM)
@@ -759,7 +777,7 @@ object EmbeddingQueries extends QueryModule {
   private val IvfPqNProbe = 4
 
   private def q78(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val emb = vecs(s, d).select(col("vec_id"), col("embedding"))
     // coarse quantizer: fitPq with one subspace == deterministic L2 Lloyd
     val coarse = KMeans.fitPq(emb, "vec_id", "embedding",
       1, Dim, IvfPqCells, PqIters)(0)
@@ -883,7 +901,7 @@ object EmbeddingQueries extends QueryModule {
     col("vec_id") % SemEvalMod === 0 && col("vec_id") < SemEvalMod * SemEvalMax
 
   private def q87(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val emb = vecs(s, d).select(col("vec_id"), col("embedding"))
     val eval = emb.filter(semEvalPred)
       .collect().map(_.getSeq[Float](1).toArray)
       // id order is irrelevant (max/count are order-free) but a fixed
@@ -991,7 +1009,7 @@ object EmbeddingQueries extends QueryModule {
   private val PcaShortlist = 50 // needs recall, the summary needs compression
 
   private def q107(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val emb = vecs(s, d).select(col("vec_id"), col("embedding"))
     val model = Pca.fit(emb, "embedding", Dim)
     val red = Pca.project(emb, model, "embedding", PcaAnnK)
       .select(col("vec_id"), col("pc"))
