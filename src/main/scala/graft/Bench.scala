@@ -115,8 +115,13 @@ object Bench {
     // example uses {"q1":sec} short keys), which keeps the whole line
     // ~1.2 KB — fully inside the tail window with room to spare.
     def r3(x: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, x)
+    // per-query seconds at TWO decimals: 104 queries × 1 saved char buys
+    // ~100 chars of tail-window margin (the full line measured 1642 of
+    // the driver's 2000-char tail; r03 was lost to exactly this), and
+    // 10 ms resolution still resolves any regression worth chasing
+    def r2(x: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, x)
     val qs = results2.toSeq.sortBy(_._1)
-      .collect { case (k, Some((v, _))) => s"\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+      .collect { case (k, Some((v, _))) => s"\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
       .mkString("{", ",", "}")
     // failed queries are OMITTED from "queries" (no bogus seconds) and
     // named here so the driver-parsed line itself shows the breakage
@@ -180,6 +185,16 @@ object Bench {
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE10", "1") == "0") Nil
       else try {
         import org.apache.spark.sql.functions._
+        // drop the suite's leftover cached/checkpointed blocks first: a
+        // full run leaves ~100 queries of block-manager state (memoized
+        // pipelines, forward-index checkpoints, CC passes), and the
+        // memory pressure measured ~2x on the scale10 stage (q67 19.8 s
+        // after the full suite vs 9.1 s isolated). Safe here: nothing
+        // after this point reads the sfDir memos, and the scale10 dir
+        // builds its own.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
         val dir = java.nio.file.Files.createTempDirectory("graft-scale10").toString
         val tb = System.nanoTime()
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
