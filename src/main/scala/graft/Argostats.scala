@@ -82,15 +82,17 @@ object Argostats {
                profiles: DataFrame): Unit =
     AtlasSink.writeNetcdf(path, atlas, df, profiles)
 
-  /** `map_atlas(atlas, field, kz=43)` (figures/maps.py:8-48): one vertical
-    * level of a `climTS`/`climEAPE` frame through the precip16 colormap
-    * into a north-up PPM image; uncovered cells get the reference's
-    * "#CCCCCC" land grey (maps.py:57). The matplotlib axes/colorbar
-    * decoration has no engine analog — the pixels do. */
+  /** `map_atlas(atlas, field, kz=43, plottopo=False)` (figures/maps.py:
+    * 8-66): one vertical level of a `climTS`/`climEAPE` frame through the
+    * precip16 colormap into a north-up PPM image; uncovered cells get the
+    * reference's "#CCCCCC" land grey (maps.py:57); `plottopo` layers the
+    * bathymetry contour cells (−4000/−2000/−100 m, maps.py:60-66) in
+    * black on top. The matplotlib axes/colorbar decoration has no engine
+    * analog — the pixels do. */
   def mapAtlas(path: String, atlas: Atlas, clim: DataFrame, field: String,
-               kz: Int = 43): Unit = {
+               kz: Int = 43, plottopo: Boolean = false): Unit = {
     graft.figures.Figures.writePpm(
-      graft.figures.Figures.mapAtlas(clim, atlas, field, kz),
+      graft.figures.Figures.mapAtlas(clim, atlas, field, kz, plottopo),
       atlas.nLon, atlas.nLat, path)
   }
 }
