@@ -295,6 +295,48 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---- q109: best-quality cluster representative -------------------------
+  // What dedup actually KEEPS: production pipelines retain the
+  // best-QUALITY copy per near-dup cluster, not the lowest id (the
+  // min-id canonical of q38 is a graph artifact, not an editorial
+  // choice). Composition of two verified components — the q38 cluster
+  // resolution and the q32 quality score — joined and reduced to one row
+  // per cluster by a cluster-partitioned window (highest quality wins,
+  // doc_id breaks ties; quality_u DESC NULLS LAST EXPLICITLY — the NULL
+  // quality of an empty doc must lose in both engines, the q100 lesson).
+  // Scale shape: the clusters frame is corpus-sized but narrow (two
+  // longs), the quality frame is a narrow map, the join keys on doc_id,
+  // and the window spreads over clusters.
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    val (_, _, _, quality) = qualityPieces
+    val q = docs(s, d).select(col("doc_id"), FP.micro(quality).as("quality_u"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("quality_u").desc_nulls_last, col("doc_id"))
+    q38(s, d).select(col("doc_id"), col("cluster"))
+      .join(q, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("keep_id"),
+        col("quality_u"), col("n_docs"))
+      .orderBy("cluster")
+  }
+
+  private lazy val q109Sql = {
+    val (_, _, _, quality) = sqlQualityPieces
+    s"""WITH q AS (
+       |  SELECT doc_id, ${FP.sqlMicro(quality)} AS quality_u FROM documents),
+       |cl AS (SELECT doc_id, cluster FROM ($q38Sql) c),
+       |r AS (
+       |  SELECT cl.cluster, cl.doc_id, q.quality_u,
+       |    row_number() OVER (PARTITION BY cl.cluster
+       |      ORDER BY q.quality_u DESC NULLS LAST, cl.doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY cl.cluster) AS n_docs
+       |  FROM cl JOIN q USING (doc_id))
+       |SELECT cluster, doc_id AS keep_id, quality_u, n_docs
+       |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
+  }
+
   private val q38Sql =
     s"""WITH RECURSIVE $pairCtes,
        |edges AS (
@@ -1922,6 +1964,7 @@ object TextQueries extends QueryModule {
     "q36_ngram_jaccard" -> QueryDef(q36, Some(q36Sql)),
     "q37_fingerprint" -> QueryDef(q37, Some(q37Sql)),
     "q38_dedup_clusters" -> QueryDef(q38, Some(q38Sql)),
+    "q109_cluster_best" -> QueryDef(q109, Some(q109Sql)),
     "q101_stream_neardup" -> QueryDef(q101, Some(q101Sql)),
     "q39_corpus_stats" -> QueryDef(q39, Some(q39Sql)))
 }
