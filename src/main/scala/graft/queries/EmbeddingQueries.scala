@@ -23,6 +23,17 @@ import graft.operators.{Aggregates, Joins, KMeans, Pca}
 object EmbeddingQueries extends QueryModule {
   private val Dim = 64
   private val ProbeMod = 50 // vec_id % ProbeMod == 0 → probe set
+  // Fixed probe-set bound (the q97/q87 discipline): a bare modulus makes
+  // every probe side a corpus FRACTION, so probes × corpus fan-outs grow
+  // quadratically with the data — real ANN probes are a fixed query
+  // workload. ids 0, 50, … 1950: non-binding at every gate scale factor
+  // (fixtures and oracles keep their committed values), binding on any
+  // larger corpus.
+  private val ProbeMax = 40L
+  private def probePred(id: Column): Column =
+    id % ProbeMod === 0 && id < ProbeMod * ProbeMax
+  private def sqlProbePred(id: String): String =
+    s"$id % $ProbeMod = 0 AND $id < ${ProbeMod * ProbeMax}"
 
   /** Similarity-grade vectors — the embedding analog of the document
     * validity gates (F7): drop NULL embeddings, wrong-width embeddings,
@@ -57,7 +68,7 @@ object EmbeddingQueries extends QueryModule {
   // ---- q40: brute-force cosine top-k (broadcast probe set) ---------------
   private def q40(s: SparkSession, d: String): DataFrame = {
     val b = base(s, d)
-    val probes = b.filter(col("vec_id") % ProbeMod === 0).select(
+    val probes = b.filter(probePred(col("vec_id"))).select(
       col("vec_id").as("q_id"), col("pv").as("q_pv"), col("nrm").as("q_nrm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_n").desc, col("vec_id"))
@@ -74,7 +85,7 @@ object EmbeddingQueries extends QueryModule {
   private val q40Sql =
     s"""WITH b AS ($sqlBase),
        |p AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
-       |      FROM b WHERE vec_id % $ProbeMod = 0),
+       |      FROM b WHERE ${sqlProbePred("vec_id")}),
        |s AS (
        |  SELECT p.q_id, b.vec_id AS n_id,
        |    ${FP.sqlNano(s"${V.sqlDot("p.q_emb", "b.embedding", Dim)} / (p.q_nrm * b.nrm)")} AS cos_n
@@ -167,12 +178,12 @@ object EmbeddingQueries extends QueryModule {
       df.select(col("vec_id"), V.packVec(col("vec")).as("pv"),
         V.norm(col("vec")).as("nrm"))
     val b = bandedIds(raw.repartition(col("vec_id")))
-    val probeBands = bandedIds(raw.filter(col("vec_id") % ProbeMod === 0))
+    val probeBands = bandedIds(raw.filter(probePred(col("vec_id"))))
       .select(col("bucket"), col("tbl"), col("vec_id").as("q_id"))
     val cand = b.join(broadcast(probeBands), Seq("bucket", "tbl"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id")).distinct()
-    val qPay = payload(raw.filter(col("vec_id") % ProbeMod === 0)).select(
+    val qPay = payload(raw.filter(probePred(col("vec_id")))).select(
       col("vec_id").as("q_id"), col("pv").as("q_pv"), col("nrm").as("q_nrm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_n").desc, col("vec_id"))
@@ -199,7 +210,7 @@ object EmbeddingQueries extends QueryModule {
        |  FROM embeddings),
        |bands AS (
        |$bands),
-       |p AS (SELECT vec_id, tbl, bucket FROM bands WHERE vec_id % $ProbeMod = 0),
+       |p AS (SELECT vec_id, tbl, bucket FROM bands WHERE ${sqlProbePred("vec_id")}),
        |cand AS (
        |  SELECT DISTINCT p.vec_id AS q_id, x.vec_id AS n_id
        |  FROM bands x JOIN p ON x.tbl = p.tbl AND x.bucket = p.bucket
@@ -422,7 +433,7 @@ object EmbeddingQueries extends QueryModule {
       .select(col("label"),
         slice(col("sums"), 1, Dim).cast("array<double>").as("c_vec"))
       .select(col("label"), col("c_vec"), V.norm(col("c_vec")).as("c_nrm"))
-    val probes = b.filter(col("vec_id") % ProbeMod === 0).select(
+    val probes = b.filter(probePred(col("vec_id"))).select(
       col("vec_id").as("q_id"), col("pv").as("q_pv"),
       col("vec").as("q_vec"), col("nrm").as("q_nrm"))
     val wc = Window.partitionBy(col("q_id"))
@@ -459,7 +470,7 @@ object EmbeddingQueries extends QueryModule {
        |centn AS (SELECT label, c_vec, ${V.sqlNorm("c_vec", Dim)} AS c_nrm
        |          FROM cent),
        |p AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
-       |      FROM b WHERE vec_id % $ProbeMod = 0),
+       |      FROM b WHERE ${sqlProbePred("vec_id")}),
        |a AS (
        |  SELECT p.q_id, p.q_emb, p.q_nrm, c.label, row_number() OVER (
        |    PARTITION BY p.q_id ORDER BY
@@ -528,7 +539,7 @@ object EmbeddingQueries extends QueryModule {
       .withColumn("vec", col("embedding").cast("array<double>"))
       .select(col("cell"), col("vec_id"), V.packVec(col("vec")).as("pv"),
         col("vec"), V.norm(col("vec")).as("nrm"))
-    val probes = b.filter(col("vec_id") % ProbeMod === 0).select(
+    val probes = b.filter(probePred(col("vec_id"))).select(
       col("vec_id").as("q_id"), col("pv").as("q_pv"),
       col("vec").as("q_vec"), col("nrm").as("q_nrm"))
     val wc = Window.partitionBy(col("q_id"))
@@ -587,7 +598,7 @@ object EmbeddingQueries extends QueryModule {
       .withColumn("dqv", dequant(col("embedding")))
       .select(col("vec_id"), V.packVec(col("dqv")).as("pv"),
         V.norm(col("dqv")).as("nrm"))
-    val probes = b.filter(col("vec_id") % ProbeMod === 0).select(
+    val probes = b.filter(probePred(col("vec_id"))).select(
       col("vec_id").as("q_id"), col("pv").as("q_pv"), col("nrm").as("q_nrm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_n").desc, col("vec_id"))
@@ -615,7 +626,7 @@ object EmbeddingQueries extends QueryModule {
        |  FROM embeddings e CROSS JOIN mm m GROUP BY e.vec_id),
        |b AS (SELECT vec_id, dqv, ${V.sqlNorm("dqv", Dim)} AS nrm FROM dq),
        |p AS (SELECT vec_id AS q_id, dqv AS q_dqv, nrm AS q_nrm
-       |      FROM b WHERE vec_id % $ProbeMod = 0),
+       |      FROM b WHERE ${sqlProbePred("vec_id")}),
        |s AS (
        |  SELECT p.q_id, b.vec_id AS n_id,
        |    ${FP.sqlNano(s"${V.sqlDot("p.q_dqv", "b.dqv", Dim)} / (p.q_nrm * b.nrm)")} AS cos_n
@@ -680,7 +691,7 @@ object EmbeddingQueries extends QueryModule {
       }
       dsum
     })
-    val probeVecs = emb.filter(col("vec_id") % ProbeMod === 0)
+    val probeVecs = emb.filter(probePred(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("d2_u"), col("vec_id"))
@@ -744,7 +755,7 @@ object EmbeddingQueries extends QueryModule {
     })
     val b = emb.repartition(col("vec_id"))
       .select(col("vec_id"), encode(col("embedding")).as("code"))
-    val probes = emb.filter(col("vec_id") % ProbeMod === 0)
+    val probes = emb.filter(probePred(col("vec_id")))
       .select(col("vec_id").as("q_id"), tableUdf(col("embedding")).as("q_tab"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adist_u"), col("vec_id"))
@@ -860,7 +871,7 @@ object EmbeddingQueries extends QueryModule {
       }
       sum
     })
-    val probes = emb.filter(col("vec_id") % ProbeMod === 0)
+    val probes = emb.filter(probePred(col("vec_id")))
       .select(col("vec_id").as("q_id"),
         explode(probeUdf(col("embedding"))).as("ct"))
       .select(col("q_id"), col("ct._1").as("cell"), col("ct._2").as("q_tab"))
@@ -1015,7 +1026,7 @@ object EmbeddingQueries extends QueryModule {
       .select(col("vec_id"), col("pc"))
     def idot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
-    val probesR = red.filter(col("vec_id") % ProbeMod === 0)
+    val probesR = red.filter(probePred(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("pc").as("q_pc"))
     val wS = Window.partitionBy(col("q_id"))
       .orderBy(col("rcos_n").desc, col("vec_id"))
@@ -1030,7 +1041,7 @@ object EmbeddingQueries extends QueryModule {
       .filter(col("srank") <= PcaShortlist)
       .select(col("q_id"), col("vec_id"))
     val b = base(s, d)
-    val probesF = b.filter(col("vec_id") % ProbeMod === 0).select(
+    val probesF = b.filter(probePred(col("vec_id"))).select(
       col("vec_id").as("q_id"), col("pv").as("q_pv"), col("nrm").as("q_nrm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_n").desc, col("vec_id"))
