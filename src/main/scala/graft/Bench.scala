@@ -194,6 +194,10 @@ object Bench {
         // builds its own.
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+        // the unpersist above destroyed any memoized localCheckpoint's
+        // blocks, and truncated lineage cannot recompute — the memo must
+        // forget them or it would serve dead frames to any later consumer
+        graft.queries.TextQueries.invalidateSessionMemos(spark)
         System.gc()
         val dir = java.nio.file.Files.createTempDirectory("graft-scale10").toString
         val tb = System.nanoTime()
@@ -228,6 +232,9 @@ object Bench {
         // the near-dup family documents; 4 bits at 20k vectors measured
         // 170 s of quadratic candidates, 8 bits ~7 s). The gate verifies
         // the default; this stage measures the config a 10× corpus runs.
+        // save/restore, not unset — the same clobber-protection as the
+        // fallback probe above (a session-level override must survive)
+        val priorBits = spark.conf.getOption("spark.graft.nearDupBits")
         spark.conf.set("spark.graft.nearDupBits", "8")
         try Scale10Queries.flatMap { name =>
           // min of `reps` runs, same warm-number discipline as the main
@@ -252,7 +259,10 @@ object Bench {
           // the main suite so breakage can't read as a speedup
           Some(name.takeWhile(_ != '_') ->
             (if (n >= 0) dt else FailPenaltySec))
-        } finally spark.conf.unset("spark.graft.nearDupBits")
+        } finally priorBits match {
+          case Some(v) => spark.conf.set("spark.graft.nearDupBits", v)
+          case None => spark.conf.unset("spark.graft.nearDupBits")
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale10 stage FAILED: " +
           s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")

@@ -289,41 +289,60 @@ object ArgoQueries extends QueryModule {
   // reps measure the streaming maintenance, not repeated parquet writes;
   // the checkpoint below stays fresh per invocation (a reused checkpoint
   // would replay offsets and skip the maintenance under test)
-  private val streamSrcMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  private val streamSrcMemo = new SessionMemo[String]
   private def q108(s: SparkSession, d: String): DataFrame = {
     val profiles = pipelineCached(s, d)
-    val pdir = streamSrcMemo.getOrElseUpdate(
-      (System.identityHashCode(s), d), {
-        val dir = java.nio.file.Files.createTempDirectory("graft-stream-atlas")
-        // 4 part files, 2 per trigger → TWO micro-batches: multi-batch
-        // state maintenance is what's under test (one batch would
-        // degenerate to a single fold), while each extra batch costs
-        // ~2.5 s of streaming machinery at bench time — two is the
-        // minimum that still proves incremental maintenance
-        profiles.coalesce(4).write.mode("overwrite")
-          .parquet(dir.resolve("profiles").toString)
-        dir.resolve("profiles").toString
-      })
+    val pdir = streamSrcMemo.getOrElseUpdate(s, d) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-stream-atlas")
+      // repartition (NOT coalesce — coalesce cannot raise a 1-2-partition
+      // frame to 4, and fewer files would silently degrade the stream to
+      // a single trigger) to 4 part files, 2 per trigger → TWO
+      // micro-batches: multi-batch state maintenance is what's under
+      // test (one batch would degenerate to a single fold), while each
+      // extra batch costs ~2.5 s of streaming machinery at bench time —
+      // two is the minimum that still proves incremental maintenance
+      profiles.repartition(4).write.mode("overwrite")
+        .parquet(dir.resolve("profiles").toString)
+      dir.resolve("profiles").toString
+    }
     val sdf = s.readStream.schema(profiles.schema)
       .option("maxFilesPerTrigger", "2")
       .parquet(pdir)
+    // per-invocation name so a rep can never collide with a live table;
+    // PREVIOUS invocations' memory-sink views are dropped here (the
+    // returned frame reads the CURRENT table lazily, so the current one
+    // can only be released by the next invocation — bounded at one
+    // driver-resident cell frame per session, the q76 hygiene standard)
     val qn = s"graft_atlas_stream_${streamQn.incrementAndGet()}"
+    s.catalog.listTables().collect()
+      .map(_.name)
+      .filter(n => n.startsWith("graft_atlas_stream_") && n != qn)
+      .foreach(s.catalog.dropTempView)
     // streaming STATE partitioning is fixed at query start from
     // spark.sql.shuffle.partitions; the state here is grid-bounded
     // (~5k cells), so 32 partitions just multiply the per-batch state
     // store commit overhead ×4 for no parallelism gain — pin 8 for the
     // stream, restore the session's setting after
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
     val prior = s.conf.get("spark.sql.shuffle.partitions")
     val q = try {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       Atlas.aggTS(ExportAtlas.pairs(s, sdf))
         .writeStream.format("memory").queryName(qn).outputMode("complete")
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString)
+        .option("checkpointLocation", ckpt.toString)
         .start()
     } finally s.conf.set("spark.sql.shuffle.partitions", prior)
     try q.processAllAvailable() finally q.stop()
+    // the checkpoint is dead weight once the stream is stopped (the
+    // memory sink holds the result; a rerun gets a FRESH checkpoint by
+    // design) — delete it, or every invocation leaks a directory for the
+    // host's lifetime (the q76 lesson)
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    } catch { case _: java.io.IOException => () }
     ExportAtlas.finalizeTS(s.table(qn))
       .filter(col("CT") =!= 0.0f)
   }

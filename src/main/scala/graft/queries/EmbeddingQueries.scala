@@ -106,7 +106,11 @@ object EmbeddingQueries extends QueryModule {
     * and Spark's `div` both truncate toward zero), so the oracle computes
     * bit-identical thresholds and therefore identical buckets. Memoized
     * per (dir, bits): the three bucket consumers per suite run share one
-    * tiny aggregation. */
+    * tiny aggregation. Same stable-key contract as [[Joins.memoCount]]:
+    * the path is assumed to name immutable data — re-landing DIFFERENT
+    * vectors at the same path within one JVM would serve stale
+    * thresholds (every writer in this repo lands new corpora in fresh
+    * temp dirs). */
   private val threshMemo =
     scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[Double]]
 
@@ -918,6 +922,15 @@ object EmbeddingQueries extends QueryModule {
       // id order is irrelevant (max/count are order-free) but a fixed
       // order keeps the collected model bit-stable across runs anyway
       .map(v => v.map(_.toDouble))
+    // no eval set ⇒ no (corpus, eval) cosines ⇒ ZERO rows — exactly the
+    // oracle's corp CROSS JOIN ev with an empty ev. Without this the max
+    // over an empty loop would publish a Long.MinValue sentinel per
+    // corpus row: garbage, and an engine divergence (a corpus whose ids
+    // all sit past the fixed eval-id range is realistic — id-shifted
+    // replicas, partitioned id spaces)
+    if (eval.isEmpty)
+      return emb.filter(lit(false))
+        .select(col("vec_id"), lit(0L).as("max_cos_n"), lit(0L).as("n_hits"))
     val evalNorms = eval.map { v =>
       var ss = 0.0; var i = 0
       while (i < Dim) { ss += v(i) * v(i); i += 1 }

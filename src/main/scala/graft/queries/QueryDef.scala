@@ -13,6 +13,38 @@ trait QueryModule {
   def defs: Map[String, QueryDef]
 }
 
+/** Session-scoped memo on a (session, key) pair — the ArgoQueries
+  * FrameCache discipline generalized: keyed WEAKLY by the session object
+  * (a stopped session must never be pinned — it holds the whole
+  * SparkContext + plan graph; an identity-hash key would both pin it
+  * forever and risk serving another session's entry on a hash collision),
+  * with stopped-session eviction on every touch, so a process cycling
+  * sessions is bounded at live sessions plus at most the stopped ones
+  * created since the last touch. */
+private[graft] final class SessionMemo[V] {
+  private val cache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, V]]()
+
+  def getOrElseUpdate(s: SparkSession, key: String)(build: => V): V = {
+    val per = cache.synchronized {
+      val it = cache.entrySet().iterator()
+      while (it.hasNext) {
+        val k = it.next().getKey
+        if (k != null && k.sparkContext.isStopped) it.remove()
+      }
+      cache.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty[String, V])
+    }
+    per.getOrElseUpdate(key, build)
+  }
+
+  /** Drop this session's entries (e.g. after the caller destroyed their
+    * backing blocks — a truncated-lineage checkpoint cannot be rebuilt,
+    * so the memo must forget it rather than serve a dead frame). */
+  def invalidate(s: SparkSession): Unit =
+    cache.synchronized { Option(cache.get(s)).foreach(_.clear()) }
+}
+
 /** Golden-fixture oracles for queries whose kernels are not reasonably
   * SQL-expressible (cubic spline, gammat bisection, the EAPE aggregation).
   *

@@ -865,14 +865,18 @@ object TextQueries extends QueryModule {
 
   private def q100(s: SparkSession, d: String): DataFrame = {
     val (_, _, _, quality) = qualityPieces
-    // asc_nulls_last, explicitly: quality_u is NULL for a zero-length text
-    // (the nullif divisor in qualityPieces), and Spark's default ascending
-    // order puts NULLs FIRST while DuckDB's puts them LAST — on any corpus
-    // with one empty document every percent_rank in its source would
-    // silently diverge from the oracle (EdgeDocsSpec pins the NULL rank).
+    // NULL placement EXPLICIT on both sides: quality_u is NULL for a
+    // zero-length text (the nullif divisor in qualityPieces), and Spark's
+    // default ascending order puts NULLs FIRST while DuckDB's puts them
+    // LAST — on any corpus with one empty document every percent_rank in
+    // its source would silently diverge between the engines. NULLS FIRST
+    // is the semantically right side: rank 1 ⇒ pct 0 ⇒ keep=false — a
+    // quality gate must DROP a degenerate document, never crown it top
+    // percentile (the same NULL-loses contract as q109's representative
+    // pick). EdgeDocsSpec pins it.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
-      .orderBy(col("quality_u").asc_nulls_last, col("doc_id"))
+      .orderBy(col("quality_u").asc_nulls_first, col("doc_id"))
     docs(s, d)
       .select(col("doc_id"), col("source"), FP.micro(quality).as("quality_u"))
       .withColumn("pct_u", FP.micro(percent_rank().over(w)))
@@ -887,7 +891,7 @@ object TextQueries extends QueryModule {
        |  FROM documents),
        |r AS (
        |  SELECT doc_id, source, quality_u,
-       |    ${FP.sqlMicro("percent_rank() OVER (PARTITION BY source ORDER BY quality_u NULLS LAST, doc_id)")} AS pct_u
+       |    ${FP.sqlMicro("percent_rank() OVER (PARTITION BY source ORDER BY quality_u NULLS FIRST, doc_id)")} AS pct_u
        |  FROM q)
        |SELECT doc_id, source, quality_u, pct_u, pct_u >= $KeepPctU AS keep
        |FROM r ORDER BY doc_id""".stripMargin
@@ -1702,15 +1706,22 @@ object TextQueries extends QueryModule {
         // invocation re-tokenizes and re-shuffles the corpus into its own
         // checkpoint (the pipelineCached discipline; the reference builds
         // its index artifacts once per session too)
-        fwdMemo.getOrElseUpdate((System.identityHashCode(s), d),
+        fwdMemo.getOrElseUpdate(s, d)(
           graft.sources.TermStore.forwardIndex(docs(s, d))
             .repartition(col("doc_id"))
             .localCheckpoint())
     }
   }
 
-  private val fwdMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val fwdMemo = new SessionMemo[DataFrame]
+
+  /** Forget this session's memoized forward-index checkpoints. A caller
+    * that unpersists the session's blocks wholesale (Bench's scale
+    * stage) MUST call this: a localCheckpoint's lineage is truncated, so
+    * an unpersisted one cannot be recomputed and the memo would serve a
+    * dead frame forever. */
+  private[graft] def invalidateSessionMemos(s: SparkSession): Unit =
+    fwdMemo.invalidate(s)
 
   /** Default head threshold of [[joinDfreq]]: a term in more than this
     * percent of documents is "head". */

@@ -125,14 +125,16 @@ class EdgeDocsSpec extends SparkSuite {
     assert(byId(1L)._2 == 1L && byId(1L)._3 >= 1L)
   }
 
-  test("q100 ranks NULL-quality (empty) docs LAST, matching the DuckDB oracle") {
+  test("q100 ranks NULL-quality (empty) docs FIRST — a quality gate drops them") {
     // doc 5 has zero-LENGTH text → alphaRatio = x/nullif(0) = NULL →
     // quality_u NULL. Spark's default ascending sort is NULLS FIRST,
-    // DuckDB's is NULLS LAST: without the explicit asc_nulls_last in
-    // q100's window, doc 5 would take rank 1 in source 'books' and shift
-    // every other percent_rank in that source off the oracle — a
-    // divergence the driver gate can never see (its generator has no
-    // empty docs). Oracle semantics asserted directly: NULL sorts last.
+    // DuckDB's is NULLS LAST: without an explicit placement on BOTH
+    // sides, doc 5 would shift every percent_rank in source 'books' off
+    // the oracle — a divergence the driver gate can never see (its
+    // generator has no empty docs). NULLS FIRST is pinned as the
+    // semantics: rank 1 ⇒ pct 0 ⇒ keep=false — the gate must DROP a
+    // degenerate document, never crown it top percentile (the q109
+    // NULL-loses contract).
     val out = SparkEntry.queries("q100_quality_calibrate")(spark, dir)
       .select($"doc_id", $"source", $"quality_u", $"pct_u", $"keep")
       .collect()
@@ -142,12 +144,11 @@ class EdgeDocsSpec extends SparkSuite {
       .toMap
     val (src5, q5, pct5, keep5) = out(5L)
     assert(q5.isEmpty, "empty doc must carry NULL quality_u")
-    // NULLS LAST: within its source doc 5 is the final rank → pct = 1.0
-    assert(pct5 == 1000000L,
-      s"NULL quality must percent_rank LAST (oracle semantics), got $pct5")
-    assert(keep5)
-    // and the non-NULL docs of that source still cover rank 0 upward
+    assert(pct5 == 0L,
+      s"NULL quality must percent_rank FIRST (and be dropped), got $pct5")
+    assert(!keep5, "a quality gate must not keep an empty document")
+    // the non-NULL docs of that source take ranks 2.. → pct in (0, 1]
     val sameSrc = out.collect { case (id, (s, q, p, _)) if s == src5 && id != 5L => p }
-    assert(sameSrc.min == 0L && sameSrc.max < 1000000L)
+    assert(sameSrc.min > 0L && sameSrc.max == 1000000L)
   }
 }
