@@ -56,9 +56,37 @@ object Bpe {
 
   def symCacheFor(merges: Vector[(String, String)])
       : java.util.concurrent.ConcurrentHashMap[String, Array[String]] = {
-    if (symCaches.size > 4) symCaches.clear() // drop stale vocabularies
+    // evict only OTHER vocabularies: a blanket clear() also dropped the
+    // entries of every vocabulary a CONCURRENT query was actively using —
+    // a thundering-herd recompute for each of them (not a correctness
+    // bug: the memo only amortizes). Iteration races are benign here
+    // (ConcurrentHashMap weakly-consistent iterator; worst case an entry
+    // survives one extra call or is recomputed once).
+    if (symCaches.size > 4) {
+      val it = symCaches.keySet().iterator()
+      while (symCaches.size > 4 && it.hasNext) {
+        if (it.next() != merges) it.remove()
+      }
+    }
     symCaches.computeIfAbsent(merges,
       _ => new java.util.concurrent.ConcurrentHashMap[String, Array[String]]())
+  }
+
+  /** Serializable handle to the per-JVM symbolization memo for ONE merge
+    * table: a closure captures this handle (just the merge table rides
+    * the wire); the cache itself is resolved from the JVM singleton ONCE
+    * per task deserialization (transient lazy), not once per row —
+    * resolving inside the row lambda re-hashed the entire merge Vector
+    * for the [[symCacheFor]] lookup on every single row. */
+  final class SymbolizeCached(merges: Vector[(String, String)])
+      extends Serializable {
+    @transient private lazy val cache = symCacheFor(merges)
+    /** Capped so a pathological vocabulary degrades to recompute, never
+      * to OOM. */
+    def apply(w: String): Array[String] =
+      if (cache.size < (1 << 20))
+        cache.computeIfAbsent(w, symbolize(_, merges))
+      else symbolize(w, merges)
   }
 
   /** Replay `merges` in order over a symbol sequence, each applied greedily

@@ -41,6 +41,11 @@ object NetcdfQueries extends QueryModule {
   private val NLev = 16
   /** Probe level (0-based) for the array round-trip columns. */
   private val K = 5
+  /** Fixture-tree id cap: profiles are the orderkeys that are multiples
+    * of 100 BELOW this, so the authored GDAC is O(100 files) at any
+    * corpus size (the driver collect in [[writeGdac]] is bounded by
+    * construction — see the comment there). */
+  private val GdacMaxKey = 10000L
 
   private def wmoOf(custkey: Long): Long = 2910000L + custkey % 20
   private def dacOf(wmo: Long): String =
@@ -78,8 +83,17 @@ object NetcdfQueries extends QueryModule {
         .forEach(p => Files.delete(p))
       finally walk.close()
     }
+    // The authored tree is test scaffolding (a real GDAC already exists
+    // at rest; the PRODUCTION path is the distributed ArgoNetCDF scan
+    // below), but its driver collect must still be bounded by
+    // CONSTRUCTION, not by hope — the q87 SemEvalMax discipline: a bare
+    // modulus collects corpus/100 rows, growing with the scale factor,
+    // while the id cap keeps the fixture at ≤ GdacMaxKey/100 profiles at
+    // ANY corpus size (binds at sf0.01 already: 150 → 100 profiles, so
+    // the driver gate verifies the bounded tree itself). Both predicates
+    // are scan-side pushdowns in both engines.
     val profs = Tables.orders(s, d)
-      .filter(col("o_orderkey") % 100 === 0)
+      .filter(col("o_orderkey") % 100 === 0 && col("o_orderkey") < GdacMaxKey)
       .select(col("o_orderkey"), col("o_custkey"))
       .as[(Long, Long)].collect()
       .map { case (o, c) => Prof(o, c) }
@@ -184,7 +198,7 @@ object NetcdfQueries extends QueryModule {
     s"""WITH h AS (
        |  SELECT o_orderkey, o_custkey,
        |    CAST(2910000 + o_custkey % 20 AS BIGINT) AS wmo
-       |  FROM orders WHERE o_orderkey % 100 = 0),
+       |  FROM orders WHERE o_orderkey % 100 = 0 AND o_orderkey < $GdacMaxKey),
        |p AS (
        |  SELECT *,
        |    row_number() OVER (PARTITION BY wmo ORDER BY o_orderkey) - 1 AS iprof,

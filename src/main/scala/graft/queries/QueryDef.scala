@@ -22,8 +22,16 @@ trait QueryModule {
   * sessions is bounded at live sessions plus at most the stopped ones
   * created since the last touch. */
 private[graft] final class SessionMemo[V] {
+  /** Lazy cell: TrieMap.getOrElseUpdate may evaluate its default in TWO
+    * racing first callers (only one insertion wins, but both builds run)
+    * — for a memo whose build materializes a localCheckpoint that means
+    * a duplicate checkpoint whose orphaned blocks stay pinned until
+    * session end. Racing callers may construct two Holders (cheap), but
+    * both receive the WINNING one and force its single lazy build. */
+  private final class Holder(build: () => V) { lazy val value: V = build() }
+
   private val cache = new java.util.WeakHashMap[SparkSession,
-    scala.collection.concurrent.TrieMap[String, V]]()
+    scala.collection.concurrent.TrieMap[String, Holder]]()
 
   def getOrElseUpdate(s: SparkSession, key: String)(build: => V): V = {
     val per = cache.synchronized {
@@ -33,9 +41,9 @@ private[graft] final class SessionMemo[V] {
         if (k != null && k.sparkContext.isStopped) it.remove()
       }
       cache.computeIfAbsent(s,
-        _ => scala.collection.concurrent.TrieMap.empty[String, V])
+        _ => scala.collection.concurrent.TrieMap.empty[String, Holder])
     }
-    per.getOrElseUpdate(key, build)
+    per.getOrElseUpdate(key, new Holder(() => build)).value
   }
 
   /** Drop this session's entries (e.g. after the caller destroyed their

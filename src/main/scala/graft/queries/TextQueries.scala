@@ -1558,20 +1558,18 @@ object TextQueries extends QueryModule {
     // occurrences outnumber distinct words by orders of magnitude, so
     // replaying the merge passes per occurrence is pure waste — the same
     // histogram-not-corpus argument the trainer itself makes. The closure
-    // captures only the merge table; the cache itself is the JVM-singleton
-    // Bpe.symCacheFor (a map captured here would deserialize fresh per
-    // task — a per-task memo only). Capped so a pathological vocabulary
-    // degrades to recompute, never to OOM.
+    // captures the SymbolizeCached handle (just the merge table); the
+    // cache itself is the JVM-singleton Bpe.symCacheFor, resolved once
+    // per task by the handle, so every task on an executor shares one
+    // memo and no per-row singleton lookup happens (a map captured here
+    // directly would deserialize fresh per task — a per-task memo only).
+    val symCached = new Bpe.SymbolizeCached(merges)
     val tokUdf = udf((text: String) => {
-      val symCache = Bpe.symCacheFor(merges)
       val ws = T.tokensJvm(text).filter(_.nonEmpty) // the trainer's split
       var n = 0L
       val seen = scala.collection.mutable.HashSet.empty[String]
       ws.foreach { w =>
-        val syms =
-          if (symCache.size < (1 << 20))
-            symCache.computeIfAbsent(w, Bpe.symbolize(_, merges))
-          else Bpe.symbolize(w, merges)
+        val syms = symCached(w)
         n += syms.length
         seen ++= syms
       }
