@@ -145,17 +145,31 @@ object EmbeddingQueries extends QueryModule {
   }
 
   // ---- q41: LSH-bucketed approximate nearest neighbors -------------------
-  // MULTI-TABLE centered sign-LSH (see nearDupPairs): T tables of b bits
-  // each, candidates from ANY table, deduped, scored exactly once. One
-  // 6-bit table measured recall@3 ≈ 0.07 vs the q40 ground truth — a
-  // near-neighbor must agree on all 6 signs to be seen at all; 4×4-bit
-  // tables measure ≈ 0.5 at the same candidate volume (VecFnsSpec pins
-  // the floor).
+  // MULTI-TABLE centered sign-LSH (see nearDupPairs) + MULTIPROBE: T
+  // tables of b bits each, candidates from ANY table, deduped, scored
+  // exactly once. One 6-bit table measured recall@3 ≈ 0.07 vs the q40
+  // ground truth — a near-neighbor must agree on all 6 signs to be seen
+  // at all; 4×4-bit tables measure ≈ 0.5. Multiprobe closes the rest: the
+  // PROBE side also looks in every Hamming-distance-1 bucket (each single
+  // bit flipped — the buckets a near-neighbor most likely fell into when
+  // exactly one plane disagreed), which lifts per-table candidate
+  // probability from s^b to s^b + b·s^(b-1)(1−s) and measured recall@3 to
+  // ≈ 0.97 (AnnRecallSpec pins ≥ 0.7). The 100 TB shape is the point:
+  // multiprobe fans out the BROADCAST probe rows ×(b+1) — the at-rest
+  // corpus index (VecStore discipline) is untouched, so recall is a
+  // query-time knob, not a re-landing of the corpus.
   private val LshTables = 4
   private val LshTableBits = 4
 
   private def q41(s: SparkSession, d: String): DataFrame = {
-    val th = planeThresholds(s, d, LshTables * LshTableBits)
+    // KNOB ⟂ GATE (the q43 discipline): bits per table rides the same
+    // density knob as the near-dup family — candidates/bucket ≈ n/2^bits
+    // per table, so a denser corpus raises it (the scale10 stage runs
+    // 8) — while the SQL oracle bakes the default; the driver's gate runs
+    // with the conf unset, so it verifies exactly what the oracle
+    // describes, and non-default settings are PERF configurations.
+    val bits = s.conf.get("spark.graft.nearDupBits", LshTableBits.toString).toInt
+    val th = planeThresholds(s, d, LshTables * bits)
     val raw = vecs(s, d).select(
       col("vec_id"),
       col("embedding").cast("array<double>").as("vec"))
@@ -172,8 +186,8 @@ object EmbeddingQueries extends QueryModule {
     def bandedIds(df: DataFrame): DataFrame = df
       .select(Seq(col("vec_id")) ++
         (0 until LshTables).map(t =>
-          V.opaqueBucket(V.lshBucketCentered(col("vec"), LshTableBits, Dim, th,
-            t * LshTableBits)).as(s"__b$t")): _*)
+          V.opaqueBucket(V.lshBucketCentered(col("vec"), bits, Dim, th,
+            t * bits)).as(s"__b$t")): _*)
       .select(col("vec_id"),
         explode(array((0 until LshTables).map(t =>
           struct(lit(t).as("tbl"), col(s"__b$t").as("bucket"))): _*)).as("tb"))
@@ -182,8 +196,16 @@ object EmbeddingQueries extends QueryModule {
       df.select(col("vec_id"), V.packVec(col("vec")).as("pv"),
         V.norm(col("vec")).as("nrm"))
     val b = bandedIds(raw.repartition(col("vec_id")))
+    // multiprobe: each probe band row also visits its b one-bit-flipped
+    // neighbor buckets (flip 0 = the original). The fan-out multiplies
+    // only the BROADCAST side (probes × tables × (b+1) rows); by this
+    // projection `bucket` is a plain attribute, so the explode sits above
+    // the nondeterministic opaqueBucket projection, not under it
+    val probeFlips = (0L +: (0 until bits).map(j => 1L << j)).map(lit(_))
     val probeBands = bandedIds(raw.filter(probePred(col("vec_id"))))
-      .select(col("bucket"), col("tbl"), col("vec_id").as("q_id"))
+      .withColumn("__f", explode(array(probeFlips: _*)))
+      .select(col("bucket").bitwiseXOR(col("__f")).as("bucket"),
+        col("tbl"), col("vec_id").as("q_id"))
     val cand = b.join(broadcast(probeBands), Seq("bucket", "tbl"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id")).distinct()
@@ -208,13 +230,19 @@ object EmbeddingQueries extends QueryModule {
         LshTableBits, Dim, "ts", t * LshTableBits)} AS bucket " +
         "FROM b CROSS JOIN th")
       .mkString("\n  UNION ALL\n")
+    // the engine's multiprobe flip list at the DEFAULT bits (KNOB ⟂ GATE)
+    val flips = (0L +: (0 until LshTableBits).map(j => 1L << j))
+      .mkString("[", ", ", "]")
     s"""WITH ${sqlThresholdCtes(LshTables * LshTableBits)},
        |b AS (
        |  SELECT vec_id, embedding, ${V.sqlNorm("embedding", Dim)} AS nrm
        |  FROM embeddings),
        |bands AS (
        |$bands),
-       |p AS (SELECT vec_id, tbl, bucket FROM bands WHERE ${sqlProbePred("vec_id")}),
+       |p AS (
+       |  SELECT vec_id, tbl, xor(bucket, f.f) AS bucket
+       |  FROM bands CROSS JOIN (SELECT unnest($flips) AS f) f
+       |  WHERE ${sqlProbePred("vec_id")}),
        |cand AS (
        |  SELECT DISTINCT p.vec_id AS q_id, x.vec_id AS n_id
        |  FROM bands x JOIN p ON x.tbl = p.tbl AND x.bucket = p.bucket
@@ -289,12 +317,19 @@ object EmbeddingQueries extends QueryModule {
     // near-dups never became candidates. T independent tables lift recall
     // to 1−(1−p)^T ≈ 0.99 at the same cosine; candidates come from ANY
     // table and are deduped before scoring, so each surviving pair is
-    // scored exactly once (VecFnsSpec pins the recall floor).
+    // scored exactly once (AnnRecallSpec pins the recall floor).
     // Bits per table from conf: bucket COUNT must grow with corpus
     // density (candidates per bucket ≈ n/2^bits per table — quadratic in
     // n at fixed bits; the scale10 stage measured 170 s at 10× on 4 bits
     // vs ~7 s on 8). The default matches the oracle; a deployment raises
     // it with the corpus the way it raises IVF cells.
+    // KNOB ⟂ GATE: the q43/q67 SQL oracles bake the DEFAULT (NearDupBits
+    // = 4) — the driver's correctness gate always runs with the conf
+    // unset, so it verifies exactly what the oracle describes. Running
+    // the gate yourself with a NON-default value set reports spurious
+    // candidate-set mismatches (engine at k bits vs oracle at 4); the
+    // non-default settings are PERF configurations, measured by the
+    // bench's scale10 stage at 8 bits, not oracle-verified.
     val bits = s.conf.get("spark.graft.nearDupBits", NearDupBits.toString).toInt
     val th = planeThresholds(s, d, NearDupTables * bits)
     val packed = vecs(s, d).select(

@@ -16,8 +16,9 @@ class AnnRecallSpec extends SparkSuite {
   private val d = "/root/testdata/sf0.001"
 
   test("q41 multi-table LSH recall@3 vs the q40 ground truth stays above the floor") {
-    // measured 0.40 on this corpus (single-table 6-bit measured 0.07 —
-    // the pre-round-6 plane family measured high ONLY because its two
+    // measured 0.967 on this corpus with Hamming-1 multiprobe (history:
+    // single-table 6-bit 0.07; 4×4-bit multi-table 0.40 — the
+    // pre-round-6 plane family measured high ONLY because its two
     // degenerate buckets made half the corpus a candidate)
     val truth = SparkEntry.queries("q40_knn_bruteforce")(spark, d)
       .filter(col("rank") <= 3).select(col("q_id"), col("n_id"))
@@ -27,7 +28,8 @@ class AnnRecallSpec extends SparkSuite {
       .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0))).as("h"))
       .head()
     val recall = r.getLong(1).toDouble / r.getLong(0)
-    assert(recall >= 0.3, f"q41 recall@3 degraded to $recall%.3f (floor 0.3)")
+    info(f"q41 recall@3 = $recall%.3f")
+    assert(recall >= 0.7, f"q41 recall@3 degraded to $recall%.3f (floor 0.7)")
   }
 
   test("near-dup pair generation finds essentially all true near-duplicates") {
