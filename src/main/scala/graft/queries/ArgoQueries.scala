@@ -290,6 +290,15 @@ object ArgoQueries extends QueryModule {
   // the checkpoint below stays fresh per invocation (a reused checkpoint
   // would replay offsets and skip the maintenance under test)
   private val streamSrcMemo = new SessionMemo[String]
+  /** Physical plan of the most recent q108 STREAMING execution. The
+    * blanket PlanSpec sweep only ever sees the memory-sink table q108
+    * returns — the streaming plan executes inside the query body and is
+    * gone by the time the sweep looks — so the execution captures its own
+    * `explain` here and StreamingSpec pins the shape (stateful agg
+    * present, state partitions = the pinned 8, no cartesian below the
+    * sink). Test-observability only; never read by the query itself. */
+  private[graft] val lastStreamPlan =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
   private def q108(s: SparkSession, d: String): DataFrame = {
     val profiles = pipelineCached(s, d)
     val pdir = streamSrcMemo.getOrElseUpdate(s, d) {
@@ -332,7 +341,17 @@ object ArgoQueries extends QueryModule {
         .option("checkpointLocation", ckpt.toString)
         .start()
     } finally s.conf.set("spark.sql.shuffle.partitions", prior)
-    try q.processAllAvailable() finally q.stop()
+    try {
+      q.processAllAvailable()
+      // StreamingQuery.explain prints (no string-returning public API);
+      // capture via Console so the spec can assert on the LAST execution's
+      // physical plan — captured before stop(), which drops lastExecution
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+        q.explain()
+      }
+      lastStreamPlan.set(bos.toString("UTF-8"))
+    } finally q.stop()
     // the checkpoint is dead weight once the stream is stopped (the
     // memory sink holds the result; a rerun gets a FRESH checkpoint by
     // design) — delete it, or every invocation leaks a directory for the

@@ -225,6 +225,29 @@ class StreamingSpec extends SparkSuite {
     } finally sq.stop()
   }
 
+  test("q108's STREAMING physical plan: stateful agg, pinned state width, no cartesian") {
+    // The blanket PlanSpec sweep inspects the frame q108 RETURNS — the
+    // memory-sink table — while the streaming physical plan executes and
+    // dies inside the query body. This pins the captured streaming plan
+    // itself: the per-cell state must be a real stateful aggregation (a
+    // regression to a stateless recompute would still pass the value
+    // gate in complete mode), its state width must be the deliberately
+    // pinned 8 partitions (grid-bounded state: 32 would just 4x the
+    // per-batch state-store commit overhead), and nothing below the sink
+    // may be a cartesian/nested-loop join.
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q108_atlas_stream")(spark, d)
+    assert(out.count() > 0, "q108 must produce atlas cells")
+    val plan = graft.queries.ArgoQueries.lastStreamPlan.get()
+    assert(plan.contains("StateStoreSave"),
+      s"q108's streaming plan must carry a stateful aggregation:\n$plan")
+    assert(plan.contains("numPartitions = 8"),
+      s"q108's state must keep the pinned 8 partitions:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"no cartesian below the streaming sink:\n$plan")
+  }
+
   test("sessionizeStream (flatMapGroupsWithState) equals sessionizeBatch") {
     implicit val sqlCtx = spark.sqlContext
     val gapUs = 30L * 60 * 1000000 // 30 min
