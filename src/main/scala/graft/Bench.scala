@@ -1,6 +1,42 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Land the ~10× blown-up rehearsal corpus (documents + embeddings)
+    * in a fresh temp dir and return it. Replicas are near-dup PERTURBED,
+    * not bit-identical: each doc replica gets a per-replica suffix token
+    * (shifted ids), and each vector replica a per-replica norm-preserving
+    * DIMENSION ROTATION — keeps every replica's internal near-dup
+    * structure (a≈b stays a≈b under the same rotation) while
+    * decorrelating replicas from each other; bit-identical copies would
+    * give every vector 9 exact dups and grow the near-dup pair set
+    * quadratically (measured 25× wall on q67 at 10×), an artifact of the
+    * fixture, not the plan. Shared by the bench's scale10 stage and the
+    * SCALING.md measurement probes (tools/ProbeHeadPct). */
+  private[graft] def buildScale10(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-scale10").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nd = docs.agg(max("doc_id")).head.getLong(0) + 1
+    val nv = emb.agg(max("vec_id")).head.getLong(0) + 1
+    val reps10 = spark.range(10).select(col("id").as("__rep"))
+    docs.crossJoin(reps10)
+      .withColumn("doc_id", col("doc_id") + col("__rep") * nd)
+      .withColumn("text", when(col("__rep") === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" v"), col("__rep"))))
+      .drop("__rep")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    emb.crossJoin(reps10)
+      .withColumn("vec_id", col("vec_id") + col("__rep") * nv)
+      .withColumn("embedding", transform(sequence(lit(0), lit(dim - 1)),
+        i => element_at(col("embedding"),
+          (pmod(i + col("__rep") * 7, lit(dim)) + 1).cast("int"))))
+      .drop("__rep")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -80,19 +116,26 @@ object Bench {
     // typically several minutes later, far outside the original window.
     // BENCH_r02 measured the atlas trio at 14-30 s under such a burst;
     // the same queries re-run clean at 2-3 s. Threshold history: 2.5 →
-    // 1.0 (BENCH_r03 published q70 at 1.24 s vs 0.71 s clean) → 0.5:
+    // 1.0 (BENCH_r03 published q70 at 1.24 s vs 0.71 s clean) → 0.4:
     // BENCH_r05 published q33 at 0.998 s and q32 at 0.820 s — 6-7x their
     // clean ~0.13 s, diff-identical code — because the burst spanned both
     // in-loop reps and both numbers sat just UNDER the 1.0 s line, so
     // neither got its decorrelated re-run (a clean full-suite re-run
-    // reproduced 0.11/0.14 s). Every 0.5 s+ query re-running once costs
-    // ~20 s of bench wall time, cheap next to publishing phantom 6x
-    // regressions.
+    // reproduced 0.11/0.14 s). BENCH_r06 repeated the pattern on a whole
+    // CONTIGUOUS block (q75/q80/q90-q96 published 0.40-0.77 s, all under
+    // 1.0; a diff-identical full-suite re-run reproduced 0.10-0.24 s and
+    // the isolated block ruled suite-state pressure out) — a multi-minute
+    // burst covers many consecutive sub-second queries at once, so the
+    // line must sit BELOW the distorted values it needs to catch. At 0.4
+    // the ~30 affected queries re-running once cost ~25 s of bench wall
+    // time, cheap next to publishing a phantom 2-4x block regression; a
+    // burst value still under 0.4 distorts the total by < 0.3 s/query.
+    val RerunThresholdSec = 0.4
     val results2 = results.map { case (name, (best, fn)) =>
       // all-reps-failed queries get one decorrelated chance too: a
       // transient condition (full /tmp, OOM burst) that cleared since
       // should not mark the whole suite broken
-      val dtF = if (best.forall(_._1 > 1.0)) {
+      val dtF = if (best.forall(_._1 > RerunThresholdSec)) {
         // a FAILED re-run must never publish its time-to-failure as the
         // query's benchmark time — only a successful run may improve dt
         val t0 = System.nanoTime()
@@ -179,7 +222,11 @@ object Bench {
     // by plan reading. Replicas are near-dup PERTURBED (a per-replica
     // suffix token; shifted ids) so the dedup family sees realistic
     // near-dup structure, not 10 bit-identical corpus copies.
+    // q41/q43 joined in round 7: they run the same centered multi-table
+    // LSH whose degenerate ancestor this stage caught empirically — the
+    // whole family now rehearses at 10×, not just q67's cluster pass
     val Scale10Queries = Seq("q36_ngram_jaccard", "q38_dedup_clusters",
+      "q41_ann_lsh", "q43_embedding_neardup",
       "q67_semantic_clusters", "q97_sparse_cosine", "q102_hybrid_rank")
     val scale10: Seq[(String, Double)] =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE10", "1") == "0") Nil
@@ -199,33 +246,8 @@ object Bench {
         // forget them or it would serve dead frames to any later consumer
         graft.queries.TextQueries.invalidateSessionMemos(spark)
         System.gc()
-        val dir = java.nio.file.Files.createTempDirectory("graft-scale10").toString
         val tb = System.nanoTime()
-        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        val nd = docs.agg(max("doc_id")).head.getLong(0) + 1
-        val nv = emb.agg(max("vec_id")).head.getLong(0) + 1
-        val reps10 = spark.range(10).select(col("id").as("__rep"))
-        docs.crossJoin(reps10)
-          .withColumn("doc_id", col("doc_id") + col("__rep") * nd)
-          .withColumn("text", when(col("__rep") === 0, col("text"))
-            .otherwise(concat(col("text"), lit(" v"), col("__rep"))))
-          .drop("__rep")
-          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-        // replica vectors get a per-rep DIMENSION ROTATION: norm-preserving,
-        // keeps each replica's internal near-dup structure (a≈b stays a≈b
-        // under the same rotation) while decorrelating replicas from each
-        // other — bit-identical copies would give every vector 9 exact
-        // dups and grow the near-dup pair set quadratically (measured 25×
-        // wall on q67 at 10×), an artifact of the fixture, not the plan
-        val dim = emb.select(size(col("embedding"))).head.getInt(0)
-        emb.crossJoin(reps10)
-          .withColumn("vec_id", col("vec_id") + col("__rep") * nv)
-          .withColumn("embedding", transform(sequence(lit(0), lit(dim - 1)),
-            i => element_at(col("embedding"),
-              (pmod(i + col("__rep") * 7, lit(dim)) + 1).cast("int"))))
-          .drop("__rep")
-          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        val dir = buildScale10(spark, sfDir)
         System.err.println(f"[bench] scale10 build           ${(System.nanoTime() - tb) / 1e9}%8.2f s")
         // density-scaled LSH: at 10× the corpus a deployment raises the
         // bits-per-table so candidates-per-bucket stay bounded (the knob
@@ -303,6 +325,88 @@ object Bench {
           s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
         Nil
       }
+    // At-rest store rehearsal: the layout family's registered consumers,
+    // re-timed against stores actually LANDED from this corpus (the main
+    // loop measures the conf-unset in-session recompute path). Build cost
+    // is published too — it is the once-per-ingest price the per-session
+    // savings amortize. Parity and plan shape are spec-pinned
+    // (DocStoreSpec / TermStoreSpec / VecStoreSpec / ArgoPipelineSpec);
+    // this stage carries the measured seconds.
+    val storeTimes: Seq[(String, Double)] =
+      if (sys.env.getOrElse("SPARK_GRAFT_STORES", "1") == "0") Nil
+      else try {
+        val dir = java.nio.file.Files.createTempDirectory("graft-stores").toString
+        val tb = System.nanoTime()
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        graft.sources.DocStore.saveBucketed(docs, "bench_docstore",
+          buckets = 32, path = Some(s"$dir/docs"))
+        graft.sources.TermStore.saveBucketed(docs, "bench_termstore",
+          buckets = 32, path = Some(s"$dir/terms"))
+        graft.queries.EmbeddingQueries.landVecStore(spark, sfDir, s"$dir/vecs")
+        graft.argo.AtlasStore.saveBucketed(
+          graft.queries.ArgoQueries.profilesProbe(spark, sfDir),
+          graft.queries.ArgoQueries.ExportAtlas, "bench_atlasstore",
+          buckets = 32, path = Some(s"$dir/atlas"))
+        val build = (System.nanoTime() - tb) / 1e9
+        System.err.println(f"[bench] stores build           $build%8.2f s")
+        // The COLD in-session numbers the stores are up against: a fresh
+        // session rebuilds the interp store / forward-index checkpoint
+        // before its first query answers — that rebuild is exactly what
+        // an at-rest store amortizes away, and the warm main-loop numbers
+        // structurally EXCLUDE it (min-of-reps keeps the rep where the
+        // memo is already built). Cold state is forced the scale10 way:
+        // drop the suite's blocks, then invalidate the checkpoint memos
+        // they backed.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        graft.queries.TextQueries.invalidateSessionMemos(spark)
+        val cold = Seq("q71_argo_atlas", "q97_sparse_cosine").flatMap { name =>
+          val t0 = System.nanoTime()
+          val n = try SparkEntry.queries(name)(spark, sfDir).count()
+            catch { case _: Throwable => -1L }
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] stores ${name.takeWhile(_ != '_')}%-4s cold        $dt%8.2f s")
+          if (n >= 0) Some(s"${name.takeWhile(_ != '_')}_cold" -> dt) else None
+        }
+        val confs = Seq(
+          "spark.graft.docStore" -> s"$sfDir=bench_docstore",
+          "spark.graft.termStore" -> s"$sfDir=bench_termstore",
+          "spark.graft.vecStore" -> s"$sfDir=$dir/vecs",
+          "spark.graft.atlasStore" -> s"$sfDir=bench_atlasstore")
+        val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        try {
+          val timed = Seq("q37_fingerprint", "q45_ann_ivf_kmeans",
+            "q71_argo_atlas", "q97_sparse_cosine").flatMap { name =>
+            def one(): (Double, Long) = {
+              val t0 = System.nanoTime()
+              val n = try SparkEntry.queries(name)(spark, sfDir).count()
+                catch { case e: Throwable =>
+                  System.err.println(s"[bench] stores $name FAILED: " +
+                    s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
+                  -1L
+                }
+              ((System.nanoTime() - t0) / 1e9, n)
+            }
+            val ok = (1 to reps).map(_ => one()).filter(_._2 >= 0)
+            val dt = if (ok.nonEmpty) ok.map(_._1).min else FailPenaltySec
+            System.err.println(f"[bench] stores ${name.takeWhile(_ != '_')}%-17s $dt%8.2f s")
+            Some(name.takeWhile(_ != '_') -> dt)
+          }
+          (("build" -> build) +: cold) ++ timed
+        } finally {
+          prior.foreach {
+            case (k, Some(v)) => spark.conf.set(k, v)
+            case (k, None) => spark.conf.unset(k)
+          }
+          Seq("bench_docstore", "bench_termstore", "bench_atlasstore")
+            .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stores stage FAILED: " +
+          s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
+        Nil
+      }
     val nCores = cpus.toDouble
     val stages = (
       tput("q70_argo_interp").map { case (ps, n) =>
@@ -320,6 +424,9 @@ object Bench {
       (if (atlasScale.isEmpty) Nil
        else Seq(atlasScale.map { case (k, v) => s"\"$k\":${r2(v)}" }
          .mkString("\"atlas_profiles\":{", ",", "}"))) ++
+      (if (storeTimes.isEmpty) Nil
+       else Seq(storeTimes.map { case (k, v) => s"\"$k\":${r2(v)}" }
+         .mkString("\"stores\":{", ",", "}"))) ++
       Seq(s""""cores":${cpus.toInt}""", s""""reps":$reps""")).mkString("{", ",", "}")
     val failedPart =
       if (failed.isEmpty) "" else failed.mkString(""","failed":[""", ",", "]")

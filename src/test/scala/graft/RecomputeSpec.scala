@@ -1,0 +1,53 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
+
+/** Executor-loss determinism, exercised rather than argued. SCALING.md
+  * claims fixed-point accumulation makes failure recompute bit-identical
+  * (partial aggregation + a lost task's re-run cannot change results);
+  * this spec injects an actual first-attempt task failure under the
+  * atlas aggregation and asserts the result equals the clean run EXACTLY
+  * — the mechanism is Spark task retry (`local[4, 2]` in [[SparkSuite]];
+  * bare local mode pins maxFailures=1 and aborts instead of retrying)
+  * plus the order-independent integer buffers of ProfileMeanPacked2.
+  */
+object RecomputeSpec {
+  /** JVM-global one-shot so exactly ONE task attempt fails across every
+    * job the query runs (local mode: executors share the driver JVM). */
+  val fired = new AtomicBoolean(false)
+}
+
+class RecomputeSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("injected task failure: the atlas recompute is bit-identical to the clean run") {
+    val d = "/root/testdata/sf0.001"
+    val prof = graft.queries.ArgoQueries.profilesProbe(spark, d)
+    val atlas = graft.queries.ArgoQueries.ExportAtlas
+    def rows(df: DataFrame) =
+      df.select($"lon", $"lat", $"pres", $"CT", $"SR")
+        .as[(Float, Float, Float, Float, Float)].collect().toSeq.sorted
+    val want = rows(atlas.climTS(spark, prof).filter($"CT" =!= 0.0f))
+    // chaos wrapper: the FIRST attempt of the first profile partition
+    // this JVM schedules dies mid-scan — the shape of an executor loss
+    // under the aggregation's map side. RDD round-trip is test-only
+    // scaffolding (it pins where the failure lands); production plans
+    // stay Tungsten end-to-end.
+    RecomputeSpec.fired.set(false)
+    val chaotic = spark.createDataFrame(
+      prof.rdd.mapPartitions { it =>
+        val tc = TaskContext.get()
+        if (tc.attemptNumber() == 0 && !RecomputeSpec.fired.getAndSet(true))
+          throw new RuntimeException("injected executor-loss rehearsal")
+        it
+      }, prof.schema)
+    val got = rows(atlas.climTS(spark, chaotic).filter($"CT" =!= 0.0f))
+    assert(RecomputeSpec.fired.get(), "the injected failure never fired")
+    assert(got == want,
+      "recompute after a task failure must be bit-identical to the clean run")
+    assert(want.nonEmpty, "degenerate fixture: empty atlas")
+  }
+}
