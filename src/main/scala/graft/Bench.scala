@@ -336,6 +336,27 @@ object Bench {
       if (sys.env.getOrElse("SPARK_GRAFT_STORES", "1") == "0") Nil
       else try {
         val dir = java.nio.file.Files.createTempDirectory("graft-stores").toString
+        // The COLD in-session numbers the stores are up against: a fresh
+        // session rebuilds the interp store / forward-index checkpoint
+        // before its first query answers — that rebuild is exactly what
+        // an at-rest store amortizes away, and the warm main-loop numbers
+        // structurally EXCLUDE it (min-of-reps keeps the rep where the
+        // memo is already built). Cold state is forced the scale10 way
+        // (drop the suite's blocks, invalidate the checkpoint memos they
+        // backed, collect), and the cold runs go FIRST so the store
+        // build's own leftover state never pollutes them.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        graft.queries.TextQueries.invalidateSessionMemos(spark)
+        System.gc()
+        val cold = Seq("q71_argo_atlas", "q97_sparse_cosine").flatMap { name =>
+          val t0 = System.nanoTime()
+          val n = try SparkEntry.queries(name)(spark, sfDir).count()
+            catch { case _: Throwable => -1L }
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] stores ${name.takeWhile(_ != '_')}%-4s cold        $dt%8.2f s")
+          if (n >= 0) Some(s"${name.takeWhile(_ != '_')}_cold" -> dt) else None
+        }
         val tb = System.nanoTime()
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         graft.sources.DocStore.saveBucketed(docs, "bench_docstore",
@@ -349,25 +370,6 @@ object Bench {
           buckets = 32, path = Some(s"$dir/atlas"))
         val build = (System.nanoTime() - tb) / 1e9
         System.err.println(f"[bench] stores build           $build%8.2f s")
-        // The COLD in-session numbers the stores are up against: a fresh
-        // session rebuilds the interp store / forward-index checkpoint
-        // before its first query answers — that rebuild is exactly what
-        // an at-rest store amortizes away, and the warm main-loop numbers
-        // structurally EXCLUDE it (min-of-reps keeps the rep where the
-        // memo is already built). Cold state is forced the scale10 way:
-        // drop the suite's blocks, then invalidate the checkpoint memos
-        // they backed.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        graft.queries.TextQueries.invalidateSessionMemos(spark)
-        val cold = Seq("q71_argo_atlas", "q97_sparse_cosine").flatMap { name =>
-          val t0 = System.nanoTime()
-          val n = try SparkEntry.queries(name)(spark, sfDir).count()
-            catch { case _: Throwable => -1L }
-          val dt = (System.nanoTime() - t0) / 1e9
-          System.err.println(f"[bench] stores ${name.takeWhile(_ != '_')}%-4s cold        $dt%8.2f s")
-          if (n >= 0) Some(s"${name.takeWhile(_ != '_')}_cold" -> dt) else None
-        }
         val confs = Seq(
           "spark.graft.docStore" -> s"$sfDir=bench_docstore",
           "spark.graft.termStore" -> s"$sfDir=bench_termstore",
