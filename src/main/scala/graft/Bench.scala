@@ -303,14 +303,19 @@ object Bench {
         val prof = graft.queries.ArgoQueries.profilesProbe(spark, sfDir)
           .persist()
         val atlas = graft.queries.ArgoQueries.ExportAtlas
-        def run(src: org.apache.spark.sql.DataFrame): Double = {
-          val t0 = System.nanoTime()
-          val n = atlas.climTS(spark, src)
-            .filter(col("CT") =!= 0.0f).count()
-          val dt = (System.nanoTime() - t0) / 1e9
-          require(n > 0, "empty atlas")
-          dt
-        }
+        // min-of-reps, same warm-number discipline as everywhere else:
+        // this stage published a 13 s x1 in one round and 2.1 s the next
+        // on identical code — single-run stage numbers carry the same
+        // burst exposure the main loop's reps exist to absorb
+        def run(src: org.apache.spark.sql.DataFrame): Double =
+          (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            val n = atlas.climTS(spark, src)
+              .filter(col("CT") =!= 0.0f).count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            require(n > 0, "empty atlas")
+            dt
+          }.min
         val d1 = run(prof)
         val p10 = prof.crossJoin(
           spark.range(10).select(col("id").as("__rep")))

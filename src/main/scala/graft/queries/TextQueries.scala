@@ -350,6 +350,144 @@ object TextQueries extends QueryModule {
        |  (id = min(r)) AS is_canonical
        |FROM reach GROUP BY id ORDER BY 1""".stripMargin
 
+  // ---- q110: incremental ingest dedup (batch vs at-rest corpus) ----------
+  // The per-ingest-BATCH shape of production dedup: a new batch of
+  // documents arrives and every doc gets a verdict against the EXISTING
+  // corpus — 'exact' (a corpus doc, or an earlier batch doc, carries the
+  // same content fingerprint), 'near' (a corpus doc passes the MinHash
+  // band filter AND exact n-gram Jaccard ≥ threshold), or 'kept' — plus
+  // the matched doc and its similarity as evidence. q34/q38 dedup the
+  // corpus against ITSELF; this is the batch×corpus composition an
+  // ingest pipeline actually runs per sync, built from the same verified
+  // pieces (contentFingerprint, minhashBandFrame, jaccardMicroPacked) so
+  // the two dedup surfaces cannot drift.
+  //
+  // Scale shape: the batch is the small side by construction (one
+  // ingest); the exact tier is one fp equi-join — with
+  // spark.graft.docStore wired the corpus side carries its precomputed
+  // fp and its buckets feed the join's clustering (the q37 discipline),
+  // so the per-ingest corpus reshuffle disappears. The near tier is
+  // q34's blocking join with one side restricted to the surviving batch
+  // docs: candidates exist only via shared band buckets (never
+  // all-pairs), each scored once after id-level dedup, and the best
+  // match per batch doc is a batch-partitioned window (bounded by the
+  // ingest, not the corpus). A deployment would additionally land the
+  // corpus band table at rest beside the DocStore — same layout
+  // discipline, out of scope here.
+  private val IngestMod = 10L
+  private val IngestRem = 7L
+
+  private def q110(s: SparkSession, d: String): DataFrame = {
+    val isBatch = col("doc_id") % IngestMod === IngestRem
+    // corpus fingerprints: the at-rest DocStore when wired (the store
+    // carries the verified fp expression via DocStore.fingerprint)
+    val corpusFp = s.conf.get("spark.graft.docStore", "").split("=", 2) match {
+      case Array(dir, table) if dir == d && s.catalog.tableExists(table) =>
+        graft.sources.DocStore.loadBucketed(s, table)
+          .filter(col("doc_id") % IngestMod =!= IngestRem)
+          .select(col("doc_id"), col("fp"))
+      case _ => docs(s, d).filter(col("doc_id") % IngestMod =!= IngestRem)
+        .select(col("doc_id"), T.contentFingerprint(col("text")).as("fp"))
+    }
+    val batch = docs(s, d).filter(isBatch)
+    val batchFp = batch
+      .select(col("doc_id"), T.contentFingerprint(col("text")).as("fp"))
+    // exact tier: smallest prior holder of the fingerprint — min corpus
+    // doc, or min EARLIER batch doc (ingest order = doc_id; the first
+    // batch copy of a new fingerprint is 'kept', later copies are exact
+    // dups of it). least() skips NULLs in both engines.
+    val corpusMin = corpusFp.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("c_min"))
+    val wPrev = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val exact = batchFp
+      .withColumn("b_prev", min(col("doc_id")).over(wPrev))
+      .join(corpusMin, Seq("fp"), "left")
+      .select(col("doc_id"), least(col("c_min"), col("b_prev")).as("exact_id"))
+    // near tier, only for batch docs the exact tier did not resolve
+    val survivors = exact.filter(col("exact_id").isNull).select("doc_id")
+    val bBands = minhashBandFrame(
+      batch.join(survivors, Seq("doc_id")).repartition(col("doc_id")))
+      .select(col("band"), col("key"), col("doc_id").as("bd"), col("hs").as("bhs"))
+    val cBands = minhashBandFrame(
+      docs(s, d).filter(col("doc_id") % IngestMod =!= IngestRem)
+        .repartition(col("doc_id")))
+      .select(col("band"), col("key"), col("doc_id").as("cd"), col("hs").as("chs"))
+    val scored = bBands.join(cBands, Seq("band", "key"))
+      .select(col("bd"), col("cd"), col("bhs"), col("chs")).distinct()
+      .select(col("bd"), col("cd"),
+        T.jaccardMicroPacked(col("bhs"), col("chs")).as("j_u"))
+      .filter(col("j_u") >= (JaccardThreshold * 1e6).toLong)
+    val wBest = Window.partitionBy(col("bd"))
+      .orderBy(col("j_u").desc, col("cd"))
+    val near = scored
+      .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      .select(col("bd").as("doc_id"), col("cd").as("near_id"), col("j_u"))
+    exact.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, lit("exact"))
+          .when(col("near_id").isNotNull, lit("near"))
+          .otherwise(lit("kept")).as("verdict"),
+        coalesce(col("exact_id"), col("near_id")).as("match_id"),
+        when(col("exact_id").isNull, col("j_u")).as("jaccard_u"))
+      .orderBy("doc_id")
+  }
+
+  private val q110Sql = {
+    val sigExprs = (0 until T.MinHashK)
+      .map(j => s"${T.sqlMinhash("hs", j)} AS sig$j").mkString(",\n    ")
+    val bandSelects = (0 until T.MinHashBands).map { b =>
+      val key = (0 until T.MinHashRows)
+        .map(r => s"sig${b * T.MinHashRows + r}").mkString(" || ':' || ")
+      s"SELECT doc_id, is_batch, hs, $b AS band, $key AS key FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    val jac = FP.sqlMicro("len(list_intersect(bhs, chs))::DOUBLE / len(list_distinct(list_concat(bhs, chs)))")
+    s"""WITH fp AS (
+       |  SELECT doc_id, ${T.sqlContentFingerprint("text")} AS fp,
+       |    (doc_id % $IngestMod = $IngestRem) AS is_batch
+       |  FROM documents),
+       |cmin AS (
+       |  SELECT fp, min(doc_id) AS c_min FROM fp WHERE NOT is_batch GROUP BY 1),
+       |bfp AS (
+       |  SELECT doc_id, fp,
+       |    min(doc_id) OVER (PARTITION BY fp ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS b_prev
+       |  FROM fp WHERE is_batch),
+       |ex AS (
+       |  SELECT b.doc_id, least(c.c_min, b.b_prev) AS exact_id
+       |  FROM bfp b LEFT JOIN cmin c USING (fp)),
+       |hb AS (
+       |  SELECT doc_id, (doc_id % $IngestMod = $IngestRem) AS is_batch,
+       |    list_distinct(list_transform(
+       |      ${T.sqlShingles(s"(${T.sqlTokens("text")})", 3)},
+       |      sh -> ${T.sqlCharHash("sh")})) AS hs
+       |  FROM documents
+       |  WHERE doc_id % $IngestMod <> $IngestRem
+       |     OR doc_id IN (SELECT doc_id FROM ex WHERE exact_id IS NULL)),
+       |sigs AS (SELECT doc_id, is_batch, hs, $sigExprs FROM hb),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS bd, b.doc_id AS cd, a.hs AS bhs, b.hs AS chs
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.is_batch AND NOT b.is_batch),
+       |scored AS (
+       |  SELECT bd, cd, $jac AS j_u FROM cand
+       |  WHERE $jac >= ${(JaccardThreshold * 1e6).toLong}),
+       |near AS (
+       |  SELECT bd AS doc_id, cd AS near_id, j_u, row_number() OVER (
+       |    PARTITION BY bd ORDER BY j_u DESC, cd) AS rn
+       |  FROM scored)
+       |SELECT e.doc_id,
+       |  CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+       |       WHEN n.near_id IS NOT NULL THEN 'near'
+       |       ELSE 'kept' END AS verdict,
+       |  coalesce(e.exact_id, n.near_id) AS match_id,
+       |  CASE WHEN e.exact_id IS NULL THEN n.j_u END AS jaccard_u
+       |FROM ex e LEFT JOIN (SELECT * FROM near WHERE rn = 1) n USING (doc_id)
+       |ORDER BY 1""".stripMargin
+  }
+
   // ---- q101: streaming near-dup first-seen (ingest-side LSH dedup) -------
   // The INGEST half of near-dedup: as documents arrive, is each one a
   // near-duplicate of ANYTHING seen so far? State is the per-bucket
@@ -1974,6 +2112,7 @@ object TextQueries extends QueryModule {
     "q37_fingerprint" -> QueryDef(q37, Some(q37Sql)),
     "q38_dedup_clusters" -> QueryDef(q38, Some(q38Sql)),
     "q109_cluster_best" -> QueryDef(q109, Some(q109Sql)),
+    "q110_ingest_dedup" -> QueryDef(q110, Some(q110Sql)),
     "q101_stream_neardup" -> QueryDef(q101, Some(q101Sql)),
     "q39_corpus_stats" -> QueryDef(q39, Some(q39Sql)))
 }
