@@ -324,6 +324,18 @@ class PlanSpec extends SparkSuite {
     assert(SparkEntry.queries("q45_ann_ivf_kmeans")(spark, d).count() >= 0)
   }
 
+  test("q41: multiprobe fans out only the BROADCAST probe side") {
+    // the recall knob must stay query-time-only: the Hamming-1 flip
+    // explode rides the probe branch (broadcast), never the corpus —
+    // a regression that exploded the corpus side ×(b+1) would still
+    // pass the oracle (same candidates ∪ more) but 5× the scan at scale
+    val p = plan("q41_ann_lsh")
+    assert(p.contains("BroadcastHashJoin [bucket"),
+      s"candidates must come from a broadcast of the probe bands:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus side must never sort/shuffle for the band join:\n$p")
+  }
+
   test("q43: near-dup candidates come from the bucket equi-join; scoring is native") {
     val p = plan("q43_embedding_neardup")
     assert(p.contains("BroadcastHashJoin [bucket") || p.contains("ShuffledHashJoin [bucket"),
