@@ -37,6 +37,21 @@ object Bench {
     dir
   }
 
+  /** Best-effort recursive delete of a bench-created temp tree — the
+    * checkpoint-hygiene lesson applied to the corpus-sized stage dirs:
+    * without it every bench run leaks a ~corpus of parquet into tmp for
+    * the host's lifetime (DROP TABLE on a path-backed table removes only
+    * metadata). */
+  private def deleteRec(root: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    } catch { case _: java.io.IOException => () }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -236,9 +251,11 @@ object Bench {
         // full run leaves ~100 queries of block-manager state (memoized
         // pipelines, forward-index checkpoints, CC passes), and the
         // memory pressure measured ~2x on the scale10 stage (q67 19.8 s
-        // after the full suite vs 9.1 s isolated). Safe here: nothing
-        // after this point reads the sfDir memos, and the scale10 dir
-        // builds its own.
+        // after the full suite vs 9.1 s isolated). Safe here: this stage
+        // reads only the scale10 dir (its memos build fresh), and the
+        // LATER stores stage — which does revisit sfDir — runs its own
+        // unpersist + invalidate first, by design, not by trusting this
+        // one to have run.
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         // the unpersist above destroyed any memoized localCheckpoint's
@@ -281,9 +298,12 @@ object Bench {
           // the main suite so breakage can't read as a speedup
           Some(name.takeWhile(_ != '_') ->
             (if (n >= 0) dt else FailPenaltySec))
-        } finally priorBits match {
-          case Some(v) => spark.conf.set("spark.graft.nearDupBits", v)
-          case None => spark.conf.unset("spark.graft.nearDupBits")
+        } finally {
+          priorBits match {
+            case Some(v) => spark.conf.set("spark.graft.nearDupBits", v)
+            case None => spark.conf.unset("spark.graft.nearDupBits")
+          }
+          deleteRec(dir)
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale10 stage FAILED: " +
@@ -357,10 +377,21 @@ object Bench {
         val cold = Seq("q71_argo_atlas", "q97_sparse_cosine").flatMap { name =>
           val t0 = System.nanoTime()
           val n = try SparkEntry.queries(name)(spark, sfDir).count()
-            catch { case _: Throwable => -1L }
+            catch { case e: Throwable =>
+              // a failed baseline must be VISIBLE (the fallback-probe
+              // discipline) and must never print its time-to-failure as
+              // if it were a measurement; the cold key is then omitted,
+              // so no consumer silently compares the store path against
+              // a bogus baseline
+              System.err.println(s"[bench] stores ${name.takeWhile(_ != '_')} cold FAILED: " +
+                s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
+              -1L
+            }
           val dt = (System.nanoTime() - t0) / 1e9
-          System.err.println(f"[bench] stores ${name.takeWhile(_ != '_')}%-4s cold        $dt%8.2f s")
-          if (n >= 0) Some(s"${name.takeWhile(_ != '_')}_cold" -> dt) else None
+          if (n >= 0) {
+            System.err.println(f"[bench] stores ${name.takeWhile(_ != '_')}%-4s cold        $dt%8.2f s")
+            Some(s"${name.takeWhile(_ != '_')}_cold" -> dt)
+          } else None
         }
         val tb = System.nanoTime()
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -384,7 +415,7 @@ object Bench {
         confs.foreach { case (k, v) => spark.conf.set(k, v) }
         try {
           val timed = Seq("q37_fingerprint", "q45_ann_ivf_kmeans",
-            "q71_argo_atlas", "q97_sparse_cosine").flatMap { name =>
+            "q71_argo_atlas", "q97_sparse_cosine").map { name =>
             def one(): (Double, Long) = {
               val t0 = System.nanoTime()
               val n = try SparkEntry.queries(name)(spark, sfDir).count()
@@ -398,7 +429,7 @@ object Bench {
             val ok = (1 to reps).map(_ => one()).filter(_._2 >= 0)
             val dt = if (ok.nonEmpty) ok.map(_._1).min else FailPenaltySec
             System.err.println(f"[bench] stores ${name.takeWhile(_ != '_')}%-17s $dt%8.2f s")
-            Some(name.takeWhile(_ != '_') -> dt)
+            name.takeWhile(_ != '_') -> dt
           }
           (("build" -> build) +: cold) ++ timed
         } finally {
@@ -408,6 +439,7 @@ object Bench {
           }
           Seq("bench_docstore", "bench_termstore", "bench_atlasstore")
             .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+          deleteRec(dir)
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] stores stage FAILED: " +
