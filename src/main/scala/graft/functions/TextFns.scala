@@ -217,6 +217,35 @@ object TextFns {
   /** packed hashes → all [[MinHashK]] signatures (the q34 LSH banding). */
   val minhashSigsPacked: Column => Column = minhashSigsPackedK(MinHashK)
 
+  /** (doc_id, hs, band, key) LSH band buckets for a (doc_id, text)
+    * frame — THE band construction, shared by the q34 pair join, the
+    * q110 ingest tiers, the q101 streaming first-seen dedup, the
+    * [[graft.sources.BandStore]] at-rest layout, and the StreamingSpec
+    * replay (a second copy drifting would bucket one consumer's docs
+    * differently from another's and silently miss duplicates). Lives
+    * with the other text primitives so the at-rest sources can build it
+    * without reaching into the query layer. */
+  def minhashBandFrame(docsDf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val base = docsDf
+      .select(col("doc_id"), shingleHashesPacked(3)(col("text")).as("hs"))
+    val withSigs = base
+      .withColumn("sigs", minhashSigsPacked(col("hs")))
+      .select(
+        (col("doc_id") +: col("hs") +:
+          (0 until MinHashK).map(j =>
+            element_at(col("sigs"), j + 1).as(s"sig$j"))): _*)
+    // band key = the signature slice, stringified (portable join key)
+    withSigs.select(
+      col("doc_id"), col("hs"),
+      explode(array((0 until MinHashBands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(":", (0 until MinHashRows)
+            .map(r => col(s"sig${b * MinHashRows + r}")): _*).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("hs"), col("bk.band"), col("bk.key"))
+  }
+
   /** packed hashes → SimHash fingerprint (same semantics as [[simhash]]). */
   val simhashPacked: Column => Column = {
     val u = udf((p: Array[Byte]) => {
