@@ -41,16 +41,24 @@ object Bench {
     * checkpoint-hygiene lesson applied to the corpus-sized stage dirs:
     * without it every bench run leaks a ~corpus of parquet into tmp for
     * the host's lifetime (DROP TABLE on a path-backed table removes only
-    * metadata). */
-  private def deleteRec(root: String): Unit =
+    * metadata). private[graft] so the measurement probes that build
+    * scale10 corpora (tools/ProbeHeadPct) can clean up after themselves.
+    * A partial delete is reported, not swallowed — the caller's run still
+    * succeeds, but the leak is visible on stderr. */
+  private[graft] def deleteRec(root: String): Unit =
     try {
       import scala.jdk.CollectionConverters._
       val p = java.nio.file.Paths.get(root)
       if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-    } catch { case _: java.io.IOException => () }
+        scala.util.Using.resource(java.nio.file.Files.walk(p)) { stream =>
+          stream.iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] deleteRec($root) incomplete: " +
+        s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -370,29 +378,44 @@ object Bench {
         // (drop the suite's blocks, invalidate the checkpoint memos they
         // backed, collect), and the cold runs go FIRST so the store
         // build's own leftover state never pollutes them.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        graft.queries.TextQueries.invalidateSessionMemos(spark)
-        System.gc()
+        // min-of-reps like every other published number (a single cold
+        // sample carries the full host-burst exposure the 0.4 s re-run
+        // threshold exists for — one inflated sample would overstate the
+        // advertised cold-to-store win). Each rep re-forces cold state:
+        // dropping the blocks + invalidating the checkpoint memos they
+        // backed makes the next run rebuild from the scan, so rep 2 is a
+        // genuine second COLD measurement, not a warm one.
+        def forceCold(): Unit = {
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          graft.queries.TextQueries.invalidateSessionMemos(spark)
+          System.gc()
+        }
         val cold = Seq("q71_argo_atlas", "q97_sparse_cosine").flatMap { name =>
-          val t0 = System.nanoTime()
-          val n = try SparkEntry.queries(name)(spark, sfDir).count()
-            catch { case e: Throwable =>
-              // a failed baseline must be VISIBLE (the fallback-probe
-              // discipline) and must never print its time-to-failure as
-              // if it were a measurement; the cold key is then omitted,
-              // so no consumer silently compares the store path against
-              // a bogus baseline
-              System.err.println(s"[bench] stores ${name.takeWhile(_ != '_')} cold FAILED: " +
-                s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
-              -1L
-            }
-          val dt = (System.nanoTime() - t0) / 1e9
-          if (n >= 0) {
+          val oks = (1 to reps).flatMap { _ =>
+            forceCold()
+            val t0 = System.nanoTime()
+            val n = try SparkEntry.queries(name)(spark, sfDir).count()
+              catch { case e: Throwable =>
+                // a failed baseline must be VISIBLE (the fallback-probe
+                // discipline) and must never print its time-to-failure as
+                // if it were a measurement; the cold key is then omitted,
+                // so no consumer silently compares the store path against
+                // a bogus baseline
+                System.err.println(s"[bench] stores ${name.takeWhile(_ != '_')} cold FAILED: " +
+                  s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
+                -1L
+              }
+            val dt = (System.nanoTime() - t0) / 1e9
+            if (n >= 0) Some(dt) else None
+          }
+          if (oks.nonEmpty) {
+            val dt = oks.min
             System.err.println(f"[bench] stores ${name.takeWhile(_ != '_')}%-4s cold        $dt%8.2f s")
             Some(s"${name.takeWhile(_ != '_')}_cold" -> dt)
           } else None
         }
+        // the store build below starts from the last forceCold()'s state
         val tb = System.nanoTime()
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         graft.sources.DocStore.saveBucketed(docs, "bench_docstore",

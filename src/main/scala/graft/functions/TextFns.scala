@@ -218,13 +218,13 @@ object TextFns {
   val minhashSigsPacked: Column => Column = minhashSigsPackedK(MinHashK)
 
   /** (doc_id, hs, band, key) LSH band buckets for a (doc_id, text)
-    * frame — THE band construction, shared by the q34 pair join, the
-    * q110 ingest tiers, the q101 streaming first-seen dedup, the
-    * [[graft.sources.BandStore]] at-rest layout, and the StreamingSpec
-    * replay (a second copy drifting would bucket one consumer's docs
-    * differently from another's and silently miss duplicates). Lives
-    * with the other text primitives so the at-rest sources can build it
-    * without reaching into the query layer. */
+    * frame — THE band construction, shared (via the delegating alias in
+    * [[graft.queries.TextQueries.minhashBandFrame]]) by the q34 pair
+    * join, the q110 ingest tiers, the q101 streaming first-seen dedup,
+    * and the StreamingSpec replay (a second copy drifting would bucket
+    * one consumer's docs differently from another's and silently miss
+    * duplicates). Lives with the other text primitives so at-rest
+    * sources can build it without reaching into the query layer. */
   def minhashBandFrame(docsDf: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val base = docsDf

@@ -194,31 +194,15 @@ object TextQueries extends QueryModule {
   private def q34(s: SparkSession, d: String): DataFrame =
     q34Body(s, d).orderBy("d1", "d2")
 
-  /** (doc_id, hs, band, key) LSH band buckets for a documents frame — THE
-    * band construction, shared by the q34 pair join, the q101 streaming
-    * first-seen dedup, and the StreamingSpec replay (a second copy
-    * drifting would bucket stream-side docs differently from the batch
-    * dedup and silently miss duplicates). Public: the streaming spec
-    * feeds it a MemoryStream frame. */
-  def minhashBandFrame(docsDf: DataFrame): DataFrame = {
-    val base = docsDf
-      .select(col("doc_id"), T.shingleHashesPacked(3)(col("text")).as("hs"))
-    val withSigs = base
-      .withColumn("sigs", T.minhashSigsPacked(col("hs")))
-      .select(
-        (col("doc_id") +: col("hs") +:
-          (0 until T.MinHashK).map(j =>
-            element_at(col("sigs"), j + 1).as(s"sig$j"))): _*)
-    // band key = the signature slice, stringified (portable join key)
-    withSigs.select(
-      col("doc_id"), col("hs"),
-      explode(array((0 until T.MinHashBands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws(":", (0 until T.MinHashRows)
-            .map(r => col(s"sig${b * T.MinHashRows + r}")): _*).as("key"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("hs"), col("bk.band"), col("bk.key"))
-  }
+  /** (doc_id, hs, band, key) LSH band buckets for a documents frame —
+    * a delegating alias of [[graft.functions.TextFns.minhashBandFrame]],
+    * THE single band construction (q34 pair join, q110 ingest tiers,
+    * q101 streaming first-seen dedup, StreamingSpec replay). Kept public
+    * here for the existing consumers; the one definition lives with the
+    * other text primitives so a second copy can never drift and bucket
+    * one consumer's docs differently from another's. */
+  def minhashBandFrame(docsDf: DataFrame): DataFrame =
+    T.minhashBandFrame(docsDf)
 
   private def q34Body(s: SparkSession, d: String): DataFrame = {
     // repartition BEFORE the hash projection: a small parquet file scans as
