@@ -283,11 +283,8 @@ object Bench {
         // fallback probe above (a session-level override must survive)
         val priorBits = spark.conf.getOption("spark.graft.nearDupBits")
         spark.conf.set("spark.graft.nearDupBits", "8")
-        try Scale10Queries.flatMap { name =>
-          // min of `reps` runs, same warm-number discipline as the main
-          // loop: single-rep scale10 times were observed to swing 5x on
-          // shared hardware (q102: 6.2 s vs 31.6 s run to run)
-          def one(): (Double, Long) = {
+        try {
+          def one(name: String): (Double, Long) = {
             val t0 = System.nanoTime()
             val n = try SparkEntry.queries(name)(spark, dir).count()
               catch { case e: Throwable =>
@@ -297,15 +294,65 @@ object Bench {
               }
             ((System.nanoTime() - t0) / 1e9, n)
           }
-          val runs = (1 to reps).map(_ => one())
-          val ok = runs.filter(_._2 >= 0)
-          val (dt, n) =
-            if (ok.nonEmpty) ok.minBy(_._1) else (0.0, -1L)
-          System.err.println(f"[bench] scale10 ${name.takeWhile(_ != '_')}%-16s $dt%8.2f s ($n rows)")
+          val firstPass = Scale10Queries.map { name =>
+            // min of `reps` runs, same warm-number discipline as the main
+            // loop: single-rep scale10 times were observed to swing 5x on
+            // shared hardware (q102: 6.2 s vs 31.6 s run to run)
+            val runs = (1 to reps).map(_ => one(name))
+            val ok = runs.filter(_._2 >= 0)
+            val (dt, n) =
+              if (ok.nonEmpty) ok.minBy(_._1) else (0.0, -1L)
+            System.err.println(f"[bench] scale10 ${name.takeWhile(_ != '_')}%-16s $dt%8.2f s ($n rows)")
+            (name, dt, n)
+          }
+          // Decorrelated second chance, scale10 edition (BENCH_r07
+          // published q43 at 31.6 s — 31x its 1x time — with both in-loop
+          // reps inside one host burst; the clean ratio is ~6x). The
+          // main loop's 0.4 s line is meaningless here (these queries are
+          // legitimately multi-second), so the alarm is the RATIO against
+          // the same query's 1x main-suite time: the rehearsal corpus is
+          // 10x rows, every plan in this stage is documented ≲10x
+          // (SCALING.md), so > 12x means either a superlinear plan or a
+          // burst — one more run, minutes after the first, tells them
+          // apart (a burst re-runs clean; a superlinear plan reproduces).
+          val Scale10AlarmRatio = 12.0
+          val secondPass = firstPass.map { case (name, dt, n) =>
+            val mainDt = results2.get(name).flatten.map(_._1)
+            val alarm = n >= 0 && mainDt.exists(m => dt > Scale10AlarmRatio * m)
+            if (!alarm) (name, dt, n)
+            else {
+              val (dt2, n2) = one(name)
+              if (n2 >= 0 && dt2 < dt) {
+                System.err.println(f"[bench] scale10 ${name.takeWhile(_ != '_')}%-16s $dt2%8.2f s (late re-run beat $dt%.2f)")
+                (name, dt2, n2)
+              } else (name, dt, n)
+            }
+          }
+          // q43 attribution: the two counts that explain any wall ratio —
+          // LSH candidates (bucket density: grows if buckets collapse)
+          // vs surviving pairs (true near-dup structure of the corpus).
+          // Published in the JSON so a superlinear ratio is attributable
+          // from the artifact alone, count job timed separately from the
+          // query walls above.
+          val q43Counts = try {
+            val cand = graft.queries.EmbeddingQueries
+              .nearDupCandidates(spark, dir).count()
+            val out = secondPass.collectFirst {
+              case (n, _, rows) if n.startsWith("q43") && rows >= 0 => rows
+            }.getOrElse(-1L)
+            System.err.println(s"[bench] scale10 q43 candidates=$cand survivors=$out")
+            Seq("q43cand" -> cand.toDouble) ++
+              (if (out >= 0) Seq("q43out" -> out.toDouble) else Nil)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] scale10 q43 counts FAILED: " +
+              s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
+            Nil
+          }
           // a failed scale10 query bills the same closed-fail penalty as
           // the main suite so breakage can't read as a speedup
-          Some(name.takeWhile(_ != '_') ->
-            (if (n >= 0) dt else FailPenaltySec))
+          secondPass.map { case (name, dt, n) =>
+            name.takeWhile(_ != '_') -> (if (n >= 0) dt else FailPenaltySec)
+          } ++ q43Counts
         } finally {
           priorBits match {
             case Some(v) => spark.conf.set("spark.graft.nearDupBits", v)
@@ -335,24 +382,34 @@ object Bench {
         // this stage published a 13 s x1 in one round and 2.1 s the next
         // on identical code — single-run stage numbers carry the same
         // burst exposure the main loop's reps exist to absorb
-        def run(src: org.apache.spark.sql.DataFrame): Double =
+        def run(body: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+               (src: org.apache.spark.sql.DataFrame): Double =
           (1 to reps).map { _ =>
             val t0 = System.nanoTime()
-            val n = atlas.climTS(spark, src)
-              .filter(col("CT") =!= 0.0f).count()
+            val n = body(src).count()
             val dt = (System.nanoTime() - t0) / 1e9
             require(n > 0, "empty atlas")
             dt
           }.min
-        val d1 = run(prof)
+        val runTS = run(src => atlas.climTS(spark, src)
+          .filter(col("CT") =!= 0.0f)) _
+        // EAPE two-pass at the same profile scales: aggTS alone misses the
+        // per-cell stats broadcast the second pass joins back in — the
+        // piece whose grid-resolution breakpoint SCALING.md argues; this
+        // stage carries its measured ratio
+        val runEAPE = run(src => atlas.climEAPE(spark, src, algo = "R14")
+          .filter(col("SIGSTAR") =!= 0.0f)) _
+        val d1 = runTS(prof)
+        val e1 = runEAPE(prof)
         val p10 = prof.crossJoin(
           spark.range(10).select(col("id").as("__rep")))
           .withColumn("WMO", col("WMO") + col("__rep").cast("int") * 1000000)
           .drop("__rep")
-        val d10 = run(p10)
+        val d10 = runTS(p10)
+        val e10 = runEAPE(p10)
         prof.unpersist(blocking = false)
-        System.err.println(f"[bench] atlas x1 $d1%8.2f s, x10 $d10%8.2f s")
-        Seq("x1" -> d1, "x10" -> d10)
+        System.err.println(f"[bench] atlas x1 $d1%8.2f s, x10 $d10%8.2f s; eape x1 $e1%8.2f s, x10 $e10%8.2f s")
+        Seq("x1" -> d1, "x10" -> d10, "ex1" -> e1, "ex10" -> e10)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] atlas-scale stage FAILED: " +
           s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")

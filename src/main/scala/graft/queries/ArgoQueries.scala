@@ -296,7 +296,11 @@ object ArgoQueries extends QueryModule {
     * gone by the time the sweep looks — so the execution captures its own
     * `explain` here and StreamingSpec pins the shape (stateful agg
     * present, state partitions = the pinned 8, no cartesian below the
-    * sink). Test-observability only; never read by the query itself. */
+    * sink). Test-observability only; never read by the query itself, and
+    * only captured when `spark.graft.captureStreamPlan=true` (the spec
+    * sets it): the capture re-runs incremental planning and measured
+    * ~0.3-0.6 s per invocation — bench reps must not pay for a
+    * test-only artifact. */
   private[graft] val lastStreamPlan =
     new java.util.concurrent.atomic.AtomicReference[String]("")
   private def q108(s: SparkSession, d: String): DataFrame = {
@@ -304,18 +308,24 @@ object ArgoQueries extends QueryModule {
     val pdir = streamSrcMemo.getOrElseUpdate(s, d) {
       val dir = java.nio.file.Files.createTempDirectory("graft-stream-atlas")
       // repartition (NOT coalesce — coalesce cannot raise a 1-2-partition
-      // frame to 4, and fewer files would silently degrade the stream to
-      // a single trigger) to 4 part files, 2 per trigger → TWO
-      // micro-batches: multi-batch state maintenance is what's under
-      // test (one batch would degenerate to a single fold), while each
-      // extra batch costs ~2.5 s of streaming machinery at bench time —
-      // two is the minimum that still proves incremental maintenance
-      profiles.repartition(4).write.mode("overwrite")
+      // frame) to 64 part files, 32 per trigger → TWO micro-batches:
+      // multi-batch state maintenance is what's under test (one batch
+      // would degenerate to a single fold), while each extra batch costs
+      // ~0.5 s of streaming machinery at bench time — two is the minimum
+      // that still proves incremental maintenance. WHY 64 and not 4: a
+      // batch's map-side parallelism is its FILE count (the file source
+      // packs ~one small file per task under the 4 MB open-cost rule), and
+      // the map side carries the whole pair fan-out + partial aggregation
+      // — with 2 files/batch those ran on 2 of 32 cores and addBatch
+      // measured ~2.5 s/batch (ProbeQ108); at 32 files/batch the same
+      // work spreads across the machine, the exact shape an incremental
+      // GDAC sync has at scale (a sync lands many files, not two).
+      profiles.repartition(64).write.mode("overwrite")
         .parquet(dir.resolve("profiles").toString)
       dir.resolve("profiles").toString
     }
     val sdf = s.readStream.schema(profiles.schema)
-      .option("maxFilesPerTrigger", "2")
+      .option("maxFilesPerTrigger", "32")
       .parquet(pdir)
     // per-invocation name so a rep can never collide with a live table;
     // PREVIOUS invocations' memory-sink views are dropped here (the
@@ -343,14 +353,17 @@ object ArgoQueries extends QueryModule {
     } finally s.conf.set("spark.sql.shuffle.partitions", prior)
     try {
       q.processAllAvailable()
-      // StreamingQuery.explain prints (no string-returning public API);
-      // capture via Console so the spec can assert on the LAST execution's
-      // physical plan — captured before stop(), which drops lastExecution
-      val bos = new java.io.ByteArrayOutputStream()
-      Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
-        q.explain()
+      if (s.conf.get("spark.graft.captureStreamPlan", "false").toBoolean) {
+        // StreamingQuery.explain prints (no string-returning public API);
+        // capture via Console so the spec can assert on the LAST
+        // execution's physical plan — before stop(), which drops
+        // lastExecution
+        val bos = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+          q.explain()
+        }
+        lastStreamPlan.set(bos.toString("UTF-8"))
       }
-      lastStreamPlan.set(bos.toString("UTF-8"))
     } finally q.stop()
     // the checkpoint is dead weight once the stream is stopped (the
     // memory sink holds the result; a rerun gets a FRESH checkpoint by

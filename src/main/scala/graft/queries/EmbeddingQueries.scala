@@ -315,10 +315,22 @@ object EmbeddingQueries extends QueryModule {
   private val NearDupTables = 4
   private val NearDupThreshNano = 350000000L // cosine ≥ 0.35
 
+  /** DEDUPED candidate pairs (d1 < d2) from the multi-table LSH blocks,
+    * BEFORE exact scoring — split out so the bench's scale10 stage can
+    * publish the candidate count next to the surviving-pair count (the
+    * two numbers that attribute any superlinear wall: candidates grow
+    * with bucket density, survivors with true near-dup structure). */
+  private[graft] def nearDupCandidates(s: SparkSession, d: String): DataFrame =
+    nearDupPairsSplit(s, d)._1
+
   /** Embedding near-dup pairs (d1 < d2, cos_n ≥ threshold), unsorted —
     * shared by q43 (the pair listing) and q67 (cluster resolution over
     * the same graph, mirroring how q34's pairs feed q38). */
-  private[graft] def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def nearDupPairs(s: SparkSession, d: String): DataFrame =
+    nearDupPairsSplit(s, d)._2
+
+  private def nearDupPairsSplit(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     // The bucket alias is wrapped in [[V.opaqueBucket]]: without it,
     // Spark 4.1's constraint inference records `bucket <=> <whole bucket
     // expression over vec>` at this projection, substitutes the self-join
@@ -392,7 +404,7 @@ object EmbeddingQueries extends QueryModule {
         buildRows = nVecs * NearDupTables)
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
-    cand
+    val pairs = cand
       .join(packed.select(col("vec_id").as("d1"),
         col("pv").as("v1"), col("nrm").as("n1")), Seq("d1"))
       .join(packed.select(col("vec_id").as("d2"),
@@ -401,6 +413,7 @@ object EmbeddingQueries extends QueryModule {
         FP.nano(V.dotPacked(col("v1"), col("v2")) / (col("n1") * col("n2")))
           .as("cos_n"))
       .filter(col("cos_n") >= NearDupThreshNano)
+    (cand, pairs)
   }
 
   private def q43(s: SparkSession, d: String): DataFrame =

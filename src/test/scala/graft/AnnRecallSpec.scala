@@ -32,14 +32,10 @@ class AnnRecallSpec extends SparkSuite {
     assert(recall >= 0.7, f"q41 recall@3 degraded to $recall%.3f (floor 0.7)")
   }
 
-  test("near-dup pair generation finds essentially all true near-duplicates") {
-    // plant a near-duplicate of every vector (one dimension nudged —
-    // cosine ≈ 0.999) and require the multi-table candidates to surface
-    // ≥ 95% of the planted pairs. Theory: one 4-bit table catches a
-    // cos≈0.999 pair with prob ~0.91; four tables ~1-1e-4. A single
-    // table's miss rate (~9%) would flunk this; so would any plane
-    // degeneration that piles everything into shared buckets and then
-    // times out, or splits true pairs across buckets.
+  /** Corpus with a planted near-duplicate of every vector (one dimension
+    * nudged — cosine ≈ 0.999), landed in a fresh temp dir. Returns
+    * (dir, n): planted pair i ↔ i+n. */
+  private def plantedCorpus(): (String, Long) = {
     val emb = spark.read.parquet(s"$d/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val n = emb.count()
@@ -51,11 +47,48 @@ class AnnRecallSpec extends SparkSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-recall").toString
     emb.unionByName(copies).coalesce(2)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    (dir, n)
+  }
+
+  private def plantedRecall(dir: String, n: Long): Double = {
     val pairs = graft.queries.EmbeddingQueries.nearDupPairs(spark, dir)
       .select(col("d1"), col("d2")).as[(Long, Long)].collect().toSet
-    val found = (0L until n).count(i => pairs.contains((i, i + n)))
-    val recall = found.toDouble / n
-    assert(recall >= 0.95,
-      f"planted near-dup recall $recall%.3f ($found of $n) under the 0.95 floor")
+    (0L until n).count(i => pairs.contains((i, i + n))).toDouble / n
+  }
+
+  test("near-dup pair generation finds essentially all true near-duplicates") {
+    // require the multi-table candidates to surface ≥ 95% of the planted
+    // pairs. Theory: one 4-bit table catches a cos≈0.999 pair with prob
+    // ~0.91; four tables ~1-1e-4. A single table's miss rate (~9%) would
+    // flunk this; so would any plane degeneration that piles everything
+    // into shared buckets and then times out, or splits true pairs
+    // across buckets.
+    val (dir, n) = plantedCorpus()
+    try {
+      val recall = plantedRecall(dir, n)
+      info(f"planted pair recall at default bits = $recall%.3f")
+      assert(recall >= 0.95,
+        f"planted near-dup recall $recall%.3f under the 0.95 floor")
+    } finally Bench.deleteRec(dir)
+  }
+
+  test("near-dup pair recall holds at the deployment density (8 bits per table)") {
+    // the bits the scale10 stage MEASURES and a 10x-denser corpus runs
+    // (and, set at JVM launch, the oracle gate verifies) — recall there
+    // was previously argued from the random-hyperplane formula only
+    // (per-table (1-θ/π)^8 ≈ 0.89 at cos 0.999; four tables ≈ 1-1.4e-4).
+    // This pins it empirically: a miss would mean the centered
+    // deterministic planes behave worse than the formula at depth 8.
+    val (dir, n) = plantedCorpus()
+    spark.conf.set("spark.graft.nearDupBits", "8")
+    try {
+      val recall = plantedRecall(dir, n)
+      info(f"planted pair recall at 8 bits = $recall%.3f")
+      assert(recall >= 0.95,
+        f"planted near-dup recall at 8 bits $recall%.3f under the 0.95 floor")
+    } finally {
+      spark.conf.unset("spark.graft.nearDupBits")
+      Bench.deleteRec(dir)
+    }
   }
 }

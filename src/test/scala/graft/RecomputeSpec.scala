@@ -50,4 +50,39 @@ class RecomputeSpec extends SparkSuite {
       "recompute after a task failure must be bit-identical to the clean run")
     assert(want.nonEmpty, "degenerate fixture: empty atlas")
   }
+
+  test("injected task failure under the q38 distributed CC loop: labels are bit-identical") {
+    // The iterative twin of the atlas case above: SCALING.md argues the
+    // CC loop's partition-invariance from the unique fixpoint (min
+    // reachable id), but until now that claim was only spec-asserted
+    // under clean runs. Here the FIRST attempt of an edge-scan task dies
+    // mid-loop-input — the localCheckpoint materialization retries it —
+    // and the converged labels must equal the clean run exactly. Fast
+    // path pinned OFF, same as q38: the distributed propagation loop is
+    // the branch a 100 TB pair graph runs, so it is the branch that must
+    // survive the retry.
+    val d = "/root/testdata/sf0.001"
+    val pairs = SparkEntry.queries("q34_minhash_lsh")(spark, d)
+      .select($"d1".as("src"), $"d2".as("dst"))
+    val verts = graft.Tables.documents(spark, d).select($"doc_id".as("id"))
+    def labels(edges: DataFrame): Seq[(Long, Long)] =
+      graft.operators.Graph.connectedComponents(edges, verts,
+        allowDriverFastPath = false)
+        .as[(Long, Long)].collect().toSeq.sorted
+    val want = labels(pairs)
+    RecomputeSpec.fired.set(false)
+    val chaotic = spark.createDataFrame(
+      pairs.rdd.mapPartitions { it =>
+        val tc = TaskContext.get()
+        if (tc.attemptNumber() == 0 && !RecomputeSpec.fired.getAndSet(true))
+          throw new RuntimeException("injected executor-loss rehearsal")
+        it
+      }, pairs.schema)
+    val got = labels(chaotic)
+    assert(RecomputeSpec.fired.get(), "the injected failure never fired")
+    assert(got == want,
+      "CC labels after a task failure must be bit-identical to the clean run")
+    assert(want.count { case (id, comp) => id != comp } > 10,
+      "degenerate fixture: pair graph has almost no non-trivial clusters")
+  }
 }

@@ -236,7 +236,11 @@ class StreamingSpec extends SparkSuite {
     // per-batch state-store commit overhead), and nothing below the sink
     // may be a cartesian/nested-loop join.
     val d = "/root/testdata/sf0.001"
-    val out = SparkEntry.queries("q108_atlas_stream")(spark, d)
+    // capture is OPT-IN (costs ~0.3-0.6 s of re-planning per invocation;
+    // bench reps must not pay for this test-only artifact)
+    spark.conf.set("spark.graft.captureStreamPlan", "true")
+    val out = try SparkEntry.queries("q108_atlas_stream")(spark, d)
+      finally spark.conf.unset("spark.graft.captureStreamPlan")
     assert(out.count() > 0, "q108 must produce atlas cells")
     val plan = graft.queries.ArgoQueries.lastStreamPlan.get()
     assert(plan.contains("StateStoreSave"),
