@@ -511,7 +511,35 @@ object Bench {
             System.err.println(f"[bench] stores ${name.takeWhile(_ != '_')}%-17s $dt%8.2f s")
             name.takeWhile(_ != '_') -> dt
           }
-          (("build" -> build) +: cold) ++ timed
+          // q71's PROFILE-SOURCE split, published so the store-vs-cold
+          // comparison is attributable from the artifact (ProbeAtlasStore
+          // carries the full breakdown): the store path's extra cost over
+          // the in-session memo is exactly the bucketed parquet scan; the
+          // cold path's is the interp recompute. Both are timed against
+          // the SAME forced-materialization shape (sum over the array
+          // column / a bare count of the pipeline output).
+          val split = try {
+            def minRep(body: => Long): Double =
+              (1 to reps).map { _ =>
+                val t0 = System.nanoTime()
+                body
+                (System.nanoTime() - t0) / 1e9
+              }.min
+            val store = graft.argo.AtlasStore.loadBucketed(spark, "bench_atlasstore")
+            val scan = minRep(store.agg(
+              org.apache.spark.sql.functions.sum(
+                org.apache.spark.sql.functions.size(
+                  org.apache.spark.sql.functions.col("CT")))).head().getLong(0))
+            val interp = minRep(
+              graft.queries.ArgoQueries.profilesProbe(spark, sfDir).count())
+            System.err.println(f"[bench] stores q71 split: scan $scan%.2f s, interp recompute $interp%.2f s")
+            Seq("q71scan" -> scan, "q71interp" -> interp)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] stores q71 split FAILED: " +
+              s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
+            Nil
+          }
+          (("build" -> build) +: cold) ++ timed ++ split
         } finally {
           prior.foreach {
             case (k, Some(v)) => spark.conf.set(k, v)
