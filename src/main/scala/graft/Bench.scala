@@ -566,8 +566,11 @@ object Bench {
       }.getOrElse(Nil) ++
       fallbackSec.map(dt => Seq(s""""atlas_fallback_sec":${r3(dt)}""")).getOrElse(Nil) ++
       (if (scale10.isEmpty) Nil
-       else Seq(scale10.map { case (k, v) => s"\"$k\":${r2(v)}" }
-         .mkString("\"scale10\":{", ",", "}"))) ++
+       else Seq(scale10.map { case (k, v) =>
+         // count keys are integers, not seconds — print them as such
+         if (k.endsWith("cand") || k.endsWith("out")) s"\"$k\":${v.toLong}"
+         else s"\"$k\":${r2(v)}"
+       }.mkString("\"scale10\":{", ",", "}"))) ++
       (if (atlasScale.isEmpty) Nil
        else Seq(atlasScale.map { case (k, v) => s"\"$k\":${r2(v)}" }
          .mkString("\"atlas_profiles\":{", ",", "}"))) ++
