@@ -533,7 +533,29 @@ object Bench {
             val interp = minRep(
               graft.queries.ArgoQueries.profilesProbe(spark, sfDir).count())
             System.err.println(f"[bench] stores q71 split: scan $scan%.2f s, interp recompute $interp%.2f s")
-            Seq("q71scan" -> scan, "q71interp" -> interp)
+            // the q97 twin: TermStore postings scan vs the per-session
+            // forward-index rebuild (tokenize → doc_id shuffle →
+            // checkpoint). The memo is invalidated before EVERY rebuild
+            // rep — otherwise rep 2 times a memo hit, not the build.
+            val tScan = minRep(
+              graft.sources.TermStore.loadBucketed(spark, "bench_termstore")
+                .agg(org.apache.spark.sql.functions.sum(
+                  org.apache.spark.sql.functions.col("tf"))).head().getLong(0))
+            // the termStore conf is SET here (the timed store runs above
+            // need it) and forwardIndexProbe consults it — unset around
+            // the rebuild reps or this would time a store read
+            val priorTs = spark.conf.getOption("spark.graft.termStore")
+            spark.conf.unset("spark.graft.termStore")
+            val fwd = try (1 to reps).map { _ =>
+              graft.queries.TextQueries.invalidateSessionMemos(spark)
+              val t0 = System.nanoTime()
+              graft.queries.TextQueries.forwardIndexProbe(spark, sfDir).count()
+              (System.nanoTime() - t0) / 1e9
+            }.min finally priorTs.foreach(
+              spark.conf.set("spark.graft.termStore", _))
+            System.err.println(f"[bench] stores q97 split: scan $tScan%.2f s, index rebuild $fwd%.2f s")
+            Seq("q71scan" -> scan, "q71interp" -> interp,
+              "q97scan" -> tScan, "q97fwd" -> fwd)
           } catch { case e: Throwable =>
             System.err.println(s"[bench] stores q71 split FAILED: " +
               s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")

@@ -1835,6 +1835,13 @@ object TextQueries extends QueryModule {
 
   private val fwdMemo = new SessionMemo[DataFrame]
 
+  /** Measurement access to [[forwardIndex]] for the bench's stores-stage
+    * split (store scan vs in-session rebuild) — the probe must time the
+    * REAL build (tokenize → shuffle by doc_id → checkpoint), not a
+    * reconstruction that could drift from it. */
+  private[graft] def forwardIndexProbe(s: SparkSession, d: String): DataFrame =
+    forwardIndex(s, d)
+
   /** Forget this session's memoized forward-index checkpoints. A caller
     * that unpersists the session's blocks wholesale (Bench's scale
     * stage) MUST call this: a localCheckpoint's lineage is truncated, so
