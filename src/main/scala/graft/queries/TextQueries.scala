@@ -268,16 +268,24 @@ object TextQueries extends QueryModule {
   // the pin no oracle row would ever exercise the distributed propagation
   // loop — the branch a 100 TB pair graph runs. q67 keeps the adaptive
   // default, so BOTH branches carry a green CORRECTNESS row.
-  private def q38(s: SparkSession, d: String): DataFrame = {
+  /** The MinHash cluster resolution shared by q38 and q109. The branch
+    * choice is invisible in the output (same unique fixpoint — min
+    * reachable id); only who exercises which branch under the gate
+    * differs, so the pin is the CALLER's decision. */
+  private def dedupClusters(s: SparkSession, d: String,
+                            allowDriverFastPath: Boolean): DataFrame = {
     val pairs = minhashPairs(s, d)
       .select(col("d1").as("src"), col("d2").as("dst"))
     val verts = docs(s, d).select(col("doc_id").as("id"))
     graft.operators.Graph.connectedComponents(pairs, verts,
-      allowDriverFastPath = false)
+      allowDriverFastPath = allowDriverFastPath)
       .select(col("id").as("doc_id"), col("comp").as("cluster"),
         (col("id") === col("comp")).as("is_canonical"))
-      .orderBy("doc_id")
   }
+
+  private def q38(s: SparkSession, d: String): DataFrame =
+    dedupClusters(s, d, allowDriverFastPath = false)
+      .orderBy("doc_id")
 
   // ---- q109: best-quality cluster representative -------------------------
   // What dedup actually KEEPS: production pipelines retain the
@@ -290,13 +298,19 @@ object TextQueries extends QueryModule {
   // quality of an empty doc must lose in both engines, the q100 lesson).
   // Scale shape: the clusters frame is corpus-sized but narrow (two
   // longs), the quality frame is a narrow map, the join keys on doc_id,
-  // and the window spreads over clusters.
+  // and the window spreads over clusters. The cluster resolution keeps
+  // the ADAPTIVE branch default (driver union-find under the cap) —
+  // q38's pin exists so ITS oracle row exercises the distributed loop;
+  // inheriting the pin here would re-run the ~12-pass shuffle ladder per
+  // invocation for no extra verified surface (both branches already
+  // carry green rows via q38/q67, and the fixpoint is branch-invariant).
   private def q109(s: SparkSession, d: String): DataFrame = {
     val (_, _, _, quality) = qualityPieces
     val q = docs(s, d).select(col("doc_id"), FP.micro(quality).as("quality_u"))
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("quality_u").desc_nulls_last, col("doc_id"))
-    q38(s, d).select(col("doc_id"), col("cluster"))
+    dedupClusters(s, d, allowDriverFastPath = true)
+      .select(col("doc_id"), col("cluster"))
       .join(q, Seq("doc_id"))
       .withColumn("rn", row_number().over(w))
       .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("cluster"))))
