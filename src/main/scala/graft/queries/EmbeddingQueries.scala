@@ -38,7 +38,17 @@ object EmbeddingQueries extends QueryModule {
   private[graft] val ConfiguredNearDupBits: Option[Int] =
     sys.props.get("spark.graft.nearDupBits")
       .orElse(sys.env.get("SPARK_GRAFT_NEARDUP_BITS"))
-      .map(_.trim.toInt)
+      .map { v =>
+        // a bare toInt here would surface as an opaque
+        // ExceptionInInitializerError on the first touch of this object —
+        // name the knob so a malformed launch value is debuggable
+        try v.trim.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            "spark.graft.nearDupBits / SPARK_GRAFT_NEARDUP_BITS must be " +
+              s"an integer, got '$v'")
+        }
+      }
   private val ProbeMod = 50 // vec_id % ProbeMod == 0 → probe set
   // Fixed probe-set bound (the q97/q87 discipline): a bare modulus makes
   // every probe side a corpus FRACTION, so probes × corpus fan-outs grow

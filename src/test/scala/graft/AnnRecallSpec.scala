@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   * over-tight bucket would fail here even with every oracle green.
   * Deterministic: fixed corpus + deterministic planes → exact reruns.
   */
-class AnnRecallSpec extends SparkSuite {
+class AnnRecallSpec extends SparkSuite
+    with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
 
   private val d = "/root/testdata/sf0.001"
+
+  @volatile private var plantedBuilt = false
 
   test("q41 multi-table LSH recall@3 vs the q40 ground truth stays above the floor") {
     // measured 0.967 on this corpus with Hamming-1 multiprobe (history:
@@ -33,9 +36,10 @@ class AnnRecallSpec extends SparkSuite {
   }
 
   /** Corpus with a planted near-duplicate of every vector (one dimension
-    * nudged — cosine ≈ 0.999), landed in a fresh temp dir. Returns
-    * (dir, n): planted pair i ↔ i+n. */
-  private def plantedCorpus(): (String, Long) = {
+    * nudged — cosine ≈ 0.999), landed ONCE and shared by both recall
+    * tests (the corpus does not depend on the bits knob). (dir, n):
+    * planted pair i ↔ i+n. Cleaned up in [[afterAll]]. */
+  private lazy val plantedCorpus: (String, Long) = {
     val emb = spark.read.parquet(s"$d/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val n = emb.count()
@@ -47,7 +51,15 @@ class AnnRecallSpec extends SparkSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-recall").toString
     emb.unionByName(copies).coalesce(2)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    plantedBuilt = true
     (dir, n)
+  }
+
+  override protected def afterAll(): Unit = {
+    // guard: touching the lazy here would BUILD the corpus just to
+    // delete it when no recall test ran
+    try if (plantedBuilt) Bench.deleteRec(plantedCorpus._1)
+    finally super.afterAll()
   }
 
   private def plantedRecall(dir: String, n: Long): Double = {
@@ -63,13 +75,11 @@ class AnnRecallSpec extends SparkSuite {
     // flunk this; so would any plane degeneration that piles everything
     // into shared buckets and then times out, or splits true pairs
     // across buckets.
-    val (dir, n) = plantedCorpus()
-    try {
-      val recall = plantedRecall(dir, n)
-      info(f"planted pair recall at default bits = $recall%.3f")
-      assert(recall >= 0.95,
-        f"planted near-dup recall $recall%.3f under the 0.95 floor")
-    } finally Bench.deleteRec(dir)
+    val (dir, n) = plantedCorpus
+    val recall = plantedRecall(dir, n)
+    info(f"planted pair recall at default bits = $recall%.3f")
+    assert(recall >= 0.95,
+      f"planted near-dup recall $recall%.3f under the 0.95 floor")
   }
 
   test("near-dup pair recall holds at the deployment density (8 bits per table)") {
@@ -79,16 +89,13 @@ class AnnRecallSpec extends SparkSuite {
     // (per-table (1-θ/π)^8 ≈ 0.89 at cos 0.999; four tables ≈ 1-1.4e-4).
     // This pins it empirically: a miss would mean the centered
     // deterministic planes behave worse than the formula at depth 8.
-    val (dir, n) = plantedCorpus()
+    val (dir, n) = plantedCorpus
     spark.conf.set("spark.graft.nearDupBits", "8")
     try {
       val recall = plantedRecall(dir, n)
       info(f"planted pair recall at 8 bits = $recall%.3f")
       assert(recall >= 0.95,
         f"planted near-dup recall at 8 bits $recall%.3f under the 0.95 floor")
-    } finally {
-      spark.conf.unset("spark.graft.nearDupBits")
-      Bench.deleteRec(dir)
-    }
+    } finally spark.conf.unset("spark.graft.nearDupBits")
   }
 }
