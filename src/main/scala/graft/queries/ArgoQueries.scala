@@ -340,12 +340,18 @@ object ArgoQueries extends QueryModule {
     // streaming STATE partitioning is fixed at query start from
     // spark.sql.shuffle.partitions; the state here is grid-bounded
     // (~5k cells), so 32 partitions just multiply the per-batch state
-    // store commit overhead ×4 for no parallelism gain — pin 8 for the
-    // stream, restore the session's setting after
+    // store commit overhead ×4 for no parallelism gain — default 8 for
+    // the stream, restore the session's setting after. Conf-sized, not
+    // hardcoded: a deployment maintaining a global fine grid (10⁶+ cell
+    // state rows) raises it with the grid the way it sizes any state
+    // store (state partitioning is FROZEN into the checkpoint at first
+    // start, so it must be set before the stream ever runs).
+    val statePartitions =
+      s.conf.get("spark.graft.streamStatePartitions", "8")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
     val prior = s.conf.get("spark.sql.shuffle.partitions")
     val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", statePartitions)
       Atlas.aggTS(ExportAtlas.pairs(s, sdf))
         .writeStream.format("memory").queryName(qn).outputMode("complete")
         .option("checkpointLocation", ckpt.toString)
