@@ -14,7 +14,7 @@ object Bench {
     * SCALING.md measurement probes (tools/ProbeHeadPct). */
   private[graft] def buildScale10(spark: SparkSession, sfDir: String): String = {
     import org.apache.spark.sql.functions._
-    val dir = java.nio.file.Files.createTempDirectory("graft-scale10").toString
+    val dir = graft.TempDirs.create("graft-scale10").toString
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val nd = docs.agg(max("doc_id")).head.getLong(0) + 1
@@ -37,28 +37,14 @@ object Bench {
     dir
   }
 
-  /** Best-effort recursive delete of a bench-created temp tree — the
+  /** Prompt recursive delete of a bench-created temp tree — the
     * checkpoint-hygiene lesson applied to the corpus-sized stage dirs:
     * without it every bench run leaks a ~corpus of parquet into tmp for
     * the host's lifetime (DROP TABLE on a path-backed table removes only
     * metadata). private[graft] so the measurement probes that build
     * scale10 corpora (tools/ProbeHeadPct) can clean up after themselves.
-    * A partial delete is reported, not swallowed — the caller's run still
-    * succeeds, but the leak is visible on stderr. */
-  private[graft] def deleteRec(root: String): Unit =
-    try {
-      import scala.jdk.CollectionConverters._
-      val p = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(p))
-        scala.util.Using.resource(java.nio.file.Files.walk(p)) { stream =>
-          stream.iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] deleteRec($root) incomplete: " +
-        s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
-    }
+    * Delegates to [[TempDirs.deleteRec]] (one delete implementation). */
+  private[graft] def deleteRec(root: String): Unit = TempDirs.deleteRec(root)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -431,7 +417,7 @@ object Bench {
     val storeTimes: Seq[(String, Double)] =
       if (sys.env.getOrElse("SPARK_GRAFT_STORES", "1") == "0") Nil
       else try {
-        val dir = java.nio.file.Files.createTempDirectory("graft-stores").toString
+        val dir = graft.TempDirs.create("graft-stores").toString
         // The COLD in-session numbers the stores are up against: a fresh
         // session rebuilds the interp store / forward-index checkpoint
         // before its first query answers — that rebuild is exactly what

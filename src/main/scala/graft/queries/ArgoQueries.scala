@@ -306,7 +306,7 @@ object ArgoQueries extends QueryModule {
   private def q108(s: SparkSession, d: String): DataFrame = {
     val profiles = pipelineCached(s, d)
     val pdir = streamSrcMemo.getOrElseUpdate(s, d) {
-      val dir = java.nio.file.Files.createTempDirectory("graft-stream-atlas")
+      val dir = graft.TempDirs.create("graft-stream-atlas")
       // repartition (NOT coalesce — coalesce cannot raise a 1-2-partition
       // frame) to 64 part files, 32 per trigger → TWO micro-batches:
       // multi-batch state maintenance is what's under test (one batch
@@ -348,7 +348,7 @@ object ArgoQueries extends QueryModule {
     // start, so it must be set before the stream ever runs).
     val statePartitions =
       s.conf.get("spark.graft.streamStatePartitions", "8")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
+    val ckpt = graft.TempDirs.create("graft-stream-ckpt")
     val prior = s.conf.get("spark.sql.shuffle.partitions")
     val q = try {
       s.conf.set("spark.sql.shuffle.partitions", statePartitions)

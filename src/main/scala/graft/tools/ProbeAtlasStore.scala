@@ -17,7 +17,7 @@ object ProbeAtlasStore {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     spark.read.parquet(s"$sf/orders.parquet").count() // warm
     val atlas = graft.queries.ArgoQueries.ExportAtlas
-    val dir = java.nio.file.Files.createTempDirectory("graft-probe-store").toString
+    val dir = graft.TempDirs.create("graft-probe-store").toString
     def t(label: String)(body: => Long): Unit = {
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()

@@ -11,7 +11,7 @@ object ProbeEdgeVecs {
     import spark.implicits._
     println("ansi=" + spark.conf.get("spark.sql.ansi.enabled"))
     val dim = 64
-    val dst = java.nio.file.Files.createTempDirectory("graft-edgevecs")
+    val dst = graft.TempDirs.create("graft-edgevecs")
     val src = java.nio.file.Paths.get("/root/testdata/sf0.001")
     java.nio.file.Files.list(src).forEach { p =>
       java.nio.file.Files.copy(p, dst.resolve(p.getFileName.toString))

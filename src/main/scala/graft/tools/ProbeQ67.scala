@@ -11,7 +11,7 @@ object ProbeQ67 {
     spark.sparkContext.setLogLevel("ERROR")
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
-    val dir = java.nio.file.Files.createTempDirectory("probe67").toString
+    val dir = graft.TempDirs.create("probe67").toString
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val nv = emb.agg(max("vec_id")).head.getLong(0) + 1
     val dim = emb.select(size(col("embedding"))).head.getInt(0)

@@ -48,7 +48,7 @@ class AnnRecallSpec extends SparkSuite
       .withColumn("embedding",
         transform(col("embedding"), (x, i) =>
           when(i === 0, x * 1.05f).otherwise(x)))
-    val dir = java.nio.file.Files.createTempDirectory("graft-recall").toString
+    val dir = graft.TempDirs.create("graft-recall").toString
     emb.unionByName(copies).coalesce(2)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     plantedBuilt = true

@@ -68,7 +68,7 @@ class ArgoNetCDFSpec extends SparkSuite {
   }
 
   private lazy val gdac: String = {
-    val root = Files.createTempDirectory("gdac")
+    val root = graft.TempDirs.create("gdac")
     val dir = root.resolve("aoml/2901234")
     Files.createDirectories(dir)
     Files.write(dir.resolve("2901234_prof.nc"), profFile())
@@ -105,7 +105,7 @@ class ArgoNetCDFSpec extends SparkSuite {
   }
 
   test("streaming GDAC source ingests newly landed files incrementally") {
-    val root = Files.createTempDirectory("gdac-stream")
+    val root = graft.TempDirs.create("gdac-stream")
     val d1 = root.resolve("aoml/3900001")
     Files.createDirectories(d1)
     Files.write(d1.resolve("3900001_prof.nc"), profFile())
@@ -113,7 +113,7 @@ class ArgoNetCDFSpec extends SparkSuite {
       .writeStream.format("memory").queryName("gdac_stream")
       .outputMode("append")
       .option("checkpointLocation",
-        Files.createTempDirectory("gdac-stream-ckpt").toString)
+        graft.TempDirs.create("gdac-stream-ckpt").toString)
       .start()
     try {
       sq.processAllAvailable()
@@ -198,7 +198,7 @@ class ArgoNetCDFSpec extends SparkSuite {
   }
 
   test("S3: delayed-mode floats use adjusted VALUES and adjusted QC") {
-    val root = Files.createTempDirectory("gdac_dm")
+    val root = graft.TempDirs.create("gdac_dm")
     val dir = root.resolve("aoml/2905678")
     Files.createDirectories(dir)
     Files.write(dir.resolve("2905678_prof.nc"), delayedProfFile())
@@ -224,7 +224,7 @@ class ArgoNetCDFSpec extends SparkSuite {
   }
 
   test("S9 writeNetcdf exports an atlas a classic reader parses back") {
-    val out = Files.createTempDirectory("atlas_nc").resolve("atlas.nc").toString
+    val out = graft.TempDirs.create("atlas_nc").resolve("atlas.nc").toString
     val atlas = new Atlas(box = (10.0, 30.0, -50.0, -40.0), reso = 5.0)
     val df = Seq(
       (10.0f, -50.0f, 0.0f, 18.5f, 35.1f),

@@ -307,7 +307,7 @@ class ArgoPipelineSpec extends SparkSuite {
     // exploded-grid side — the profile side's scan partitioning already
     // satisfies the join distribution.
     val atlas = new Atlas(box = (0.0, 30.0, -50.0, -30.0), reso = 2.0)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed")
+    val tmp = graft.TempDirs.create("graft-bucketed")
     AtlasStore.saveBucketed(profiles, atlas, "profiles_bucketed", buckets = 8,
       path = Some(tmp.resolve("t").toString))
     try {
@@ -340,7 +340,7 @@ class ArgoPipelineSpec extends SparkSuite {
     val d = "/root/testdata/sf0.001"
     val prof = graft.queries.ArgoQueries.profilesProbe(spark, d)
     val atlas = graft.queries.ArgoQueries.ExportAtlas
-    val tmp = java.nio.file.Files.createTempDirectory("graft-atlasstore-q")
+    val tmp = graft.TempDirs.create("graft-atlasstore-q")
     AtlasStore.saveBucketed(prof, atlas, "atlas_q71", buckets = 8,
       path = Some(tmp.resolve("t").toString))
     def rows(df: org.apache.spark.sql.DataFrame) =

@@ -45,7 +45,7 @@ class ArgostatsApiSpec extends SparkSuite {
         Nc3.VarSpec("PRES_QC", Seq("N_PROF", "N_LEVELS"), Nil, Nc3.NcChar, qc),
         Nc3.VarSpec("TEMP_QC", Seq("N_PROF", "N_LEVELS"), Nil, Nc3.NcChar, qc),
         Nc3.VarSpec("PSAL_QC", Seq("N_PROF", "N_LEVELS"), Nil, Nc3.NcChar, qc)))
-    val root = Files.createTempDirectory("gdac-api")
+    val root = graft.TempDirs.create("gdac-api")
     val dir = root.resolve("coriolis/6901000")
     Files.createDirectories(dir)
     Files.write(dir.resolve("6901000_prof.nc"), file)
@@ -53,7 +53,7 @@ class ArgostatsApiSpec extends SparkSuite {
   }
 
   test("the full reference pipeline runs through the facade, save/load included") {
-    val tmp = Files.createTempDirectory("argostats-api").toString
+    val tmp = graft.TempDirs.create("argostats-api").toString
     // build_summary + to_pickle / load_summary
     Argostats.saveSummary(Argostats.buildSummary(spark, gdac), s"$tmp/summary")
     val summary = Argostats.loadSummary(spark, s"$tmp/summary")

@@ -13,7 +13,7 @@ class AtlasSinkSpec extends SparkSuite {
   import spark.implicits._
 
   test("units + global attrs round-trip through the sink") {
-    val out = java.nio.file.Files.createTempDirectory("atlas_sink").toString
+    val out = graft.TempDirs.create("atlas_sink").toString
     val atlas = new Atlas(box = (10.0, 30.0, -50.0, -30.0), reso = 5.0)
     // a tiny long-format atlas frame (shape of climTS output)
     val df = Seq((12.5f, -45.0f, 0.0f, 18.0f, 35.1f))

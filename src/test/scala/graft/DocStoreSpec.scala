@@ -13,7 +13,7 @@ class DocStoreSpec extends SparkSuite {
   private def docs = spark.read.parquet(s"$d/documents.parquet")
 
   test("dedup over the bucketed store is exchange-free and matches the plain path") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-docstore")
+    val tmp = graft.TempDirs.create("graft-docstore")
     DocStore.saveBucketed(docs, "docs_bucketed", buckets = 8,
       path = Some(tmp.resolve("t").toString))
     try {
@@ -37,7 +37,7 @@ class DocStoreSpec extends SparkSuite {
   test("fingerprint join between two same-bucketed stores shuffles neither side") {
     // decontamination shape: training corpus × eval set, both at rest in
     // fp-bucketed stores with the same bucket count
-    val tmp = java.nio.file.Files.createTempDirectory("graft-docstore2")
+    val tmp = graft.TempDirs.create("graft-docstore2")
     DocStore.saveBucketed(docs, "corpus_b", buckets = 8,
       path = Some(tmp.resolve("c").toString))
     DocStore.saveBucketed(docs.filter(col("doc_id") % 7 === 0), "eval_b",
@@ -72,7 +72,7 @@ class DocStoreSpec extends SparkSuite {
     // identical results, a bucketed scan carrying the precomputed fp, and
     // NO fp exchange anywhere in the plan (the groupBy rides the buckets
     // — at 100 TB that is the per-ingest corpus reshuffle gone).
-    val tmp = java.nio.file.Files.createTempDirectory("graft-docstore-q")
+    val tmp = graft.TempDirs.create("graft-docstore-q")
     DocStore.saveBucketed(docs, "docs_q37", buckets = 8,
       path = Some(tmp.resolve("t").toString))
     try {

@@ -20,7 +20,7 @@ class EdgeDocsSpec extends SparkSuite {
   /** A documents table whose ids 0/50 are eval-mod rows and which mixes
     * normal docs with every short-doc shape the tokenizer can produce. */
   private lazy val dir: String = {
-    val d = Files.createTempDirectory("graft-edgedocs").toString
+    val d = graft.TempDirs.create("graft-edgedocs").toString
     val texts = Seq(
       0L -> "the quick brown fox jumps over the lazy dog",
       1L -> "one",
@@ -90,7 +90,7 @@ class EdgeDocsSpec extends SparkSuite {
   /** sf0.001 with its documents table REPLACED by the degenerate corpus —
     * so every registered query (whatever tables it reads) can run. */
   private lazy val fullDir: String = {
-    val dst = java.nio.file.Files.createTempDirectory("graft-edgefull")
+    val dst = graft.TempDirs.create("graft-edgefull")
     val src = java.nio.file.Paths.get("/root/testdata/sf0.001")
     java.nio.file.Files.list(src).forEach { p =>
       java.nio.file.Files.copy(p, dst.resolve(p.getFileName.toString))

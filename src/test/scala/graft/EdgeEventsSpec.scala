@@ -17,7 +17,7 @@ class EdgeEventsSpec extends SparkSuite {
 
   /** sf0.001 with its events REPLACED by the degenerate set. */
   private lazy val dir: String = {
-    val dst = Files.createTempDirectory("graft-edgeevents")
+    val dst = graft.TempDirs.create("graft-edgeevents")
     val src = java.nio.file.Paths.get("/root/testdata/sf0.001")
     Files.list(src).forEach { p =>
       Files.copy(p, dst.resolve(p.getFileName.toString))

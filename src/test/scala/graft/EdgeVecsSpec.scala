@@ -27,7 +27,7 @@ class EdgeVecsSpec extends SparkSuite {
     * (above the PQ trainers' 64-vector minimum) including a zero-norm
     * vector, a NULL embedding and a wrong-width array. */
   private lazy val dir: String = {
-    val dst = Files.createTempDirectory("graft-edgevecs")
+    val dst = graft.TempDirs.create("graft-edgevecs")
     val src = java.nio.file.Paths.get("/root/testdata/sf0.001")
     Files.list(src).forEach { p =>
       Files.copy(p, dst.resolve(p.getFileName.toString))

@@ -80,7 +80,7 @@ class FiguresSpec extends SparkSuite {
       (0, 1, 10L, 20L, 30L),  // top-left pixel (gj=1 is the top row)
       (1, 0, 250L, 25L, 0L))  // bottom-right pixel
       .toDF("gi", "gj", "r", "g", "b")
-    val path = Files.createTempDirectory("fig").resolve("map.ppm").toString
+    val path = graft.TempDirs.create("fig").resolve("map.ppm").toString
     Figures.writePpm(raster, nlon = 2, nlat = 2, path = path)
     val bytes = Files.readAllBytes(Paths.get(path))
     val header = s"P6\n2 2\n255\n".getBytes("US-ASCII")

@@ -31,7 +31,7 @@ class IngestDedupSpec extends SparkSuite {
     (57L, "november mike lima kilo juliet india hotel golf foxtrot echo delta charlie")) // batch: exact dup of EARLIER batch 47
 
   private def land(): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val dir = graft.TempDirs.create("graft-ingest").toString
     planted.toDF("doc_id", "text").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     dir
@@ -61,7 +61,7 @@ class IngestDedupSpec extends SparkSuite {
   test("q110 over the at-rest DocStore matches the recompute path on a bucketed scan") {
     val d = land()
     val want = SparkEntry.queries("q110_ingest_dedup")(spark, d).collect().toSeq
-    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest-store")
+    val tmp = graft.TempDirs.create("graft-ingest-store")
     graft.sources.DocStore.saveBucketed(
       spark.read.parquet(s"$d/documents.parquet"), "ingest_docstore",
       buckets = 4, path = Some(tmp.resolve("t").toString))

@@ -142,7 +142,7 @@ class StreamingSketchSpec extends SparkSuite {
       .writeStream.format("memory").queryName("dd_stream")
       .outputMode("complete")
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-dd").toString)
+        graft.TempDirs.create("graft-dd").toString)
       .start()
     try {
       xs.grouped(90).foreach(mem.addData(_))
@@ -165,7 +165,7 @@ class StreamingSketchSpec extends SparkSuite {
       .writeStream.format("memory").queryName("cms_stream")
       .outputMode("complete")
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-cms").toString)
+        graft.TempDirs.create("graft-cms").toString)
       .start()
     try {
       keys.grouped(100).foreach(mem.addData(_)) // 5 micro-batches

@@ -46,7 +46,7 @@ class StreamingSpec extends SparkSuite {
       .writeStream.format("memory").queryName("win_stream")
       .outputMode("complete")
       .option("checkpointLocation",
-        Files.createTempDirectory("graft-ckpt").toString)
+        graft.TempDirs.create("graft-ckpt").toString)
       .start()
     try {
       mem.addData(events.take(120))
@@ -71,7 +71,7 @@ class StreamingSpec extends SparkSuite {
       .writeStream.format("memory").queryName("user_stream")
       .outputMode("complete")
       .option("checkpointLocation",
-        Files.createTempDirectory("graft-ckpt2").toString)
+        graft.TempDirs.create("graft-ckpt2").toString)
       .start()
     try {
       events.grouped(50).foreach { chunk =>
@@ -93,7 +93,7 @@ class StreamingSpec extends SparkSuite {
     // §2.9's incremental-ingest analog: new profile/event files appear in a
     // directory; the SAME windowedStats transformation runs over
     // spark.readStream with an explicit schema (file sources cannot infer).
-    val dir = Files.createTempDirectory("graft-ingest").toString
+    val dir = graft.TempDirs.create("graft-ingest").toString
     val batch1 = events.take(120).toDF()
     val batch2 = events.drop(120).toDF()
     batch1.write.mode("append").parquet(dir)
@@ -103,7 +103,7 @@ class StreamingSpec extends SparkSuite {
       .writeStream.format("memory").queryName("ingest_stream")
       .outputMode("complete")
       .option("checkpointLocation",
-        Files.createTempDirectory("graft-ckpt4").toString)
+        graft.TempDirs.create("graft-ckpt4").toString)
       .start()
     try {
       sq.processAllAvailable()
@@ -126,7 +126,7 @@ class StreamingSpec extends SparkSuite {
       .writeStream.format("memory").queryName("dedup_stream")
       .outputMode("complete")
       .option("checkpointLocation",
-        Files.createTempDirectory("graft-ckpt").toString)
+        graft.TempDirs.create("graft-ckpt").toString)
       .start()
     try {
       mem.addData(events.take(120))
@@ -160,7 +160,7 @@ class StreamingSpec extends SparkSuite {
       .writeStream.format("memory").queryName("pcj_stream")
       .outputMode("append")
       .option("checkpointLocation",
-        Files.createTempDirectory("graft-ckpt").toString)
+        graft.TempDirs.create("graft-ckpt").toString)
       .start()
     try {
       mem.addData(evs.take(150))
@@ -207,7 +207,7 @@ class StreamingSpec extends SparkSuite {
       .writeStream.format("memory").queryName("atlas_stream")
       .outputMode("complete")
       .option("checkpointLocation",
-        Files.createTempDirectory("graft-ckpt5").toString)
+        graft.TempDirs.create("graft-ckpt5").toString)
       .start()
     try {
       mem.addData(profs.take(100))
@@ -268,7 +268,7 @@ class StreamingSpec extends SparkSuite {
     val sq = out.writeStream.format("memory").queryName("sess_stream")
       .outputMode("append")
       .option("checkpointLocation",
-        Files.createTempDirectory("graft-ckpt3").toString)
+        graft.TempDirs.create("graft-ckpt3").toString)
       .start()
     try {
       mem.addData(sess.take(60))
@@ -319,7 +319,7 @@ class StreamingSpec extends SparkSuite {
       .writeStream.format("memory").queryName("neardup_stream")
       .outputMode("complete")
       .option("checkpointLocation",
-        Files.createTempDirectory("graft-ckpt-nd").toString)
+        graft.TempDirs.create("graft-ckpt-nd").toString)
       .start()
     try {
       mem.addData(docsIn.take(30))

@@ -14,7 +14,7 @@ class TermStoreSpec extends SparkSuite {
   private def docs = spark.read.parquet(s"$d/documents.parquet")
 
   test("per-doc aggregations over the bucketed index are exchange-free and exact") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-termstore")
+    val tmp = graft.TempDirs.create("graft-termstore")
     TermStore.saveBucketed(docs, "terms_bucketed", buckets = 8,
       path = Some(tmp.resolve("t").toString))
     try {
@@ -51,7 +51,7 @@ class TermStoreSpec extends SparkSuite {
     // map-side partial aggregate (the postings themselves are never
     // reshuffled by doc_id — at 100 TB the per-session
     // repartition+checkpoint is a full postings shuffle on session start).
-    val tmp = java.nio.file.Files.createTempDirectory("graft-termstore-q")
+    val tmp = graft.TempDirs.create("graft-termstore-q")
     TermStore.saveBucketed(docs, "terms_q97", buckets = 8,
       path = Some(tmp.resolve("t").toString))
     try {

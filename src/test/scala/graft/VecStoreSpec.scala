@@ -17,7 +17,7 @@ class VecStoreSpec extends SparkSuite {
   test("probing the partitioned store prunes unprobed cells at the scan") {
     val dim = embs.select(size(col("embedding"))).head().getInt(0)
     val model = KMeans.fit(embs, "vec_id", "embedding", dim, k = 8, iters = 2)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-vecstore")
+    val tmp = graft.TempDirs.create("graft-vecstore")
       .resolve("store").toString
     VecStore.savePartitioned(embs, model, tmp)
 
@@ -52,7 +52,7 @@ class VecStoreSpec extends SparkSuite {
     // in-query assignment bit-for-bit), the corpus read from the
     // cell-partitioned layout instead of being assigned + repartitioned
     // per session.
-    val tmp = java.nio.file.Files.createTempDirectory("graft-vecstore-q")
+    val tmp = graft.TempDirs.create("graft-vecstore-q")
       .resolve("store").toString
     graft.queries.EmbeddingQueries.landVecStore(spark, d, tmp)
     val want = SparkEntry.queries("q45_ann_ivf_kmeans")(spark, d).collect().toSeq
