@@ -141,6 +141,25 @@ object EmbeddingQueries extends QueryModule {
   private val threshMemo =
     scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[Double]]
 
+  /** Driver-held TRAINED models (k-means cells, PQ codebooks, PCA
+    * components) memoized per (corpusDir, tag) — the [[threshMemo]]
+    * contract extended to the trainers, and the deployment shape: an
+    * index's quantizer is fit once per ingest and persisted beside the
+    * store, not retrained per query (every fit here is deterministic —
+    * id-stride init, fixed-point sums — so a memo hit IS the retrain,
+    * bit for bit; golden fixtures are unaffected). Bounded like the
+    * other driver models: cells × dim doubles, KBs per corpus. Same
+    * stable-key assumption: a path names immutable data (every writer
+    * in this repo lands new corpora in fresh temp dirs). Tags keep
+    * deliberately distinct fits apart — q99's pinned-distributed PCA
+    * fit must never be served q107's adaptive one, or the pin would
+    * stop exercising the distributed branch under the gate. */
+  private val modelMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), AnyRef]
+
+  private def memoModel[T <: AnyRef](d: String, tag: String)(build: => T): T =
+    modelMemo.getOrElseUpdate((d, tag), build).asInstanceOf[T]
+
   private def planeThresholds(s: SparkSession, d: String, bits: Int): Seq[Double] =
     threshMemo.getOrElseUpdate((d, bits), {
       val mu = Tables.embeddings(s, d)
@@ -596,16 +615,19 @@ object EmbeddingQueries extends QueryModule {
     * cell directory key) instead of reading everything. */
   def landVecStore(s: SparkSession, d: String, path: String): Unit = {
     val corpus = vecs(s, d).select(col("vec_id"), col("embedding"))
-    val model = KMeans.fit(corpus, "vec_id", "embedding", Dim, KCells, KmIters)
+    val model = memoModel(d, "ivf")(
+      KMeans.fit(corpus, "vec_id", "embedding", Dim, KCells, KmIters))
     graft.sources.VecStore.savePartitioned(corpus, model, path)
   }
 
   private def q45(s: SparkSession, d: String): DataFrame = {
     val corpus = vecs(s, d).select(col("vec_id"), col("embedding"))
     // the MODEL is needed either way (query-time probe→cell routing); a
-    // deployment persists it beside the store — retraining here is the
-    // same bit-identical fit, so store cells and cents always agree
-    val model = KMeans.fit(corpus, "vec_id", "embedding", Dim, KCells, KmIters)
+    // deployment persists it beside the store — memoized per (dir, tag)
+    // like every driver-held model, and a cold fit is bit-identical, so
+    // store cells and cents always agree
+    val model = memoModel(d, "ivf")(
+      KMeans.fit(corpus, "vec_id", "embedding", Dim, KCells, KmIters))
     val norms = model.map(c => math.sqrt(c.map(x => x * x).sum))
     import s.implicits._
     val cents = model.zipWithIndex
@@ -794,7 +816,8 @@ object EmbeddingQueries extends QueryModule {
 
   private def q69(s: SparkSession, d: String): DataFrame = {
     val emb = vecs(s, d).select(col("vec_id"), col("embedding"))
-    val cb = KMeans.fitPq(emb, "vec_id", "embedding", PqM, PqSubDim, PqK, PqIters)
+    val cb = memoModel(d, "pq")(
+      KMeans.fitPq(emb, "vec_id", "embedding", PqM, PqSubDim, PqK, PqIters))
     val encode = udf((v: Seq[Float]) => {
       val code = new Array[Byte](PqM)
       var m = 0
@@ -878,8 +901,8 @@ object EmbeddingQueries extends QueryModule {
   private def q78(s: SparkSession, d: String): DataFrame = {
     val emb = vecs(s, d).select(col("vec_id"), col("embedding"))
     // coarse quantizer: fitPq with one subspace == deterministic L2 Lloyd
-    val coarse = KMeans.fitPq(emb, "vec_id", "embedding",
-      1, Dim, IvfPqCells, PqIters)(0)
+    val coarse = memoModel(d, "ivfpq-coarse")(
+      KMeans.fitPq(emb, "vec_id", "embedding", 1, Dim, IvfPqCells, PqIters))(0)
     val residUdf = udf((v: Seq[Float]) => {
       val sub = new Array[Double](Dim)
       var i = 0
@@ -897,7 +920,8 @@ object EmbeddingQueries extends QueryModule {
     // PQ codebooks on the residuals (float-exactness does not hold for
     // residuals, so fitPq's float cast quantizes at ~1e-7 relative —
     // uniform across partitionings, still bit-deterministic)
-    val books = KMeans.fitPq(resid, "vec_id", "resid", PqM, PqSubDim, PqK, PqIters)
+    val books = memoModel(d, "ivfpq-books")(
+      KMeans.fitPq(resid, "vec_id", "resid", PqM, PqSubDim, PqK, PqIters))
     val encode = udf((r: Seq[Double]) => {
       val code = new Array[Byte](PqM)
       var m = 0
@@ -1118,7 +1142,7 @@ object EmbeddingQueries extends QueryModule {
 
   private def q107(s: SparkSession, d: String): DataFrame = {
     val emb = vecs(s, d).select(col("vec_id"), col("embedding"))
-    val model = Pca.fit(emb, "embedding", Dim)
+    val model = memoModel(d, "pca")(Pca.fit(emb, "embedding", Dim))
     val red = Pca.project(emb, model, "embedding", PcaAnnK)
       .select(col("vec_id"), col("pc"))
     def idot(a: Column, b: Column): Column =
@@ -1170,7 +1194,8 @@ object EmbeddingQueries extends QueryModule {
     // would never exercise the distributed co-moment aggregation — the
     // branch a 100 TB fit runs. PcaSpec asserts the two paths are
     // bit-identical, so the fixture stays valid for both.
-    val model = Pca.fit(emb, "embedding", Dim, allowDriverFastPath = false)
+    val model = memoModel(d, "pca-pinned")(
+      Pca.fit(emb, "embedding", Dim, allowDriverFastPath = false))
     Pca.project(emb, model, "embedding", PcaK)
       .select(col("vec_id"), posexplode(col("pc")).as(Seq("comp", "val_u")))
       .select(col("vec_id"), col("comp").cast(LongType).as("comp"),
