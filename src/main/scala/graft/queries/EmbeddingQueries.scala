@@ -596,6 +596,110 @@ object EmbeddingQueries extends QueryModule {
        |SELECT q_id, rank, n_id, cos_n FROM r WHERE rank <= 3
        |ORDER BY 1, 2""".stripMargin
 
+  // ---- q111: metadata-filtered ANN (pre-filter IVF) ----------------------
+  // Vector search under a metadata predicate ("nearest ENGLISH documents")
+  // — the retrieval shape every RAG / curation stack runs, with the two
+  // design points a deployment gets wrong at its peril encoded:
+  //  * PRE-filter, not post-filter: the predicate restricts the corpus
+  //    BEFORE any distance is scored, so every probe still receives a
+  //    full top-k from the eligible set. Post-filtering an unfiltered
+  //    top-k silently returns FEWER than k for any selective predicate —
+  //    FilteredAnnSpec measures the loss on this corpus (63% of
+  //    neighbors gone at k=3 for a 44%-selective filter).
+  //  * the INDEX is built once, filters vary per query: centroids and
+  //    cell routing come from the FULL corpus (bit-identical to q44's),
+  //    so one index serves every predicate; only the scored rows change.
+  //    Filtering the centroids too would silently re-route probes.
+  // The predicate lives on the documents table and reaches vectors by the
+  // shared id — ONE join at index width (the in-session equivalent of
+  // storing the column beside the vector in the at-rest VecStore, where
+  // it becomes a scan-side parquet predicate). The filter itself pushes
+  // into the documents scan (plan-pinned: PushedFilters carries the lang
+  // equality), so the join's build side is already the eligible subset —
+  // never probes × corpus, never a post-hoc filter above the ranking.
+  private val FilterLang = "en"
+
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    val full = vecs(s, d).select(
+      col("label"), col("vec_id"),
+      col("embedding").cast("array<double>").as("vec"))
+    // index-build-time denormalization: eligible ids from the pushed-down
+    // metadata predicate, joined once at index width
+    val eligible = Tables.documents(s, d)
+      .filter(col("lang") === FilterLang)
+      .select(col("doc_id").as("vec_id"))
+    val b = full.join(eligible, Seq("vec_id"))
+      .repartition(col("label"))
+      .select(col("label"), col("vec_id"), V.packVec(col("vec")).as("pv"),
+        V.norm(col("vec")).as("nrm"))
+    // centroids over the FULL corpus — one index for every predicate
+    val cents = vecs(s, d)
+      .groupBy(col("label"))
+      .agg(Aggregates.weightedArrayMeanFP(Dim)(lit(1L), col("embedding"))
+        .as("sums"))
+      .select(col("label"),
+        slice(col("sums"), 1, Dim).cast("array<double>").as("c_vec"))
+      .select(col("label"), col("c_vec"), V.norm(col("c_vec")).as("c_nrm"))
+    // probes are UNfiltered — a query vector need not satisfy the
+    // predicate its results must; same fixed probe workload as the family
+    val probes = full.filter(probePred(col("vec_id"))).select(
+      col("vec_id").as("q_id"), V.packVec(col("vec")).as("q_pv"),
+      col("vec").as("q_vec"), V.norm(col("vec")).as("q_nrm"))
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("label"))
+    val assigned = probes.crossJoin(broadcast(cents))
+      .withColumn("c_cos",
+        V.dotJvm(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("c_rank", row_number().over(wc))
+      .filter(col("c_rank") <= NProbe)
+      .select(col("label"), col("q_id"), col("q_pv"), col("q_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_n").desc, col("vec_id"))
+    b.join(assigned, Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_n",
+        FP.nano(V.dotPacked(col("q_pv"), col("pv")) / (col("q_nrm") * col("nrm"))))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("cos_n"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val q111Sql =
+    s"""WITH b AS ($sqlBase),
+       |bl AS (SELECT e.label, b.vec_id, b.embedding, b.nrm
+       |       FROM b JOIN embeddings e ON e.vec_id = b.vec_id
+       |       JOIN documents dd ON dd.doc_id = b.vec_id
+       |       WHERE dd.lang = '$FilterLang'),
+       |csum AS (
+       |  SELECT label, d AS dim,
+       |    sum(CAST(round(CAST(embedding[d] AS DOUBLE) * 1e9) AS BIGINT)) AS s
+       |  FROM embeddings, range(1, ${Dim + 1}) t(d) GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT label, list(CAST(s AS DOUBLE) ORDER BY dim) AS c_vec
+       |  FROM csum GROUP BY label),
+       |centn AS (SELECT label, c_vec, ${V.sqlNorm("c_vec", Dim)} AS c_nrm
+       |          FROM cent),
+       |p AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+       |      FROM b WHERE ${sqlProbePred("vec_id")}),
+       |a AS (
+       |  SELECT p.q_id, p.q_emb, p.q_nrm, c.label, row_number() OVER (
+       |    PARTITION BY p.q_id ORDER BY
+       |      ${V.sqlDot("p.q_emb", "c.c_vec", Dim)} / (p.q_nrm * c.c_nrm) DESC,
+       |      c.label) AS c_rank
+       |  FROM p CROSS JOIN centn c),
+       |s AS (
+       |  SELECT a.q_id, bl.vec_id AS n_id,
+       |    ${FP.sqlNano(s"${V.sqlDot("a.q_emb", "bl.embedding", Dim)} / (a.q_nrm * bl.nrm)")} AS cos_n
+       |  FROM a JOIN bl ON bl.label = a.label
+       |  WHERE a.c_rank <= $NProbe AND bl.vec_id <> a.q_id),
+       |r AS (
+       |  SELECT q_id, n_id, cos_n, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos_n DESC, n_id) AS rank
+       |  FROM s)
+       |SELECT q_id, rank, n_id, cos_n FROM r WHERE rank <= 3
+       |ORDER BY 1, 2""".stripMargin
+
   // ---- q45: IVF with TRAINED coarse cells (deterministic k-means) --------
   // q44's "future work" closed: instead of borrowing the label column as
   // cells, the coarse quantizer is trained — distributed Lloyd's with
@@ -1216,6 +1320,7 @@ object EmbeddingQueries extends QueryModule {
     "q43_embedding_neardup" -> QueryDef(q43, Some(q43Sql)),
     "q67_semantic_clusters" -> QueryDef(q67, Some(q67Sql)),
     "q44_ann_ivf" -> QueryDef(q44, Some(q44Sql)),
+    "q111_filtered_ann" -> QueryDef(q111, Some(q111Sql)),
     "q45_ann_ivf_kmeans" ->
       QueryDef(q45, Some(FixtureOracle.sql("q45_ann_ivf_kmeans"))),
     "q46_quantized_knn" -> QueryDef(q46, Some(q46Sql)))

@@ -1767,6 +1767,97 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---- q112: token-budget corpus selection (quality-ranked knapsack) -----
+  // "The best B tokens": the curation step between scoring (q32) and
+  // mixing/packing (q88/q58) — keep documents, best quality first, until a
+  // global token budget is spent (budget = 2/5 of corpus tokens here,
+  // computed INSIDE the query so the semantics are scale-free). The
+  // SELECTED SET is defined by the naive construction — order the corpus
+  // by (quality desc, doc_id), take the prefix whose running token sum
+  // fits — and the oracle runs exactly that; but a global ORDER BY is THE
+  // sort you must not run on a 100 TB corpus per selection. The engine
+  // computes the identical set by histogram refinement:
+  //  * bucket quality to a BOUNDED histogram (quality_u div 1024 — at
+  //    most ~1.2e6/1024 ≈ 1200 buckets by VALUE RANGE, independent of
+  //    corpus size), one narrow agg → per-bucket token sums;
+  //  * that ≤1200-row histogram is a DRIVER-HELD model (the
+  //    centroid/threshold discipline — a bounded collect by value range,
+  //    not by data): the prefix cumsum + budget line marking each bucket
+  //    full / boundary / excluded is plain Long arithmetic;
+  //  * FULL buckets are accepted wholesale — no per-document ordering is
+  //    ever computed for them — and only the ONE boundary bucket gets a
+  //    window, over ~n/1200 rows, to take its (quality desc, doc_id)
+  //    prefix into the remaining budget.
+  // Bucket-major order equals global order (the bucket key is monotone in
+  // quality_u), so the union is EXACTLY the naive prefix, row for row —
+  // the gate proves it against the naive oracle every round. The corpus
+  // is scanned twice (both scans narrow: id + two derived longs); the
+  // histogram exchange carries ≤1200 rows.
+  // NULL quality (zero-length text) sorts LAST via sentinel -1024, a
+  // multiple of the bucket step so Spark's truncating `div` and DuckDB's
+  // flooring `//` agree on its bucket (-1: any non-multiple sentinel
+  // would bucket differently in the two engines and split the boundary).
+  private val BudgetNum = 2L
+  private val BudgetDen = 5L
+  private val QBucketStep = 1024L
+
+  private def q112(s: SparkSession, d: String): DataFrame = {
+    val (_, _, _, quality) = qualityPieces
+    val t = docs(s, d).select(col("doc_id"),
+      coalesce(FP.micro(quality), lit(-QBucketStep)).as("q_u"),
+      size(T.tokens(col("text"))).cast(LongType).as("tok"))
+      .withColumn("qb", expr(s"q_u div $QBucketStep"))
+    // the histogram is a DRIVER-HELD MODEL (the centroid/threshold
+    // discipline): ≤ ~1200 rows bounded by the quality VALUE RANGE, not
+    // by the corpus — the collect is fixed-size by construction. The
+    // budget line (which buckets are wholly in, which ONE is the
+    // boundary, how much of it fits) is then plain Long arithmetic.
+    val hist = t.groupBy(col("qb")).agg(sum(col("tok")).as("btok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (qb, _) => -qb }
+    val budget = hist.map(_._2).sum * BudgetNum / BudgetDen
+    val marked = {
+      var cumHi = 0L
+      hist.map { case (qb, btok) =>
+        val full = cumHi + btok <= budget
+        val remaining = budget - cumHi
+        cumHi += btok
+        (qb, full, remaining)
+      }.toSeq
+    }
+    import s.implicits._
+    val joined = t.join(
+      broadcast(marked.toDF("qb", "full", "remaining")), Seq("qb"))
+    val fullRows = joined.filter(col("full"))
+      .select(col("doc_id"), col("q_u"), col("tok"))
+    val wb = Window.partitionBy(col("qb"))
+      .orderBy(col("q_u").desc, col("doc_id"))
+    val boundRows = joined
+      .filter(!col("full") && col("remaining") > 0)
+      .withColumn("wcum", sum(col("tok")).over(wb))
+      .filter(col("wcum") <= col("remaining"))
+      .select(col("doc_id"), col("q_u"), col("tok"))
+    fullRows.unionByName(boundRows).orderBy("doc_id")
+  }
+
+  private val q112Sql = {
+    val (_, _, _, quality) = sqlQualityPieces
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    coalesce(${FP.sqlMicro(quality)}, -$QBucketStep) AS q_u,
+       |    len(${T.sqlTokens("text")}) AS tok
+       |  FROM documents),
+       |b AS (SELECT CAST(sum(tok) AS BIGINT) * $BudgetNum // $BudgetDen
+       |        AS budget FROM t),
+       |c AS (
+       |  SELECT doc_id, q_u, tok,
+       |    CAST(sum(tok) OVER (ORDER BY q_u DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM t)
+       |SELECT doc_id, q_u, tok FROM c, b WHERE cum <= budget
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- q97: sparse TF-IDF cosine top-k (inverted-index join) -------------
   // The SPARSE-retrieval complement to the dense ANN family (q40-q46,
   // q69/q78): documents as TF-IDF vectors, similarity computed term-at-
@@ -2129,5 +2220,6 @@ object TextQueries extends QueryModule {
     "q109_cluster_best" -> QueryDef(q109, Some(q109Sql)),
     "q110_ingest_dedup" -> QueryDef(q110, Some(q110Sql)),
     "q101_stream_neardup" -> QueryDef(q101, Some(q101Sql)),
+    "q112_budget_select" -> QueryDef(q112, Some(q112Sql)),
     "q39_corpus_stats" -> QueryDef(q39, Some(q39Sql)))
 }
