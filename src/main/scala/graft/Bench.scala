@@ -253,9 +253,10 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         // the unpersist above destroyed any memoized localCheckpoint's
-        // blocks, and truncated lineage cannot recompute — the memo must
-        // forget them or it would serve dead frames to any later consumer
+        // blocks, and truncated lineage cannot recompute — the memos must
+        // forget them or they would serve dead frames to any later consumer
         graft.queries.TextQueries.invalidateSessionMemos(spark)
+        graft.queries.EmbeddingQueries.invalidateSessionMemos(spark)
         System.gc()
         val tb = System.nanoTime()
         val dir = buildScale10(spark, sfDir)
@@ -438,6 +439,7 @@ object Bench {
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
           graft.queries.TextQueries.invalidateSessionMemos(spark)
+          graft.queries.EmbeddingQueries.invalidateSessionMemos(spark)
           System.gc()
         }
         val cold = Seq("q71_argo_atlas", "q97_sparse_cosine").flatMap { name =>

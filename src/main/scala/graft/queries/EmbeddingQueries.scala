@@ -700,6 +700,172 @@ object EmbeddingQueries extends QueryModule {
        |SELECT q_id, rank, n_id, cos_n FROM r WHERE rank <= 3
        |ORDER BY 1, 2""".stripMargin
 
+  // ---- q113: MMR diversified top-k (greedy re-rank of the shortlist) -----
+  // Retrieval DIVERSIFICATION (Carbonell & Goldstein's Maximal Marginal
+  // Relevance, SIGIR 1998) — the step every RAG/curation retrieval stack
+  // runs between ANN and the consumer: a raw cosine top-k happily returns
+  // k near-duplicates of one best hit (this corpus's embedding clusters
+  // make that the COMMON case, not an edge — MmrSpec measures it), so the
+  // final answer is re-ranked for novelty. Greedy MMR over the verified
+  // q40 brute-force shortlist (top-8 by relevance): step t selects
+  //   argmax_c  7·rel(q,c) − 3·max_{s∈selected} sim(c,s)
+  // with rel/sim the family's nano-rounded integer cosines — both terms
+  // exact Longs, so every argmax and its (score desc, n_id) tie-break is
+  // engine-total, and the whole greedy trajectory is oracle-verified.
+  //
+  // Scale shape: the ONLY corpus-scale work is the shortlist itself (the
+  // q40 scan — swap in q44/q78's index at larger corpora; MMR only needs
+  // SOME verified shortlist). Everything above it operates on
+  // probes × 8 rows: K=4 greedy steps UNROLLED as dataframe stages —
+  // the selected set at step t is ONE row per probe, so each stage is a
+  // broadcast-joined narrow map over the shortlist, never a loop on the
+  // driver and never a second corpus pass. The shortlist is materialized
+  // ONCE per (session, corpus) as a localCheckpoint (the forwardIndex
+  // memo discipline): stage t's plan contains the shortlist subtree
+  // 2^(t-1) times, and ReuseExchange does NOT dedupe across the unrolled
+  // branches — the un-checkpointed plan measured 30 parquet scans (15
+  // corpus passes) for K=4. The checkpoint is BOUNDED by construction:
+  // fixed probe workload × 8 rows. Pairwise sims are computed only
+  // candidate × selected (8 × t per probe), never shortlist².
+  private val MmrShort = 8
+  private val MmrRelW = 7L // λ = 0.7, scaled ×10 to stay integral
+  private val MmrDivW = 3L
+
+  /** q113's checkpointed shortlist, one per (session, corpus) — see the
+    * scale-shape note above. Session blocks dropped wholesale must
+    * invalidate this (the fwdMemo contract): Bench's cold stages call
+    * [[invalidateSessionMemos]] beside TextQueries'. */
+  private val mmrShortMemo = new SessionMemo[DataFrame]
+
+  /** Forget this session's memoized shortlist checkpoints (the
+    * TextQueries.invalidateSessionMemos twin — a truncated-lineage
+    * checkpoint whose blocks were unpersisted cannot be recomputed). */
+  private[graft] def invalidateSessionMemos(s: SparkSession): Unit =
+    mmrShortMemo.invalidate(s)
+
+  private def q113(s: SparkSession, d: String): DataFrame = {
+    val short = mmrShortMemo.getOrElseUpdate(s, d) {
+      val b = base(s, d)
+      val probes = b.filter(probePred(col("vec_id"))).select(
+        col("vec_id").as("q_id"), col("pv").as("q_pv"), col("nrm").as("q_nrm"))
+      val ws = Window.partitionBy(col("q_id"))
+        .orderBy(col("rel_n").desc, col("n_id"))
+      b.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("rel_n",
+          FP.nano(V.dotPacked(col("q_pv"), col("pv")) / (col("q_nrm") * col("nrm"))))
+        .select(col("q_id"), col("vec_id").as("n_id"), col("rel_n"),
+          col("pv"), col("nrm"))
+        .withColumn("srank", row_number().over(ws))
+        .filter(col("srank") <= MmrShort)
+        .localCheckpoint()
+    }
+    def simN(apv: Column, anrm: Column, bpv: Column, bnrm: Column): Column =
+      FP.nano(V.dotPacked(apv, bpv) / (anrm * bnrm))
+    // selected frames are one row per probe (probe workload is FIXED —
+    // ids 0, 50, … 1950) → broadcast by construction at any corpus size
+    def selected(c: DataFrame, t: Int): DataFrame =
+      c.select(col("q_id"), col("n_id").as(s"s${t}_id"),
+        col("pv").as(s"s${t}_pv"), col("nrm").as(s"s${t}_nrm"),
+        col("score").as(s"s${t}_score"))
+    val wm = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id"))
+    def argmax(c: DataFrame): DataFrame =
+      c.withColumn("r", row_number().over(wm)).filter(col("r") === 1)
+    // step 1: no diversity term yet — the pure-relevance winner
+    val sel1 = selected(argmax(
+      short.withColumn("score", col("rel_n") * MmrRelW)), 1)
+    val c2 = short.join(broadcast(sel1), Seq("q_id"))
+      .filter(col("n_id") =!= col("s1_id"))
+      .withColumn("score", col("rel_n") * MmrRelW -
+        simN(col("pv"), col("nrm"), col("s1_pv"), col("s1_nrm")) * MmrDivW)
+    val sel2 = selected(argmax(c2), 2)
+    val c3 = short.join(broadcast(sel1), Seq("q_id"))
+      .join(broadcast(sel2), Seq("q_id"))
+      .filter(col("n_id") =!= col("s1_id") && col("n_id") =!= col("s2_id"))
+      .withColumn("score", col("rel_n") * MmrRelW - greatest(
+        simN(col("pv"), col("nrm"), col("s1_pv"), col("s1_nrm")),
+        simN(col("pv"), col("nrm"), col("s2_pv"), col("s2_nrm"))) * MmrDivW)
+    val sel3 = selected(argmax(c3), 3)
+    val c4 = short.join(broadcast(sel1), Seq("q_id"))
+      .join(broadcast(sel2), Seq("q_id"))
+      .join(broadcast(sel3), Seq("q_id"))
+      .filter(col("n_id") =!= col("s1_id") && col("n_id") =!= col("s2_id") &&
+        col("n_id") =!= col("s3_id"))
+      .withColumn("score", col("rel_n") * MmrRelW - greatest(
+        simN(col("pv"), col("nrm"), col("s1_pv"), col("s1_nrm")),
+        simN(col("pv"), col("nrm"), col("s2_pv"), col("s2_nrm")),
+        simN(col("pv"), col("nrm"), col("s3_pv"), col("s3_nrm"))) * MmrDivW)
+    val sel4 = selected(argmax(c4), 4)
+    def row(sel: DataFrame, t: Int): DataFrame =
+      sel.select(col("q_id"), lit(t.toLong).as("mmr_rank"),
+        col(s"s${t}_id").as("n_id"), col(s"s${t}_score").as("score"))
+    row(sel1, 1).unionByName(row(sel2, 2))
+      .unionByName(row(sel3, 3)).unionByName(row(sel4, 4))
+      .orderBy("q_id", "mmr_rank")
+  }
+
+  private val q113Sql = {
+    // candidate × selected sims, by joining the shortlist's embeddings
+    def sim(c: String, e: String): String =
+      FP.sqlNano(s"${V.sqlDot(s"$c.emb", s"$e.emb", Dim)} / ($c.nrm * $e.nrm)")
+    s"""WITH b AS ($sqlBase),
+       |p AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+       |      FROM b WHERE ${sqlProbePred("vec_id")}),
+       |sc AS (
+       |  SELECT p.q_id, b.vec_id AS n_id, b.embedding AS emb, b.nrm,
+       |    ${FP.sqlNano(s"${V.sqlDot("p.q_emb", "b.embedding", Dim)} / (p.q_nrm * b.nrm)")} AS rel_n
+       |  FROM b CROSS JOIN p WHERE b.vec_id <> p.q_id),
+       |sh AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY rel_n DESC, n_id) AS srank
+       |  FROM sc QUALIFY srank <= $MmrShort),
+       |s1 AS (SELECT q_id, n_id, emb, nrm, rel_n * $MmrRelW AS score
+       |       FROM sh WHERE srank = 1),
+       |c2 AS (
+       |  SELECT s.q_id, s.n_id, s.emb, s.nrm,
+       |    s.rel_n * $MmrRelW - ${sim("s", "e")} * $MmrDivW AS score,
+       |    row_number() OVER (PARTITION BY s.q_id ORDER BY
+       |      s.rel_n * $MmrRelW - ${sim("s", "e")} * $MmrDivW DESC,
+       |      s.n_id) AS r
+       |  FROM sh s JOIN s1 e ON e.q_id = s.q_id AND s.n_id <> e.n_id),
+       |s2 AS (SELECT q_id, n_id, emb, nrm, score FROM c2 WHERE r = 1),
+       |c3 AS (
+       |  SELECT s.q_id, s.n_id, s.emb, s.nrm,
+       |    s.rel_n * $MmrRelW
+       |      - greatest(${sim("s", "e1")}, ${sim("s", "e2")}) * $MmrDivW
+       |      AS score,
+       |    row_number() OVER (PARTITION BY s.q_id ORDER BY
+       |      s.rel_n * $MmrRelW
+       |        - greatest(${sim("s", "e1")}, ${sim("s", "e2")}) * $MmrDivW
+       |        DESC, s.n_id) AS r
+       |  FROM sh s
+       |  JOIN s1 e1 ON e1.q_id = s.q_id AND s.n_id <> e1.n_id
+       |  JOIN s2 e2 ON e2.q_id = s.q_id AND s.n_id <> e2.n_id),
+       |s3 AS (SELECT q_id, n_id, emb, nrm, score FROM c3 WHERE r = 1),
+       |c4 AS (
+       |  SELECT s.q_id, s.n_id,
+       |    s.rel_n * $MmrRelW - greatest(${sim("s", "e1")},
+       |      ${sim("s", "e2")}, ${sim("s", "e3")}) * $MmrDivW AS score,
+       |    row_number() OVER (PARTITION BY s.q_id ORDER BY
+       |      s.rel_n * $MmrRelW - greatest(${sim("s", "e1")},
+       |        ${sim("s", "e2")}, ${sim("s", "e3")}) * $MmrDivW DESC,
+       |      s.n_id) AS r
+       |  FROM sh s
+       |  JOIN s1 e1 ON e1.q_id = s.q_id AND s.n_id <> e1.n_id
+       |  JOIN s2 e2 ON e2.q_id = s.q_id AND s.n_id <> e2.n_id
+       |  JOIN s3 e3 ON e3.q_id = s.q_id AND s.n_id <> e3.n_id),
+       |s4 AS (SELECT q_id, n_id, score FROM c4 WHERE r = 1)
+       |SELECT q_id, CAST(1 AS BIGINT) AS mmr_rank, n_id, score FROM s1
+       |UNION ALL
+       |SELECT q_id, CAST(2 AS BIGINT), n_id, score FROM s2
+       |UNION ALL
+       |SELECT q_id, CAST(3 AS BIGINT), n_id, score FROM s3
+       |UNION ALL
+       |SELECT q_id, CAST(4 AS BIGINT), n_id, score FROM s4
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   // ---- q45: IVF with TRAINED coarse cells (deterministic k-means) --------
   // q44's "future work" closed: instead of borrowing the label column as
   // cells, the coarse quantizer is trained — distributed Lloyd's with
@@ -1321,6 +1487,7 @@ object EmbeddingQueries extends QueryModule {
     "q67_semantic_clusters" -> QueryDef(q67, Some(q67Sql)),
     "q44_ann_ivf" -> QueryDef(q44, Some(q44Sql)),
     "q111_filtered_ann" -> QueryDef(q111, Some(q111Sql)),
+    "q113_mmr_rerank" -> QueryDef(q113, Some(q113Sql)),
     "q45_ann_ivf_kmeans" ->
       QueryDef(q45, Some(FixtureOracle.sql("q45_ann_ivf_kmeans"))),
     "q46_quantized_knn" -> QueryDef(q46, Some(q46Sql)))

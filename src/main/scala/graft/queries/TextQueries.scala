@@ -1442,6 +1442,86 @@ object TextQueries extends QueryModule {
        |SELECT doc_id, content_hash, 'batch' AS origin FROM admitted
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q115: shard-manifest corpus diff (incremental reprocessing) -------
+  // The change-detection primitive behind incremental pipelines: two
+  // corpus versions are summarized shard-by-shard (deterministic MINSTD
+  // placement — a document lands in the SAME shard in every version, so
+  // an edit localizes) into (row count, order-invariant content
+  // checksum), and the manifests are joined to classify each shard
+  // same/changed. Downstream artifacts (indexes, dedup stores, token
+  // shards) then recompute ONLY the changed shards — at 100 TB the
+  // difference between an incremental sync and reprocessing the world.
+  // The checksum is bit_xor over the q37-verified content fingerprint of
+  // "doc_id:text" (id-qualified so a swap of two docs' texts changes
+  // it): XOR is commutative/associative → partition-invariant with NO
+  // overflow hazard under ANSI, and any single-document edit flips it.
+  // Version B ("the next crawl") derives deterministically: doc_id %
+  // 97 == 13 documents are UPDATED (a revision suffix), doc_id %
+  // 101 == 7 documents are DROPPED — sparse, so both the changed and
+  // same branches carry rows at every gate scale.
+  //
+  // Scale shape: two narrow scans, each map-side-combined into 64
+  // shard rows; the join moves 64 rows. Nothing corpus-scale crosses
+  // an exchange.
+  private val DiffShards = 64L
+  private val DiffUpdMod = 97
+  private val DiffUpdRem = 13
+  private val DiffDropMod = 101
+  private val DiffDropRem = 7
+
+  private def q115(s: SparkSession, d: String): DataFrame = {
+    def manifest(df: DataFrame): DataFrame = df
+      .select((col("doc_id") * 48271L % 2147483647L % DiffShards).as("shard"),
+        T.contentFingerprint(
+          concat(col("doc_id").cast("string"), lit(":"), col("text")))
+          .as("rh"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(rh)").as("x"))
+    val a = manifest(docs(s, d))
+      .select(col("shard"), col("n").as("n_a"), col("x").as("x_a"))
+    val b = manifest(docs(s, d)
+        .filter(col("doc_id") % DiffDropMod =!= DiffDropRem)
+        .withColumn("text",
+          when(col("doc_id") % DiffUpdMod === DiffUpdRem,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text"))))
+      .select(col("shard"), col("n").as("n_b"), col("x").as("x_b"))
+    a.join(b, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("x_a"), lit(0L)).as("x_a"),
+        coalesce(col("x_b"), lit(0L)).as("x_b"))
+      .withColumn("status",
+        when(col("n_a") === col("n_b") && col("x_a") === col("x_b"),
+          lit("same")).otherwise(lit("changed")))
+      .orderBy("shard")
+  }
+
+  private val q115Sql = {
+    val rh = T.sqlContentFingerprint("CAST(doc_id AS VARCHAR) || ':' || text")
+    s"""WITH a AS (
+       |  SELECT doc_id * 48271 % 2147483647 % $DiffShards AS shard,
+       |    count(*) AS n, bit_xor($rh) AS x
+       |  FROM documents GROUP BY 1),
+       |bsrc AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % $DiffUpdMod = $DiffUpdRem
+       |      THEN text || ' rev2' ELSE text END AS text
+       |  FROM documents WHERE doc_id % $DiffDropMod <> $DiffDropRem),
+       |b AS (
+       |  SELECT doc_id * 48271 % 2147483647 % $DiffShards AS shard,
+       |    count(*) AS n, bit_xor($rh) AS x
+       |  FROM bsrc GROUP BY 1)
+       |SELECT coalesce(a.shard, b.shard) AS shard,
+       |  coalesce(a.n, 0) AS n_a, coalesce(b.n, 0) AS n_b,
+       |  coalesce(a.x, 0) AS x_a, coalesce(b.x, 0) AS x_b,
+       |  CASE WHEN coalesce(a.n, 0) = coalesce(b.n, 0)
+       |    AND coalesce(a.x, 0) = coalesce(b.x, 0)
+       |    THEN 'same' ELSE 'changed' END AS status
+       |FROM a FULL OUTER JOIN b ON a.shard = b.shard
+       |ORDER BY 1""".stripMargin
+  }
+
   // ---- q88: deterministic source mixing to a token budget ----------------
   // The data-mixing pass that turns a curated corpus into a training mix:
   // given per-source target WEIGHTS and a global token BUDGET (half the
@@ -1511,6 +1591,55 @@ object TextQueries extends QueryModule {
        |  coalesce(k.tok_kept, 0) AS tok_kept
        |FROM rates r LEFT JOIN kept k ON r.source = k.source
        |ORDER BY 1""".stripMargin
+  }
+
+  // ---- q114: epoch-aware source upsampling (repetition manifest) ---------
+  // q88's complement: q88 DOWN-samples sources to a token budget; real
+  // training recipes also UP-sample — "2 epochs of Wikipedia, 0.25 of
+  // CommonCrawl" (the Llama/GPT-3 data recipes publish exactly such
+  // tables). This pass materializes the per-replica manifest: one output
+  // row per (document, epoch), where a source's weight is expressed in
+  // QUARTER-epochs (w_q = srcIdx % 8 + 1 → 0.25–2.0 epochs, covering
+  // sub-epoch, exactly-1.0, and super-epoch cases on the test sources).
+  // Full epochs repeat every document; the fractional tail selects
+  // documents with the same scan-side MINSTD per-mille hash as
+  // q48/q56/q88 — so replica membership is a pure function of doc_id,
+  // reproducible on any engine at any parallelism, and a downstream
+  // shuffle (q96) is what randomizes replica ORDER, never membership.
+  //
+  // Scale shape: ONE narrow scan + an in-row generator (explode of a
+  // ≤3-element sequence) — no shuffle, no stats pass, no driver state;
+  // output volume is the mix's token mass, which is the point.
+  private def q114(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), col("source"),
+        size(T.tokens(col("text"))).cast(LongType).as("n_tok"))
+      .withColumn("wq",
+        expr("coalesce(try_cast(substring(source, 4) as bigint), 0) % 8 + 1"))
+      .withColumn("u", col("doc_id") * 48271L % 2147483647L % 1000L)
+      .withColumn("reps", expr("wq div 4") +
+        when(col("u") < (col("wq") % 4) * 250L, 1L).otherwise(0L))
+      // Spark's sequence(1, 0) yields [1, 0] (auto-negative step), not
+      // empty — zero-replica docs must be filtered out, not exploded
+      .filter(col("reps") > 0)
+      .withColumn("epoch", explode(sequence(lit(1L), col("reps"))))
+      .select(col("doc_id"), col("source"), col("epoch"), col("n_tok"))
+      .orderBy("doc_id", "epoch")
+
+  private val q114Sql = {
+    val nTok = s"len(${T.sqlTokens("text")})"
+    s"""WITH t AS (
+       |  SELECT doc_id, source, CAST($nTok AS BIGINT) AS n_tok,
+       |    coalesce(TRY_CAST(substr(source, 4) AS BIGINT), 0) % 8 + 1 AS wq,
+       |    doc_id * 48271 % 2147483647 % 1000 AS u
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, source, n_tok,
+       |    wq // 4 + CASE WHEN u < (wq % 4) * 250 THEN 1 ELSE 0 END AS reps
+       |  FROM t)
+       |SELECT doc_id, source, CAST(e AS BIGINT) AS epoch, n_tok
+       |FROM r, unnest(generate_series(1, reps)) g(e)
+       |WHERE reps > 0
+       |ORDER BY 1, 3""".stripMargin
   }
 
   // ---- q89: n-gram LM quality scoring (the CCNet/KenLM filter) -----------
@@ -2197,6 +2326,8 @@ object TextQueries extends QueryModule {
     "q96_train_shuffle" -> QueryDef(q96, Some(q96Sql)),
     "q86_corpus_merge" -> QueryDef(q86, Some(q86Sql)),
     "q88_source_mixing" -> QueryDef(q88, Some(q88Sql)),
+    "q114_epoch_upsample" -> QueryDef(q114, Some(q114Sql)),
+    "q115_manifest_diff" -> QueryDef(q115, Some(q115Sql)),
     "q68_span_dedup" -> QueryDef(q68, Some(q68Sql)),
     "q65_bm25_rank" -> QueryDef(q65, Some(q65Sql)),
     "q102_hybrid_rank" -> QueryDef(q102, Some(q102Sql)),

@@ -50,7 +50,8 @@ class EdgeVecsSpec extends SparkSuite {
   test("sweep: every embedding query survives the dirty corpus") {
     val embQs = SparkEntry.queries.keys.toSeq.sorted.filter(n =>
       Seq("q39", "q40", "q41", "q42", "q43", "q44", "q45", "q46", "q67",
-        "q69", "q78", "q87", "q99", "q106", "q107").exists(n.startsWith))
+        "q69", "q78", "q87", "q99", "q106", "q107", "q111",
+        "q113").exists(n.startsWith))
     val failures = embQs.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).count(); None }
       catch { case e: Throwable =>
