@@ -26,4 +26,26 @@ object DocStreams {
     bands.groupBy(col("band"), col("key"))
       .agg(min(col("doc_id")).as("first_id"),
         count(lit(1)).as("n_docs"))
+
+  /** Per-shard corpus manifest: (row count, order-invariant XOR
+    * checksum over the id-qualified content fingerprint) — THE manifest
+    * construction shared by the batch diff (q115), the incremental
+    * merge (q116) and the streaming maintenance path; a drifted copy
+    * would checksum the same corpus differently and report phantom
+    * changes. Written once against an unbounded frame: in batch it is a
+    * plain aggregation; under streaming both aggregates are
+    * order-independent monoids (count adds, XOR self-inverts nothing it
+    * hasn't seen), so state is ONE row per shard — `shards` rows total,
+    * whatever the corpus size — and arrival order cannot change the
+    * converged manifest (StreamingSpec replays a batch through
+    * MemoryStream and asserts equality). `df` must carry
+    * (doc_id, text). */
+  def shardManifest(df: DataFrame, shards: Long): DataFrame =
+    df.select(
+        (col("doc_id") * 48271L % 2147483647L % shards).as("shard"),
+        graft.functions.TextFns.contentFingerprint(
+          concat(col("doc_id").cast("string"), lit(":"), col("text")))
+          .as("rh"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(rh)").as("x"))
 }

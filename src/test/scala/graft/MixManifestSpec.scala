@@ -95,4 +95,18 @@ class MixManifestSpec extends SparkSuite {
       "no changed shard with equal row counts — the checksum property " +
         "(catching pure content edits) is not exercised")
   }
+
+  test("q116: the merged manifest reproduces the independent full recompute on every shard") {
+    val merged = SparkEntry.queries("q116_manifest_merge")(spark, d)
+    val n = merged.count()
+    assert(n > 0)
+    // the mergeability invariant (stored ⊕ delta ≡ recompute) must hold
+    // on EVERY shard — one false row means XOR maintenance and rescan
+    // disagree and the incremental path silently drifts
+    val bad = merged.filter(!col("consistent")).count()
+    assert(bad == 0, s"$bad shards where merge != full recompute")
+    // both arms are non-trivial: the batch slice actually lands rows
+    val deltas = merged.agg(sum(col("n_delta"))).head().getLong(0)
+    assert(deltas > 0, "ingest slice contributed no rows — merge untested")
+  }
 }

@@ -336,4 +336,38 @@ class StreamingSpec extends SparkSuite {
       assert(batch.exists { case (_, _, firstId, n) => firstId == 0L && n >= 12 })
     } finally sq.stop()
   }
+
+  test("shardManifest over MemoryStream equals the batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    // the q115/q116 manifest aggregation maintained incrementally: both
+    // per-shard aggregates are order-independent monoids (count adds,
+    // XOR commutes), so a manifest kept against an ingest stream must
+    // converge to the batch recompute whatever the arrival order —
+    // state is one row per shard, 16 rows here, at any corpus size
+    val docsIn = (0 until 50).map(i =>
+      StreamDoc(i.toLong, s"doc $i body ${(i * 17) % 7} tail"))
+    val mem = MemoryStream[StreamDoc]
+    val sq = DocStreams.shardManifest(mem.toDF(), 16L)
+      .writeStream.format("memory").queryName("manifest_stream")
+      .outputMode("complete")
+      .option("checkpointLocation",
+        graft.TempDirs.create("graft-ckpt-mf").toString)
+      .start()
+    try {
+      // deliberately OUT of id order across the two batches — order
+      // independence is the property under test
+      mem.addData(docsIn.drop(25))
+      sq.processAllAvailable()
+      mem.addData(docsIn.take(25))
+      sq.processAllAvailable()
+      val streamed = spark.table("manifest_stream")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = DocStreams.shardManifest(docsIn.toDF(), 16L)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      // every doc counted exactly once (iterator sum — a Set.map would
+      // deduplicate equal per-shard counts before summing)
+      assert(batch.iterator.map(_._2).sum == 50L)
+    } finally sq.stop()
+  }
 }
