@@ -128,6 +128,54 @@ object Media {
       .toDF("doc_id", "width", "height", "luma_sum", "thumb_sum")
   }
 
+  /** Perceptual average-hash (aHash) of each PGM image, through the same
+    * decoder-init-once batch shape as [[imageFeatures]]: 8×8
+    * nearest-neighbor downsample of the decoded pixels, threshold each
+    * cell STRICTLY against the integer mean of the 64 cells, pack the 64
+    * bits as two unsigned-32 halves (`ph_lo` = bits 0–31, `ph_hi` = bits
+    * 32–63 — two longs so no expression ever constructs the sign bit,
+    * which matters under ANSI and keeps the DuckDB oracle in plain `<<`
+    * arithmetic). The threshold-vs-mean construction is what makes the
+    * hash BRIGHTNESS-INVARIANT: adding a constant to every pixel shifts
+    * each cell and the mean by exactly that constant (64·δ/64 is exact),
+    * so re-exposed duplicates collapse to one hash while their bytes —
+    * and any exact content hash — differ. */
+  def imagePHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        val decoder = new PgmDecoder // once per partition
+        iter.map { case (id, bytes) =>
+          val (w, h, _, px) = decoder.decode(bytes)
+          val cells = new Array[Int](64)
+          var sum = 0L
+          var t = 0
+          while (t < 64) {
+            val r = t / 8
+            val c = t % 8
+            val p = px((r * h / 8) * w + (c * w / 8)) & 0xff
+            cells(t) = p
+            sum += p
+            t += 1
+          }
+          val mean = sum / 64 // all cells non-negative → floor division
+          var lo = 0L
+          var hi = 0L
+          t = 0
+          while (t < 64) {
+            if (cells(t) > mean) {
+              if (t < 32) lo |= 1L << t else hi |= 1L << (t - 32)
+            }
+            t += 1
+          }
+          (id, hi, lo)
+        }
+      }
+      .toDF("doc_id", "ph_hi", "ph_lo")
+  }
+
   /** REAL audio decoder: RIFF/WAVE PCM, parsed from the public format
     * spec — RIFF container walk (arbitrary chunk order, unknown chunks
     * skipped by their declared size), fmt validation, 16-bit little-endian

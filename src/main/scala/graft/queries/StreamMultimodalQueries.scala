@@ -281,7 +281,77 @@ object StreamMultimodalQueries extends QueryModule {
       |    i -> abs((i * 7 + doc_id * 13) % 4096 - 2048))) AS BIGINT) AS peak
       |FROM d ORDER BY 1""".stripMargin
 
+  // ---- q117: perceptual-hash IMAGE dedup (multimodal near-dup) -----------
+  // Dedup extended to the binary media column: the corpus carries the
+  // SAME image re-exposed at different brightness (scanner/exposure
+  // drift, re-encodes — the multimodal analog of q34's near-dup text),
+  // and a byte-exact hash (q30's md5 discipline) sees every copy as
+  // unique. The average-hash (aHash) groups them: decode through the
+  // REAL PGM parser, 8×8 nearest-neighbor downsample, threshold each
+  // cell against the cells' integer mean — brightness shifts move cells
+  // and mean together, so the 64-bit signature is invariant
+  // (Media.imagePHash; PHashSpec measures the md5-vs-phash delta).
+  // Dedup is then q30's shape on the hash: ONE groupBy on (ph_hi,
+  // ph_lo), smallest doc_id canonical.
+  //
+  // Fixture: each document synthesizes a genuine binary PGM whose
+  // pixels are group-patterned arithmetic plus a PER-DOC brightness
+  // offset (group g = doc_id % 25 fixes pattern and dimensions; delta =
+  // (doc_id div 25) % 40 ≤ 39 and base pixels < 200, so no 255 clamp
+  // ever breaks the invariance). The oracle recomputes the hash from
+  // the generator's arithmetic — a decoder that misindexes the
+  // downsample, floors the mean differently, or packs bits off-by-one
+  // cannot match.
+  //
+  // Scale shape: decode + hash is a narrow decoder-init-once map
+  // (Tungsten rows, as q90 pins); the dedup groupBy shuffles 16 bytes
+  // of hash per image — O(images), never pairwise.
+  private def q117(s: SparkSession, d: String): DataFrame = {
+    val enc = udf((id: Long) => {
+      val g = (id % 25).toInt
+      val delta = ((id / 25) % 40).toInt
+      val w = 8 + g % 9
+      val h = 8 + g % 7
+      Media.encodePgm(w, h, i => (i * 31 + g * 17) % 200 + delta)
+    })
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), enc(col("doc_id")).as("media"))
+    val ph = Media.imagePHash(media)
+    val first = ph.groupBy(col("ph_hi"), col("ph_lo"))
+      .agg(min(col("doc_id")).as("dup_of"))
+    ph.join(first, Seq("ph_hi", "ph_lo"))
+      .select(col("doc_id"), col("ph_hi"), col("ph_lo"), col("dup_of"),
+        (col("dup_of") < col("doc_id")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  private val q117Sql =
+    """WITH d2 AS (
+      |  SELECT doc_id, doc_id % 25 AS g, (doc_id // 25) % 40 AS delta,
+      |    8 + (doc_id % 25) % 9 AS w, 8 + (doc_id % 25) % 7 AS h
+      |  FROM documents),
+      |cells AS (
+      |  SELECT doc_id, t,
+      |    ((((t // 8) * h) // 8 * w + ((t % 8) * w) // 8) * 31 + g * 17)
+      |      % 200 + delta AS c
+      |  FROM d2, range(0, 64) r(t)),
+      |m AS (SELECT doc_id, CAST(sum(c) AS BIGINT) // 64 AS mean
+      |      FROM cells GROUP BY 1),
+      |ph AS (
+      |  SELECT c.doc_id,
+      |    CAST(sum(CASE WHEN c.c > m.mean AND c.t >= 32
+      |      THEN 1::BIGINT << (c.t - 32) ELSE 0 END) AS BIGINT) AS ph_hi,
+      |    CAST(sum(CASE WHEN c.c > m.mean AND c.t < 32
+      |      THEN 1::BIGINT << c.t ELSE 0 END) AS BIGINT) AS ph_lo
+      |  FROM cells c JOIN m ON m.doc_id = c.doc_id
+      |  GROUP BY 1),
+      |f AS (SELECT ph_hi, ph_lo, min(doc_id) AS dup_of FROM ph GROUP BY 1, 2)
+      |SELECT p.doc_id, p.ph_hi, p.ph_lo, f.dup_of, f.dup_of < p.doc_id AS is_dup
+      |FROM ph p JOIN f ON f.ph_hi = p.ph_hi AND f.ph_lo = p.ph_lo
+      |ORDER BY 1""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "q117_image_phash_dedup" -> QueryDef(q117, Some(q117Sql)),
     "q93_image_decode" -> QueryDef(q93, Some(q93Sql)),
     "q94_audio_decode" -> QueryDef(q94, Some(q94Sql)),
     "q80_windowed_events" -> QueryDef(q80, Some(q80Sql)),

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Media
+
+/** Properties of q117 (perceptual-hash image dedup) the oracle gate
+  * cannot see — the gate proves both engines compute the identical
+  * hash/grouping; these tests pin the capability DELTA the operator
+  * exists for:
+  *  - byte-exact hashing (the q30 md5 discipline) finds ZERO duplicates
+  *    on this corpus — every re-exposure has different bytes — while the
+  *    perceptual hash groups every brightness-shifted copy;
+  *  - the groups are exactly the planted pattern groups (doc_id % 25):
+  *    brightness invariance holds for every delta, and no two distinct
+  *    patterns collide;
+  *  - invariance is exact arithmetic, not tolerance: a +1 brightness
+  *    step yields a bit-identical hash through the real decoder.
+  */
+class PHashSpec extends SparkSuite {
+  private val d = "/root/testdata/sf0.001"
+
+  private def dedup = SparkEntry.queries("q117_image_phash_dedup")(spark, d)
+
+  test("md5 sees every re-exposure as unique; the perceptual hash groups them all") {
+    val out = dedup
+    val docs = Tables.documents(spark, d).count()
+    // exact-byte dedup over the SAME synthesized media: zero duplicates
+    val enc = udf((id: Long) => {
+      val g = (id % 25).toInt
+      val delta = ((id / 25) % 40).toInt
+      Media.encodePgm(8 + g % 9, 8 + g % 7, i => (i * 31 + g * 17) % 200 + delta)
+    })
+    val mediaHashes = Tables.documents(spark, d)
+      .select(md5(enc(col("doc_id"))).as("mh")).distinct().count()
+    assert(mediaHashes == docs,
+      s"expected every media payload byte-distinct, got $mediaHashes of $docs")
+    // the perceptual hash collapses each pattern group to ONE canonical
+    val groups = out.select("ph_hi", "ph_lo").distinct().count()
+    assert(groups == 25L, s"expected 25 perceptual groups, got $groups")
+    val dups = out.filter(col("is_dup")).count()
+    assert(dups == docs - 25,
+      s"expected ${docs - 25} brightness-shifted duplicates, got $dups")
+  }
+
+  test("groups are exactly the planted patterns: same g ⇒ same hash, different g ⇒ different hash") {
+    val withG = dedup.withColumn("g", col("doc_id") % 25)
+    val perG = withG.groupBy("g")
+      .agg(countDistinct(col("ph_hi"), col("ph_lo")).as("nh"))
+      .filter(col("nh") =!= 1).count()
+    assert(perG == 0, s"$perG pattern groups split across hashes " +
+      "(brightness invariance broken)")
+    val perHash = withG.groupBy("ph_hi", "ph_lo")
+      .agg(countDistinct(col("g")).as("ng"))
+      .filter(col("ng") =!= 1).count()
+    assert(perHash == 0, s"$perHash hashes shared by distinct patterns " +
+      "(collision on this corpus)")
+  }
+
+  test("brightness invariance is exact: +1 on every pixel gives a bit-identical hash") {
+    import spark.implicits._
+    def hashOf(delta: Int): (Long, Long) = {
+      val bytes = Media.encodePgm(11, 9, i => (i * 31 + 5) % 200 + delta)
+      val df = Seq((1L, bytes)).toDF("doc_id", "media")
+      val r = Media.imagePHash(df).head()
+      (r.getLong(1), r.getLong(2))
+    }
+    assert(hashOf(0) == hashOf(1))
+    assert(hashOf(0) == hashOf(39))
+  }
+}
