@@ -32,6 +32,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+) ++
+  // Forward the launch-time knobs into the FORKED run/test JVM: a bare
+  // `sbt -Dspark.graft.nearDupBits=8 ...` sets the property only in the
+  // sbt JVM, and the documented "-D feeds both engine and oracle" route
+  // would otherwise silently no-op (the env-var route needs no help —
+  // environment is inherited by the fork).
+  sys.props.get("spark.graft.nearDupBits")
+    .map(v => s"-Dspark.graft.nearDupBits=$v").toSeq ++ Seq(
   // Dozens of codegen-heavy queries in one JVM overflow the default
   // 240 MB JIT code cache; once it fills, HotSpot stops compiling and
   // late queries run 5-10x slower in the interpreter.

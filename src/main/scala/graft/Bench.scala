@@ -331,12 +331,21 @@ object Bench {
           val Scale10AlarmRatio = 12.0
           val secondPass = firstPass.map { case (name, dt, n) =>
             val mainDt = results2.get(name).flatten.map(_._1)
-            val alarm = n >= 0 && mainDt.exists(m => dt > Scale10AlarmRatio * m)
+            // all-reps-failed gets the decorrelated retry too (the main
+            // loop's rule at its second-chance pass): a transient
+            // condition that cleared since must not bill the 3600 s
+            // fail-closed penalty without one more look
+            val alarm = n < 0 ||
+              mainDt.exists(m => dt > Scale10AlarmRatio * m)
             if (!alarm) (name, dt, n)
             else {
               val (dt2, n2) = one(name)
-              if (n2 >= 0 && dt2 < dt) {
-                System.err.println(f"[bench] scale10 ${name.takeWhile(_ != '_')}%-16s $dt2%8.2f s (late re-run beat $dt%.2f)")
+              // a successful retry always replaces an all-failed entry
+              // (its placeholder dt of 0.0 would never lose a < compare);
+              // otherwise only a faster successful run may improve it
+              if (n2 >= 0 && (n < 0 || dt2 < dt)) {
+                System.err.println(f"[bench] scale10 ${name.takeWhile(_ != '_')}%-16s $dt2%8.2f s (late re-run beat " +
+                  (if (n < 0) "FAILED" else f"$dt%.2f") + ")")
                 (name, dt2, n2)
               } else (name, dt, n)
             }
@@ -392,17 +401,31 @@ object Bench {
         // stage carries its measured ratio
         val runEAPE = run(src => atlas.climEAPE(spark, src, algo = "R14")
           .filter(col("SIGSTAR") =!= 0.0f)) _
-        val d1 = runTS(prof)
-        val e1 = runEAPE(prof)
         val p10 = prof.crossJoin(
           spark.range(10).select(col("id").as("__rep")))
           .withColumn("WMO", col("WMO") + col("__rep").cast("int") * 1000000)
           .drop("__rep")
-        val d10 = runTS(p10)
-        val e10 = runEAPE(p10)
+        // independent try per family (the stores-split discipline): an
+        // EAPE failure must not discard the already-measured TS numbers —
+        // each family publishes what it measured, the broken one is
+        // VISIBLE in the log and absent from the JSON
+        def family(tag: String, f: org.apache.spark.sql.DataFrame => Double,
+                   k1: String, k10: String): Seq[(String, Double)] =
+          try {
+            val a = f(prof)
+            val b = f(p10)
+            Seq(k1 -> a, k10 -> b)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] atlas-scale $tag FAILED: " +
+              s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
+            Nil
+          }
+        val out = family("TS", runTS, "x1", "x10") ++
+          family("EAPE", runEAPE, "ex1", "ex10")
         prof.unpersist(blocking = false)
-        System.err.println(f"[bench] atlas x1 $d1%8.2f s, x10 $d10%8.2f s; eape x1 $e1%8.2f s, x10 $e10%8.2f s")
-        Seq("x1" -> d1, "x10" -> d10, "ex1" -> e1, "ex10" -> e10)
+        System.err.println("[bench] atlas_profiles " +
+          out.map { case (k, v) => f"$k=$v%.2f s" }.mkString(", "))
+        out
       } catch { case e: Throwable =>
         System.err.println(s"[bench] atlas-scale stage FAILED: " +
           s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")

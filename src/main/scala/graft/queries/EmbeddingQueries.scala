@@ -42,12 +42,24 @@ object EmbeddingQueries extends QueryModule {
         // a bare toInt here would surface as an opaque
         // ExceptionInInitializerError on the first touch of this object —
         // name the knob so a malformed launch value is debuggable
-        try v.trim.toInt
-        catch { case _: NumberFormatException =>
-          throw new IllegalArgumentException(
-            "spark.graft.nearDupBits / SPARK_GRAFT_NEARDUP_BITS must be " +
-              s"an integer, got '$v'")
-        }
+        val b =
+          try v.trim.toInt
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              "spark.graft.nearDupBits / SPARK_GRAFT_NEARDUP_BITS must be " +
+                s"an integer, got '$v'")
+          }
+        // range-check here, at the knob, for the same debuggability
+        // reason as the parse: 0 bits makes every vector hash to ONE
+        // bucket per table (quadratic candidates — the gate hangs rather
+        // than fails fast), negatives feed garbage shift counts into the
+        // bucketers, and past ~16 bits/table a near-neighbor must agree
+        // on every sign (recall → 0, and the generated oracle CTEs grow
+        // a projection term per plane) — sanity-bound, not a format limit
+        require(b >= 1 && b <= 16,
+          "spark.graft.nearDupBits / SPARK_GRAFT_NEARDUP_BITS must be " +
+            s"in 1..16, got $b")
+        b
       }
   private val ProbeMod = 50 // vec_id % ProbeMod == 0 → probe set
   // Fixed probe-set bound (the q97/q87 discipline): a bare modulus makes

@@ -317,9 +317,14 @@ object StreamMultimodalQueries extends QueryModule {
     val media = Tables.documents(s, d)
       .select(col("doc_id"), enc(col("doc_id")).as("media"))
     val ph = Media.imagePHash(media)
-    val first = ph.groupBy(col("ph_hi"), col("ph_lo"))
-      .agg(min(col("doc_id")).as("dup_of"))
-    ph.join(first, Seq("ph_hi", "ph_lo"))
+    // ONE hash-partitioned window, not groupBy + self-join back onto ph:
+    // the self-join's probe side re-runs the whole encode+decode+hash
+    // subtree (a second full decode pass per invocation — and broadcast
+    // of the tiny grouped side defeats exchange reuse); the window keeps
+    // the decode single-pass with the same (min doc_id per hash) result
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ph_hi"), col("ph_lo"))
+    ph.withColumn("dup_of", min(col("doc_id")).over(w))
       .select(col("doc_id"), col("ph_hi"), col("ph_lo"), col("dup_of"),
         (col("dup_of") < col("doc_id")).as("is_dup"))
       .orderBy("doc_id")
