@@ -355,7 +355,149 @@ object StreamMultimodalQueries extends QueryModule {
       |FROM ph p JOIN f ON f.ph_hi = p.ph_hi AND f.ph_lo = p.ph_lo
       |ORDER BY 1""".stripMargin
 
+  // ---- q118: Hamming-tolerant image near-dup (phash chunk LSH) -----------
+  // q117's exact-hash grouping misses images whose CONTENT drifted a
+  // little (a changed region, a recompressed block): their aHash differs
+  // in a few bits, not zero. This is q35's SimHash discipline applied to
+  // the image hash — split the 64 bits into 4×16-bit chunks; by
+  // pigeonhole, Hamming distance ≤ 3 guarantees at least one chunk is
+  // IDENTICAL, so candidates come from a chunk equi-join (never
+  // pairwise) and only candidates pay the exact popcount check. Each doc
+  // resolves to the smallest doc_id within Hamming ≤ 3 (q101's
+  // first-seen rule).
+  //
+  // Fixture: bimodal pixels (40/160 — every cell sits ~60 levels from
+  // the mean, so small mean drift can never flip an unperturbed bit) in
+  // a per-group pattern; replica r INVERTS the sampled pixel of
+  // exactly r%4 chosen cells (those bits flip — deterministically, by
+  // the margin argument) and adds a brightness offset (invariant, as
+  // q117 pins). So Hamming(replica, its group base) = r%4 ∈ {0..3} BY
+  // CONSTRUCTION: every replica links to its base through the chunk
+  // join, exact dedup would keep the perturbed ones (PHashSpec measures
+  // the delta), and the oracle recomputes every flip from the same
+  // arithmetic.
+  //
+  // Scale shape: decode+hash is the q117 narrow map; the join is
+  // O(images × 4) chunk rows equi-joined on 16-bit buckets — bucket
+  // density is the knob (more chunks → narrower buckets), exactly the
+  // q35 trade. Popcount runs on candidates only.
+  private val PHamMax = 3
+  private val PChunks = 4
+
+  private def q118(s: SparkSession, d: String): DataFrame = {
+    val enc = udf((id: Long) => {
+      val g = (id % 25).toInt
+      val r = ((id / 25) % 20).toInt
+      val delta = r % 37
+      val nPert = r % 4
+      val pert = (0 until nPert)
+        .map(j => (r * 17 + j * 29) % 64)
+        .map(t => 32 * (t / 8) + 2 * (t % 8)).toSet
+      // bimodal pattern keyed on (pixel, group) through a MULTIPLICATIVE
+      // mix mod 53: a mod-3 additive form collapsed all 25 groups into 3
+      // identical pattern classes (g entered only via g·17 mod 3 —
+      // measured: 440 cross-group Hamming-0 links), while distinct
+      // multipliers (g+1) mod 53 give genuinely distinct patterns
+      // (inter-group Hamming ≈ 32 ≫ the 3-bit tolerance)
+      Media.encodePgm(16, 16, { i =>
+        val base = if ((i + 7) * (g + 1) % 53 < 26) 40 else 160
+        val v = if (pert(i)) 200 - base else base // 40 ↔ 160 inversion
+        v + delta
+      })
+    })
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), enc(col("doc_id")).as("media"))
+    val ph = Media.imagePHash(media)
+    // 4×16-bit chunks; chunk 1/2 from the low word, 3/4 from the high
+    // (posexplode carries the chunk index — the array position is the
+    // deterministic identity, matching the oracle's UNION branches)
+    val chunks = ph.select(col("doc_id"), col("ph_hi"), col("ph_lo"),
+        posexplode(array(
+          col("ph_lo") % 65536L,
+          expr("shiftright(ph_lo, 16)") % 65536L,
+          col("ph_hi") % 65536L,
+          expr("shiftright(ph_hi, 16)") % 65536L)).as(Seq("ci", "ck")))
+    // candidate pairs from ANY shared chunk, deduped, exact Hamming gate
+    val a = chunks.select(col("ci"), col("ck"), col("doc_id").as("a_id"),
+      col("ph_hi").as("a_hi"), col("ph_lo").as("a_lo"))
+    val b = chunks.select(col("ci"), col("ck"), col("doc_id").as("b_id"),
+      col("ph_hi").as("b_hi"), col("ph_lo").as("b_lo"))
+    val cand = a.join(b, Seq("ci", "ck"))
+      .filter(col("b_id") =!= col("a_id"))
+      .select(col("a_id"), col("b_id"), col("a_hi"), col("a_lo"),
+        col("b_hi"), col("b_lo"))
+      .distinct()
+      .filter(expr("bit_count(a_hi ^ b_hi) + bit_count(a_lo ^ b_lo)") <= PHamMax)
+    val dup0 = cand.groupBy(col("a_id"))
+      .agg(min(col("b_id")).as("d0"))
+    ph.join(dup0, ph("doc_id") === dup0("a_id"), "left")
+      .withColumn("dup_of",
+        when(col("d0").isNotNull && col("d0") < col("doc_id"), col("d0"))
+          .otherwise(col("doc_id")))
+      .select(col("doc_id"), col("ph_hi"), col("ph_lo"), col("dup_of"),
+        (col("dup_of") < col("doc_id")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  private val q118Sql =
+    s"""WITH d2 AS (
+       |  SELECT doc_id, doc_id % 25 AS g, (doc_id // 25) % 20 AS r
+       |  FROM documents),
+       |cells AS (
+       |  SELECT doc_id, t,
+       |    32 * (t // 8) + 2 * (t % 8) AS p
+       |  FROM d2, range(0, 64) u(t)),
+       |vals AS (
+       |  SELECT c.doc_id, c.t,
+       |    CASE WHEN EXISTS (
+       |        SELECT 1 FROM range(0, 4) jr(j)
+       |        WHERE j < d.r % 4
+       |          AND 32 * ((((d.r * 17 + j * 29) % 64) // 8))
+       |            + 2 * (((d.r * 17 + j * 29) % 64) % 8) = c.p)
+       |      THEN 200 - (CASE WHEN (c.p + 7) * (d.g + 1) % 53 < 26
+       |                  THEN 40 ELSE 160 END)
+       |      ELSE CASE WHEN (c.p + 7) * (d.g + 1) % 53 < 26
+       |           THEN 40 ELSE 160 END
+       |    END + d.r % 37 AS v
+       |  FROM cells c JOIN d2 d ON d.doc_id = c.doc_id),
+       |m AS (SELECT doc_id, CAST(sum(v) AS BIGINT) // 64 AS mean
+       |      FROM vals GROUP BY 1),
+       |ph AS (
+       |  SELECT v.doc_id,
+       |    CAST(sum(CASE WHEN v.v > m.mean AND v.t >= 32
+       |      THEN 1::BIGINT << (v.t - 32) ELSE 0 END) AS BIGINT) AS ph_hi,
+       |    CAST(sum(CASE WHEN v.v > m.mean AND v.t < 32
+       |      THEN 1::BIGINT << v.t ELSE 0 END) AS BIGINT) AS ph_lo
+       |  FROM vals v JOIN m ON m.doc_id = v.doc_id
+       |  GROUP BY 1),
+       |chunks AS (
+       |  SELECT doc_id, ph_hi, ph_lo, 1 AS ci, ph_lo % 65536 AS ck FROM ph
+       |  UNION ALL
+       |  SELECT doc_id, ph_hi, ph_lo, 2, (ph_lo >> 16) % 65536 FROM ph
+       |  UNION ALL
+       |  SELECT doc_id, ph_hi, ph_lo, 3, ph_hi % 65536 FROM ph
+       |  UNION ALL
+       |  SELECT doc_id, ph_hi, ph_lo, 4, (ph_hi >> 16) % 65536 FROM ph),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.ph_hi AS a_hi, a.ph_lo AS a_lo, b.ph_hi AS b_hi, b.ph_lo AS b_lo
+       |  FROM chunks a JOIN chunks b
+       |    ON a.ci = b.ci AND a.ck = b.ck AND a.doc_id <> b.doc_id),
+       |near AS (
+       |  SELECT a_id, min(b_id) AS d0 FROM cand
+       |  WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo))
+       |    <= $PHamMax
+       |  GROUP BY 1)
+       |SELECT p.doc_id, p.ph_hi, p.ph_lo,
+       |  CASE WHEN n.d0 IS NOT NULL AND n.d0 < p.doc_id
+       |       THEN n.d0 ELSE p.doc_id END AS dup_of,
+       |  CASE WHEN n.d0 IS NOT NULL AND n.d0 < p.doc_id
+       |       THEN TRUE ELSE FALSE END AS is_dup
+       |FROM ph p LEFT JOIN near n ON n.a_id = p.doc_id
+       |ORDER BY 1""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "q118_image_neardup" -> QueryDef(q118, Some(q118Sql)),
     "q117_image_phash_dedup" -> QueryDef(q117, Some(q117Sql)),
     "q93_image_decode" -> QueryDef(q93, Some(q93Sql)),
     "q94_audio_decode" -> QueryDef(q94, Some(q94Sql)),

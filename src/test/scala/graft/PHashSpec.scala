@@ -57,6 +57,36 @@ class PHashSpec extends SparkSuite {
       "(collision on this corpus)")
   }
 
+  test("q118: few-bit perturbed replicas group with their base; exact-hash equality misses them") {
+    val out = SparkEntry.queries("q118_image_neardup")(spark, d)
+    val n = out.count()
+    // every replica resolves to its group base (doc_id % 25): replicas
+    // flip 0–3 sampled cells by construction — always within the 3-bit
+    // tolerance of the base, never within 3 bits of another group
+    val unresolved = out.filter(col("doc_id") =!= col("doc_id") % 25)
+      .filter(col("dup_of") =!= col("doc_id") % 25).count()
+    assert(unresolved == 0,
+      s"$unresolved replicas failed to resolve to their base")
+    val dups = out.filter(col("is_dup")).count()
+    assert(dups == n - 25, s"expected ${n - 25} near-dups, got $dups")
+    // the capability delta vs q117's exact grouping: only replicas with
+    // ZERO flipped cells (r % 4 == 0 — brightness-only copies) share the
+    // base's exact hash; each perturbed replica's distinct flip set gives
+    // a distinct hash, so Hamming-0 grouping finds just the
+    // brightness-only dups and keeps every content-perturbed one
+    val distinctHashes = out.select("ph_hi", "ph_lo").distinct().count()
+    val exactDups = n - distinctHashes
+    assert(exactDups < dups,
+      s"exact grouping ($exactDups dups) should find strictly fewer than " +
+        s"Hamming-3 grouping ($dups)")
+    // 20 replicas per group: 5 with r%4==0 share one hash (4 exact dups),
+    // 15 perturbed are unique → 16 hashes/group, 4 exact dups/group
+    assert(distinctHashes == 25 * 16,
+      s"expected 400 distinct hashes (16 per group), got $distinctHashes")
+    assert(exactDups == 25 * 4,
+      s"expected 100 exact dups (brightness-only copies), got $exactDups")
+  }
+
   test("brightness invariance is exact: +1 on every pixel gives a bit-identical hash") {
     import spark.implicits._
     def hashOf(delta: Int): (Long, Long) = {
