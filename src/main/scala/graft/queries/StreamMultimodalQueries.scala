@@ -378,17 +378,20 @@ object StreamMultimodalQueries extends QueryModule {
   // arithmetic.
   //
   // Scale shape: decode+hash is the q117 narrow map; the join is
-  // O(images × 4) chunk rows equi-joined on 16-bit buckets — bucket
-  // density is the knob (more chunks → narrower buckets), exactly the
-  // q35 trade. Popcount runs on candidates only.
+  // O(images × 4) chunk rows equi-joined on 16-bit buckets — the chunk
+  // WIDTH is the density trade (narrower chunks → fewer candidates per
+  // bucket, lower guaranteed tolerance), exactly the q35 trade. The
+  // 4×16 split is hard-wired in BOTH engine and oracle below — changing
+  // it means changing the two forms together (and re-deriving PHamMax's
+  // pigeonhole bound: tolerance ≤ chunks − 1). Popcount runs on
+  // candidates only.
   private val PHamMax = 3
-  private val PChunks = 4
 
   private def q118(s: SparkSession, d: String): DataFrame = {
     val enc = udf((id: Long) => {
       val g = (id % 25).toInt
       val r = ((id / 25) % 20).toInt
-      val delta = r % 37
+      val delta = r // ≤ 19: max pixel 160 + 19 = 179, far from the 255 clamp
       val nPert = r % 4
       val pert = (0 until nPert)
         .map(j => (r * 17 + j * 29) % 64)
@@ -407,23 +410,32 @@ object StreamMultimodalQueries extends QueryModule {
     })
     val media = Tables.documents(s, d)
       .select(col("doc_id"), enc(col("doc_id")).as("media"))
-    val ph = Media.imagePHash(media)
-    // 4×16-bit chunks; chunk 1/2 from the low word, 3/4 from the high
-    // (posexplode carries the chunk index — the array position is the
-    // deterministic identity, matching the oracle's UNION branches)
+    // repartition barrier ON the hash frame (the q35 discipline): the
+    // plan references ph three times (both join sides + the resolution
+    // join), and without the barrier each reference re-runs the whole
+    // synthesize+decode+hash subtree — measured 3 parquet scans / 3
+    // decode passes; behind one exchange all three consumers reuse it
+    val ph = Media.imagePHash(media).repartition(col("doc_id"))
+    // 4×16-bit chunks; positions 0/1 from the low word, 2/3 from the
+    // high (posexplode's array position is the deterministic chunk
+    // identity; the oracle's UNION branches number theirs 1..4 — the two
+    // indexings never meet, each engine only equi-joins on its own)
     val chunks = ph.select(col("doc_id"), col("ph_hi"), col("ph_lo"),
         posexplode(array(
           col("ph_lo") % 65536L,
           expr("shiftright(ph_lo, 16)") % 65536L,
           col("ph_hi") % 65536L,
           expr("shiftright(ph_hi, 16)") % 65536L)).as(Seq("ci", "ck")))
-    // candidate pairs from ANY shared chunk, deduped, exact Hamming gate
+    // candidate pairs from ANY shared chunk, deduped, exact Hamming
+    // gate. ONE orientation only (b < a): resolution is min(b_id) gated
+    // by d0 < doc_id, so the b > a rows could never win — generating
+    // them would double the join output and the distinct's shuffle
     val a = chunks.select(col("ci"), col("ck"), col("doc_id").as("a_id"),
       col("ph_hi").as("a_hi"), col("ph_lo").as("a_lo"))
     val b = chunks.select(col("ci"), col("ck"), col("doc_id").as("b_id"),
       col("ph_hi").as("b_hi"), col("ph_lo").as("b_lo"))
     val cand = a.join(b, Seq("ci", "ck"))
-      .filter(col("b_id") =!= col("a_id"))
+      .filter(col("b_id") < col("a_id"))
       .select(col("a_id"), col("b_id"), col("a_hi"), col("a_lo"),
         col("b_hi"), col("b_lo"))
       .distinct()
@@ -458,7 +470,7 @@ object StreamMultimodalQueries extends QueryModule {
        |                  THEN 40 ELSE 160 END)
        |      ELSE CASE WHEN (c.p + 7) * (d.g + 1) % 53 < 26
        |           THEN 40 ELSE 160 END
-       |    END + d.r % 37 AS v
+       |    END + d.r AS v
        |  FROM cells c JOIN d2 d ON d.doc_id = c.doc_id),
        |m AS (SELECT doc_id, CAST(sum(v) AS BIGINT) // 64 AS mean
        |      FROM vals GROUP BY 1),
@@ -482,7 +494,7 @@ object StreamMultimodalQueries extends QueryModule {
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
        |    a.ph_hi AS a_hi, a.ph_lo AS a_lo, b.ph_hi AS b_hi, b.ph_lo AS b_lo
        |  FROM chunks a JOIN chunks b
-       |    ON a.ci = b.ci AND a.ck = b.ck AND a.doc_id <> b.doc_id),
+       |    ON a.ci = b.ci AND a.ck = b.ck AND b.doc_id < a.doc_id),
        |near AS (
        |  SELECT a_id, min(b_id) AS d0 FROM cand
        |  WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo))
