@@ -85,4 +85,33 @@ class RecomputeSpec extends SparkSuite {
     assert(want.count { case (id, comp) => id != comp } > 10,
       "degenerate fixture: pair graph has almost no non-trivial clusters")
   }
+
+  test("injected task failure under the XOR manifest: checksums are bit-identical") {
+    // The q115/q116 integrity claim under the one condition an integrity
+    // mechanism must survive: executor loss DURING manifest computation.
+    // XOR and count are order-independent monoids, so a retried
+    // partition re-contributing in a different merge order must produce
+    // the identical per-shard checksum — a checksum that drifted under
+    // retry would report phantom corpus changes on exactly the flaky-
+    // cluster runs where integrity checks matter most.
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, d).select($"doc_id", $"text")
+    def manifest(df: DataFrame): Seq[(Long, Long, Long)] =
+      graft.streaming.DocStreams.shardManifest(df, 64L)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+    val want = manifest(docs)
+    RecomputeSpec.fired.set(false)
+    val chaotic = spark.createDataFrame(
+      docs.rdd.mapPartitions { it =>
+        val tc = TaskContext.get()
+        if (tc.attemptNumber() == 0 && !RecomputeSpec.fired.getAndSet(true))
+          throw new RuntimeException("injected executor-loss rehearsal")
+        it
+      }, docs.schema)
+    val got = manifest(chaotic)
+    assert(RecomputeSpec.fired.get(), "the injected failure never fired")
+    assert(got == want,
+      "manifest checksums after a task failure must be bit-identical")
+    assert(want.size > 10, "degenerate fixture: manifest nearly empty")
+  }
 }
