@@ -46,6 +46,40 @@ object Bench {
     * Delegates to [[TempDirs.deleteRec]] (one delete implementation). */
   private[graft] def deleteRec(root: String): Unit = TempDirs.deleteRec(root)
 
+  /** Sink keeping the calibration spin loop's result alive (a dead loop
+    * would JIT away and calibrate nothing). */
+  @volatile private var spinSink = 0L
+
+  /** Host-load calibration: a FIXED single-thread spin workload, timed.
+    * On an idle core this runs in a constant ~0.2 s; under the
+    * multi-minute host bursts this machine exhibits it slows roughly
+    * with CPU oversubscription — so sampling it at suite start, mid, and
+    * end turns "was this run contended?" from a judge-side forensic
+    * exercise (BENCH_r08 published ~10 queries at 2-4x their real cost;
+    * every one re-ran clean in isolation) into a property of the
+    * artifact itself: the samples are published, a >1.5x drift flags the
+    * run `"contended": true`, and the whole main suite re-runs once.
+    * Pure integer mixing (no allocation, no memory traffic) so the
+    * number measures CPU availability, not cache state. */
+  private[graft] def calibSpin(): Double = {
+    val t0 = System.nanoTime()
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 150000000) {
+      h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h += i; i += 1
+    }
+    spinSink = h
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** First field of /proc/loadavg (1-min load), −1 when unreadable —
+    * published beside the spin samples as the host-side witness. */
+  private[graft] def loadavg1(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -76,9 +110,30 @@ object Bench {
     // noise (observed 2x run-to-run on shared hardware); the first
     // run's cost is real but measures the JIT, not the plan.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
-      .map { case (name, fn) =>
+    /** One full pass of the main per-query loop plus its decorrelated
+      * second-chance pass, bracketed by host-load calibration samples
+      * (start / mid-loop / end — see [[calibSpin]]): returns the
+      * per-query results and the (spin, loadavg) sample pairs. A
+      * function, not inline code, because the calibration verdict may
+      * demand the WHOLE pass re-run once (BENCH_r08's failure mode: a
+      * burst long enough to swallow the in-loop reps AND the
+      * second-chance re-runs — no within-pass discipline can beat a
+      * burst that outlasts the pass, so the answer is a second pass,
+      * minutes of wall time away, gated on the published drift). */
+    def runMainSuite(): (Map[String, Option[(Double, Long)]], Seq[(Double, Double)]) = {
+      val samples = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+      def sample(tag: String): Unit = {
+        val c = calibSpin()
+        val l = loadavg1()
+        samples += ((c, l))
+        System.err.println(f"[bench] calib $tag%-5s spin $c%6.3f s, loadavg $l%.1f")
+      }
+      sample("start")
+      val named = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      val midAt = named.size / 2
+      val results = named.zipWithIndex.map { case ((name, fn), idx) =>
+        if (idx == midAt) sample("mid")
         def rep(): (Double, Long) = {
           val t0 = System.nanoTime()
           val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
@@ -118,46 +173,78 @@ object Bench {
         }
         name -> ((bestOk, fn))
       }.toMap
-    // Second-chance pass, decorrelated in time: a sustained host-level CPU
-    // burst can span every rep of one query (minutes apart from its
-    // in-loop retries, which all sit inside the burst). Queries that still
-    // look slow get ONE more run after the whole suite has finished —
-    // typically several minutes later, far outside the original window.
-    // BENCH_r02 measured the atlas trio at 14-30 s under such a burst;
-    // the same queries re-run clean at 2-3 s. Threshold history: 2.5 →
-    // 1.0 (BENCH_r03 published q70 at 1.24 s vs 0.71 s clean) → 0.4:
-    // BENCH_r05 published q33 at 0.998 s and q32 at 0.820 s — 6-7x their
-    // clean ~0.13 s, diff-identical code — because the burst spanned both
-    // in-loop reps and both numbers sat just UNDER the 1.0 s line, so
-    // neither got its decorrelated re-run (a clean full-suite re-run
-    // reproduced 0.11/0.14 s). BENCH_r06 repeated the pattern on a whole
-    // CONTIGUOUS block (q75/q80/q90-q96 published 0.40-0.77 s, all under
-    // 1.0; a diff-identical full-suite re-run reproduced 0.10-0.24 s and
-    // the isolated block ruled suite-state pressure out) — a multi-minute
-    // burst covers many consecutive sub-second queries at once, so the
-    // line must sit BELOW the distorted values it needs to catch. At 0.4
-    // the ~30 affected queries re-running once cost ~25 s of bench wall
-    // time, cheap next to publishing a phantom 2-4x block regression; a
-    // burst value still under 0.4 distorts the total by < 0.3 s/query.
-    val RerunThresholdSec = 0.4
-    val results2 = results.map { case (name, (best, fn)) =>
-      // all-reps-failed queries get one decorrelated chance too: a
-      // transient condition (full /tmp, OOM burst) that cleared since
-      // should not mark the whole suite broken
-      val dtF = if (best.forall(_._1 > RerunThresholdSec)) {
-        // a FAILED re-run must never publish its time-to-failure as the
-        // query's benchmark time — only a successful run may improve dt
-        val t0 = System.nanoTime()
-        val rows2 = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-        val dt2 = (System.nanoTime() - t0) / 1e9
-        if (rows2 >= 0 && best.forall(dt2 < _._1)) {
-          System.err.println(f"[bench] $name%-24s $dt2%8.2f s (late re-run beat " +
-            best.map(b => f"${b._1}%.2f").getOrElse("FAILED") + ")")
-          Some((dt2, rows2))
+      // Second-chance pass, decorrelated in time: a sustained host-level CPU
+      // burst can span every rep of one query (minutes apart from its
+      // in-loop retries, which all sit inside the burst). Queries that still
+      // look slow get ONE more run after the whole suite has finished —
+      // typically several minutes later, far outside the original window.
+      // BENCH_r02 measured the atlas trio at 14-30 s under such a burst;
+      // the same queries re-run clean at 2-3 s. Threshold history: 2.5 →
+      // 1.0 (BENCH_r03 published q70 at 1.24 s vs 0.71 s clean) → 0.4:
+      // BENCH_r05 published q33 at 0.998 s and q32 at 0.820 s — 6-7x their
+      // clean ~0.13 s, diff-identical code — because the burst spanned both
+      // in-loop reps and both numbers sat just UNDER the 1.0 s line, so
+      // neither got its decorrelated re-run (a clean full-suite re-run
+      // reproduced 0.11/0.14 s). BENCH_r06 repeated the pattern on a whole
+      // CONTIGUOUS block (q75/q80/q90-q96 published 0.40-0.77 s, all under
+      // 1.0; a diff-identical full-suite re-run reproduced 0.10-0.24 s and
+      // the isolated block ruled suite-state pressure out) — a multi-minute
+      // burst covers many consecutive sub-second queries at once, so the
+      // line must sit BELOW the distorted values it needs to catch. At 0.4
+      // the ~30 affected queries re-running once cost ~25 s of bench wall
+      // time, cheap next to publishing a phantom 2-4x block regression; a
+      // burst value still under 0.4 distorts the total by < 0.3 s/query.
+      val RerunThresholdSec = 0.4
+      val results2 = results.map { case (name, (best, fn)) =>
+        // all-reps-failed queries get one decorrelated chance too: a
+        // transient condition (full /tmp, OOM burst) that cleared since
+        // should not mark the whole suite broken
+        val dtF = if (best.forall(_._1 > RerunThresholdSec)) {
+          // a FAILED re-run must never publish its time-to-failure as the
+          // query's benchmark time — only a successful run may improve dt
+          val t0 = System.nanoTime()
+          val rows2 = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+          val dt2 = (System.nanoTime() - t0) / 1e9
+          if (rows2 >= 0 && best.forall(dt2 < _._1)) {
+            System.err.println(f"[bench] $name%-24s $dt2%8.2f s (late re-run beat " +
+              best.map(b => f"${b._1}%.2f").getOrElse("FAILED") + ")")
+            Some((dt2, rows2))
+          } else best
         } else best
-      } else best
-      name -> dtF
+        name -> dtF
+      }
+      sample("end")
+      (results2, samples.toSeq)
     }
+    // THE calibration verdict (VERDICT r8 task 1): >1.5x spin drift
+    // within a pass means a host burst overlapped it — the exact
+    // condition under which BENCH_r08 published ~10 phantom regressions
+    // that a later isolated run cleared. The whole main suite then
+    // re-runs ONCE (per-query minima merged — a burst only ever inflates)
+    // and the published `contended` flag reports the FINAL pass's drift,
+    // so a reader knows whether the numbers in front of them still carry
+    // burst exposure.
+    val CalibDriftMax = 1.5
+    def drift(ss: Seq[(Double, Double)]): Double =
+      if (ss.isEmpty) 1.0 else ss.map(_._1).max / ss.map(_._1).min
+    var (resultsM, calibMain) = runMainSuite()
+    val drift1 = drift(calibMain)
+    var contended = drift1 > CalibDriftMax
+    var calibRerun: Seq[(Double, Double)] = Nil
+    if (contended) {
+      System.err.println(f"[bench] calibration drift $drift1%.2fx > $CalibDriftMax%.1fx" +
+        " — host contended; re-running the whole main suite once")
+      val (res2, c2) = runMainSuite()
+      calibRerun = c2
+      resultsM = resultsM.map { case (k, a) =>
+        k -> ((a.toSeq ++ res2.getOrElse(k, None).toSeq) match {
+          case Seq() => None
+          case xs => Some(xs.minBy(_._1))
+        })
+      }
+      contended = drift(c2) > CalibDriftMax
+    }
+    val results2 = resultsM
     // ONE compact JSON line, printed LAST: the driver keeps only the final
     // ~2000 chars of stdout (BENCH_r03 measured tail=2000), and sbt appends
     // a ~70-char "[success]" line after us. Full query names alone are
@@ -172,8 +259,19 @@ object Bench {
     // the driver's 2000-char tail; r03 was lost to exactly this), and
     // 10 ms resolution still resolves any regression worth chasing
     def r2(x: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, x)
+    // trailing-zero trim for the per-query map only ("0.50"→"0.5",
+    // "1.00"→"1") — ~50 more chars of tail-window margin across ~116
+    // queries at zero resolution cost (the trimmed form is the same
+    // number). Stage keys keep the fixed 2-decimal form for grep-ability.
+    def r2t(x: Double): String = {
+      val s = r2(x)
+      if (s.contains('.')) {
+        val t = s.reverse.dropWhile(_ == '0').reverse
+        if (t.endsWith(".")) t.dropRight(1) else t
+      } else s
+    }
     val qs = results2.toSeq.sortBy(_._1)
-      .collect { case (k, Some((v, _))) => s"\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
+      .collect { case (k, Some((v, _))) => s"\"" + k.takeWhile(_ != '_') + "\":" + r2t(v) }
       .mkString("{", ",", "}")
     // failed queries are OMITTED from "queries" (no bogus seconds) and
     // named here so the driver-parsed line itself shows the breakage
@@ -292,26 +390,35 @@ object Bench {
             System.err.println(f"[bench] scale10 ${name.takeWhile(_ != '_')}%-16s $dt%8.2f s ($n rows)")
             (name, dt, n)
           }
-          // q43 attribution: the two counts that explain any wall ratio —
-          // LSH candidates (bucket density: grows if buckets collapse)
-          // vs surviving pairs (true near-dup structure of the corpus).
-          // Published in the JSON so a superlinear ratio is attributable
-          // from the artifact alone. Runs BEFORE the second-chance pass
-          // below, deliberately: the count job is the only work separating
-          // the tail queries' first runs from their re-runs.
-          val q43Counts = try {
-            val cand = graft.queries.EmbeddingQueries
-              .nearDupCandidates(spark, dir).count()
-            val out = firstPass.collectFirst {
-              case (n, _, rows) if n.startsWith("q43") && rows >= 0 => rows
+          // Attribution counts for EVERY scale10 query (the q43cand/q43out
+          // discipline, extended family-wide per VERDICT r8): candidates
+          // from the split-out intermediate frames (LSH candidates, edge
+          // sets, scored fan-outs), survivors from the measured run's row
+          // count. Candidate density explains a superlinear wall (buckets
+          // collapsing, join fan-out growing); survivor count explains a
+          // legitimately larger output — published together, any ratio is
+          // attributable from the artifact alone. Runs BEFORE the
+          // second-chance pass below, deliberately: the count jobs are
+          // the only work separating the tail queries' first runs from
+          // their re-runs.
+          val candFrames = graft.queries.TextQueries.scale10Candidates ++
+            graft.queries.EmbeddingQueries.scale10Candidates
+          val s10Counts: Seq[(String, Double)] = Scale10Queries.flatMap { name =>
+            val q = name.takeWhile(_ != '_')
+            val cand = candFrames.get(name).map { f =>
+              try f(spark, dir).count()
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] scale10 $q cand count FAILED: " +
+                  s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
+                -1L
+              }
             }.getOrElse(-1L)
-            System.err.println(s"[bench] scale10 q43 candidates=$cand survivors=$out")
-            Seq("q43cand" -> cand.toDouble) ++
-              (if (out >= 0) Seq("q43out" -> out.toDouble) else Nil)
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] scale10 q43 counts FAILED: " +
-              s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
-            Nil
+            val out = firstPass.collectFirst {
+              case (n, _, rows) if n == name && rows >= 0 => rows
+            }.getOrElse(-1L)
+            System.err.println(s"[bench] scale10 $q candidates=$cand survivors=$out")
+            (if (cand >= 0) Seq(s"${q}cand" -> cand.toDouble) else Nil) ++
+              (if (out >= 0) Seq(s"${q}out" -> out.toDouble) else Nil)
           }
           // Second chance, scale10 edition (BENCH_r07 published q43 at
           // 31.6 s — 31x its 1x time — with both in-loop reps inside one
@@ -354,7 +461,7 @@ object Bench {
           // the main suite so breakage can't read as a speedup
           secondPass.map { case (name, dt, n) =>
             name.takeWhile(_ != '_') -> (if (n >= 0) dt else FailPenaltySec)
-          } ++ q43Counts
+          } ++ s10Counts
         } finally {
           priorBits match {
             case Some(v) => spark.conf.set("spark.graft.nearDupBits", v)
@@ -405,21 +512,23 @@ object Bench {
           spark.range(10).select(col("id").as("__rep")))
           .withColumn("WMO", col("WMO") + col("__rep").cast("int") * 1000000)
           .drop("__rep")
-        // independent try per family (the stores-split discipline): an
-        // EAPE failure must not discard the already-measured TS numbers —
-        // each family publishes what it measured, the broken one is
-        // VISIBLE in the log and absent from the JSON
+        // independent try per family AND per scale within a family (the
+        // stores-split discipline, finished): each run publishes what it
+        // measured — a 10x failure drops only the 10x entry, never the
+        // already-measured 1x; the broken run is VISIBLE in the log and
+        // absent from the JSON
         def family(tag: String, f: org.apache.spark.sql.DataFrame => Double,
-                   k1: String, k10: String): Seq[(String, Double)] =
-          try {
-            val a = f(prof)
-            val b = f(p10)
-            Seq(k1 -> a, k10 -> b)
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] atlas-scale $tag FAILED: " +
-              s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
-            Nil
-          }
+                   k1: String, k10: String): Seq[(String, Double)] = {
+          def one(scale: String, src: org.apache.spark.sql.DataFrame,
+                  k: String): Seq[(String, Double)] =
+            try Seq(k -> f(src))
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] atlas-scale $tag $scale FAILED: " +
+                s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
+              Nil
+            }
+          one("x1", prof, k1) ++ one("x10", p10, k10)
+        }
         val out = family("TS", runTS, "x1", "x10") ++
           family("EAPE", runEAPE, "ex1", "ex10")
         prof.unpersist(blocking = false)
@@ -607,38 +716,106 @@ object Bench {
         Nil
       }
     val nCores = cpus.toDouble
-    val stages = (
-      tput("q70_argo_interp").map { case (ps, n) =>
-        Seq(s""""interp_profiles_per_sec":${r3(ps)}""",
-          s""""interp_profiles_per_sec_per_core":${r3(ps / nCores)}""",
-          s""""interp_profiles":$n""")
-      }.getOrElse(Nil) ++
-      tput("q71_argo_atlas").map { case (cs, n) =>
-        Seq(s""""atlas_cell_levels_per_sec":${r3(cs)}""", s""""atlas_cell_levels":$n""")
-      }.getOrElse(Nil) ++
-      fallbackSec.map(dt => Seq(s""""atlas_fallback_sec":${r3(dt)}""")).getOrElse(Nil) ++
-      (if (scale10.isEmpty) Nil
-       else Seq(scale10.map { case (k, v) =>
-         // count keys are integers, not seconds — print them as such
-         if (k.endsWith("cand") || k.endsWith("out")) s"\"$k\":${v.toLong}"
-         else s"\"$k\":${r2(v)}"
-       }.mkString("\"scale10\":{", ",", "}"))) ++
-      (if (atlasScale.isEmpty) Nil
-       else Seq(atlasScale.map { case (k, v) => s"\"$k\":${r2(v)}" }
-         .mkString("\"atlas_profiles\":{", ",", "}"))) ++
-      (if (storeTimes.isEmpty) Nil
-       else Seq(storeTimes.map { case (k, v) => s"\"$k\":${r2(v)}" }
-         .mkString("\"stores\":{", ",", "}"))) ++
-      Seq(s""""cores":${cpus.toInt}""", s""""reps":$reps""")).mkString("{", ",", "}")
+    def r1(x: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, x)
+    // Stage blocks, rendered once each. TWO artifacts are built from
+    // them: the COMPLETE line (stderr + BENCH_FULL.json beside the repo —
+    // every block, full stores splits, calibration arrays) and the stdout
+    // line the driver tails. The r08 line already measured 1930 chars
+    // against the driver's 2000-char window (its HEAD was truncated);
+    // adding calibration + family-wide counts unconditionally would cut
+    // ~300 chars off the front — so the stdout line takes blocks in
+    // priority order under an explicit budget and the full artifact
+    // carries the rest. Priority: calibration (the burst verdict — r8's
+    // top fix), scale10 walls+counts (attribution), interp throughput
+    // (the BASELINE comparison), the stores cold-vs-store headline,
+    // atlas throughput, the 10x atlas profile ratios, the forced
+    // fallback, cores/reps, then the raw row counts.
+    val interpT = tput("q70_argo_interp")
+    val atlasT = tput("q71_argo_atlas")
+    val calibFrag: Option[String] = {
+      def arr(ss: Seq[(Double, Double)], f: ((Double, Double)) => Double,
+              fmt: Double => String): String =
+        ss.map(x => fmt(f(x))).mkString("[", ",", "]")
+      val finalPass = if (calibRerun.nonEmpty) calibRerun else calibMain
+      Some((Seq(
+        s""""spin":${arr(calibMain, _._1, r3)}""",
+        s""""load":${arr(calibMain, _._2, r1)}""") ++
+        (if (calibRerun.nonEmpty) Seq(
+          s""""spin2":${arr(calibRerun, _._1, r3)}""",
+          s""""load2":${arr(calibRerun, _._2, r1)}""") else Nil) ++
+        Seq(s""""drift":${r2(drift(finalPass))}""",
+          s""""contended":$contended"""))
+        .mkString("\"calib\":{", ",", "}"))
+    }
+    val scale10Frag: Option[String] =
+      if (scale10.isEmpty) None
+      else Some(scale10.map { case (k, v) =>
+        // count keys are integers, not seconds — print them as such
+        if (k.endsWith("cand") || k.endsWith("out")) s"\"$k\":${v.toLong}"
+        else s"\"$k\":${r2(v)}"
+      }.mkString("\"scale10\":{", ",", "}"))
+    val interpFrag: Option[String] = interpT.map { case (ps, _) =>
+      s""""interp_profiles_per_sec":${r1(ps)},"interp_profiles_per_sec_per_core":${r1(ps / nCores)}"""
+    }
+    val StoresHeadline = Set("build", "q71_cold", "q97_cold", "q71", "q97")
+    def storesFrag(keys: String => Boolean): Option[String] =
+      storeTimes.filter(t => keys(t._1)) match {
+        case Seq() => None
+        case ts => Some(ts.map { case (k, v) => s"\"$k\":${r2(v)}" }
+          .mkString("\"stores\":{", ",", "}"))
+      }
+    val atlasFrag: Option[String] = atlasT.map { case (cs, _) =>
+      s""""atlas_cell_levels_per_sec":${r1(cs)}"""
+    }
+    val apFrag: Option[String] =
+      if (atlasScale.isEmpty) None
+      else Some(atlasScale.map { case (k, v) => s"\"$k\":${r2(v)}" }
+        .mkString("\"atlas_profiles\":{", ",", "}"))
+    val fallbackFrag: Option[String] =
+      fallbackSec.map(dt => s""""atlas_fallback_sec":${r2(dt)}""")
+    val coresFrag: Option[String] =
+      Some(s""""cores":${cpus.toInt},"reps":$reps""")
+    val countsFrag: Option[String] =
+      (interpT.map { case (_, n) => s""""interp_profiles":$n""" }.toSeq ++
+        atlasT.map { case (_, n) => s""""atlas_cell_levels":$n""" }.toSeq) match {
+        case Seq() => None
+        case xs => Some(xs.mkString(","))
+      }
     val failedPart =
       if (failed.isEmpty) "" else failed.mkString(""","failed":[""", ",", "]")
-    val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$failedPart,"stages":$stages,"sf":"$sfDir"}"""
-    // Mirror to stderr for humans tailing the log; stdout gets exactly one
-    // copy, as the final line, so the driver's bounded tail always holds it
-    // complete (printing it twice would push the first copy past the
-    // 2000-char window and a head-truncated copy is what broke r03).
-    System.err.println(s"[bench] ${line.length} chars: $line")
+    def lineOf(blocks: Seq[String]): String =
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs$failedPart,"stages":${blocks.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+    val fullLine = lineOf(Seq(calibFrag, scale10Frag, interpFrag,
+      storesFrag(_ => true), atlasFrag, apFrag, fallbackFrag, coresFrag,
+      countsFrag).flatten)
+    // stdout budget: the driver keeps the final 2000 chars and sbt
+    // appends a ~75-char "[success]" line — 1880 leaves real margin.
+    // Greedy by priority: a block that does not fit is skipped (it still
+    // lives in the full artifact), later smaller blocks may still land.
+    val LineBudget = 1880
+    val included = scala.collection.mutable.ArrayBuffer[String]()
+    Seq(calibFrag, scale10Frag, interpFrag, storesFrag(StoresHeadline),
+      atlasFrag, apFrag, fallbackFrag, coresFrag, countsFrag).flatten
+      .foreach { b =>
+        if (lineOf((included :+ b).toSeq).length <= LineBudget) included += b
+      }
+    val line = lineOf(included.toSeq)
+    // The COMPLETE artifact goes beside the repo for readers who want the
+    // stores splits / calibration detail the budgeted line may drop; the
+    // stderr mirror carries it too for humans tailing the log. stdout
+    // gets exactly one copy of the budgeted line, LAST, so the driver's
+    // bounded tail always holds it complete (printing it twice would push
+    // the first copy past the 2000-char window, and a head-truncated copy
+    // is what broke r03 — and silently clipped r08).
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: " +
+        s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
+    }
+    System.err.println(s"[bench] full ${fullLine.length} chars: $fullLine")
+    System.err.println(s"[bench] stdout ${line.length} chars")
     println(line)
     spark.stop()
   }

@@ -219,7 +219,16 @@ object EmbeddingQueries extends QueryModule {
   private val LshTables = 4
   private val LshTableBits = 4
 
-  private def q41(s: SparkSession, d: String): DataFrame = {
+  /** q41's deduped multiprobe candidate set (q_id, vec_id) — split out
+    * (the nearDupCandidates discipline) so the bench's scale10 stage can
+    * publish the candidate count beside the wall. */
+  private[graft] def annLshCandidates(s: SparkSession, d: String): DataFrame =
+    q41Split(s, d)._1
+
+  private def q41(s: SparkSession, d: String): DataFrame =
+    q41Split(s, d)._2
+
+  private def q41Split(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     // bits per table rides the same density knob as the near-dup family —
     // candidates/bucket ≈ n/2^bits per table, so a denser corpus raises it
     // (the scale10 stage runs 8). Set at JVM launch
@@ -272,7 +281,7 @@ object EmbeddingQueries extends QueryModule {
       col("vec_id").as("q_id"), col("pv").as("q_pv"), col("nrm").as("q_nrm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_n").desc, col("vec_id"))
-    cand
+    val out = cand
       .join(broadcast(qPay), Seq("q_id"))
       .join(payload(raw), Seq("vec_id"))
       .withColumn("cos_n",
@@ -281,6 +290,7 @@ object EmbeddingQueries extends QueryModule {
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("cos_n"))
       .orderBy("q_id", "rank")
+    (cand, out)
   }
 
   private val q41Sql = {
@@ -754,6 +764,16 @@ object EmbeddingQueries extends QueryModule {
     * checkpoint whose blocks were unpersisted cannot be recomputed). */
   private[graft] def invalidateSessionMemos(s: SparkSession): Unit =
     mmrShortMemo.invalidate(s)
+
+  /** Attribution frames for the bench's scale10 stage (the q43cand/q43out
+    * discipline extended to the whole rehearsal family): q41's deduped
+    * multiprobe candidates, q43's LSH candidate pairs, q67's thresholded
+    * near-dup edge set (the CC input — its candidate tier is q43's). */
+  private[graft] val scale10Candidates
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_ann_lsh" -> (annLshCandidates(_, _)),
+    "q43_embedding_neardup" -> (nearDupCandidates(_, _)),
+    "q67_semantic_clusters" -> (nearDupPairs(_, _)))
 
   private def q113(s: SparkSession, d: String): DataFrame = {
     val short = mmrShortMemo.getOrElseUpdate(s, d) {

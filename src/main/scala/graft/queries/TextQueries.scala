@@ -618,16 +618,25 @@ object TextQueries extends QueryModule {
   // shingle arrays, and each surviving pair decodes its payloads once.
   private val JaccardBands = 32
 
-  private def q36(s: SparkSession, d: String): DataFrame = {
-    // the shingle projection runs BELOW the repartition: the exchange is
-    // then the common subtree all four consumers (band l/r, payload d1/d2)
-    // reuse, so the corpus is shingled+hashed ONCE and its shuffle files
-    // are re-read — projecting above the exchange instead recomputes the
-    // projection per consumer (4 full-corpus hash passes, observed), and
-    // shuffles raw text rather than the smaller packed hashes
-    val base = docs(s, d)
+  /** q36's shared shingled+hashed base — the shingle projection runs
+    * BELOW the repartition: the exchange is then the common subtree all
+    * four consumers (band l/r, payload d1/d2) reuse, so the corpus is
+    * shingled+hashed ONCE and its shuffle files are re-read — projecting
+    * above the exchange instead recomputes the projection per consumer
+    * (4 full-corpus hash passes, observed), and shuffles raw text rather
+    * than the smaller packed hashes. */
+  private def jaccardBase(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
       .select(col("doc_id"), col("source"), T.shingleHashesPacked(2)(col("text")).as("gs"))
       .repartition(col("doc_id"))
+
+  /** q36's deduped LSH candidate pairs (src_cand, d1, d2), BEFORE the
+    * exact packed-Jaccard scoring — built FROM the shared base so the
+    * registered query and the bench's scale10 count probe can never
+    * bucket differently (the nearDupCandidates discipline: candidate and
+    * survivor counts attribute any superlinear scale10 wall from the
+    * artifact alone). */
+  private def jaccardCandFrom(base: DataFrame): DataFrame = {
     val bands = base
       .withColumn("sigs", T.minhashSigsPackedK(JaccardBands)(col("gs")))
       .select(col("doc_id"), col("source"),
@@ -637,10 +646,18 @@ object TextQueries extends QueryModule {
       .select(col("doc_id"), col("source"), col("bk.band"), col("bk.key"))
     val l = bands.select(col("band"), col("key"), col("source"), col("doc_id").as("d1"))
     val r = bands.select(col("band"), col("key"), col("source"), col("doc_id").as("d2"))
-    val cand = l.join(r, Seq("band", "key", "source"))
+    l.join(r, Seq("band", "key", "source"))
       .filter(col("d1") < col("d2"))
       .select(col("source").as("src_cand"), col("d1"), col("d2"))
       .distinct()
+  }
+
+  private[graft] def jaccardCandidates(s: SparkSession, d: String): DataFrame =
+    jaccardCandFrom(jaccardBase(s, d))
+
+  private def q36(s: SparkSession, d: String): DataFrame = {
+    val base = jaccardBase(s, d)
+    val cand = jaccardCandFrom(base)
     // the payloads keep ALL of base's columns and the output `source`
     // comes from the d1 payload (identical value — the pair is same-source
     // by the band join): pruning `source` out of the payload branch would
@@ -1174,34 +1191,50 @@ object TextQueries extends QueryModule {
   // window runs over 20 pre-sorted rows).
   private val RrfK0 = 60
 
-  private def q102(s: SparkSession, d: String): DataFrame = {
-    val bm = q65(s, d).select(col("doc_id"), col("rnk").as("bm25_rnk"))
+  /** q102's cosine-arm inputs: (weights, qw) — the uncapped two-tier df
+    * join (the query terms are deliberately common; dropping them would
+    * rank nothing — see q97's joinDfreq) and the query pseudo-doc
+    * (tf = 1 per term → qu = µ(idf)).
+    *
+    * Norms/dots downstream widen to decimal(38,0) BEFORE the multiply:
+    * without q97's df cap, a stopword-grade term in a long document can
+    * push u past ~3e9, where u·u overflows a Long (ANSI abort in Spark;
+    * silent HUGEINT promotion in DuckDB — the engines would diverge
+    * exactly when it matters). Decimal sums are exact integers, and the
+    * final decimal→double casts are correctly rounded in both engines, so
+    * the µ-rounded cosine stays engine-exact. */
+  private def hybridPieces(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val tf = forwardIndex(s, d)
     val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
-    // two-tier df join, no cap (the query terms are deliberately common;
-    // dropping them would rank nothing) — see q97's joinDfreq
     val weights = joinDfreq(tf, dfreq, nDocs, None)
       .select(col("doc_id"), col("w"),
         FP.micro(col("tf") * log(col("n_docs") / col("dfreq"))).as("u"))
-    // Norms/dots widen to decimal(38,0) BEFORE the multiply: without q97's
-    // df cap, a stopword-grade term in a long document can push u past
-    // ~3e9, where u·u overflows a Long (ANSI abort in Spark; silent
-    // HUGEINT promotion in DuckDB — the engines would diverge exactly when
-    // it matters). Decimal sums are exact integers, and the final
-    // decimal→double casts are correctly rounded in both engines, so the
-    // µ-rounded cosine stays engine-exact.
-    val norms = weights.groupBy(col("doc_id"))
-      .agg(sum(col("u").cast("decimal(38,0)") * col("u")).as("nrm2"))
-    // the query as a pseudo-doc: tf = 1 per term → qu = µ(idf)
     val qw = dfreq.filter(col("w").isInCollection(BmTerms))
       .crossJoin(broadcast(nDocs))
       .select(col("w"),
         FP.micro(log(col("n_docs") / col("dfreq"))).as("qu"))
-    val qn = qw.agg(sum(col("qu").cast("decimal(38,0)") * col("qu")).as("qn2"))
-    val dots = weights.join(broadcast(qw), Seq("w"))
+    (weights, qw)
+  }
+
+  /** q102's cosine-arm scored docs (doc_id, dot) — every document sharing
+    * at least one query term, BEFORE the top-50 cut: the frame whose row
+    * count attributes the hybrid arm's scale10 wall (the
+    * nearDupCandidates discipline). */
+  private[graft] def hybridCosDots(s: SparkSession, d: String): DataFrame = {
+    val (weights, qw) = hybridPieces(s, d)
+    weights.join(broadcast(qw), Seq("w"))
       .groupBy(col("doc_id"))
       .agg(sum(col("qu").cast("decimal(38,0)") * col("u")).as("dot"))
+  }
+
+  private def q102(s: SparkSession, d: String): DataFrame = {
+    val bm = q65(s, d).select(col("doc_id"), col("rnk").as("bm25_rnk"))
+    val (weights, qw) = hybridPieces(s, d)
+    val norms = weights.groupBy(col("doc_id"))
+      .agg(sum(col("u").cast("decimal(38,0)") * col("u")).as("nrm2"))
+    val qn = qw.agg(sum(col("qu").cast("decimal(38,0)") * col("qu")).as("qn2"))
+    val dots = hybridCosDots(s, d)
     val cosd = dots.join(norms, Seq("doc_id")).crossJoin(broadcast(qn))
       .withColumn("cos_u", FP.micro(col("dot").cast("double") /
         (sqrt(col("qn2").cast("double")) * sqrt(col("nrm2").cast("double")))))
@@ -2154,7 +2187,21 @@ object TextQueries extends QueryModule {
     // and result parity on the registered queries).
     s.conf.get("spark.graft.termStore", "").split("=", 2) match {
       case Array(dir, table) if dir == d && s.catalog.tableExists(table) =>
-        graft.sources.TermStore.loadBucketed(s, table)
+        // persisted ONCE per (session, store): the sparse arms reference
+        // the index from several consumer subtrees (dfreq, probes, norms,
+        // dots), and without the persist each subtree re-scans the
+        // bucketed parquet — measured 1.9× the COLD path end-to-end at
+        // sf0.1 even though the store scan alone is 6.6× cheaper than the
+        // rebuild (the cold path's checkpoint is RAM-resident; the store
+        // path was not). The persist keeps the store's clustering
+        // semantics (values and bucket layout are unchanged) and, unlike
+        // the cold branch's localCheckpoint, stays recomputable: a
+        // wholesale unpersist (Bench's cold stages) just re-caches from
+        // the scan on next use, so this memo needs no invalidation hook.
+        // Same stable-key contract as every store conf: a (dir, table)
+        // pair names immutable data for the session's lifetime.
+        storeMemo.getOrElseUpdate(s, s"$dir=$table")(
+          graft.sources.TermStore.loadBucketed(s, table).persist())
       case _ =>
         // memoized per (session, corpus): q97 and q102 are separate
         // registered queries over the SAME index — without the memo each
@@ -2170,6 +2217,10 @@ object TextQueries extends QueryModule {
 
   private val fwdMemo = new SessionMemo[DataFrame]
 
+  /** One persisted read of an at-rest TermStore per (session, store) —
+    * see the store branch of [[forwardIndex]]. */
+  private val storeMemo = new SessionMemo[DataFrame]
+
   /** Measurement access to [[forwardIndex]] for the bench's stores-stage
     * split (store scan vs in-session rebuild) — the probe must time the
     * REAL build (tokenize → shuffle by doc_id → checkpoint), not a
@@ -2184,6 +2235,21 @@ object TextQueries extends QueryModule {
     * dead frame forever. */
   private[graft] def invalidateSessionMemos(s: SparkSession): Unit =
     fwdMemo.invalidate(s)
+
+  /** Attribution frames for the bench's scale10 stage — one per text
+    * member of the rehearsal family, each the intermediate whose row
+    * count explains the query's wall (the q43cand/q43out discipline
+    * extended to the whole family): q36's deduped LSH candidates, q38's
+    * thresholded MinHash edge set (the CC loop's input), q97's scored
+    * probe×doc dots, q102's cosine-arm scored docs. Counted ONCE per
+    * bench run, published beside the walls so a superlinear ratio is
+    * attributable from the artifact alone. */
+  private[graft] val scale10Candidates
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_ngram_jaccard" -> (jaccardCandidates(_, _)),
+    "q38_dedup_clusters" -> (minhashPairs(_, _)),
+    "q97_sparse_cosine" -> (sparseDots(_, _)),
+    "q102_hybrid_rank" -> (hybridCosDots(_, _)))
 
   /** Default head threshold of [[joinDfreq]]: a term in more than this
     * percent of documents is "head". */
@@ -2234,30 +2300,45 @@ object TextQueries extends QueryModule {
       .unionByName(tf.join(tail, Seq("w")))
   }
 
-  private def q97(s: SparkSession, d: String): DataFrame = {
+  /** q97's per-(doc, term) TF-IDF weights — the two-tier df join (see
+    * joinDfreq): head terms broadcast (bounded), tail terms shuffle
+    * skew-free — never a vocab-scale broadcast, never a
+    * stopword-collapsed term shuffle; the cap rides the dfreq side. */
+  private def sparseWeights(s: SparkSession, d: String): DataFrame = {
     val tf = forwardIndex(s, d)
     val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
-    // two-tier df join (see joinDfreq): head terms broadcast (bounded),
-    // tail terms shuffle skew-free — never a vocab-scale broadcast, never
-    // a stopword-collapsed term shuffle; the cap rides the dfreq side.
-    val weights = joinDfreq(tf, dfreq, nDocs, Some(SparseDfCapPct))
+    joinDfreq(tf, dfreq, nDocs, Some(SparseDfCapPct))
       .select(col("doc_id"), col("w"),
         FP.micro(col("tf") * log(col("n_docs") / col("dfreq"))).as("u"))
-    val norms = weights.groupBy(col("doc_id"))
-      .agg(sum(col("u") * col("u")).as("nrm2_u"))
+  }
+
+  /** q97's scored (q_id, doc_id) candidate dots BEFORE the top-k rank —
+    * the frame whose row count IS the sparse arm's join fan-out, split
+    * out so the bench's scale10 stage publishes it beside the wall (the
+    * nearDupCandidates discipline).
+    *
+    * Probes BROADCAST (the q40 shape): the corpus posting list is never
+    * shuffled by term — a term key space this small (31 here; stopword
+    * vocabularies generally) would collapse a shuffle join onto a handful
+    * of reducers. With the bounded probe side replicated, the join is
+    * map-side and the only exchange is the (q_id, doc_id) partial-agg,
+    * already collapsed by map-side combine. */
+  private[graft] def sparseDots(s: SparkSession, d: String): DataFrame = {
+    val weights = sparseWeights(s, d)
     val probes = weights.filter(sparseProbePred(col("doc_id")))
       .select(col("doc_id").as("q_id"), col("w"), col("u").as("qu"))
-    // Probes BROADCAST (the q40 shape): the corpus posting list is never
-    // shuffled by term — a term key space this small (31 here; stopword
-    // vocabularies generally) would collapse a shuffle join onto a handful
-    // of reducers. With the bounded probe side replicated, the join is
-    // map-side and the only exchange is the (q_id, doc_id) partial-agg,
-    // already collapsed by map-side combine.
-    val dots = weights.join(broadcast(probes), Seq("w"))
+    weights.join(broadcast(probes), Seq("w"))
       .filter(col("doc_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("qu") * col("u")).as("dot_u"))
+  }
+
+  private def q97(s: SparkSession, d: String): DataFrame = {
+    val weights = sparseWeights(s, d)
+    val norms = weights.groupBy(col("doc_id"))
+      .agg(sum(col("u") * col("u")).as("nrm2_u"))
+    val dots = sparseDots(s, d)
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_u").desc, col("doc_id"))
     // probe norms broadcast explicitly: bounded by the probe subset at any
