@@ -775,8 +775,12 @@ object EmbeddingQueries extends QueryModule {
     "q43_embedding_neardup" -> (nearDupCandidates(_, _)),
     "q67_semantic_clusters" -> (nearDupPairs(_, _)))
 
-  private def q113(s: SparkSession, d: String): DataFrame = {
-    val short = mmrShortMemo.getOrElseUpdate(s, d) {
+  /** The verified relevance shortlist (top-`n` per probe by nano-cosine,
+    * with packed payloads), checkpointed once per (session, corpus, n) —
+    * shared by q113's unrolled stages and q119's in-row kernel; see the
+    * scale-shape note above. */
+  private def mmrShortlist(s: SparkSession, d: String, n: Int): DataFrame =
+    mmrShortMemo.getOrElseUpdate(s, s"$d#short$n") {
       val b = base(s, d)
       val probes = b.filter(probePred(col("vec_id"))).select(
         col("vec_id").as("q_id"), col("pv").as("q_pv"), col("nrm").as("q_nrm"))
@@ -789,9 +793,12 @@ object EmbeddingQueries extends QueryModule {
         .select(col("q_id"), col("vec_id").as("n_id"), col("rel_n"),
           col("pv"), col("nrm"))
         .withColumn("srank", row_number().over(ws))
-        .filter(col("srank") <= MmrShort)
+        .filter(col("srank") <= n)
         .localCheckpoint()
     }
+
+  private def q113(s: SparkSession, d: String): DataFrame = {
+    val short = mmrShortlist(s, d, MmrShort)
     def simN(apv: Column, anrm: Column, bpv: Column, bnrm: Column): Column =
       FP.nano(V.dotPacked(apv, bpv) / (anrm * bnrm))
     // selected frames are one row per probe (probe workload is FIXED —
@@ -897,6 +904,151 @@ object EmbeddingQueries extends QueryModule {
        |SELECT q_id, CAST(4 AS BIGINT), n_id, score FROM s4
        |ORDER BY 1, 2""".stripMargin
   }
+
+  // ---- q119: MMR at K=8 via the grouped IN-ROW kernel --------------------
+  // q113's unrolled dataframe stages double their plan subtree per step —
+  // workable to K≈4, conceded unusable past K≈8 (SCALING.md). This is the
+  // production form for larger K: the per-probe shortlist is packed into
+  // ONE row (collect_list — bounded by construction: shortN rows × ~530 B
+  // per probe, whatever the corpus size) and the whole greedy trajectory
+  // runs inside a single kernel invocation (the interp-kernel
+  // discipline: plan size O(1) in K, one exchange on q_id — ~40 groups —
+  // total). Arithmetic is IDENTICAL to the unrolled form: the same
+  // left-to-right packed dot, the same nano rounding, the same integer
+  // score = rel_n·7 − maxSim·3 with (score desc, n_id) tie-break — so
+  // kernel ≡ unrolled is assertable bit-for-bit (MmrSpec pins K=4
+  // equality against q113) and the K=8 trajectory is oracle-verified by
+  // the generated 8-stage unrolled SQL below. The kernel sorts its
+  // collected items by (rel_n desc, n_id) FIRST: collect_list order is
+  // partition-dependent, and determinism must come from the kernel, not
+  // the shuffle.
+  private val MmrKernShort = 16
+  private val MmrKernK = 8
+
+  /** Greedy MMR over a collect_list-packed shortlist, K steps in-row.
+    * `short` must carry (q_id, n_id, rel_n, pv, nrm) — the
+    * [[mmrShortlist]] shape. */
+  private[graft] def mmrKernel(short: DataFrame, k: Int): DataFrame = {
+    val kern = udf((items: Seq[(Long, Long, Array[Byte], Double)]) => {
+      // deterministic candidate order regardless of arrival order
+      val cand = items.sortBy { case (id, rel, _, _) => (-rel, id) }.toArray
+      val n = cand.length
+      def simN(a: Int, b: Int): Long = {
+        val (_, _, pa, na) = cand(a)
+        val (_, _, pb, nb) = cand(b)
+        val ba = java.nio.ByteBuffer.wrap(pa)
+        val bb = java.nio.ByteBuffer.wrap(pb)
+        var acc = 0.0
+        var i = 0
+        val m = pa.length / 8
+        while (i < m) { acc += ba.getDouble(8 * i) * bb.getDouble(8 * i); i += 1 }
+        FP.roundHalfAway(acc / (na * nb) * 1e9)
+      }
+      val isSel = new Array[Boolean](n)
+      // max sim against the selected set so far, maintained incrementally
+      // (the unrolled form's greatest(...) without re-scanning selected)
+      val maxSim = new Array[Long](n)
+      java.util.Arrays.fill(maxSim, Long.MinValue)
+      val out = Seq.newBuilder[(Long, Long, Long)]
+      var t = 0
+      val steps = math.min(k, n)
+      while (t < steps) {
+        var best = -1
+        var bestScore = Long.MinValue
+        var bestId = Long.MaxValue
+        var i = 0
+        while (i < n) {
+          if (!isSel(i)) {
+            val rel = cand(i)._2
+            val sc =
+              if (t == 0) rel * MmrRelW
+              else rel * MmrRelW - maxSim(i) * MmrDivW
+            if (sc > bestScore || (sc == bestScore && cand(i)._1 < bestId)) {
+              best = i; bestScore = sc; bestId = cand(i)._1
+            }
+          }
+          i += 1
+        }
+        isSel(best) = true
+        out += (((t + 1).toLong, cand(best)._1, bestScore))
+        var j = 0
+        while (j < n) {
+          if (!isSel(j)) {
+            val sn = simN(j, best)
+            if (sn > maxSim(j)) maxSim(j) = sn
+          }
+          j += 1
+        }
+        t += 1
+      }
+      out.result()
+    })
+    short.groupBy(col("q_id"))
+      .agg(collect_list(struct(col("n_id"), col("rel_n"), col("pv"),
+        col("nrm"))).as("cands"))
+      .select(col("q_id"), explode(kern(col("cands"))).as("sel"))
+      .select(col("q_id"), col("sel._1").as("mmr_rank"),
+        col("sel._2").as("n_id"), col("sel._3").as("score"))
+      .orderBy("q_id", "mmr_rank")
+  }
+
+  private def q119(s: SparkSession, d: String): DataFrame =
+    mmrKernel(mmrShortlist(s, d, MmrKernShort), MmrKernK)
+
+  /** Spec access to the shortlist builder: MmrSpec asserts
+    * kernel(short-8, K=4) ≡ the unrolled q113 bit-for-bit. */
+  private[graft] def mmrShortlistProbe(s: SparkSession, d: String, n: Int): DataFrame =
+    mmrShortlist(s, d, n)
+
+  /** Generated unrolled MMR oracle: K greedy stages over a top-`shortN`
+    * shortlist, pairwise sims factored into ONE `sims` CTE (so stage t
+    * joins t−1 selected CTEs and t−1 sim rows instead of recomputing the
+    * 64-dim dot per stage) — the q113 oracle generalized to any K. */
+  private def mmrUnrolledSql(k: Int, shortN: Int): String = {
+    val sim = FP.sqlNano(
+      s"${V.sqlDot("a.emb", "b.emb", Dim)} / (a.nrm * b.nrm)")
+    val stages = (2 to k).map { t =>
+      val joins = (1 until t).map(j =>
+        s"  JOIN s$j e$j ON e$j.q_id = s.q_id AND s.n_id <> e$j.n_id\n" +
+          s"  JOIN sims x$j ON x$j.q_id = s.q_id AND x$j.i = s.n_id AND x$j.j = e$j.n_id")
+        .mkString("\n")
+      val g =
+        if (t == 2) "x1.s"
+        else (1 until t).map(j => s"x$j.s").mkString("greatest(", ", ", ")")
+      val score = s"s.rel_n * $MmrRelW - $g * $MmrDivW"
+      s"""c$t AS (
+         |  SELECT s.q_id, s.n_id, $score AS score,
+         |    row_number() OVER (PARTITION BY s.q_id
+         |      ORDER BY $score DESC, s.n_id) AS r
+         |  FROM sh s
+         |$joins),
+         |s$t AS (SELECT q_id, n_id, score FROM c$t WHERE r = 1)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to k).map(t =>
+      s"SELECT q_id, CAST($t AS BIGINT) AS mmr_rank, n_id, score FROM s$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH b AS ($sqlBase),
+       |p AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+       |      FROM b WHERE ${sqlProbePred("vec_id")}),
+       |sc AS (
+       |  SELECT p.q_id, b.vec_id AS n_id, b.embedding AS emb, b.nrm,
+       |    ${FP.sqlNano(s"${V.sqlDot("p.q_emb", "b.embedding", Dim)} / (p.q_nrm * b.nrm)")} AS rel_n
+       |  FROM b CROSS JOIN p WHERE b.vec_id <> p.q_id),
+       |sh AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY rel_n DESC, n_id) AS srank
+       |  FROM sc QUALIFY srank <= $shortN),
+       |sims AS (
+       |  SELECT a.q_id, a.n_id AS i, b.n_id AS j, $sim AS s
+       |  FROM sh a JOIN sh b ON b.q_id = a.q_id AND b.n_id <> a.n_id),
+       |s1 AS (SELECT q_id, n_id, rel_n * $MmrRelW AS score
+       |       FROM sh WHERE srank = 1),
+       |$stages
+       |$unions
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  private val q119Sql = mmrUnrolledSql(MmrKernK, MmrKernShort)
 
   // ---- q45: IVF with TRAINED coarse cells (deterministic k-means) --------
   // q44's "future work" closed: instead of borrowing the label column as
@@ -1520,6 +1672,7 @@ object EmbeddingQueries extends QueryModule {
     "q44_ann_ivf" -> QueryDef(q44, Some(q44Sql)),
     "q111_filtered_ann" -> QueryDef(q111, Some(q111Sql)),
     "q113_mmr_rerank" -> QueryDef(q113, Some(q113Sql)),
+    "q119_mmr_kernel" -> QueryDef(q119, Some(q119Sql)),
     "q45_ann_ivf_kmeans" ->
       QueryDef(q45, Some(FixtureOracle.sql("q45_ann_ivf_kmeans"))),
     "q46_quantized_knn" -> QueryDef(q46, Some(q46Sql)))

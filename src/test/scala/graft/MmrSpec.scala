@@ -80,6 +80,40 @@ class MmrSpec extends SparkSuite {
     assert(bad == 0, s"$bad probes violate the 4-distinct-ranks contract")
   }
 
+  test("the in-row kernel at K=4 over the same shortlist equals the unrolled q113 bit-for-bit") {
+    // The two MMR forms must be the SAME function: identical packed dot,
+    // identical nano rounding, identical integer score and tie-break —
+    // so the kernel (the K≥8 production form, q119) is pinned against
+    // the fully oracle-verified unrolled trajectory at the one K where
+    // both exist. Row-for-row equality including scores, not just sets.
+    val kern = queries.EmbeddingQueries.mmrKernel(
+      queries.EmbeddingQueries.mmrShortlistProbe(spark, d, 8), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    val unrolled = mmr
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(kern == unrolled,
+      "kernel MMR must walk the identical greedy trajectory as the unrolled form")
+    assert(unrolled.nonEmpty)
+  }
+
+  test("q119 (K=8 kernel): 8 distinct neighbors per probe, rank 1 is the relevance winner") {
+    val k8 = SparkEntry.queries("q119_mmr_kernel")(spark, d)
+    val bad = k8.groupBy("q_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("n_id")).as("nd"),
+        min(col("mmr_rank")).as("mn"), max(col("mmr_rank")).as("mx"))
+      .filter(col("n") =!= 8 || col("nd") =!= 8 ||
+        col("mn") =!= 1 || col("mx") =!= 8)
+      .count()
+    assert(bad == 0, s"$bad probes violate the 8-distinct-ranks contract")
+    val top1 = plain.filter(col("rank") === 1).select(col("q_id"), col("n_id"))
+    val mismatched = k8.filter(col("mmr_rank") === 1)
+      .select(col("q_id"), col("n_id")).exceptAll(top1).count()
+    assert(mismatched == 0,
+      s"$mismatched probes' K=8 rank 1 differs from the relevance winner")
+  }
+
   test("the unrolled stages read the checkpointed shortlist: no parquet scan in the final plan") {
     val df = mmr
     df.count() // let AQE finalize the plan
