@@ -1072,6 +1072,11 @@ object EmbeddingQueries extends QueryModule {
     val model = memoModel(d, "ivf")(
       KMeans.fit(corpus, "vec_id", "embedding", Dim, KCells, KmIters))
     graft.sources.VecStore.savePartitioned(corpus, model, path)
+    // PQ sidecar beside the vectors (VERDICT r8 task 5): q78's verified
+    // construction — the one-ingest cost that lets every later session
+    // search 8 B codes without re-encoding or re-fitting
+    val (coarse, books, codes) = ivfPqBuild(s, d)
+    graft.sources.VecStore.savePqSidecar(s, codes, coarse, books, path)
   }
 
   private def q45(s: SparkSession, d: String): DataFrame = {
@@ -1352,7 +1357,12 @@ object EmbeddingQueries extends QueryModule {
   private val IvfPqCells = 8
   private val IvfPqNProbe = 4
 
-  private def q78(s: SparkSession, d: String): DataFrame = {
+  /** THE IVF-PQ construction — (coarse quantizer, residual codebooks,
+    * codes frame (vec_id, cell, code)) — shared by q78's in-query cold
+    * path and [[landVecStore]]'s sidecar landing, so at-rest codes can
+    * never drift from the verified encoding. */
+  private def ivfPqBuild(s: SparkSession, d: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]], DataFrame) = {
     val emb = vecs(s, d).select(col("vec_id"), col("embedding"))
     // coarse quantizer: fitPq with one subspace == deterministic L2 Lloyd
     val coarse = memoModel(d, "ivfpq-coarse")(
@@ -1389,7 +1399,36 @@ object EmbeddingQueries extends QueryModule {
       }
       code
     })
-    val b = resid.select(col("vec_id"), col("cell"), encode(col("resid")).as("code"))
+    (coarse, books,
+      resid.select(col("vec_id"), col("cell"), encode(col("resid")).as("code")))
+  }
+
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    val emb = vecs(s, d).select(col("vec_id"), col("embedding"))
+    // At-rest fast path (the TermStore/DocStore conf discipline): when
+    // spark.graft.vecStore points at a store carrying the PQ sidecar,
+    // the corpus-scale work — the residual+encode pass over every vector
+    // AND both quantizer trainings (fitPq scans the corpus iters times)
+    // — is read back instead of recomputed: the 8 B/row codes come off a
+    // cell-partitioned scan (pruned to probed cells like the vectors),
+    // the KB-sized model collects once per (session, store). Results are
+    // bit-identical either way (deterministic fits; doubles round-trip
+    // parquet exactly) — VecStoreSpec pins parity + plan on this
+    // registered query.
+    val stored: Option[String] =
+      s.conf.get("spark.graft.vecStore", "").split("=", 2) match {
+        case Array(dir, p) if dir == d &&
+            graft.sources.VecStore.hasPqSidecar(p) => Some(p)
+        case _ => None
+      }
+    val (coarse, books, b) = stored match {
+      case Some(p) =>
+        val (c, bks) = memoModel(d, s"ivfpq-model@$p")(
+          graft.sources.VecStore.loadPqModel(s, p))
+        (c, bks, graft.sources.VecStore.loadPqCodes(s, p)
+          .select(col("vec_id"), col("cell"), col("code")))
+      case None => ivfPqBuild(s, d)
+    }
     // probes: nProbe nearest coarse cells by L2, one packed ADC table per
     // probed cell built on q − coarse(cell)
     val probeUdf = udf((v: Seq[Float]) => {

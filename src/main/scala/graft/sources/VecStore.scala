@@ -34,4 +34,61 @@ object VecStore {
     assign(embs, model).write.mode("overwrite").partitionBy("cell").parquet(path)
 
   def load(s: SparkSession, path: String): DataFrame = s.read.parquet(path)
+
+  // ---- PQ sidecar --------------------------------------------------------
+  // The codes ARE the search-time corpus for IVF-PQ (q78): 8 B/vector vs
+  // 256 B of float32 — at 100 TB the difference between an index that
+  // fits the cluster's memory and one that doesn't. Landing them (plus
+  // the two trained quantizers) beside the vectors completes the
+  // at-rest story: a fresh session searches without re-encoding the
+  // corpus or re-running a single Lloyd iteration. Sidecar directories
+  // are underscore-prefixed so the vectors' partition discovery over
+  // the same root ignores them (Spark hides `_`/`.` children at
+  // listing), and the codes are themselves partitioned by coarse cell —
+  // the probed-cells scan prunes code FILES exactly as it prunes vector
+  // files.
+
+  /** Land the PQ sidecar: `codes` must carry (vec_id, cell: int,
+    * code: binary) — the verified IVF-PQ encoding (built by the SAME
+    * construction q78 runs in-query, so stored codes cannot drift). */
+  def savePqSidecar(s: SparkSession, codes: DataFrame,
+                    coarse: Array[Array[Double]],
+                    books: Array[Array[Array[Double]]], path: String): Unit = {
+    codes.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/_pqcodes")
+    import s.implicits._
+    // quantizer tables as rows (kind, subspace m, codeword j, vector):
+    // doubles round-trip parquet bit-exactly, so a loaded model IS the
+    // fitted one and store-path results stay bit-identical
+    val rows =
+      coarse.zipWithIndex.toSeq.map { case (c, j) => ("coarse", 0, j, c.toSeq) } ++
+        books.zipWithIndex.toSeq.flatMap { case (bk, m) =>
+          bk.zipWithIndex.toSeq.map { case (c, j) => ("book", m, j, c.toSeq) }
+        }
+    rows.toDF("kind", "m", "j", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_pqmodel")
+  }
+
+  def hasPqSidecar(path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_pqcodes"))
+
+  def loadPqCodes(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(s"$path/_pqcodes")
+
+  /** (coarse centroids, per-subspace codebooks) — a driver-held model,
+    * bounded at cells×dim + m×k×subdim doubles (KBs). */
+  def loadPqModel(s: SparkSession, path: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val rows = s.read.parquet(s"$path/_pqmodel")
+      .select("kind", "m", "j", "vec").collect()
+    val coarse = rows.filter(_.getString(0) == "coarse").sortBy(_.getInt(2))
+      .map(_.getSeq[Double](3).toArray)
+    val books = rows.filter(_.getString(0) == "book")
+      .groupBy(_.getInt(1)).toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        rs.sortBy(_.getInt(2)).map(_.getSeq[Double](3).toArray)
+      }
+      .toArray
+    (coarse, books)
+  }
 }

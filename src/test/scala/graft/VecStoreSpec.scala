@@ -68,4 +68,29 @@ class VecStoreSpec extends SparkSuite {
         s"the store scan must carry a cell partition filter surface:\n$p")
     } finally spark.conf.unset("spark.graft.vecStore")
   }
+
+  test("registered q78 reads at-rest PQ codes + quantizers instead of re-encoding") {
+    // VERDICT r8 task 5: the sidecar makes the store path skip BOTH
+    // corpus-scale stages (residual+encode map, the two fitPq trainings)
+    // — and because the fits are deterministic and doubles round-trip
+    // parquet exactly, the store path must be BIT-identical to the
+    // in-query path, pinned here on the registered query.
+    val tmp = graft.TempDirs.create("graft-vecstore-pq")
+      .resolve("store").toString
+    graft.queries.EmbeddingQueries.landVecStore(spark, d, tmp)
+    val want = SparkEntry.queries("q78_ivfpq_ann")(spark, d).collect().toSeq
+    spark.conf.set("spark.graft.vecStore", s"$d=$tmp")
+    try {
+      val df = SparkEntry.queries("q78_ivfpq_ann")(spark, d)
+      assert(df.collect().toSeq == want,
+        "q78 over the PQ sidecar must equal the in-query encode path")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("_pqcodes"),
+        s"q78 must scan the landed code sidecar:\n$p")
+      // and the q45 vector store over the same root still ignores the
+      // underscore-prefixed sidecar dirs (partition discovery unbroken)
+      assert(VecStore.load(spark, tmp).count() == embs.count(),
+        "sidecar dirs must stay invisible to the vector store's discovery")
+    } finally spark.conf.unset("spark.graft.vecStore")
+  }
 }
