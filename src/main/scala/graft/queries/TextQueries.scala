@@ -2049,9 +2049,18 @@ object TextQueries extends QueryModule {
     * deployment computes once per selection run, not once per query
     * invocation, and its aggregation is an exact integer sum, so a memo
     * hit IS the recompute. Same stable-key contract as every driver
-    * model memo: a path names immutable data. */
+    * model memo: a path names immutable data — every writer in this
+    * repo lands new corpora in fresh temp dirs (Bench's scale10/stores
+    * stages included), so no call site can rewrite a dir in place
+    * within one JVM; a process that does must call
+    * [[invalidateDriverModels]] first or be served a stale histogram. */
   private val histMemo =
     scala.collection.concurrent.TrieMap.empty[String, Array[(Long, Long)]]
+
+  /** Drop the process-lifetime driver models (the invalidate() the
+    * SessionMemo twins carry, for symmetry): for callers that re-land a
+    * corpus at a previously used path instead of a fresh dir. */
+  private[graft] def invalidateDriverModels(): Unit = histMemo.clear()
 
   private def q112(s: SparkSession, d: String): DataFrame = {
     val (_, _, _, quality) = qualityPieces

@@ -50,11 +50,19 @@ class MixManifestSpec extends SparkSuite {
       .withColumn("extra", col("reps") - expr("wq div 4"))
     val outOfRange = frac.filter(col("extra") < 0 || col("extra") > 1).count()
     assert(outOfRange == 0, s"$outOfRange docs outside floor..floor+1")
+    // anchored on the INPUT table's source list, not the output's: a
+    // w<4 source whose docs were all hash-unselected has zero output
+    // rows, so it never reaches the frac groupBy — a left join from
+    // totals with e coalesced to 0 makes that exact case flaggable
+    // instead of vacuously passing
     val totals = Tables.documents(spark, d).groupBy("source")
       .agg(count(lit(1)).as("n_total"))
-    val oneSided = frac.groupBy("source")
-      .agg(sum(col("extra")).as("e"))
-      .join(totals, Seq("source"))
+      .withColumn("wq", wq(col("source")))
+      .filter(col("wq") % 4 =!= 0)
+    val oneSided = totals
+      .join(frac.groupBy("source").agg(sum(col("extra")).as("e")),
+        Seq("source"), "left")
+      .withColumn("e", coalesce(col("e"), lit(0L)))
       .filter(col("n_total") >= 10 &&
         (col("e") === 0 || col("e") === col("n_total")))
       .collect()
