@@ -176,6 +176,25 @@ object Media {
       .toDF("doc_id", "ph_hi", "ph_lo")
   }
 
+  /** THE 4×16-bit chunk split of a 64-bit perceptual hash — shared by
+    * the batch Hamming-tolerant near-dup (q118), its bucket-summary twin
+    * (q120) and the streaming first-seen maintenance (StreamingSpec's
+    * MemoryStream replay); a second copy drifting would bucket stream-side
+    * images differently from the batch dedup and silently miss
+    * duplicates. `ph` must carry (doc_id, ph_hi, ph_lo) —
+    * [[imagePHash]]'s shape. Chunk identity `ci` is posexplode's 0-based
+    * array position: 0/1 from the low word, 2/3 from the high. By
+    * pigeonhole, Hamming distance ≤ 3 guarantees at least one identical
+    * chunk, so candidates come from a (ci, ck) equi-join — never
+    * pairwise. */
+  def phashChunks(ph: DataFrame): DataFrame =
+    ph.select(col("doc_id"), col("ph_hi"), col("ph_lo"),
+      posexplode(array(
+        col("ph_lo") % 65536L,
+        expr("shiftright(ph_lo, 16)") % 65536L,
+        col("ph_hi") % 65536L,
+        expr("shiftright(ph_hi, 16)") % 65536L)).as(Seq("ci", "ck")))
+
   /** REAL audio decoder: RIFF/WAVE PCM, parsed from the public format
     * spec — RIFF container walk (arbitrary chunk order, unknown chunks
     * skipped by their declared size), fmt validation, 16-bit little-endian
@@ -236,6 +255,51 @@ object Media {
     var i = 0
     while (i < n) { bb.putShort(sample(i).toShort); i += 1 }
     bb.array()
+  }
+
+  /** Gain-invariant audio fingerprint through the REAL WAV decoder — the
+    * audio member of the perceptual-dedup tier (q117's aHash for sound):
+    * the sample stream splits into 16 equal windows and fingerprint bit
+    * w (w < 15) is set iff window w's absolute-amplitude sum STRICTLY
+    * exceeds window w+1's — the energy-envelope shape, not the levels.
+    * Re-mastering that scales every sample by a gain factor scales all
+    * window energies together, so the comparison pattern (and the
+    * fingerprint) is invariant, while a byte-exact hash sees every
+    * re-mastered copy as unique. All arithmetic is integer (|sample|
+    * sums, strict compares), so an oracle recomputes the fingerprint
+    * exactly from generator arithmetic. Emits (doc_id, n_samples, afp);
+    * dedup keys on BOTH — n_samples separates streams the 15-bit
+    * envelope could accidentally collide. */
+  def audioFingerprint(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        val decoder = new WavDecoder // once per partition
+        iter.map { case (id, bytes) =>
+          val (_, px) = decoder.decode(bytes)
+          val n = px.length
+          val e = new Array[Long](16)
+          var w = 0
+          while (w < 16) {
+            var i = w * n / 16
+            val end = (w + 1) * n / 16
+            var s = 0L
+            while (i < end) { s += math.abs(px(i).toLong); i += 1 }
+            e(w) = s
+            w += 1
+          }
+          var fp = 0L
+          w = 0
+          while (w < 15) {
+            if (e(w) > e(w + 1)) fp |= 1L << w
+            w += 1
+          }
+          (id, n.toLong, fp)
+        }
+      }
+      .toDF("doc_id", "n_samples", "afp")
   }
 
   /** Real audio features: sample count, rate, total |amplitude|, peak. */

@@ -387,7 +387,12 @@ object StreamMultimodalQueries extends QueryModule {
   // candidates only.
   private val PHamMax = 3
 
-  private def q118(s: SparkSession, d: String): DataFrame = {
+  /** The q118/q120 fixture: per-document genuine binary PGMs where
+    * replica r of a pattern group perturbs exactly r%4 hash cells and
+    * adds a brightness offset — see the q118 note below. Shared so the
+    * batch near-dup, the bucket-summary twin and their oracles all hash
+    * the same images. */
+  private def neardupImageMedia(s: SparkSession, d: String): DataFrame = {
     val enc = udf((id: Long) => {
       val g = (id % 25).toInt
       val r = ((id / 25) % 20).toInt
@@ -408,24 +413,23 @@ object StreamMultimodalQueries extends QueryModule {
         v + delta
       })
     })
-    val media = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), enc(col("doc_id")).as("media"))
+  }
+
+  private def q118(s: SparkSession, d: String): DataFrame = {
+    val media = neardupImageMedia(s, d)
     // repartition barrier ON the hash frame (the q35 discipline): the
     // plan references ph three times (both join sides + the resolution
     // join), and without the barrier each reference re-runs the whole
     // synthesize+decode+hash subtree — measured 3 parquet scans / 3
     // decode passes; behind one exchange all three consumers reuse it
     val ph = Media.imagePHash(media).repartition(col("doc_id"))
-    // 4×16-bit chunks; positions 0/1 from the low word, 2/3 from the
-    // high (posexplode's array position is the deterministic chunk
-    // identity; the oracle's UNION branches number theirs 1..4 — the two
-    // indexings never meet, each engine only equi-joins on its own)
-    val chunks = ph.select(col("doc_id"), col("ph_hi"), col("ph_lo"),
-        posexplode(array(
-          col("ph_lo") % 65536L,
-          expr("shiftright(ph_lo, 16)") % 65536L,
-          col("ph_hi") % 65536L,
-          expr("shiftright(ph_hi, 16)") % 65536L)).as(Seq("ci", "ck")))
+    // 4×16-bit chunks — Media.phashChunks, THE shared split (q120 and
+    // the streaming first-seen maintenance bucket with it; the oracle's
+    // UNION branches number theirs 1..4 — the two indexings never meet,
+    // each engine only equi-joins on its own)
+    val chunks = Media.phashChunks(ph)
     // candidate pairs from ANY shared chunk, deduped, exact Hamming
     // gate. ONE orientation only (b < a): resolution is min(b_id) gated
     // by d0 < doc_id, so the b > a rows could never win — generating
@@ -508,7 +512,150 @@ object StreamMultimodalQueries extends QueryModule {
        |FROM ph p LEFT JOIN near n ON n.a_id = p.doc_id
        |ORDER BY 1""".stripMargin
 
+  // ---- q120: image near-dup CHUNK BUCKETS — the streaming-maintenance twin
+  // q118 answers "which images already in the corpus are near-dups";
+  // a multimodal INGEST pipeline needs the incremental question — "is
+  // this arriving image a near-dup of anything seen so far" — without
+  // rescanning the corpus. The state that answers it is exactly q101's
+  // text shape transplanted to the phash chunks: first-seen doc + count
+  // per DISTINCT 16-bit chunk bucket (min and count are
+  // order-independent monoids, so arrival order cannot change the
+  // converged table; StreamingSpec replays a batch through MemoryStream
+  // and asserts equality). An arriving image decodes, hashes, and looks
+  // up its 4 chunk buckets: any hit with first_id < its own id is a
+  // near-dup candidate to popcount-check — state is one row per distinct
+  // bucket, bounded by content diversity (≤ 4·2^16 per chunk position at
+  // ANY corpus size), never by corpus rows. This batch form is the same
+  // aggregation over the same shared constructions (Media.imagePHash →
+  // Media.phashChunks → DocStreams.bucketFirstSeen), so the gate's full
+  // SQL oracle row verifies the exact table the stream maintains.
+  private def q120(s: SparkSession, d: String): DataFrame = {
+    val chunks = Media.phashChunks(
+      Media.imagePHash(neardupImageMedia(s, d)))
+      .select(col("doc_id"), col("ci").as("band"), col("ck").as("key"))
+    graft.streaming.DocStreams.bucketFirstSeen(chunks)
+      .select(col("band").as("ci"), col("key").as("ck"),
+        col("first_id"), col("n_docs"))
+      .orderBy("ci", "ck")
+  }
+
+  // the q118 fixture CTEs through `ph`, then the chunk split with
+  // posexplode's 0-based numbering (ci is an OUTPUT column here, so —
+  // unlike q118 — the two engines' indexings MUST match)
+  private val q120Sql =
+    s"""WITH d2 AS (
+       |  SELECT doc_id, doc_id % 25 AS g, (doc_id // 25) % 20 AS r
+       |  FROM documents),
+       |cells AS (
+       |  SELECT doc_id, t,
+       |    32 * (t // 8) + 2 * (t % 8) AS p
+       |  FROM d2, range(0, 64) u(t)),
+       |vals AS (
+       |  SELECT c.doc_id, c.t,
+       |    CASE WHEN EXISTS (
+       |        SELECT 1 FROM range(0, 4) jr(j)
+       |        WHERE j < d.r % 4
+       |          AND 32 * ((((d.r * 17 + j * 29) % 64) // 8))
+       |            + 2 * (((d.r * 17 + j * 29) % 64) % 8) = c.p)
+       |      THEN 200 - (CASE WHEN (c.p + 7) * (d.g + 1) % 53 < 26
+       |                  THEN 40 ELSE 160 END)
+       |      ELSE CASE WHEN (c.p + 7) * (d.g + 1) % 53 < 26
+       |           THEN 40 ELSE 160 END
+       |    END + d.r AS v
+       |  FROM cells c JOIN d2 d ON d.doc_id = c.doc_id),
+       |m AS (SELECT doc_id, CAST(sum(v) AS BIGINT) // 64 AS mean
+       |      FROM vals GROUP BY 1),
+       |ph AS (
+       |  SELECT v.doc_id,
+       |    CAST(sum(CASE WHEN v.v > m.mean AND v.t >= 32
+       |      THEN 1::BIGINT << (v.t - 32) ELSE 0 END) AS BIGINT) AS ph_hi,
+       |    CAST(sum(CASE WHEN v.v > m.mean AND v.t < 32
+       |      THEN 1::BIGINT << v.t ELSE 0 END) AS BIGINT) AS ph_lo
+       |  FROM vals v JOIN m ON m.doc_id = v.doc_id
+       |  GROUP BY 1),
+       |chunks AS (
+       |  SELECT doc_id, CAST(0 AS INTEGER) AS ci, ph_lo % 65536 AS ck FROM ph
+       |  UNION ALL
+       |  SELECT doc_id, CAST(1 AS INTEGER), (ph_lo >> 16) % 65536 FROM ph
+       |  UNION ALL
+       |  SELECT doc_id, CAST(2 AS INTEGER), ph_hi % 65536 FROM ph
+       |  UNION ALL
+       |  SELECT doc_id, CAST(3 AS INTEGER), (ph_hi >> 16) % 65536 FROM ph)
+       |SELECT ci, ck, min(doc_id) AS first_id, count(*) AS n_docs
+       |FROM chunks GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- q121: perceptual AUDIO dedup (gain-invariant fingerprint) ---------
+  // The audio member of the multimodal dedup tier, completing q117's
+  // image case: the corpus carries the SAME recording re-mastered at
+  // different gains (levels normalization, re-encodes — the audio analog
+  // of brightness drift), and a byte-exact hash sees every copy as
+  // unique. The energy-envelope fingerprint (Media.audioFingerprint)
+  // groups them: decode through the REAL RIFF/WAVE parser, 16-window
+  // |amplitude| sums, bit per strictly-increasing adjacent pair — gain
+  // scales all windows together, so the pattern is invariant. Dedup is
+  // q30's shape on (n_samples, afp), smallest doc_id canonical, ONE
+  // hash-partitioned window (q117's single-decode-pass discipline).
+  //
+  // Fixture: genuine WAV payloads; group g = doc_id % 25 fixes the
+  // sample pattern AND the length (n = 100 + g, so groups can never
+  // collide on the dedup key), replica gain k = 1 + (doc_id div 25) % 3
+  // multiplies every sample (max |6144| — far from the int16 clamp).
+  // The oracle recomputes window energies and comparison bits from the
+  // generator's integer arithmetic — a decoder that mis-walks chunks,
+  // sign-extends wrong, or windows off-by-one cannot match.
+  //
+  // Scale shape: decode + fingerprint is the decoder-init-once narrow
+  // map; the dedup groupBy ships 16 bytes per clip — O(clips), never
+  // pairwise.
+  private def q121(s: SparkSession, d: String): DataFrame = {
+    val enc = udf((id: Long) => {
+      val g = (id % 25).toInt
+      val k = 1 + ((id / 25) % 3).toInt
+      val n = 100 + g
+      Media.encodeWav(16000,
+        i => (((i.toLong * 7 + g * 13) % 4096 - 2048) * k).toInt, n)
+    })
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), enc(col("doc_id")).as("media"))
+    val af = Media.audioFingerprint(media)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_samples"), col("afp"))
+    af.withColumn("dup_of", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("n_samples"), col("afp"), col("dup_of"),
+        (col("dup_of") < col("doc_id")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  private val q121Sql =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 25 AS g, 1 + (doc_id // 25) % 3 AS k,
+      |    100 + doc_id % 25 AS n
+      |  FROM documents),
+      |e AS (
+      |  SELECT d.doc_id, w.w,
+      |    CAST(sum(abs(((i.i * 7 + d.g * 13) % 4096 - 2048) * d.k)) AS BIGINT) AS en
+      |  FROM d, range(0, 16) w(w), range(0, 125) i(i)
+      |  WHERE i.i >= (w.w * d.n) // 16 AND i.i < ((w.w + 1) * d.n) // 16
+      |  GROUP BY 1, 2),
+      |fp AS (
+      |  SELECT a.doc_id,
+      |    CAST(sum(CASE WHEN a.en > b.en THEN 1::BIGINT << a.w ELSE 0 END)
+      |      AS BIGINT) AS afp
+      |  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+      |  GROUP BY 1),
+      |j AS (
+      |  SELECT f.doc_id, CAST(d.n AS BIGINT) AS n_samples, f.afp
+      |  FROM fp f JOIN d ON d.doc_id = f.doc_id),
+      |g2 AS (SELECT n_samples, afp, min(doc_id) AS dup_of
+      |       FROM j GROUP BY 1, 2)
+      |SELECT j.doc_id, j.n_samples, j.afp, g2.dup_of,
+      |  g2.dup_of < j.doc_id AS is_dup
+      |FROM j JOIN g2 ON g2.n_samples = j.n_samples AND g2.afp = j.afp
+      |ORDER BY 1""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "q121_audio_fingerprint_dedup" -> QueryDef(q121, Some(q121Sql)),
+    "q120_image_chunk_buckets" -> QueryDef(q120, Some(q120Sql)),
     "q118_image_neardup" -> QueryDef(q118, Some(q118Sql)),
     "q117_image_phash_dedup" -> QueryDef(q117, Some(q117Sql)),
     "q93_image_decode" -> QueryDef(q93, Some(q93Sql)),

@@ -98,4 +98,51 @@ class PHashSpec extends SparkSuite {
     assert(hashOf(0) == hashOf(1))
     assert(hashOf(0) == hashOf(39))
   }
+
+  test("q121: gain-scaled re-masters fingerprint-identical; byte hash finds none of them") {
+    val out = SparkEntry.queries("q121_audio_fingerprint_dedup")(spark, d)
+    val docs = Tables.documents(spark, d).count()
+    // the q121 fixture: pattern group g = doc_id % 25, gain k = 1 + (doc_id/25) % 3
+    val withG = out.withColumn("g", col("doc_id") % 25)
+    val split = withG.groupBy("g")
+      .agg(countDistinct(col("n_samples"), col("afp")).as("nf"))
+      .filter(col("nf") =!= 1).count()
+    assert(split == 0, s"$split pattern groups split across fingerprints " +
+      "(gain invariance broken)")
+    val merged = withG.groupBy("n_samples", "afp")
+      .agg(countDistinct(col("g")).as("ng"))
+      .filter(col("ng") =!= 1).count()
+    assert(merged == 0, s"$merged fingerprints shared by distinct patterns")
+    val dups = out.filter(col("is_dup")).count()
+    assert(dups == docs - 25, s"expected ${docs - 25} re-master dups, got $dups")
+    // the capability delta: the same WAV payloads byte-hashed are all
+    // unique — gain ×2/×3 changes every sample's bytes
+    import spark.implicits._
+    val enc = udf((id: Long) => {
+      val g = (id % 25).toInt
+      val k = 1 + ((id / 25) % 3).toInt
+      Media.encodeWav(16000,
+        i => (((i.toLong * 7 + g * 13) % 4096 - 2048) * k).toInt, 100 + g)
+    })
+    val byteHashes = Tables.documents(spark, d)
+      .select(md5(enc(col("doc_id"))).as("mh")).distinct().count()
+    // gains repeat with period 3 in doc_id/25, so only (g, k) pairs are
+    // byte-distinct: 75 payload variants cover the whole corpus
+    assert(byteHashes == 75L,
+      s"expected 75 byte-distinct payloads (25 patterns x 3 gains), got $byteHashes")
+    assert(docs - byteHashes.toLong > 0 && byteHashes > 25L,
+      "byte hashing must find fewer dups than the fingerprint")
+  }
+
+  test("gain invariance is exact arithmetic: x2 and x7 re-masters fingerprint-identically") {
+    import spark.implicits._
+    def fpOf(k: Int): (Long, Long) = {
+      val bytes = Media.encodeWav(8000,
+        i => (((i * 11 + 3) % 512 - 256) * k), 97)
+      val r = Media.audioFingerprint(Seq((1L, bytes)).toDF("doc_id", "media")).head()
+      (r.getLong(1), r.getLong(2))
+    }
+    assert(fpOf(1) == fpOf(2))
+    assert(fpOf(1) == fpOf(7))
+  }
 }

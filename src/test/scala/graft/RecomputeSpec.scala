@@ -114,4 +114,51 @@ class RecomputeSpec extends SparkSuite {
       "manifest checksums after a task failure must be bit-identical")
     assert(want.size > 10, "degenerate fixture: manifest nearly empty")
   }
+
+  test("injected task failure INSIDE a streaming micro-batch: maintained state is bit-identical to batch") {
+    // The batch cases above exercise Spark task retry under one-shot
+    // jobs; streaming state recovery is a DIFFERENT path — a failed task
+    // inside a micro-batch is retried before the state store commits,
+    // and the committed state must be as if the failure never happened.
+    // A pass-through chaos UDF kills the FIRST attempt of one task in
+    // micro-batch 1 (the q108/q101 deployment's everyday event on a big
+    // cluster); the converged manifest must equal the clean batch
+    // recompute exactly — order-independent monoid state (count, XOR)
+    // plus Spark's attempt isolation is the mechanism.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, udf}
+    implicit val sqlCtx = spark.sqlContext
+    val docsIn = (0 until 50).map(i =>
+      StreamDoc(i.toLong, s"doc $i body ${(i * 13) % 11} tail"))
+    val chaos = udf((t: String) => {
+      val tc = TaskContext.get()
+      if (tc != null && tc.attemptNumber() == 0 &&
+          !RecomputeSpec.fired.getAndSet(true))
+        throw new RuntimeException("injected executor-loss rehearsal (micro-batch)")
+      t
+    })
+    RecomputeSpec.fired.set(false)
+    val mem = MemoryStream[StreamDoc]
+    val sq = graft.streaming.DocStreams.shardManifest(
+        mem.toDF().withColumn("text", chaos(col("text"))), 16L)
+      .writeStream.format("memory").queryName("chaos_manifest")
+      .outputMode("complete")
+      .option("checkpointLocation",
+        graft.TempDirs.create("graft-ckpt-chaos").toString)
+      .start()
+    try {
+      mem.addData(docsIn.take(25))
+      sq.processAllAvailable()
+      mem.addData(docsIn.drop(25))
+      sq.processAllAvailable()
+      assert(RecomputeSpec.fired.get(), "the injected failure never fired")
+      val streamed = spark.table("chaos_manifest")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = graft.streaming.DocStreams.shardManifest(
+        docsIn.toDF(), 16L).as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        "streaming state after an in-micro-batch task failure must equal batch")
+      assert(batch.iterator.map(_._2).sum == 50L)
+    } finally sq.stop()
+  }
 }

@@ -21,6 +21,9 @@ case class EvJ(ts: Long, user_id: Long, event_type: String, event_id: Long)
 /** Document row for the streaming near-dup test. */
 case class StreamDoc(doc_id: Long, text: String)
 
+/** Image row for the streaming phash chunk-bucket test. */
+case class StreamImg(doc_id: Long, media: Array[Byte])
+
 /** Minimal profile row for the incremental-atlas test (the columns
   * [[graft.argo.Atlas.pairs]] touches). */
 case class StreamProf(LONGITUDE: Double, LATITUDE: Double, FLAG: Int,
@@ -334,6 +337,51 @@ class StreamingSpec extends SparkSuite {
       assert(batch.nonEmpty)
       // the verbatim repeats share every band bucket with doc 0
       assert(batch.exists { case (_, _, firstId, n) => firstId == 0L && n >= 12 })
+    } finally sq.stop()
+  }
+
+  test("image phash chunk buckets over MemoryStream equal the batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    // q120's state maintained incrementally: decode (the REAL PGM
+    // parser) → aHash → 4×16-bit chunk split → first-seen per bucket,
+    // all through the SAME shared constructions the batch query runs
+    // (Media.imagePHash / Media.phashChunks / DocStreams.bucketFirstSeen).
+    // Fixture: 8 distinct bimodal patterns × 5 brightness-shifted
+    // replicas — replicas hash identically (aHash invariance), so chunk
+    // buckets genuinely collide and first-seen state resolves real dups.
+    val imgs = (0 until 40).map { i =>
+      val g = i % 8
+      val delta = (i / 8) * 4 // ≤ 16: far from the 255 clamp
+      StreamImg(i.toLong, graft.multimodal.Media.encodePgm(16, 16, { p =>
+        (if ((p + 7) * (g + 1) % 53 < 26) 40 else 160) + delta
+      }))
+    }
+    def buckets(df: org.apache.spark.sql.DataFrame) =
+      DocStreams.bucketFirstSeen(
+        graft.multimodal.Media.phashChunks(
+          graft.multimodal.Media.imagePHash(df))
+          .select($"doc_id", $"ci".as("band"), $"ck".as("key")))
+    val mem = MemoryStream[StreamImg]
+    val sq = buckets(mem.toDF())
+      .writeStream.format("memory").queryName("imgchunk_stream")
+      .outputMode("complete")
+      .option("checkpointLocation",
+        graft.TempDirs.create("graft-ckpt-img").toString)
+      .start()
+    try {
+      // out of id order across batches — order independence under test
+      mem.addData(imgs.drop(20))
+      sq.processAllAvailable()
+      mem.addData(imgs.take(20))
+      sq.processAllAvailable()
+      val streamed = spark.table("imgchunk_stream")
+        .as[(Int, Long, Long, Long)].collect().toSet
+      val batch = buckets(imgs.toDF())
+        .as[(Int, Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      // every replica set shares doc 0..7's buckets: real dup structure
+      assert(batch.exists { case (_, _, firstId, n) => firstId < 8L && n >= 5 },
+        "no bucket resolved a replica group — the fixture is degenerate")
     } finally sq.stop()
   }
 
