@@ -618,6 +618,144 @@ object EmbeddingQueries extends QueryModule {
        |SELECT q_id, rank, n_id, cos_n FROM r WHERE rank <= 3
        |ORDER BY 1, 2""".stripMargin
 
+  // ---- q122: incremental vector INGEST (frozen-quantizer IVF update) -----
+  // The index-maintenance shape q110 gave dedup: new vectors arrive AFTER
+  // the index was built, and re-training the quantizer per batch is
+  // exactly what a 100 TB deployment cannot do (it re-routes the whole
+  // at-rest corpus — every cell file would re-land). The production rule,
+  // encoded here with both sides oracle-verified:
+  //  * the quantizer is FROZEN at build time: centroids are computed over
+  //    the STORED corpus only (integer nano sums — bit-reproducible), and
+  //    a delta batch 10× stranger than the store cannot move them;
+  //  * arrivals are routed BY the quantizer, not by their metadata: a
+  //    delta vector gets argmax-cosine cell against the frozen centroids
+  //    (its own label is ignored — new data has no routing rights), which
+  //    is an O(delta × cells) broadcast join, never touching the store;
+  //  * search spans store + delta as ONE index: probes pick nProbe cells
+  //    from the same frozen centroids, then scan the union — a vector
+  //    ingested this micro-batch is immediately searchable, and `src`
+  //    says which tier served each hit.
+  // Scale shape: the stored corpus is never re-shuffled by an ingest
+  // (delta assignment broadcasts ~L centroid rows against delta rows
+  // only); per-batch work is O(delta × L + probes × probed cells).
+  // IvfIngestSpec pins the semantics the gate cannot see: a planted
+  // near-identical delta vector is found at rank 1 (src = delta), and
+  // routing follows the frozen quantizer, not the arrival's label.
+  private[graft] def ivfIngestSearch(stored: DataFrame, delta: DataFrame,
+      topK: Int = 3): DataFrame = {
+    // frozen quantizer: per-label integer-nano-sum centroids, STORED only
+    // (the UDAF takes the parquet's float width; `vec` is the exact
+    // double widening of it, so the cast back is lossless)
+    val cents = stored
+      .groupBy(col("label"))
+      .agg(Aggregates.weightedArrayMeanFP(Dim)(
+        lit(1L), col("vec").cast("array<float>")).as("sums"))
+      .select(col("label"),
+        slice(col("sums"), 1, Dim).cast("array<double>").as("c_vec"))
+      .select(col("label"), col("c_vec"), V.norm(col("c_vec")).as("c_nrm"))
+    val packed = (df: DataFrame, src: String) => df.select(
+      col("label"), col("vec_id"), col("vec"),
+      V.packVec(col("vec")).as("pv"), V.norm(col("vec")).as("nrm"),
+      lit(src).as("src"))
+    val st = packed(stored, "store")
+    // arrival routing: argmax cosine against the frozen centroids; the
+    // delta row's own label is dropped on the floor
+    val wd = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("label"))
+    val dl = packed(delta, "delta").drop("label")
+      .crossJoin(broadcast(cents))
+      .withColumn("c_cos",
+        V.dotJvm(col("vec"), col("c_vec")) / (col("nrm") * col("c_nrm")))
+      .withColumn("c_rank", row_number().over(wd))
+      .filter(col("c_rank") === 1)
+      .select(col("label"), col("vec_id"), col("vec"), col("pv"),
+        col("nrm"), col("src"))
+    val idx = st.unionByName(dl).repartition(col("label"))
+    // probes route through the SAME frozen centroids (q44's shape)
+    val probes = st.filter(probePred(col("vec_id"))).select(
+      col("vec_id").as("q_id"), col("vec").as("q_vec"),
+      col("pv").as("q_pv"), col("nrm").as("q_nrm"))
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("label"))
+    val assigned = probes.crossJoin(broadcast(cents))
+      .withColumn("c_cos",
+        V.dotJvm(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("c_rank", row_number().over(wc))
+      .filter(col("c_rank") <= NProbe)
+      .select(col("label"), col("q_id"), col("q_pv"), col("q_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_n").desc, col("n_id"))
+    idx.join(assigned, Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_n",
+        FP.nano(V.dotPacked(col("q_pv"), col("pv")) / (col("q_nrm") * col("nrm"))))
+      .withColumn("n_id", col("vec_id"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos_n"), col("src"))
+      .orderBy("q_id", "rank")
+  }
+
+  // the ingest split: ids ≡ 3 (mod 5) are "the batch that arrived after
+  // the index was built" (~20%, disjoint from the probe ids ≡ 0 mod 50,
+  // so every probe is a stored row querying for possibly-new neighbors)
+  private val DeltaMod = 5
+  private val DeltaRem = 3
+
+  private def q122(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d).select(
+      col("label"), col("vec_id"),
+      col("embedding").cast("array<double>").as("vec"))
+    ivfIngestSearch(
+      all.filter(col("vec_id") % DeltaMod =!= DeltaRem),
+      all.filter(col("vec_id") % DeltaMod === DeltaRem))
+  }
+
+  private val q122Sql =
+    s"""WITH b AS ($sqlBase),
+       |bl AS (SELECT e.label, b.vec_id, b.embedding, b.nrm
+       |       FROM b JOIN embeddings e ON e.vec_id = b.vec_id),
+       |stored AS (SELECT * FROM bl WHERE vec_id % $DeltaMod <> $DeltaRem),
+       |del AS (SELECT * FROM bl WHERE vec_id % $DeltaMod = $DeltaRem),
+       |csum AS (
+       |  SELECT label, d AS dim,
+       |    sum(CAST(round(CAST(embedding[d] AS DOUBLE) * 1e9) AS BIGINT)) AS s
+       |  FROM stored, range(1, ${Dim + 1}) t(d) GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT label, list(CAST(s AS DOUBLE) ORDER BY dim) AS c_vec
+       |  FROM csum GROUP BY label),
+       |centn AS (SELECT label, c_vec, ${V.sqlNorm("c_vec", Dim)} AS c_nrm
+       |          FROM cent),
+       |da AS (
+       |  SELECT d.vec_id, d.embedding, d.nrm, c.label, row_number() OVER (
+       |    PARTITION BY d.vec_id ORDER BY
+       |      ${V.sqlDot("d.embedding", "c.c_vec", Dim)} / (d.nrm * c.c_nrm) DESC,
+       |      c.label) AS rnk
+       |  FROM del d CROSS JOIN centn c),
+       |idx AS (
+       |  SELECT label, vec_id, embedding, nrm, 'store' AS src FROM stored
+       |  UNION ALL
+       |  SELECT label, vec_id, embedding, nrm, 'delta' FROM da WHERE rnk = 1),
+       |p AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+       |      FROM stored WHERE ${sqlProbePred("vec_id")}),
+       |a AS (
+       |  SELECT p.q_id, p.q_emb, p.q_nrm, c.label, row_number() OVER (
+       |    PARTITION BY p.q_id ORDER BY
+       |      ${V.sqlDot("p.q_emb", "c.c_vec", Dim)} / (p.q_nrm * c.c_nrm) DESC,
+       |      c.label) AS c_rank
+       |  FROM p CROSS JOIN centn c),
+       |s AS (
+       |  SELECT a.q_id, i.vec_id AS n_id, i.src,
+       |    ${FP.sqlNano(s"${V.sqlDot("a.q_emb", "i.embedding", Dim)} / (a.q_nrm * i.nrm)")} AS cos_n
+       |  FROM a JOIN idx i ON i.label = a.label
+       |  WHERE a.c_rank <= $NProbe AND i.vec_id <> a.q_id),
+       |r AS (
+       |  SELECT q_id, n_id, src, cos_n, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos_n DESC, n_id) AS rank
+       |  FROM s)
+       |SELECT q_id, rank, n_id, cos_n, src FROM r WHERE rank <= 3
+       |ORDER BY 1, 2""".stripMargin
+
   // ---- q111: metadata-filtered ANN (pre-filter IVF) ----------------------
   // Vector search under a metadata predicate ("nearest ENGLISH documents")
   // — the retrieval shape every RAG / curation stack runs, with the two
@@ -1709,6 +1847,7 @@ object EmbeddingQueries extends QueryModule {
     "q43_embedding_neardup" -> QueryDef(q43, Some(q43Sql)),
     "q67_semantic_clusters" -> QueryDef(q67, Some(q67Sql)),
     "q44_ann_ivf" -> QueryDef(q44, Some(q44Sql)),
+    "q122_ivf_ingest" -> QueryDef(q122, Some(q122Sql)),
     "q111_filtered_ann" -> QueryDef(q111, Some(q111Sql)),
     "q113_mmr_rerank" -> QueryDef(q113, Some(q113Sql)),
     "q119_mmr_kernel" -> QueryDef(q119, Some(q119Sql)),

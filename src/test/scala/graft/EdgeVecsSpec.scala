@@ -51,7 +51,7 @@ class EdgeVecsSpec extends SparkSuite {
     val embQs = SparkEntry.queries.keys.toSeq.sorted.filter(n =>
       Seq("q39", "q40", "q41", "q42", "q43", "q44", "q45", "q46", "q67",
         "q69", "q78", "q87", "q99", "q106", "q107", "q111",
-        "q113", "q119").exists(n.startsWith))
+        "q113", "q119", "q122").exists(n.startsWith))
     val failures = embQs.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).count(); None }
       catch { case e: Throwable =>
