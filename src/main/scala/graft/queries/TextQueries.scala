@@ -2196,21 +2196,22 @@ object TextQueries extends QueryModule {
     // and result parity on the registered queries).
     s.conf.get("spark.graft.termStore", "").split("=", 2) match {
       case Array(dir, table) if dir == d && s.catalog.tableExists(table) =>
-        // persisted ONCE per (session, store): the sparse arms reference
-        // the index from several consumer subtrees (dfreq, probes, norms,
-        // dots), and without the persist each subtree re-scans the
-        // bucketed parquet — measured 1.9× the COLD path end-to-end at
-        // sf0.1 even though the store scan alone is 6.6× cheaper than the
-        // rebuild (the cold path's checkpoint is RAM-resident; the store
-        // path was not). The persist keeps the store's clustering
-        // semantics (values and bucket layout are unchanged) and, unlike
-        // the cold branch's localCheckpoint, stays recomputable: a
-        // wholesale unpersist (Bench's cold stages) just re-caches from
-        // the scan on next use, so this memo needs no invalidation hook.
-        // Same stable-key contract as every store conf: a (dir, table)
-        // pair names immutable data for the session's lifetime.
-        storeMemo.getOrElseUpdate(s, s"$dir=$table")(
-          graft.sources.TermStore.loadBucketed(s, table).persist())
+        // NO session materialization — each consumer subtree plans its
+        // own bucketed scan. Measured against both cache forms on the
+        // REGISTERED queries (tools/ProbeTermStore2, sf0.1): scan-only
+        // q97 min 1.78 s vs persist(table) 3.64 s, bucket-pinned persist
+        // 3.00 s, cold rebuild 2.48 s. The round-9 persist LOST to the
+        // cold rebuild because every one of the ~16 consumer references
+        // pays an InMemoryTableScan decompression of the whole columnar
+        // cache, while the plain path hands each consumer a
+        // column-PRUNED parquet scan fused into its own codegen stage
+        // (a consumer needing (doc_id, tf) reads two columns of a store
+        // orders smaller than the corpus). It is also the only form
+        // that is honest at 100 TB: zero session state, the bucket
+        // layout carries the doc_id clustering (TermStoreSpec pins
+        // exchange-free per-doc aggregation and result parity), and
+        // nothing holds references to dropped tables across a re-land.
+        graft.sources.TermStore.loadBucketed(s, table)
       case _ =>
         // memoized per (session, corpus): q97 and q102 are separate
         // registered queries over the SAME index — without the memo each
@@ -2225,10 +2226,6 @@ object TextQueries extends QueryModule {
   }
 
   private val fwdMemo = new SessionMemo[DataFrame]
-
-  /** One persisted read of an at-rest TermStore per (session, store) —
-    * see the store branch of [[forwardIndex]]. */
-  private val storeMemo = new SessionMemo[DataFrame]
 
   /** Measurement access to [[forwardIndex]] for the bench's stores-stage
     * split (store scan vs in-session rebuild) — the probe must time the

@@ -9,15 +9,21 @@ import graft.functions.{FP, TextFns => T}
 // Scratch: WHERE the q97 store-vs-cold inversion lives. The r8 split
 // showed the store SCAN is ~7x cheaper than the in-session rebuild, yet
 // the end-to-end store path lost ~1.9x even with the round-9 persist.
-// Hypothesis: the cold path's repartition(doc_id).localCheckpoint()
-// hands consumers a KNOWN hash partitioning (groupBy(doc_id) plans no
-// exchange), while persist() of the bucketed-table read caches a plan
-// compiled with autoBucketedScan's regular-file conversion (no consumer
-// needed the distribution at cache time), so the cached frame exposes
-// UNKNOWN partitioning and every doc_id aggregation re-exchanges.
-// Variants: A = persist(table-read) [current], B = persist with
+// Variants: A = persist(table-read) [the r9 form], B = persist with
 // autoBucketedScan disabled at cache time, C = repartition+checkpoint
 // over the store scan, COLD = the full in-session rebuild.
+//
+// RESOLVED (round 10): the r9 partitioning hypothesis was WRONG — this
+// probe measured 0 exchanges above groupBy(doc_id) for BOTH persist
+// forms. The real cost was the cache itself: the registered q97 plan
+// references the index from ~16 consumer subtrees and every reference
+// pays an InMemoryTableScan decompression of the whole columnar cache,
+// while the plain bucketed read gives each consumer a column-pruned
+// parquet scan fused into its own codegen stage. tools/ProbeTermStore2
+// timed the REGISTERED queries per strategy (sf0.1, local[4] minima):
+// scan-only 1.78 s < cold 2.48 s < pinned 3.00 s < persist 3.64 s.
+// Landed: the store branch of TextQueries.forwardIndex holds NO session
+// state at all.
 object ProbeTermStore {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[4]", 4).getOrCreate()
@@ -31,7 +37,11 @@ object ProbeTermStore {
     }
     spark.read.parquet(s"$d/documents.parquet").count() // warm
 
+    // teardown mirrors the Bench stores stage: a probe must not leave a
+    // /tmp corpus or a stale catalog table for the next run to collide
+    // with (saveBucketed path collision)
     val dir = graft.TempDirs.create("graft-probe-ts").toString
+    try {
     time("store land") {
       graft.sources.TermStore.saveBucketed(
         Tables.documents(spark, d), "probe_termstore",
@@ -130,7 +140,10 @@ object ProbeTermStore {
       }
     }
     planStats("cold ")
-
-    spark.stop()
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS probe_termstore")
+      graft.TempDirs.deleteRec(dir)
+      spark.stop()
+    }
   }
 }
