@@ -302,6 +302,54 @@ object Media {
       .toDF("doc_id", "n_samples", "afp")
   }
 
+  /** FINE-grained gain-invariant audio envelope for the NEAR-dup tier —
+    * [[audioFingerprint]]'s 16-window form is the exact-dedup key (q121);
+    * Hamming-tolerant matching needs more bits to bucket on, exactly as
+    * the image tier needs the 64-bit aHash rather than a 16-bit one. The
+    * sample stream splits into 64 equal windows; bit w (w < 63) is set
+    * iff window w's absolute-amplitude sum STRICTLY exceeds window
+    * w+1's. Gain-invariant for the q121 reason (a positive gain scales
+    * all window energies together). The 63 bits pack into the
+    * (ph_hi, ph_lo) layout of [[imagePHash]] ON PURPOSE: the 4×16-bit
+    * chunk split ([[phashChunks]]), the pigeonhole bound and the
+    * first-seen bucket maintenance are SHARED with the image tier —
+    * audio near-dup (q123) and its streaming twin (q124) reuse the same
+    * constructions the image pair (q118/q120) verified. */
+  def audioEnvelope64(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        val decoder = new WavDecoder // once per partition
+        iter.map { case (id, bytes) =>
+          val (_, px) = decoder.decode(bytes)
+          val n = px.length
+          val e = new Array[Long](64)
+          var w = 0
+          while (w < 64) {
+            var i = w * n / 64
+            val end = (w + 1) * n / 64
+            var s = 0L
+            while (i < end) { s += math.abs(px(i).toLong); i += 1 }
+            e(w) = s
+            w += 1
+          }
+          var hi = 0L
+          var lo = 0L
+          w = 0
+          while (w < 63) {
+            if (e(w) > e(w + 1)) {
+              if (w < 32) lo |= 1L << w else hi |= 1L << (w - 32)
+            }
+            w += 1
+          }
+          (id, n.toLong, hi, lo)
+        }
+      }
+      .toDF("doc_id", "n_samples", "ph_hi", "ph_lo")
+  }
+
   /** Real audio features: sample count, rate, total |amplitude|, peak. */
   def audioFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession

@@ -430,10 +430,18 @@ object StreamMultimodalQueries extends QueryModule {
     // UNION branches number theirs 1..4 — the two indexings never meet,
     // each engine only equi-joins on its own)
     val chunks = Media.phashChunks(ph)
-    // candidate pairs from ANY shared chunk, deduped, exact Hamming
-    // gate. ONE orientation only (b < a): resolution is min(b_id) gated
-    // by d0 < doc_id, so the b > a rows could never win — generating
-    // them would double the join output and the distinct's shuffle
+    chunkNearDup(ph, chunks)
+  }
+
+  /** Chunk-LSH near-dup resolution — THE shared tail of the perceptual
+    * tiers: the image hash (q118) and the audio envelope (q123) both
+    * arrive as a (doc_id, ph_hi, ph_lo) frame plus its 4×16-bit chunk
+    * split, and everything below that point is modality-blind.
+    * Candidate pairs from ANY shared chunk, deduped, exact Hamming gate.
+    * ONE orientation only (b < a): resolution is min(b_id) gated by
+    * d0 < doc_id, so the b > a rows could never win — generating them
+    * would double the join output and the distinct's shuffle. */
+  private def chunkNearDup(ph: DataFrame, chunks: DataFrame): DataFrame = {
     val a = chunks.select(col("ci"), col("ck"), col("doc_id").as("a_id"),
       col("ph_hi").as("a_hi"), col("ph_lo").as("a_lo"))
     val b = chunks.select(col("ci"), col("ck"), col("doc_id").as("b_id"),
@@ -653,8 +661,205 @@ object StreamMultimodalQueries extends QueryModule {
       |FROM j JOIN g2 ON g2.n_samples = j.n_samples AND g2.afp = j.afp
       |ORDER BY 1""".stripMargin
 
+  // ---- q123/q124: Hamming-tolerant AUDIO near-dup + its streaming twin --
+  // q121's energy-envelope fingerprint is EXACT-match dedup: a re-master
+  // that shifts one window comparison (resample, trim, EQ bump) flips a
+  // bit and escapes. This pair applies the image tier's discipline to
+  // audio: a FINE 64-window envelope (Media.audioEnvelope64, 63 bits in
+  // the imagePHash (ph_hi, ph_lo) layout), the SHARED 4x16-bit chunk
+  // split (Media.phashChunks — pigeonhole: Hamming <= 3 guarantees a
+  // shared chunk), candidates from a chunk equi-join, exact popcount
+  // gate, smallest-id resolution (the shared chunkNearDup tail), and the
+  // first-seen bucket maintenance for ingest (q124 = q120's shape on the
+  // same chunks).
+  //
+  // Fixture: genuine WAV payloads from a HARDCODED 25-word codebook
+  // (63-bit words, pairwise Hamming >= 19, bits {0,1,10,11,20,21} forced
+  // zero). Group g = doc_id % 25 takes codeword g; amplitudes follow the
+  // chain a(63) = 700, a(w) = a(w+1) + (bit w ? +10 : -10), four samples
+  // per window (n = 256), so window energies are exact integers and the
+  // envelope comparisons reproduce the codeword bit-for-bit. Replica
+  // r = (doc_id/25) % 20 re-masters its base: gain x(1 + r%3)
+  // (invariant, as q121 pins) AND flips exactly r%4 envelope bits by
+  // raising windows {1, 11, 21} (prefix of that list) just above their
+  // right neighbor — the forced-zero codebook bits make those sites flip
+  // EXACTLY one bit each (the left-neighbor comparison keeps its sign
+  // because bit w-1 is also forced zero). Within a group the flip sets
+  // are nested prefixes, so every replica pair sits at Hamming <= 3 and
+  // the whole group resolves to its min doc; across groups the worst
+  // pair sits at >= 19 - 6 = 13 > 3, so chance chunk collisions are
+  // popcount-killed. The oracle recomputes amplitudes, window energies
+  // and every comparison from the same integer arithmetic — a decoder
+  // that mis-windows or a chunk split that drifts cannot match.
+  //
+  // Scale shape: decode + envelope is the decoder-init-once narrow map;
+  // candidates are O(clips x 4) chunk rows equi-joined on 16-bit
+  // buckets, never pairwise; q124's state is bounded by chunk-value
+  // diversity (<= 4*2^16 rows at ANY corpus size), never corpus rows.
+  private[graft] val AudioCodebook: Array[Long] = Array(
+    0x47BF8103B2437238L, 0x53A21CE65D43E018L, 0x365DD3359CC1C090L,
+    0x0861AFC12FC713C8L, 0x6972831CDB412334L, 0x5A50A0A70E0390F0L,
+    0x1D0FE6C152CA829CL, 0x38002CE5ADCC433CL, 0x3F5BDF11C1C663E0L,
+    0x0972253924CC10E4L, 0x4FAAB4565B4A5248L, 0x7613456D7941738CL,
+    0x3C9607F0CE04026CL, 0x2852593291C0B228L, 0x18C16A8622872330L,
+    0x2891ECE3E983A130L, 0x1C1502CA0D860024L, 0x36B45E277D06E398L,
+    0x782936BA2483D2F4L, 0x59D900B50380D1BCL, 0x1E0D0DFDAECA7078L,
+    0x10BBF0251C42F250L, 0x78064D0B1F4E53C8L, 0x548C3955DC4D82F4L,
+    0x42B74DF0F4C0D1F4L)
+
+  /** Base amplitude chain for codebook word `cw` — shared by the q123
+    * fixture and PHashSpec's hand-built re-master case. */
+  private[graft] def envelopeAmps(cw: Long): Array[Int] = {
+    val a = new Array[Int](64)
+    a(63) = 700
+    var w = 62
+    while (w >= 0) {
+      a(w) = a(w + 1) + (if (((cw >> w) & 1L) == 1L) 10 else -10)
+      w -= 1
+    }
+    a
+  }
+
+  /** The q123/q124 fixture: per-document genuine WAV clips — see the
+    * block note above. Shared so the batch near-dup, the bucket twin and
+    * their oracles all fingerprint the same audio. */
+  private def neardupAudioMedia(s: SparkSession, d: String): DataFrame = {
+    val cb = AudioCodebook
+    val enc = udf((id: Long) => {
+      val g = (id % 25).toInt
+      val r = ((id / 25) % 20).toInt
+      val k = 1 + r % 3
+      val a = envelopeAmps(cb(g))
+      val sites = Array(1, 11, 21)
+      var j = 0
+      while (j < r % 4) {
+        // sites are >= 10 apart, so a(site+1) is always a BASE value
+        a(sites(j)) = a(sites(j) + 1) + 5
+        j += 1
+      }
+      Media.encodeWav(16000, i => a(i / 4) * k, 256)
+    })
+    Tables.documents(s, d)
+      .select(col("doc_id"), enc(col("doc_id")).as("media"))
+  }
+
+  private def q123(s: SparkSession, d: String): DataFrame = {
+    val media = neardupAudioMedia(s, d)
+    // same barrier as q118: the plan references the envelope three times
+    val ph = Media.audioEnvelope64(media)
+      .select(col("doc_id"), col("ph_hi"), col("ph_lo"))
+      .repartition(col("doc_id"))
+    chunkNearDup(ph, Media.phashChunks(ph))
+  }
+
+  // the amplitude/energy CTEs shared verbatim by the q123 and q124
+  // oracles: codebook -> bit -> amplitude chain (suffix sum) -> replica
+  // perturbation -> window energy (4 samples x amplitude x gain) ->
+  // envelope bits packed into (ph_hi, ph_lo)
+  private val audioEnvSqlPrefix =
+    s"""WITH cb(g, cw) AS (VALUES
+       |    (0, 5169992750120268344), (1, 6026411027107930136), (2, 3917519478098870416),
+       |    (3, 603957069309481928), (4, 7598279681288250164), (5, 6507878100905464048),
+       |    (6, 2094146069742650012), (7, 4035274631098942268), (8, 4565487914628572128),
+       |    (9, 680647421047083236), (10, 5740598958028902984), (11, 8508220457521083276),
+       |    (12, 4365685619612189292), (13, 2905482783335952936), (14, 1783824051752870704),
+       |    (15, 2923378096759611696), (16, 2023526674406440996), (17, 3941879097550365592),
+       |    (18, 8658511931700925172), (19, 6474206716769653180), (20, 2165402379045466232),
+       |    (21, 1205821367430345296), (22, 8648684844576822216), (23, 6092307436856509172),
+       |    (24, 4807396824535060980)),
+       |amp AS (
+       |  SELECT cb.g, w.w AS w,
+       |    700 + 10 * CAST(COALESCE(SUM(CASE WHEN (cb.cw >> v.v) & 1 = 1
+       |      THEN 1 ELSE -1 END), 0) AS BIGINT) AS a
+       |  FROM cb CROSS JOIN range(0, 64) w(w)
+       |  LEFT JOIN range(0, 63) v(v) ON v.v >= w.w
+       |  GROUP BY 1, 2),
+       |d2 AS (
+       |  SELECT doc_id, CAST(doc_id % 25 AS INTEGER) AS g,
+       |    CAST((doc_id // 25) % 20 AS INTEGER) AS r,
+       |    1 + CAST((doc_id // 25) % 20 % 3 AS INTEGER) AS k
+       |  FROM documents),
+       |pert AS (
+       |  SELECT d.doc_id, a1.w,
+       |    CASE WHEN a1.w = 1  AND d.r % 4 >= 1 THEN a2.a + 5
+       |         WHEN a1.w = 11 AND d.r % 4 >= 2 THEN a2.a + 5
+       |         WHEN a1.w = 21 AND d.r % 4 >= 3 THEN a2.a + 5
+       |         ELSE a1.a END * d.k * 4 AS en
+       |  FROM d2 d
+       |  JOIN amp a1 ON a1.g = d.g
+       |  LEFT JOIN amp a2 ON a2.g = d.g AND a2.w = a1.w + 1),
+       |ph AS (
+       |  SELECT p.doc_id,
+       |    CAST(sum(CASE WHEN p.en > q.en AND p.w >= 32
+       |      THEN 1::BIGINT << (p.w - 32) ELSE 0 END) AS BIGINT) AS ph_hi,
+       |    CAST(sum(CASE WHEN p.en > q.en AND p.w < 32
+       |      THEN 1::BIGINT << p.w ELSE 0 END) AS BIGINT) AS ph_lo
+       |  FROM pert p JOIN pert q ON q.doc_id = p.doc_id AND q.w = p.w + 1
+       |  GROUP BY 1)""".stripMargin
+
+  private val q123Sql =
+    s"""$audioEnvSqlPrefix,
+       |chunks AS (
+       |  SELECT doc_id, ph_hi, ph_lo, 1 AS ci, ph_lo % 65536 AS ck FROM ph
+       |  UNION ALL
+       |  SELECT doc_id, ph_hi, ph_lo, 2, (ph_lo >> 16) % 65536 FROM ph
+       |  UNION ALL
+       |  SELECT doc_id, ph_hi, ph_lo, 3, ph_hi % 65536 FROM ph
+       |  UNION ALL
+       |  SELECT doc_id, ph_hi, ph_lo, 4, (ph_hi >> 16) % 65536 FROM ph),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.ph_hi AS a_hi, a.ph_lo AS a_lo, b.ph_hi AS b_hi, b.ph_lo AS b_lo
+       |  FROM chunks a JOIN chunks b
+       |    ON a.ci = b.ci AND a.ck = b.ck AND b.doc_id < a.doc_id),
+       |near AS (
+       |  SELECT a_id, min(b_id) AS d0 FROM cand
+       |  WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo))
+       |    <= $PHamMax
+       |  GROUP BY 1)
+       |SELECT p.doc_id, p.ph_hi, p.ph_lo,
+       |  CASE WHEN n.d0 IS NOT NULL AND n.d0 < p.doc_id
+       |       THEN n.d0 ELSE p.doc_id END AS dup_of,
+       |  CASE WHEN n.d0 IS NOT NULL AND n.d0 < p.doc_id
+       |       THEN TRUE ELSE FALSE END AS is_dup
+       |FROM ph p LEFT JOIN near n ON n.a_id = p.doc_id
+       |ORDER BY 1""".stripMargin
+
+  // q124: first-seen doc + count per distinct envelope chunk bucket —
+  // q120's streaming-maintenance shape on the audio chunks (the SAME
+  // shared constructions: Media.phashChunks -> DocStreams.bucketFirstSeen;
+  // StreamingSpec replays a batch through MemoryStream and asserts
+  // equality). State <= 4*2^16 rows by value range at ANY corpus size.
+  private def q124(s: SparkSession, d: String): DataFrame = {
+    val chunks = Media.phashChunks(
+      Media.audioEnvelope64(neardupAudioMedia(s, d))
+        .select(col("doc_id"), col("ph_hi"), col("ph_lo")))
+      .select(col("doc_id"), col("ci").as("band"), col("ck").as("key"))
+    graft.streaming.DocStreams.bucketFirstSeen(chunks)
+      .select(col("band").as("ci"), col("key").as("ck"),
+        col("first_id"), col("n_docs"))
+      .orderBy("ci", "ck")
+  }
+
+  // posexplode's 0-based chunk numbering is an OUTPUT column here, so —
+  // unlike q123 — the two engines' indexings must match (the q120 rule)
+  private val q124Sql =
+    s"""$audioEnvSqlPrefix,
+       |chunks AS (
+       |  SELECT doc_id, CAST(0 AS INTEGER) AS ci, ph_lo % 65536 AS ck FROM ph
+       |  UNION ALL
+       |  SELECT doc_id, CAST(1 AS INTEGER), (ph_lo >> 16) % 65536 FROM ph
+       |  UNION ALL
+       |  SELECT doc_id, CAST(2 AS INTEGER), ph_hi % 65536 FROM ph
+       |  UNION ALL
+       |  SELECT doc_id, CAST(3 AS INTEGER), (ph_hi >> 16) % 65536 FROM ph)
+       |SELECT ci, ck, min(doc_id) AS first_id, count(*) AS n_docs
+       |FROM chunks GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
     "q121_audio_fingerprint_dedup" -> QueryDef(q121, Some(q121Sql)),
+    "q123_audio_neardup" -> QueryDef(q123, Some(q123Sql)),
+    "q124_audio_chunk_buckets" -> QueryDef(q124, Some(q124Sql)),
     "q120_image_chunk_buckets" -> QueryDef(q120, Some(q120Sql)),
     "q118_image_neardup" -> QueryDef(q118, Some(q118Sql)),
     "q117_image_phash_dedup" -> QueryDef(q117, Some(q117Sql)),

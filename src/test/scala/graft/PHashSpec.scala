@@ -134,6 +134,40 @@ class PHashSpec extends SparkSuite {
       "byte hashing must find fewer dups than the fingerprint")
   }
 
+  test("q123: a 1-bit-shifted re-master resolves to its base; exact envelope equality misses it") {
+    import spark.implicits._
+    import graft.queries.StreamMultimodalQueries.{AudioCodebook, envelopeAmps}
+    // hand-built pair: the group-0 base clip vs a re-master with window 1
+    // raised just above window 2 (the site-1 flip) AND gain x2 — the
+    // envelope moves exactly ONE bit, so exact-fingerprint equality
+    // separates them while the Hamming-tolerant tier must not
+    val base = envelopeAmps(AudioCodebook(0))
+    val shifted = base.clone(); shifted(1) = base(2) + 5
+    def wav(a: Array[Int], k: Int) = Media.encodeWav(16000, i => a(i / 4) * k, 256)
+    val fps = Media.audioEnvelope64(
+      Seq((0L, wav(base, 1)), (1L, wav(shifted, 2))).toDF("doc_id", "media"))
+      .orderBy("doc_id")
+      .select(col("ph_hi"), col("ph_lo")).as[(Long, Long)].collect()
+    assert(fps(0) != fps(1), "exact fingerprints must differ (the exact-tier miss)")
+    val ham = java.lang.Long.bitCount(fps(0)._1 ^ fps(1)._1) +
+      java.lang.Long.bitCount(fps(0)._2 ^ fps(1)._2)
+    assert(ham == 1, s"the site-1 flip must move exactly one bit, got $ham")
+    // the registered near-dup query resolves EVERY re-master (bit flips
+    // and gain together) to its group base
+    val out = SparkEntry.queries("q123_audio_neardup")(spark, d)
+    val wrong = out.filter(col("dup_of") =!= col("doc_id") % 25).count()
+    assert(wrong == 0, s"$wrong docs resolved off their group base")
+    val docs = Tables.documents(spark, d).count()
+    assert(out.filter(col("is_dup")).count() == docs - 25)
+    // the capability delta vs the exact tier, measured on the SAME
+    // output: the four nested flip prefixes per group are four DISTINCT
+    // exact fingerprints (gain never splits one — invariance), so exact
+    // dedup keeps 100 survivors where the near tier keeps 25
+    val nfp = out.select(col("ph_hi"), col("ph_lo")).distinct().count()
+    assert(nfp == 100, s"expected 25 groups x 4 flip prefixes = 100 " +
+      s"distinct exact fingerprints, got $nfp")
+  }
+
   test("gain invariance is exact arithmetic: x2 and x7 re-masters fingerprint-identically") {
     import spark.implicits._
     def fpOf(k: Int): (Long, Long) = {

@@ -385,6 +385,54 @@ class StreamingSpec extends SparkSuite {
     } finally sq.stop()
   }
 
+  test("audio envelope chunk buckets over MemoryStream equal the batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    // q124's state maintained incrementally: decode (the REAL WAV
+    // parser) → 64-window envelope → 4×16-bit chunk split → first-seen
+    // per bucket, all through the SAME shared constructions the batch
+    // query runs (Media.audioEnvelope64 / Media.phashChunks /
+    // DocStreams.bucketFirstSeen). Fixture: 8 codebook patterns × 5
+    // gain-scaled replicas — replicas fingerprint identically (gain
+    // invariance), so chunk buckets genuinely collide and first-seen
+    // state resolves real dups.
+    import graft.queries.StreamMultimodalQueries.{AudioCodebook, envelopeAmps}
+    val clips = (0 until 40).map { i =>
+      val g = i % 8
+      val k = 1 + (i / 8) % 3
+      val a = envelopeAmps(AudioCodebook(g))
+      StreamImg(i.toLong,
+        graft.multimodal.Media.encodeWav(16000, j => a(j / 4) * k, 256))
+    }
+    def buckets(df: org.apache.spark.sql.DataFrame) =
+      DocStreams.bucketFirstSeen(
+        graft.multimodal.Media.phashChunks(
+          graft.multimodal.Media.audioEnvelope64(df)
+            .select($"doc_id", $"ph_hi", $"ph_lo"))
+          .select($"doc_id", $"ci".as("band"), $"ck".as("key")))
+    val mem = MemoryStream[StreamImg]
+    val sq = buckets(mem.toDF())
+      .writeStream.format("memory").queryName("audchunk_stream")
+      .outputMode("complete")
+      .option("checkpointLocation",
+        graft.TempDirs.create("graft-ckpt-aud").toString)
+      .start()
+    try {
+      // out of id order across batches — order independence under test
+      mem.addData(clips.drop(20))
+      sq.processAllAvailable()
+      mem.addData(clips.take(20))
+      sq.processAllAvailable()
+      val streamed = spark.table("audchunk_stream")
+        .as[(Int, Long, Long, Long)].collect().toSet
+      val batch = buckets(clips.toDF())
+        .as[(Int, Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      // every replica set shares doc 0..7's buckets: real dup structure
+      assert(batch.exists { case (_, _, firstId, n) => firstId < 8L && n >= 5 },
+        "no bucket resolved a replica group — the fixture is degenerate")
+    } finally sq.stop()
+  }
+
   test("shardManifest over MemoryStream equals the batch run") {
     implicit val sqlCtx = spark.sqlContext
     // the q115/q116 manifest aggregation maintained incrementally: both
