@@ -48,9 +48,33 @@ object Media {
   final class PgmDecoder {
     /** @return (width, height, maxval, pixel bytes) */
     def decode(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
-      require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '5',
+      val (w, h, maxval, px, _) = decodeAt(bytes, 0)
+      (w, h, maxval, px)
+    }
+
+    /** Walk ALL frames of a raw PGM-sequence container (frames laid
+      * back-to-back — each P5 header declares its own extent, so the
+      * container needs no index; the y4m/raw-frames analog for an
+      * environment without video codecs, parsed by the REAL still-image
+      * parser). */
+    def decodeAll(bytes: Array[Byte]): Seq[(Int, Int, Array[Byte])] = {
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Array[Byte])]()
+      var pos = 0
+      while (pos < bytes.length) {
+        val (w, h, _, px, next) = decodeAt(bytes, pos)
+        out += ((w, h, px))
+        pos = next
+      }
+      out.toSeq
+    }
+
+    /** One frame starting at `off`; returns the raster plus the offset of
+      * the next frame. */
+    private def decodeAt(bytes: Array[Byte], off: Int)
+        : (Int, Int, Int, Array[Byte], Int) = {
+      require(bytes.length >= off + 2 && bytes(off) == 'P' && bytes(off + 1) == '5',
         "not a binary PGM (P5) payload")
-      var pos = 2
+      var pos = off + 2
       def skipWs(): Unit = {
         var done = false
         while (!done && pos < bytes.length) {
@@ -80,7 +104,9 @@ object Media {
       // would wrap the truncation check into a pass
       val nPix = w.toLong * h
       require(bytes.length >= pos + nPix, s"truncated PGM: ${bytes.length} < ${pos + nPix}")
-      (w, h, maxval, java.util.Arrays.copyOfRange(bytes, pos, pos + nPix.toInt))
+      (w, h, maxval,
+        java.util.Arrays.copyOfRange(bytes, pos, pos + nPix.toInt),
+        pos + nPix.toInt)
     }
   }
 
@@ -149,31 +175,67 @@ object Media {
         val decoder = new PgmDecoder // once per partition
         iter.map { case (id, bytes) =>
           val (w, h, _, px) = decoder.decode(bytes)
-          val cells = new Array[Int](64)
-          var sum = 0L
-          var t = 0
-          while (t < 64) {
-            val r = t / 8
-            val c = t % 8
-            val p = px((r * h / 8) * w + (c * w / 8)) & 0xff
-            cells(t) = p
-            sum += p
-            t += 1
-          }
-          val mean = sum / 64 // all cells non-negative → floor division
-          var lo = 0L
-          var hi = 0L
-          t = 0
-          while (t < 64) {
-            if (cells(t) > mean) {
-              if (t < 32) lo |= 1L << t else hi |= 1L << (t - 32)
-            }
-            t += 1
-          }
+          val (hi, lo) = aHash64(px, w, h)
           (id, hi, lo)
         }
       }
       .toDF("doc_id", "ph_hi", "ph_lo")
+  }
+
+  /** THE aHash kernel — one implementation for still images
+    * ([[imagePHash]]) and per-frame video hashing ([[videoFrameHashes]]);
+    * a second copy drifting would hash a video frame differently from
+    * the same image at rest and silently miss cross-references. */
+  private[graft] def aHash64(px: Array[Byte], w: Int, h: Int): (Long, Long) = {
+    val cells = new Array[Int](64)
+    var sum = 0L
+    var t = 0
+    while (t < 64) {
+      val r = t / 8
+      val c = t % 8
+      val p = px((r * h / 8) * w + (c * w / 8)) & 0xff
+      cells(t) = p
+      sum += p
+      t += 1
+    }
+    val mean = sum / 64 // all cells non-negative → floor division
+    var lo = 0L
+    var hi = 0L
+    t = 0
+    while (t < 64) {
+      if (cells(t) > mean) {
+        if (t < 32) lo |= 1L << t else hi |= 1L << (t - 32)
+      }
+      t += 1
+    }
+    (hi, lo)
+  }
+
+  /** Per-frame perceptual hashes of a raw PGM-sequence video container
+    * (1 media row → one row per frame), through the decoder-init-once
+    * batch shape: the REAL still-image parser walks the self-delimiting
+    * frames ([[PgmDecoder.decodeAll]]) and each raster goes through the
+    * SHARED [[aHash64]] kernel. The video member of the perceptual
+    * family: brightness drift per frame is absorbed by the hash
+    * (q117's invariance), and temporal edits (drops, trims) only
+    * remove rows — which is exactly what frame-SET matching (q125)
+    * tolerates. */
+  def videoFrameHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        val decoder = new PgmDecoder // once per partition
+        iter.flatMap { case (id, bytes) =>
+          decoder.decodeAll(bytes).iterator.zipWithIndex.map {
+            case ((w, h, px), idx) =>
+              val (hi, lo) = aHash64(px, w, h)
+              (id, idx.toLong, hi, lo)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "fh_hi", "fh_lo")
   }
 
   /** THE 4×16-bit chunk split of a 64-bit perceptual hash — shared by

@@ -856,9 +856,173 @@ object StreamMultimodalQueries extends QueryModule {
        |SELECT ci, ck, min(doc_id) AS first_id, count(*) AS n_docs
        |FROM chunks GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- q125/q126: VIDEO near-dup (frame-set matching) + its ingest twin --
+  // The video member completes the perceptual triad (image q117/q118/
+  // q120, audio q121/q123/q124). A "video" is a raw PGM-sequence
+  // container (self-delimiting frames back-to-back — the y4m/raw-frames
+  // analog for an environment without codecs), walked by the REAL
+  // still-image parser; each frame goes through the SHARED aHash kernel
+  // (Media.aHash64 — one implementation for stills and frames, so a
+  // frame can never hash differently from the same image at rest).
+  //
+  // Matching is FRAME-SET overlap, q34's n-gram-Jaccard discipline
+  // transplanted to time: the realistic video re-master edits the
+  // TIMELINE (trims, drops, re-grades) — per-frame brightness drift is
+  // absorbed by the hash, frame drops only remove rows, and two videos
+  // are near-dups when they share >= VideoShareMin exact frame hashes.
+  // Candidates come from an equi-join on the frame hash (videos sharing
+  // zero frames never pair), with q97's stopword discipline on the
+  // frame-hash document frequency: a frame in > VideoDfCapPct% of
+  // videos (intro cards, black frames — the terms whose posting lists
+  // go quadratic at corpus scale) is dropped from candidacy before the
+  // join. Resolution is the familiar smallest-id tail.
+  //
+  // Fixture: group g = doc_id % 25 owns 6 base frames (bimodal pixels
+  // keyed by multiplier g*6+f+1 modulo the prime 151 > 150, so all 150
+  // (group, frame) patterns are distinct — verified: 150 distinct
+  // hashes); replica r = (doc_id/25) % 20 drops the first r%3 frames
+  // (a head trim) and re-grades every pixel by +r. Within a group any
+  // two replicas share >= 4 frames; across groups zero. The oracle
+  // recomputes every frame hash from the generator's integer
+  // arithmetic — a parser that mis-walks the container, an aHash that
+  // drifts, or a cap that misfires cannot match.
+  //
+  // Scale shape: decode + hash is the decoder-init-once narrow map
+  // emitting O(videos x frames) 16-byte rows; the candidate join blocks
+  // on exact 64-bit frame hashes (never pairwise) and the df cap bounds
+  // any one hash's posting list; q126's maintained state is one row per
+  // DISTINCT frame hash — 16 bytes per distinct frame, orders smaller
+  // than the media bytes it indexes.
+  private val VideoShareMin = 4
+  private val VideoDfCapPct = 90
+
+  /** The q125/q126 fixture — see the block note above. */
+  private def neardupVideoMedia(s: SparkSession, d: String): DataFrame = {
+    val enc = udf((id: Long) => {
+      val g = (id % 25).toInt
+      val r = ((id / 25) % 20).toInt
+      (r % 3 until 6).map { f =>
+        Media.encodePgm(16, 16, p =>
+          (if ((p + 7) * (g * 6 + f + 1) % 151 < 76) 40 else 160) + r)
+      }.reduce(_ ++ _)
+    })
+    Tables.documents(s, d)
+      .select(col("doc_id"), enc(col("doc_id")).as("media"))
+  }
+
+  private def q125(s: SparkSession, d: String): DataFrame = {
+    // barrier (the q118 rule): the plan references the frame hashes from
+    // four subtrees (distinct set, df counts, both join sides) — behind
+    // one exchange all of them reuse a single decode+hash pass
+    val fh = Media.videoFrameHashes(neardupVideoMedia(s, d))
+      .repartition(col("doc_id"))
+    val fd = fh.select(col("doc_id"), col("fh_hi"), col("fh_lo")).distinct()
+    val nVid = fd.agg(countDistinct(col("doc_id")).as("n_vid"))
+    // frame-hash document frequency — vocabulary-sized like q97's dfreq,
+    // joined back on its own key (co-partitioned), never broadcast
+    val hdf = fd.groupBy(col("fh_hi"), col("fh_lo"))
+      .agg(count(lit(1)).as("fdf"))
+    val kept = fd.join(hdf, Seq("fh_hi", "fh_lo"))
+      .crossJoin(broadcast(nVid))
+      .filter(col("fdf") * 100 <= col("n_vid") * VideoDfCapPct)
+      .select(col("doc_id"), col("fh_hi"), col("fh_lo"))
+    val a = kept.select(col("fh_hi"), col("fh_lo"), col("doc_id").as("a_id"))
+    val b = kept.select(col("fh_hi"), col("fh_lo"), col("doc_id").as("b_id"))
+    val shared = a.join(b, Seq("fh_hi", "fh_lo"))
+      .filter(col("b_id") < col("a_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= VideoShareMin)
+    val dup0 = shared.groupBy(col("a_id")).agg(min(col("b_id")).as("d0"))
+    val nf = fd.groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+    nf.join(dup0, nf("doc_id") === dup0("a_id"), "left")
+      .withColumn("dup_of",
+        when(col("d0").isNotNull && col("d0") < col("doc_id"), col("d0"))
+          .otherwise(col("doc_id")))
+      .select(col("doc_id"), col("n_frames"), col("dup_of"),
+        (col("dup_of") < col("doc_id")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  // frame hashes recomputed from generator arithmetic: frames kept by
+  // the head trim, bimodal pixel values (+ the re-grade), per-frame
+  // integer mean, strict threshold, unsigned-32 bit packing — exactly
+  // the q118 oracle pattern per (doc, frame)
+  private val videoFhSqlPrefix =
+    s"""WITH d2 AS (
+       |  SELECT doc_id, CAST(doc_id % 25 AS INTEGER) AS g,
+       |    CAST((doc_id // 25) % 20 AS INTEGER) AS r
+       |  FROM documents),
+       |cells AS (
+       |  SELECT d.doc_id, f.f AS f, t.t AS t,
+       |    32 * (t.t // 8) + 2 * (t.t % 8) AS p
+       |  FROM d2 d, range(0, 6) f(f), range(0, 64) t(t)
+       |  WHERE f.f >= d.r % 3),
+       |vals AS (
+       |  SELECT c.doc_id, c.f, c.t,
+       |    CASE WHEN (c.p + 7) * (d.g * 6 + c.f + 1) % 151 < 76
+       |      THEN 40 ELSE 160 END + d.r AS v
+       |  FROM cells c JOIN d2 d ON d.doc_id = c.doc_id),
+       |m AS (SELECT doc_id, f, CAST(sum(v) AS BIGINT) // 64 AS mean
+       |      FROM vals GROUP BY 1, 2),
+       |fh AS (
+       |  SELECT v.doc_id, v.f,
+       |    CAST(sum(CASE WHEN v.v > m.mean AND v.t >= 32
+       |      THEN 1::BIGINT << (v.t - 32) ELSE 0 END) AS BIGINT) AS fh_hi,
+       |    CAST(sum(CASE WHEN v.v > m.mean AND v.t < 32
+       |      THEN 1::BIGINT << v.t ELSE 0 END) AS BIGINT) AS fh_lo
+       |  FROM vals v JOIN m ON m.doc_id = v.doc_id AND m.f = v.f
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private val q125Sql =
+    s"""$videoFhSqlPrefix,
+       |fd AS (SELECT DISTINCT doc_id, fh_hi, fh_lo FROM fh),
+       |nv AS (SELECT count(DISTINCT doc_id) AS n_vid FROM fd),
+       |hdf AS (SELECT fh_hi, fh_lo, count(*) AS fdf FROM fd GROUP BY 1, 2),
+       |kept AS (
+       |  SELECT fd.doc_id, fd.fh_hi, fd.fh_lo
+       |  FROM fd JOIN hdf USING (fh_hi, fh_lo) CROSS JOIN nv
+       |  WHERE hdf.fdf * 100 <= nv.n_vid * $VideoDfCapPct),
+       |sh AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+       |  FROM kept a JOIN kept b
+       |    ON a.fh_hi = b.fh_hi AND a.fh_lo = b.fh_lo AND b.doc_id < a.doc_id
+       |  GROUP BY 1, 2),
+       |near AS (SELECT a_id, min(b_id) AS d0 FROM sh
+       |         WHERE shared >= $VideoShareMin GROUP BY 1),
+       |nf AS (SELECT doc_id, count(*) AS n_frames FROM fd GROUP BY 1)
+       |SELECT nf.doc_id, nf.n_frames,
+       |  CASE WHEN n.d0 IS NOT NULL AND n.d0 < nf.doc_id
+       |       THEN n.d0 ELSE nf.doc_id END AS dup_of,
+       |  CASE WHEN n.d0 IS NOT NULL AND n.d0 < nf.doc_id
+       |       THEN TRUE ELSE FALSE END AS is_dup
+       |FROM nf LEFT JOIN near n ON n.a_id = nf.doc_id
+       |ORDER BY 1""".stripMargin
+
+  // q126: first-seen video + row count per DISTINCT frame hash — the
+  // ingest-maintenance twin (q120/q124's shape, state keyed by the full
+  // 64-bit hash): an arriving video looks up its frame hashes; >=
+  // VideoShareMin hits with first_id < its own id make it a near-dup
+  // candidate without rescanning the corpus.
+  private def q126(s: SparkSession, d: String): DataFrame = {
+    val fh = Media.videoFrameHashes(neardupVideoMedia(s, d))
+      .select(col("doc_id"), col("fh_hi").as("band"), col("fh_lo").as("key"))
+    graft.streaming.DocStreams.bucketFirstSeen(fh)
+      .select(col("band").as("fh_hi"), col("key").as("fh_lo"),
+        col("first_id"), col("n_docs"))
+      .orderBy("fh_hi", "fh_lo")
+  }
+
+  private val q126Sql =
+    s"""$videoFhSqlPrefix
+       |SELECT fh_hi, fh_lo, min(doc_id) AS first_id, count(*) AS n_docs
+       |FROM fh GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
     "q121_audio_fingerprint_dedup" -> QueryDef(q121, Some(q121Sql)),
     "q123_audio_neardup" -> QueryDef(q123, Some(q123Sql)),
+    "q125_video_neardup" -> QueryDef(q125, Some(q125Sql)),
+    "q126_video_frame_buckets" -> QueryDef(q126, Some(q126Sql)),
     "q124_audio_chunk_buckets" -> QueryDef(q124, Some(q124Sql)),
     "q120_image_chunk_buckets" -> QueryDef(q120, Some(q120Sql)),
     "q118_image_neardup" -> QueryDef(q118, Some(q118Sql)),

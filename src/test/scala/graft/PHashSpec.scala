@@ -168,6 +168,41 @@ class PHashSpec extends SparkSuite {
       s"distinct exact fingerprints, got $nfp")
   }
 
+  test("q125: head-trimmed, re-graded video re-masters resolve to their base; md5 misses all") {
+    import spark.implicits._
+    // the real multi-frame walk: a 3-frame container decodes to 3 rasters
+    val clip = (0 until 3).map(f =>
+      Media.encodePgm(16, 16, p => (p + f * 7) % 200)).reduce(_ ++ _)
+    val frames = new Media.PgmDecoder().decodeAll(clip)
+    assert(frames.size == 3 && frames.forall { case (w, h, px) =>
+      w == 16 && h == 16 && px.length == 256 })
+    // the registered near-dup query resolves EVERY re-master (head trim
+    // of r%3 frames AND +r re-grade together) to its group base
+    val out = SparkEntry.queries("q125_video_neardup")(spark, d)
+    val wrong = out.filter(col("dup_of") =!= col("doc_id") % 25).count()
+    assert(wrong == 0, s"$wrong videos resolved off their group base")
+    val docs = Tables.documents(spark, d).count()
+    assert(out.filter(col("is_dup")).count() == docs - 25)
+    // trims really happened: kept-frame counts span {4, 5, 6}
+    val nfs = out.select(col("n_frames")).distinct()
+      .as[Long].collect().toSet
+    assert(nfs == Set(4L, 5L, 6L), s"unexpected frame counts $nfs")
+    // byte hashing finds NO duplicates: every (g, r) payload differs
+    // (the re-grade touches every pixel byte, the trim changes length)
+    val enc = udf((id: Long) => {
+      val g = (id % 25).toInt
+      val r = ((id / 25) % 20).toInt
+      (r % 3 until 6).map { f =>
+        Media.encodePgm(16, 16, p =>
+          (if ((p + 7) * (g * 6 + f + 1) % 151 < 76) 40 else 160) + r)
+      }.reduce(_ ++ _)
+    })
+    val byteHashes = Tables.documents(spark, d)
+      .select(md5(enc(col("doc_id"))).as("mh")).distinct().count()
+    assert(byteHashes == 500L,
+      s"every (pattern, re-master) payload must be byte-unique, got $byteHashes")
+  }
+
   test("gain invariance is exact arithmetic: x2 and x7 re-masters fingerprint-identically") {
     import spark.implicits._
     def fpOf(k: Int): (Long, Long) = {

@@ -433,6 +433,48 @@ class StreamingSpec extends SparkSuite {
     } finally sq.stop()
   }
 
+  test("video frame-hash buckets over MemoryStream equal the batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    // q126's state maintained incrementally: the real multi-frame walk →
+    // the shared aHash kernel → first-seen per distinct frame hash.
+    // Fixture: 8 pattern groups × 5 re-masters (head trim of i%3 frames
+    // + whole-frame re-grade) — trimmed replicas still share their
+    // surviving frames' hashes, so buckets genuinely collide.
+    val clips = (0 until 40).map { i =>
+      val g = i % 8
+      val r = i / 8
+      StreamImg(i.toLong, (r % 3 until 6).map { f =>
+        graft.multimodal.Media.encodePgm(16, 16, p =>
+          (if ((p + 7) * (g * 6 + f + 1) % 151 < 76) 40 else 160) + r)
+      }.reduce(_ ++ _))
+    }
+    def buckets(df: org.apache.spark.sql.DataFrame) =
+      DocStreams.bucketFirstSeen(
+        graft.multimodal.Media.videoFrameHashes(df)
+          .select($"doc_id", $"fh_hi".as("band"), $"fh_lo".as("key")))
+    val mem = MemoryStream[StreamImg]
+    val sq = buckets(mem.toDF())
+      .writeStream.format("memory").queryName("vidframe_stream")
+      .outputMode("complete")
+      .option("checkpointLocation",
+        graft.TempDirs.create("graft-ckpt-vid").toString)
+      .start()
+    try {
+      mem.addData(clips.drop(20))
+      sq.processAllAvailable()
+      mem.addData(clips.take(20))
+      sq.processAllAvailable()
+      val streamed = spark.table("vidframe_stream")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = buckets(clips.toDF())
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      // every group's tail frames survive all 5 re-masters
+      assert(batch.exists { case (_, _, firstId, n) => firstId < 8L && n >= 5 },
+        "no bucket resolved a replica group — the fixture is degenerate")
+    } finally sq.stop()
+  }
+
   test("shardManifest over MemoryStream equals the batch run") {
     implicit val sqlCtx = spark.sqlContext
     // the q115/q116 manifest aggregation maintained incrementally: both
