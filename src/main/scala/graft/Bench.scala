@@ -219,15 +219,26 @@ object Bench {
         * published min-of-reps keeps the warm rep, so per-query walls
         * are unchanged — only the suite wall pays. */
       def stateBarrier(): Unit = {
-        // blocking so the logged "after" footprint is the real one (an
-        // async unpersist reads back the pre-barrier number)
+        val before = storageMB()
+        // blocking so the "after" readback below sees the drop
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
         graft.queries.TextQueries.invalidateSessionMemos(spark)
         graft.queries.EmbeddingQueries.invalidateSessionMemos(spark)
         graft.queries.ArgoQueries.releaseSessionFrames(spark)
-        System.err.println(s"[bench] state barrier: storage now " +
-          s"${storageMB()} MB")
+        // cached-plan entries would otherwise survive their dropped
+        // buffers and shadow the memos' re-persists; the gc lets the
+        // ContextCleaner reap the ~40 queries of now-unreferenced
+        // broadcast blocks, which unpersist cannot touch
+        spark.sharedState.cacheManager.clearCache()
+        System.gc()
+        // the status store is fed by an ASYNC listener bus — without the
+        // settle pause the readback reports the pre-barrier number (r10
+        // first run logged "now 144 MB" for a barrier that had freed
+        // everything)
+        Thread.sleep(300)
+        System.err.println(s"[bench] state barrier: storage $before MB" +
+          s" -> ${storageMB()} MB")
       }
       sample("start")
       val named = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -867,12 +878,14 @@ object Bench {
         ss.map(x => fmt(f(x))).mkString("[", ",", "]")
       val finalPass = if (calibRerun.nonEmpty) calibRerun else calibMain
       // t1 (machine-speed witness), eff (THE anchor), load (host
-      // witness), stor (block-manager MB at each sample — peak exposes
-      // cached-state pressure, the barrier's effect is visible as the
-      // drop after samples 2 and 4); procs + quota make the r9
-      // cgroup-forensics mechanical; wall anchors against the previous
-      // round's artifact (r9's 1255 s vs r8's 875 s was the readable
-      // tell the drift verdict missed).
+      // witness), stor (block-manager MB at each sample — the peak
+      // exposes cached-state pressure, and the barriers after samples 2
+      // and 4 show up as growth RESETS in the following samples; the
+      // absolute level includes broadcast blocks whose reaping is
+      // async); procs + quota make the r9 cgroup-forensics mechanical;
+      // wall anchors against the previous round's artifact (r9's
+      // 1255 s vs r8's 875 s was the readable tell the drift verdict
+      // missed).
       Some((Seq(
         s""""t1":${arr(calibMain, _.t1, r2)}""",
         s""""eff":${arr(calibMain, _.eff, r1)}""",
