@@ -846,7 +846,8 @@ object Bench {
             case (k, Some(v)) => spark.conf.set(k, v)
             case (k, None) => spark.conf.unset(k)
           }
-          Seq("bench_docstore", "bench_termstore", "bench_atlasstore")
+          (Seq("bench_docstore", "bench_atlasstore") ++
+            graft.sources.TermStore.tablesOf("bench_termstore"))
             .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
           deleteRec(dir)
         }

@@ -1205,8 +1205,7 @@ object TextQueries extends QueryModule {
     * the µ-rounded cosine stays engine-exact. */
   private def hybridPieces(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val tf = forwardIndex(s, d)
-    val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
-    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
+    val (dfreq, nDocs) = dfStats(s, d, tf)
     val weights = joinDfreq(tf, dfreq, nDocs, None)
       .select(col("doc_id"), col("w"),
         FP.micro(col("tf") * log(col("n_docs") / col("dfreq"))).as("u"))
@@ -2194,8 +2193,8 @@ object TextQueries extends QueryModule {
     // corpusDir guard keeps a store from silently serving a different
     // corpus than the one the query names (TermStoreSpec pins plan shape
     // and result parity on the registered queries).
-    s.conf.get("spark.graft.termStore", "").split("=", 2) match {
-      case Array(dir, table) if dir == d && s.catalog.tableExists(table) =>
+    termStoreTable(s, d) match {
+      case Some(table) =>
         // NO session materialization — each consumer subtree plans its
         // own bucketed scan. Measured against both cache forms on the
         // REGISTERED queries (tools/ProbeTermStore2, sf0.1): scan-only
@@ -2212,7 +2211,7 @@ object TextQueries extends QueryModule {
         // exchange-free per-doc aggregation and result parity), and
         // nothing holds references to dropped tables across a re-land.
         graft.sources.TermStore.loadBucketed(s, table)
-      case _ =>
+      case None =>
         // memoized per (session, corpus): q97 and q102 are separate
         // registered queries over the SAME index — without the memo each
         // invocation re-tokenizes and re-shuffles the corpus into its own
@@ -2224,6 +2223,35 @@ object TextQueries extends QueryModule {
             .localCheckpoint())
     }
   }
+
+  /** The at-rest TermStore this session points at for corpus `d`, if
+    * any: spark.graft.termStore = "<corpusDir>=<tableName>". The
+    * corpusDir guard keeps a store from silently serving a different
+    * corpus than the one the query names. */
+  private def termStoreTable(s: SparkSession, d: String): Option[String] =
+    s.conf.get("spark.graft.termStore", "").split("=", 2) match {
+      case Array(dir, table) if dir == d && s.catalog.tableExists(table) =>
+        Some(table)
+      case _ => None
+    }
+
+  /** df statistics for the sparse arms — (dfreq(w, dfreq), meta(n_docs)).
+    * At-rest sidecars when the session's TermStore carries them
+    * (TermStore.saveBucketed lands them at ingest: a vocabulary-sized
+    * scan instead of a full postings re-aggregation PER CONSUMER SUBTREE
+    * — the store-path q97 plan otherwise recomputes dfreq three times);
+    * recomputed from the index when not. Values are identical by
+    * construction (the sidecar is the same aggregation landed once). */
+  private def dfStats(s: SparkSession, d: String, tf: DataFrame)
+      : (DataFrame, DataFrame) =
+    termStoreTable(s, d) match {
+      case Some(t) if s.catalog.tableExists(s"${t}_df") &&
+          s.catalog.tableExists(s"${t}_meta") =>
+        (s.table(s"${t}_df"), s.table(s"${t}_meta"))
+      case _ =>
+        (tf.groupBy(col("w")).agg(count(lit(1)).as("dfreq")),
+          docs(s, d).agg(count(lit(1)).as("n_docs")))
+    }
 
   private val fwdMemo = new SessionMemo[DataFrame]
 
@@ -2312,8 +2340,7 @@ object TextQueries extends QueryModule {
     * stopword-collapsed term shuffle; the cap rides the dfreq side. */
   private def sparseWeights(s: SparkSession, d: String): DataFrame = {
     val tf = forwardIndex(s, d)
-    val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
-    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
+    val (dfreq, nDocs) = dfStats(s, d, tf)
     joinDfreq(tf, dfreq, nDocs, Some(SparseDfCapPct))
       .select(col("doc_id"), col("w"),
         FP.micro(col("tf") * log(col("n_docs") / col("dfreq"))).as("u"))

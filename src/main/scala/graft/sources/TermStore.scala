@@ -29,12 +29,31 @@ object TermStore {
       .filter(length(col("w")) > 0)
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
 
-  /** Land the forward index bucketed (and sorted) by doc_id. `buckets`
-    * sizes the parallelism of every later retrieval pass over the store. */
+  /** Land the forward index bucketed (and sorted) by doc_id, plus the
+    * df-stats SIDECARS `<table>_df` (w, dfreq) and `<table>_meta`
+    * (n_docs) — Lucene's discipline: document frequency belongs IN the
+    * index. Without the sidecars every sparse-retrieval consumer subtree
+    * that needs idf re-aggregates the whole posting list (the store
+    * path's q97 plan references the index from ~12 subtrees, three of
+    * them full dfreq recomputes); with them, idf is a vocabulary-sized
+    * scan landed once per ingest. `buckets` sizes the parallelism of
+    * every later retrieval pass over the store. */
   def saveBucketed(docs: DataFrame, table: String, buckets: Int,
-                   path: Option[String] = None): Unit =
-    Stores.landBucketed(forwardIndex(docs), table, buckets,
-      Seq("doc_id"), path)
+                   path: Option[String] = None): Unit = {
+    val fi = forwardIndex(docs)
+    Stores.landBucketed(fi, table, buckets, Seq("doc_id"), path)
+    def land(df: DataFrame, suffix: String): Unit = {
+      val w = df.write.mode("overwrite").format("parquet")
+      path.fold(w)(p => w.option("path", s"$p$suffix")).saveAsTable(s"$table$suffix")
+    }
+    land(fi.groupBy(col("w")).agg(count(lit(1)).as("dfreq")), "_df")
+    land(docs.agg(count(lit(1)).as("n_docs")), "_meta")
+  }
+
+  /** The sidecar-bearing tables of [[saveBucketed]] — one list so every
+    * teardown (spec, bench, probes) drops exactly what landing created. */
+  def tablesOf(table: String): Seq[String] =
+    Seq(table, s"${table}_df", s"${table}_meta")
 
   def loadBucketed(s: SparkSession, table: String): DataFrame = s.table(table)
 }

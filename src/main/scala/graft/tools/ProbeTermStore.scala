@@ -141,7 +141,8 @@ object ProbeTermStore {
     }
     planStats("cold ")
     } finally {
-      spark.sql("DROP TABLE IF EXISTS probe_termstore")
+      graft.sources.TermStore.tablesOf("probe_termstore")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       graft.TempDirs.deleteRec(dir)
       spark.stop()
     }

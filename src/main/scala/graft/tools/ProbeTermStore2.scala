@@ -36,21 +36,23 @@ object ProbeTermStore2 {
           graft.SparkEntry.queries("q97_sparse_cosine")(spark, d).count()
         }
       }
+      // the LANDED store branch (scan-only + df sidecars; the round-10
+      // strategy knob is gone — persist/pinned lost, see ProbeTermStore's
+      // header note). Historical strategy minima at this scale: persist
+      // 3.64 s, pinned 3.00 s, scan-only (no sidecars) 1.78 s.
       spark.conf.set("spark.graft.termStore", s"$d=probe_termstore2")
-      Seq("persist", "pinned", "none").foreach { strat =>
-        forceCold()
-        spark.conf.set("spark.graft.termStoreCache", strat)
-        (1 to 3).foreach { r =>
-          time(s"$strat q97 rep$r") {
-            graft.SparkEntry.queries("q97_sparse_cosine")(spark, d).count()
-          }
-        }
-        time(s"$strat q102 warm") {
-          graft.SparkEntry.queries("q102_hybrid_rank")(spark, d).count()
+      forceCold()
+      (1 to 3).foreach { r =>
+        time(s"store q97 rep$r") {
+          graft.SparkEntry.queries("q97_sparse_cosine")(spark, d).count()
         }
       }
+      time("store q102 warm") {
+        graft.SparkEntry.queries("q102_hybrid_rank")(spark, d).count()
+      }
     } finally {
-      spark.sql("DROP TABLE IF EXISTS probe_termstore2")
+      graft.sources.TermStore.tablesOf("probe_termstore2")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       graft.TempDirs.deleteRec(dir)
       spark.stop()
     }

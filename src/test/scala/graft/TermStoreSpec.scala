@@ -40,7 +40,8 @@ class TermStoreSpec extends SparkSuite {
         .as[(Long, Long)].collect().sorted.toSeq
       assert(got == want, "bucketed norms must equal the plain path")
       assert(got.nonEmpty)
-    } finally spark.sql("DROP TABLE IF EXISTS terms_bucketed")
+    } finally TermStore.tablesOf("terms_bucketed")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("registered q97/q102 ride the store when spark.graft.termStore points at it") {
@@ -82,6 +83,7 @@ class TermStoreSpec extends SparkSuite {
         assert(SparkEntry.queries("q102_hybrid_rank")(spark, d).collect().toSeq
           == want102, "q102 over the store must equal the recompute path")
       } finally spark.conf.unset("spark.graft.termStore")
-    } finally spark.sql("DROP TABLE IF EXISTS terms_q97")
+    } finally TermStore.tablesOf("terms_q97")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 }
