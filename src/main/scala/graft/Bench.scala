@@ -739,18 +739,37 @@ object Bench {
           } else None
         }
         // the store build below starts from the last forceCold()'s state
-        val tb = System.nanoTime()
+        // per-store build attribution (the once-per-ingest price each
+        // family's per-session savings amortize — published split so a
+        // total-build swing is attributable: r10's TermStore sidecars
+        // land inside buildterm, not smeared over the family)
+        def timed1(tag: String)(body: => Unit): (String, Double) = {
+          val t0 = System.nanoTime()
+          body
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] stores build $tag%-10s $dt%8.2f s")
+          s"build$tag" -> dt
+        }
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-        graft.sources.DocStore.saveBucketed(docs, "bench_docstore",
-          buckets = 32, path = Some(s"$dir/docs"))
-        graft.sources.TermStore.saveBucketed(docs, "bench_termstore",
-          buckets = 32, path = Some(s"$dir/terms"))
-        graft.queries.EmbeddingQueries.landVecStore(spark, sfDir, s"$dir/vecs")
-        graft.argo.AtlasStore.saveBucketed(
-          graft.queries.ArgoQueries.profilesProbe(spark, sfDir),
-          graft.queries.ArgoQueries.ExportAtlas, "bench_atlasstore",
-          buckets = 32, path = Some(s"$dir/atlas"))
-        val build = (System.nanoTime() - tb) / 1e9
+        val buildSplit = Seq(
+          timed1("doc") {
+            graft.sources.DocStore.saveBucketed(docs, "bench_docstore",
+              buckets = 32, path = Some(s"$dir/docs"))
+          },
+          timed1("term") {
+            graft.sources.TermStore.saveBucketed(docs, "bench_termstore",
+              buckets = 32, path = Some(s"$dir/terms"))
+          },
+          timed1("vec") {
+            graft.queries.EmbeddingQueries.landVecStore(spark, sfDir, s"$dir/vecs")
+          },
+          timed1("atlas") {
+            graft.argo.AtlasStore.saveBucketed(
+              graft.queries.ArgoQueries.profilesProbe(spark, sfDir),
+              graft.queries.ArgoQueries.ExportAtlas, "bench_atlasstore",
+              buckets = 32, path = Some(s"$dir/atlas"))
+          })
+        val build = buildSplit.map(_._2).sum
         System.err.println(f"[bench] stores build           $build%8.2f s")
         val confs = Seq(
           "spark.graft.docStore" -> s"$sfDir=bench_docstore",
@@ -840,7 +859,7 @@ object Bench {
             Nil
           }
           val split = splitQ71 ++ splitQ97
-          (("build" -> build) +: cold) ++ timed ++ split
+          (("build" -> build) +: cold) ++ timed ++ split ++ buildSplit
         } finally {
           prior.foreach {
             case (k, Some(v)) => spark.conf.set(k, v)

@@ -2,10 +2,12 @@ package graft.tools
 
 import graft.{GraftSession, Tables}
 
-// Scratch: registered-path timing of the q97/q102 store branch under each
-// spark.graft.termStoreCache strategy — the decision probe for landing the
-// round-10 inversion fix (VERDICT r9 task 2). Times the REAL registered
-// queries, not a reconstruction.
+// Scratch: registered-path timing of the q97/q102 store branch against
+// the cold rebuild — the decision probe that landed the round-10
+// inversion fix (VERDICT r9 task 2). Times the REAL registered queries,
+// not a reconstruction. The strategy knob it once swept is gone: the
+// landed branch is scan-only + df sidecars (see ProbeTermStore's header
+// for the full measurement history).
 object ProbeTermStore2 {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[4]", 4).getOrCreate()
