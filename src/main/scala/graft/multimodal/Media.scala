@@ -121,6 +121,24 @@ object Media {
     out
   }
 
+  /** Decode-validity gate — the multimodal twin of the vector validity
+    * gate (EdgeVecsSpec's discipline): at corpus scale the media column
+    * WILL carry truncated payloads, wrong-magic blobs and crafted
+    * headers, and the decoders require() on structure, so ONE bad row
+    * would otherwise abort the whole decode stage (task failure, ANSI
+    * style). Every real-decoder surface maps through this: an
+    * undecodable row is DROPPED — the QC-drop semantics the text and
+    * vector families already use — never a stage abort. A torn
+    * multi-frame container is dropped WHOLE (a file that fails mid-walk
+    * is not trustworthy from its first frame either). Fixtures are
+    * well-formed, so every verified result is unchanged; EdgeMediaSpec
+    * plants garbage beside good rows and pins the drop semantics. */
+  private def decodeOpt[A, B](iter: Iterator[A])(f: A => B): Iterator[B] =
+    iter.flatMap { a =>
+      try Iterator.single(f(a))
+      catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+    }
+
   /** Real image features through the production batch shape: decoder init
     * once per partition, typed rows, no RDD barrier. Emits true dimensions,
     * total luminance, and a 4×4 nearest-neighbor thumbnail signature
@@ -132,7 +150,7 @@ object Media {
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         val decoder = new PgmDecoder // once per partition
-        iter.map { case (id, bytes) =>
+        decodeOpt(iter) { case (id, bytes) =>
           val (w, h, _, px) = decoder.decode(bytes)
           var luma = 0L
           var i = 0
@@ -173,7 +191,7 @@ object Media {
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         val decoder = new PgmDecoder // once per partition
-        iter.map { case (id, bytes) =>
+        decodeOpt(iter) { case (id, bytes) =>
           val (w, h, _, px) = decoder.decode(bytes)
           val (hi, lo) = aHash64(px, w, h)
           (id, hi, lo)
@@ -227,13 +245,13 @@ object Media {
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         val decoder = new PgmDecoder // once per partition
-        iter.flatMap { case (id, bytes) =>
-          decoder.decodeAll(bytes).iterator.zipWithIndex.map {
+        decodeOpt(iter) { case (id, bytes) =>
+          decoder.decodeAll(bytes).zipWithIndex.map {
             case ((w, h, px), idx) =>
               val (hi, lo) = aHash64(px, w, h)
               (id, idx.toLong, hi, lo)
           }
-        }
+        }.flatten
       }
       .toDF("doc_id", "frame_idx", "fh_hi", "fh_lo")
   }
@@ -339,7 +357,7 @@ object Media {
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         val decoder = new WavDecoder // once per partition
-        iter.map { case (id, bytes) =>
+        decodeOpt(iter) { case (id, bytes) =>
           val (_, px) = decoder.decode(bytes)
           val n = px.length
           val e = new Array[Long](16)
@@ -384,7 +402,7 @@ object Media {
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         val decoder = new WavDecoder // once per partition
-        iter.map { case (id, bytes) =>
+        decodeOpt(iter) { case (id, bytes) =>
           val (_, px) = decoder.decode(bytes)
           val n = px.length
           val e = new Array[Long](64)
@@ -420,7 +438,7 @@ object Media {
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         val decoder = new WavDecoder // once per partition
-        iter.map { case (id, bytes) =>
+        decodeOpt(iter) { case (id, bytes) =>
           val (rate, px) = decoder.decode(bytes)
           var sumAbs = 0L
           var peak = 0L
