@@ -465,9 +465,14 @@ object Bench {
     // q41/q43 joined in round 7: they run the same centered multi-table
     // LSH whose degenerate ancestor this stage caught empirically — the
     // whole family now rehearses at 10×, not just q67's cluster pass
+    // q122 joined in round 10: the family's INGEST member — the
+    // frozen-quantizer update must stay O(delta × cells) + bounded
+    // probe fan-out as the at-rest corpus grows, which is exactly what
+    // a 10× blowup falsifies empirically
     val Scale10Queries = Seq("q36_ngram_jaccard", "q38_dedup_clusters",
       "q41_ann_lsh", "q43_embedding_neardup",
-      "q67_semantic_clusters", "q97_sparse_cosine", "q102_hybrid_rank")
+      "q67_semantic_clusters", "q97_sparse_cosine", "q102_hybrid_rank",
+      "q122_ivf_ingest")
     val scale10: Seq[(String, Double)] =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE10", "1") == "0") Nil
       else try {

@@ -643,6 +643,21 @@ object EmbeddingQueries extends QueryModule {
   // routing follows the frozen quantizer, not the arrival's label.
   private[graft] def ivfIngestSearch(stored: DataFrame, delta: DataFrame,
       topK: Int = 3): DataFrame = {
+    val (idx, assigned) = ivfIngestParts(stored, delta)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_n").desc, col("n_id"))
+    ivfIngestScoredFrom(idx, assigned)
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos_n"), col("src"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Everything of the ingest search up to (index, probe-cell
+    * assignments) — shared by the ranked search and the scale10
+    * candidate attribution. */
+  private def ivfIngestParts(stored: DataFrame, delta: DataFrame)
+      : (DataFrame, DataFrame) = {
     // frozen quantizer: per-label integer-nano-sum centroids, STORED only
     // (the UDAF takes the parquet's float width; `vec` is the exact
     // double widening of it, so the cast back is lossless)
@@ -683,18 +698,20 @@ object EmbeddingQueries extends QueryModule {
       .withColumn("c_rank", row_number().over(wc))
       .filter(col("c_rank") <= NProbe)
       .select(col("label"), col("q_id"), col("q_pv"), col("q_nrm"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos_n").desc, col("n_id"))
+    (idx, assigned)
+  }
+
+  /** The ingest search's scored (q_id, n_id) pairs BEFORE the top-k rank
+    * — the frame whose row count IS the probe-side fan-out (probes ×
+    * their nProbe cells' occupancy over store + delta), split out so the
+    * bench's scale10 stage publishes it beside the wall (the
+    * nearDupCandidates discipline). */
+  private def ivfIngestScoredFrom(idx: DataFrame, assigned: DataFrame): DataFrame =
     idx.join(assigned, Seq("label"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos_n",
         FP.nano(V.dotPacked(col("q_pv"), col("pv")) / (col("q_nrm") * col("nrm"))))
       .withColumn("n_id", col("vec_id"))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= topK)
-      .select(col("q_id"), col("rank"), col("n_id"), col("cos_n"), col("src"))
-      .orderBy("q_id", "rank")
-  }
 
   // the ingest split: ids ≡ 3 (mod 5) are "the batch that arrived after
   // the index was built" (~20%, disjoint from the probe ids ≡ 0 mod 50,
@@ -911,7 +928,19 @@ object EmbeddingQueries extends QueryModule {
       : Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_ann_lsh" -> (annLshCandidates(_, _)),
     "q43_embedding_neardup" -> (nearDupCandidates(_, _)),
-    "q67_semantic_clusters" -> (nearDupPairs(_, _)))
+    "q67_semantic_clusters" -> (nearDupPairs(_, _)),
+    "q122_ivf_ingest" -> (ivfIngestCandidates(_, _)))
+
+  /** q122's scored probe-side fan-out — see [[ivfIngestScoredFrom]]. */
+  private def ivfIngestCandidates(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d).select(
+      col("label"), col("vec_id"),
+      col("embedding").cast("array<double>").as("vec"))
+    val (idx, assigned) = ivfIngestParts(
+      all.filter(col("vec_id") % DeltaMod =!= DeltaRem),
+      all.filter(col("vec_id") % DeltaMod === DeltaRem))
+    ivfIngestScoredFrom(idx, assigned)
+  }
 
   /** The verified relevance shortlist (top-`n` per probe by nano-cosine,
     * with packed payloads), checkpointed once per (session, corpus, n) —
