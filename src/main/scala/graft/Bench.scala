@@ -941,6 +941,12 @@ object Bench {
         Seq(s""""procs":$procs""",
           s""""quota":${if (quota > 0) r1(quota) else "-1"}""",
           s""""expected":${r1(calibExpected)}""",
+          // the verdict's threshold fraction is an INPUT like every other
+          // calibration input: an artifact produced under the env
+          // override (the contended-path test hook) must carry the
+          // fraction its flag was computed with, or the flag is
+          // inconsistent with the documented 0.5 rule
+          s""""frac":${r2(CalibEffFrac)}""",
           s""""effmin":${r1(effMin(finalPass))}""",
           s""""wall":${r1(suiteWall)}""",
           s""""eff_post":${effPost.map(r1).mkString("[", ",", "]")}""",

@@ -121,6 +121,21 @@ object Media {
     out
   }
 
+  /** Session-scoped counter of rows the decode gate dropped — the drop
+    * semantics below are deliberate, but a SILENT drop rate is not: at
+    * corpus scale a systematic decoder regression (or an arithmetic
+    * overflow upstream of it) would otherwise manifest only as a
+    * slightly smaller result set nobody can distinguish from a smaller
+    * corpus. One accumulator per SparkContext, shared by every decode
+    * surface; read it after an action (EdgeMediaSpec pins that planted
+    * garbage is counted here, not just absent from the output). */
+  private val dropAccs = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.SparkContext, org.apache.spark.util.LongAccumulator]()
+  def decodeDrops(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.util.LongAccumulator =
+    dropAccs.computeIfAbsent(spark.sparkContext,
+      sc => sc.longAccumulator("graft.media.decode_drops"))
+
   /** Decode-validity gate — the multimodal twin of the vector validity
     * gate (EdgeVecsSpec's discipline): at corpus scale the media column
     * WILL carry truncated payloads, wrong-magic blobs and crafted
@@ -132,12 +147,29 @@ object Media {
     * multi-frame container is dropped WHOLE (a file that fails mid-walk
     * is not trustworthy from its first frame either). Fixtures are
     * well-formed, so every verified result is unchanged; EdgeMediaSpec
-    * plants garbage beside good rows and pins the drop semantics. */
-  private def decodeOpt[A, B](iter: Iterator[A])(f: A => B): Iterator[B] =
+    * plants garbage beside good rows and pins the drop semantics.
+    * Drops are WITNESSED, never silent: each one ticks the session's
+    * [[decodeDrops]] accumulator and an exhausted partition that dropped
+    * anything logs one summary line. */
+  private def decodeOpt[A, B](iter: Iterator[A],
+      drops: org.apache.spark.util.LongAccumulator)(f: A => B): Iterator[B] = {
+    var nDrop = 0L
     iter.flatMap { a =>
       try Iterator.single(f(a))
-      catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          nDrop += 1
+          drops.add(1L)
+          Iterator.empty
+      }
+    } ++ {
+      // evaluated lazily once the wrapped iterator exhausts — one line
+      // per partition that actually dropped, not one per row
+      if (nDrop > 0)
+        System.err.println(s"[media] dropped $nDrop undecodable row(s) in one partition")
+      Iterator.empty
     }
+  }
 
   /** Real image features through the production batch shape: decoder init
     * once per partition, typed rows, no RDD barrier. Emits true dimensions,
@@ -146,11 +178,12 @@ object Media {
   def imageFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    val drops = decodeDrops(spark) // registered driver-side, ticked on executors
     media.select(col("doc_id").cast("long"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         val decoder = new PgmDecoder // once per partition
-        decodeOpt(iter) { case (id, bytes) =>
+        decodeOpt(iter, drops) { case (id, bytes) =>
           val (w, h, _, px) = decoder.decode(bytes)
           var luma = 0L
           var i = 0
@@ -187,11 +220,12 @@ object Media {
   def imagePHash(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    val drops = decodeDrops(spark) // registered driver-side, ticked on executors
     media.select(col("doc_id").cast("long"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         val decoder = new PgmDecoder // once per partition
-        decodeOpt(iter) { case (id, bytes) =>
+        decodeOpt(iter, drops) { case (id, bytes) =>
           val (w, h, _, px) = decoder.decode(bytes)
           val (hi, lo) = aHash64(px, w, h)
           (id, hi, lo)
@@ -241,11 +275,12 @@ object Media {
   def videoFrameHashes(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    val drops = decodeDrops(spark) // registered driver-side, ticked on executors
     media.select(col("doc_id").cast("long"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         val decoder = new PgmDecoder // once per partition
-        decodeOpt(iter) { case (id, bytes) =>
+        decodeOpt(iter, drops) { case (id, bytes) =>
           decoder.decodeAll(bytes).zipWithIndex.map {
             case ((w, h, px), idx) =>
               val (hi, lo) = aHash64(px, w, h)
@@ -353,18 +388,22 @@ object Media {
   def audioFingerprint(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    val drops = decodeDrops(spark) // registered driver-side, ticked on executors
     media.select(col("doc_id").cast("long"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         val decoder = new WavDecoder // once per partition
-        decodeOpt(iter) { case (id, bytes) =>
+        decodeOpt(iter, drops) { case (id, bytes) =>
           val (_, px) = decoder.decode(bytes)
           val n = px.length
           val e = new Array[Long](16)
           var w = 0
           while (w < 16) {
-            var i = w * n / 16
-            val end = (w + 1) * n / 16
+            // Long bounds: w*n overflows Int past ~134M samples (~2.3 h at
+            // 16 kHz) and the negative index would throw — silently
+            // dropping a perfectly valid long clip through decodeOpt
+            var i = (w.toLong * n / 16).toInt
+            val end = ((w + 1).toLong * n / 16).toInt
             var s = 0L
             while (i < end) { s += math.abs(px(i).toLong); i += 1 }
             e(w) = s
@@ -398,18 +437,22 @@ object Media {
   def audioEnvelope64(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    val drops = decodeDrops(spark) // registered driver-side, ticked on executors
     media.select(col("doc_id").cast("long"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         val decoder = new WavDecoder // once per partition
-        decodeOpt(iter) { case (id, bytes) =>
+        decodeOpt(iter, drops) { case (id, bytes) =>
           val (_, px) = decoder.decode(bytes)
           val n = px.length
           val e = new Array[Long](64)
           var w = 0
           while (w < 64) {
-            var i = w * n / 64
-            val end = (w + 1) * n / 64
+            // Long bounds: w*n overflows Int past ~34M samples (~35 min at
+            // 16 kHz) and the negative index would throw — silently
+            // dropping a perfectly valid long clip through decodeOpt
+            var i = (w.toLong * n / 64).toInt
+            val end = ((w + 1).toLong * n / 64).toInt
             var s = 0L
             while (i < end) { s += math.abs(px(i).toLong); i += 1 }
             e(w) = s
@@ -434,11 +477,12 @@ object Media {
   def audioFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    val drops = decodeDrops(spark) // registered driver-side, ticked on executors
     media.select(col("doc_id").cast("long"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         val decoder = new WavDecoder // once per partition
-        decodeOpt(iter) { case (id, bytes) =>
+        decodeOpt(iter, drops) { case (id, bytes) =>
           val (rate, px) = decoder.decode(bytes)
           var sumAbs = 0L
           var peak = 0L

@@ -934,7 +934,10 @@ object StreamMultimodalQueries extends QueryModule {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= VideoShareMin)
     val dup0 = shared.groupBy(col("a_id")).agg(min(col("b_id")).as("d0"))
-    val nf = fd.groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+    // n_frames counts the RAW frame walk (pre-distinct), so a container
+    // with repeated identical frames reports its true frame count — the
+    // matching set `fd` stays distinct, only the published count differs
+    val nf = fh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
     nf.join(dup0, nf("doc_id") === dup0("a_id"), "left")
       .withColumn("dup_of",
         when(col("d0").isNotNull && col("d0") < col("doc_id"), col("d0"))
@@ -990,7 +993,7 @@ object StreamMultimodalQueries extends QueryModule {
        |  GROUP BY 1, 2),
        |near AS (SELECT a_id, min(b_id) AS d0 FROM sh
        |         WHERE shared >= $VideoShareMin GROUP BY 1),
-       |nf AS (SELECT doc_id, count(*) AS n_frames FROM fd GROUP BY 1)
+       |nf AS (SELECT doc_id, count(*) AS n_frames FROM fh GROUP BY 1)
        |SELECT nf.doc_id, nf.n_frames,
        |  CASE WHEN n.d0 IS NOT NULL AND n.d0 < nf.doc_id
        |       THEN n.d0 ELSE nf.doc_id END AS dup_of,

@@ -46,7 +46,13 @@ object TermStore {
       val w = df.write.mode("overwrite").format("parquet")
       path.fold(w)(p => w.option("path", s"$p$suffix")).saveAsTable(s"$table$suffix")
     }
-    land(fi.groupBy(col("w")).agg(count(lit(1)).as("dfreq")), "_df")
+    // sidecars aggregate the JUST-LANDED table, not the unmaterialized
+    // `fi` plan: the plan would tokenize the corpus and shuffle the
+    // (doc_id, w) aggregation a second time per ingest — the landed
+    // index is orders smaller than the text it was built from, and a
+    // vocabulary count over it is a column-pruned bucketed scan
+    val landed = docs.sparkSession.table(table)
+    land(landed.groupBy(col("w")).agg(count(lit(1)).as("dfreq")), "_df")
     land(docs.agg(count(lit(1)).as("n_docs")), "_meta")
   }
 

@@ -38,7 +38,13 @@ class EdgeMediaSpec extends SparkSuite {
     val mixed = (Seq(goodImg(0), goodImg(1), goodImg(2)) ++ badImgs)
       .toDF("doc_id", "media")
     val feats = Media.imageFeatures(mixed)
+    // drops are WITNESSED: the session accumulator ticks once per
+    // dropped row, so a systematic decoder regression at corpus scale
+    // is a visible counter, not a silently smaller result set
+    val drops0 = Media.decodeDrops(spark).value
     assert(feats.count() == 3)
+    assert(Media.decodeDrops(spark).value - drops0 == badImgs.size,
+      "every planted-garbage drop must tick the decode_drops accumulator")
     assert(feats.select("doc_id").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
     // values of the survivors are EXACTLY the clean-frame values — the
     // gate must not perturb, only drop
