@@ -387,28 +387,63 @@ object StreamMultimodalQueries extends QueryModule {
   // candidates only.
   private val PHamMax = 3
 
+  /** Scale-adaptive group modulus of the near-dup media fixtures: group
+    * count grows with the corpus so CLUSTER SIZE stays ~20 docs at any
+    * scale — a fixed 25 groups made cluster size (and the candidate
+    * join's output) grow linearly with corpus rows, which turned the
+    * scale10 rehearsal quadratic through the FIXTURE, not the plan.
+    * Real corpora behave like this too: more documents means more
+    * distinct works, not ever-larger duplicate families. 25 at the
+    * 500-doc gate corpora (unchanged structure), 250 at sf0.1, 2500 at
+    * the 10× rehearsal. */
+  private def mediaGroupModulus(s: SparkSession, d: String): Long = {
+    val row = Tables.documents(s, d).agg(max(col("doc_id"))).head
+    val maxId = if (row.isNullAt(0)) 0L else row.getLong(0) // empty corpus → 25
+    math.max(25L, (maxId + 1) / 20)
+  }
+
+  /** Bimodal base pixel of the near-dup fixtures: 40 or 160 keyed on
+    * (pixel, pattern key) through a squared MINSTD mix mod the Mersenne
+    * prime 2^31−1. The SQUARE matters: any linear-in-key form collapses
+    * at scale (a fixed 25-group multiplicative mix mod 53 had only 53
+    * patterns; a linear phase walk has ≤ 2·64). Measured over the
+    * sampled 8×8 cells: gate scale (25 keys) min inter-pattern Hamming
+    * 20, sf0.1 (250 keys) min 10 — both above the 9-bit worst case two
+    * 3-bit-perturbed replicas could bridge — and at 2500 keys only
+    * 0.002% of pairs sit ≤ 9 (bounded extra candidates, never
+    * quadratic). All arithmetic stays below 2^63 (z < 2^31, z² < 2^62),
+    * so the DuckDB oracle reproduces it exactly in BIGINT. */
+  private[graft] def bimodalBase(key: Long, i: Long): Int = {
+    val P = 2147483647L
+    val z = ((key + 1) * 48271L % P) * (i + 1) % P
+    if (z * z % P < 1073741823L) 40 else 160
+  }
+
+  /** The SQL twin of [[bimodalBase]] — spliced into every fixture oracle
+    * so the two engines' generators cannot drift. */
+  private def bimodalBaseSql(key: String, i: String): String =
+    s"""CASE WHEN (($key + 1) * 48271 % 2147483647) * ($i + 1) % 2147483647
+       |      * ((($key + 1) * 48271 % 2147483647) * ($i + 1) % 2147483647)
+       |      % 2147483647 < 1073741823 THEN 40 ELSE 160 END""".stripMargin
+
   /** The q118/q120 fixture: per-document genuine binary PGMs where
     * replica r of a pattern group perturbs exactly r%4 hash cells and
     * adds a brightness offset — see the q118 note below. Shared so the
     * batch near-dup, the bucket-summary twin and their oracles all hash
-    * the same images. */
+    * the same images. Group count scales with the corpus
+    * ([[mediaGroupModulus]]); patterns come from [[bimodalBase]]. */
   private def neardupImageMedia(s: SparkSession, d: String): DataFrame = {
+    val m = mediaGroupModulus(s, d)
     val enc = udf((id: Long) => {
-      val g = (id % 25).toInt
-      val r = ((id / 25) % 20).toInt
+      val g = id % m
+      val r = ((id / m) % 20).toInt
       val delta = r // ≤ 19: max pixel 160 + 19 = 179, far from the 255 clamp
       val nPert = r % 4
       val pert = (0 until nPert)
         .map(j => (r * 17 + j * 29) % 64)
         .map(t => 32 * (t / 8) + 2 * (t % 8)).toSet
-      // bimodal pattern keyed on (pixel, group) through a MULTIPLICATIVE
-      // mix mod 53: a mod-3 additive form collapsed all 25 groups into 3
-      // identical pattern classes (g entered only via g·17 mod 3 —
-      // measured: 440 cross-group Hamming-0 links), while distinct
-      // multipliers (g+1) mod 53 give genuinely distinct patterns
-      // (inter-group Hamming ≈ 32 ≫ the 3-bit tolerance)
       Media.encodePgm(16, 16, { i =>
-        val base = if ((i + 7) * (g + 1) % 53 < 26) 40 else 160
+        val base = bimodalBase(g, i.toLong)
         val v = if (pert(i)) 200 - base else base // 40 ↔ 160 inversion
         v + delta
       })
@@ -441,17 +476,30 @@ object StreamMultimodalQueries extends QueryModule {
     * ONE orientation only (b < a): resolution is min(b_id) gated by
     * d0 < doc_id, so the b > a rows could never win — generating them
     * would double the join output and the distinct's shuffle. */
-  private def chunkNearDup(ph: DataFrame, chunks: DataFrame): DataFrame = {
+  /** Deduped candidate pairs from ANY shared chunk, PRE-popcount — split
+    * out of [[chunkNearDup]] so the Hamming-tolerant video tier (q127,
+    * where a "doc" row is a frame) reuses the identical join shape and
+    * the bench's scale10 stage can count it (the q43cand discipline). */
+  private def chunkCandidates(chunks: DataFrame): DataFrame = {
     val a = chunks.select(col("ci"), col("ck"), col("doc_id").as("a_id"),
       col("ph_hi").as("a_hi"), col("ph_lo").as("a_lo"))
     val b = chunks.select(col("ci"), col("ck"), col("doc_id").as("b_id"),
       col("ph_hi").as("b_hi"), col("ph_lo").as("b_lo"))
-    val cand = a.join(b, Seq("ci", "ck"))
+    a.join(b, Seq("ci", "ck"))
       .filter(col("b_id") < col("a_id"))
       .select(col("a_id"), col("b_id"), col("a_hi"), col("a_lo"),
         col("b_hi"), col("b_lo"))
       .distinct()
+  }
+
+  /** Exact Hamming gate over [[chunkCandidates]] — candidates only ever
+    * pay the popcount, never the full corpus. */
+  private def chunkMatched(chunks: DataFrame): DataFrame =
+    chunkCandidates(chunks)
       .filter(expr("bit_count(a_hi ^ b_hi) + bit_count(a_lo ^ b_lo)") <= PHamMax)
+
+  private def chunkNearDup(ph: DataFrame, chunks: DataFrame): DataFrame = {
+    val cand = chunkMatched(chunks)
     val dup0 = cand.groupBy(col("a_id"))
       .agg(min(col("b_id")).as("d0"))
     ph.join(dup0, ph("doc_id") === dup0("a_id"), "left")
@@ -463,10 +511,16 @@ object StreamMultimodalQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
-  private val q118Sql =
-    s"""WITH d2 AS (
-       |  SELECT doc_id, doc_id % 25 AS g, (doc_id // 25) % 20 AS r
-       |  FROM documents),
+  // the q118/q120 fixture CTEs through `ph`, shared by both oracles (and
+  // structurally mirrored by q127's video form): scale-adaptive modulus
+  // mm, squared-MINSTD bimodal base, replica perturbation, floor mean,
+  // unsigned-32 bit packing
+  private val imagePhSqlPrefix =
+    s"""WITH mm AS (
+       |  SELECT GREATEST(25, (max(doc_id) + 1) // 20) AS m FROM documents),
+       |d2 AS (
+       |  SELECT doc_id, doc_id % mm.m AS g, (doc_id // mm.m) % 20 AS r
+       |  FROM documents, mm),
        |cells AS (
        |  SELECT doc_id, t,
        |    32 * (t // 8) + 2 * (t % 8) AS p
@@ -478,10 +532,8 @@ object StreamMultimodalQueries extends QueryModule {
        |        WHERE j < d.r % 4
        |          AND 32 * ((((d.r * 17 + j * 29) % 64) // 8))
        |            + 2 * (((d.r * 17 + j * 29) % 64) % 8) = c.p)
-       |      THEN 200 - (CASE WHEN (c.p + 7) * (d.g + 1) % 53 < 26
-       |                  THEN 40 ELSE 160 END)
-       |      ELSE CASE WHEN (c.p + 7) * (d.g + 1) % 53 < 26
-       |           THEN 40 ELSE 160 END
+       |      THEN 200 - (${bimodalBaseSql("d.g", "c.p")})
+       |      ELSE ${bimodalBaseSql("d.g", "c.p")}
        |    END + d.r AS v
        |  FROM cells c JOIN d2 d ON d.doc_id = c.doc_id),
        |m AS (SELECT doc_id, CAST(sum(v) AS BIGINT) // 64 AS mean
@@ -493,7 +545,10 @@ object StreamMultimodalQueries extends QueryModule {
        |    CAST(sum(CASE WHEN v.v > m.mean AND v.t < 32
        |      THEN 1::BIGINT << v.t ELSE 0 END) AS BIGINT) AS ph_lo
        |  FROM vals v JOIN m ON m.doc_id = v.doc_id
-       |  GROUP BY 1),
+       |  GROUP BY 1)""".stripMargin
+
+  private val q118Sql =
+    s"""$imagePhSqlPrefix,
        |chunks AS (
        |  SELECT doc_id, ph_hi, ph_lo, 1 AS ci, ph_lo % 65536 AS ck FROM ph
        |  UNION ALL
@@ -551,36 +606,7 @@ object StreamMultimodalQueries extends QueryModule {
   // posexplode's 0-based numbering (ci is an OUTPUT column here, so —
   // unlike q118 — the two engines' indexings MUST match)
   private val q120Sql =
-    s"""WITH d2 AS (
-       |  SELECT doc_id, doc_id % 25 AS g, (doc_id // 25) % 20 AS r
-       |  FROM documents),
-       |cells AS (
-       |  SELECT doc_id, t,
-       |    32 * (t // 8) + 2 * (t % 8) AS p
-       |  FROM d2, range(0, 64) u(t)),
-       |vals AS (
-       |  SELECT c.doc_id, c.t,
-       |    CASE WHEN EXISTS (
-       |        SELECT 1 FROM range(0, 4) jr(j)
-       |        WHERE j < d.r % 4
-       |          AND 32 * ((((d.r * 17 + j * 29) % 64) // 8))
-       |            + 2 * (((d.r * 17 + j * 29) % 64) % 8) = c.p)
-       |      THEN 200 - (CASE WHEN (c.p + 7) * (d.g + 1) % 53 < 26
-       |                  THEN 40 ELSE 160 END)
-       |      ELSE CASE WHEN (c.p + 7) * (d.g + 1) % 53 < 26
-       |           THEN 40 ELSE 160 END
-       |    END + d.r AS v
-       |  FROM cells c JOIN d2 d ON d.doc_id = c.doc_id),
-       |m AS (SELECT doc_id, CAST(sum(v) AS BIGINT) // 64 AS mean
-       |      FROM vals GROUP BY 1),
-       |ph AS (
-       |  SELECT v.doc_id,
-       |    CAST(sum(CASE WHEN v.v > m.mean AND v.t >= 32
-       |      THEN 1::BIGINT << (v.t - 32) ELSE 0 END) AS BIGINT) AS ph_hi,
-       |    CAST(sum(CASE WHEN v.v > m.mean AND v.t < 32
-       |      THEN 1::BIGINT << v.t ELSE 0 END) AS BIGINT) AS ph_lo
-       |  FROM vals v JOIN m ON m.doc_id = v.doc_id
-       |  GROUP BY 1),
+    s"""$imagePhSqlPrefix,
        |chunks AS (
        |  SELECT doc_id, CAST(0 AS INTEGER) AS ci, ph_lo % 65536 AS ck FROM ph
        |  UNION ALL
@@ -877,10 +903,10 @@ object StreamMultimodalQueries extends QueryModule {
   // go quadratic at corpus scale) is dropped from candidacy before the
   // join. Resolution is the familiar smallest-id tail.
   //
-  // Fixture: group g = doc_id % 25 owns 6 base frames (bimodal pixels
-  // keyed by multiplier g*6+f+1 modulo the prime 151 > 150, so all 150
-  // (group, frame) patterns are distinct — verified: 150 distinct
-  // hashes); replica r = (doc_id/25) % 20 drops the first r%3 frames
+  // Fixture: group g = doc_id % m (m scale-adaptive, mediaGroupModulus)
+  // owns 6 base frames (bimodalBase keyed on g*6+f — at the 500-doc gate
+  // all 150 (group, frame) patterns are distinct with pairwise Hamming
+  // >= 16); replica r = (doc_id/m) % 20 drops the first r%3 frames
   // (a head trim) and re-grades every pixel by +r. Within a group any
   // two replicas share >= 4 frames; across groups zero. The oracle
   // recomputes every frame hash from the generator's integer
@@ -896,47 +922,74 @@ object StreamMultimodalQueries extends QueryModule {
   private val VideoShareMin = 4
   private val VideoDfCapPct = 90
 
-  /** The q125/q126 fixture — see the block note above. */
-  private def neardupVideoMedia(s: SparkSession, d: String): DataFrame = {
+  /** The q125/q126/q127 fixture — see the block note above. Group count
+    * scales with the corpus ([[mediaGroupModulus]]); frame patterns come
+    * from [[bimodalBase]] keyed on (group, frame). With `flips` (the
+    * q127 corpus) each kept frame ALSO inverts exactly r%4 sampled
+    * cells — the per-frame re-ENCODE drift the exact-hash tier (q125)
+    * cannot see: a flipped replica shares zero exact frame hashes with
+    * its base, so only Hamming-tolerant frame matching resolves it. */
+  private def neardupVideoMedia(s: SparkSession, d: String,
+                                flips: Boolean = false): DataFrame = {
+    val m = mediaGroupModulus(s, d)
     val enc = udf((id: Long) => {
-      val g = (id % 25).toInt
-      val r = ((id / 25) % 20).toInt
+      val g = id % m
+      val r = ((id / m) % 20).toInt
       (r % 3 until 6).map { f =>
-        Media.encodePgm(16, 16, p =>
-          (if ((p + 7) * (g * 6 + f + 1) % 151 < 76) 40 else 160) + r)
+        val pert: Set[Int] =
+          if (flips) (0 until r % 4)
+            .map(j => (r * 17 + j * 29 + f * 31) % 64)
+            .map(t => 32 * (t / 8) + 2 * (t % 8)).toSet
+          else Set.empty
+        Media.encodePgm(16, 16, { p =>
+          val base = bimodalBase(g * 6 + f, p.toLong)
+          (if (pert(p)) 200 - base else base) + r
+        })
       }.reduce(_ ++ _)
     })
     Tables.documents(s, d)
       .select(col("doc_id"), enc(col("doc_id")).as("media"))
   }
 
-  private def q125(s: SparkSession, d: String): DataFrame = {
-    // barrier (the q118 rule): the plan references the frame hashes from
-    // four subtrees (distinct set, df counts, both join sides) — behind
-    // one exchange all of them reuse a single decode+hash pass
-    val fh = Media.videoFrameHashes(neardupVideoMedia(s, d))
-      .repartition(col("doc_id"))
+  /** Distinct (doc_id, frame hash) rows surviving the df cap — the q97
+    * stopword discipline on frame hashes (intro cards, black frames —
+    * the terms whose posting lists go quadratic at corpus scale — drop
+    * from candidacy before any join). Shared by the exact tier (q125),
+    * the Hamming-tolerant tier (q127) and the scale10 attribution
+    * frame. The frame-hash document frequency is vocabulary-sized like
+    * q97's dfreq, joined back on its own key (co-partitioned), never
+    * broadcast. */
+  private def videoKeptFrames(fh: DataFrame): DataFrame = {
     val fd = fh.select(col("doc_id"), col("fh_hi"), col("fh_lo")).distinct()
     val nVid = fd.agg(countDistinct(col("doc_id")).as("n_vid"))
-    // frame-hash document frequency — vocabulary-sized like q97's dfreq,
-    // joined back on its own key (co-partitioned), never broadcast
     val hdf = fd.groupBy(col("fh_hi"), col("fh_lo"))
       .agg(count(lit(1)).as("fdf"))
-    val kept = fd.join(hdf, Seq("fh_hi", "fh_lo"))
+    fd.join(hdf, Seq("fh_hi", "fh_lo"))
       .crossJoin(broadcast(nVid))
       .filter(col("fdf") * 100 <= col("n_vid") * VideoDfCapPct)
       .select(col("doc_id"), col("fh_hi"), col("fh_lo"))
+  }
+
+  /** Video pairs with their EXACT shared-frame count (pre-gate) — q125's
+    * candidate aggregate, split out so the bench's scale10 stage can
+    * publish its row count beside the wall (the q43cand discipline). */
+  private def videoSharedExact(fh: DataFrame): DataFrame = {
+    val kept = videoKeptFrames(fh)
     val a = kept.select(col("fh_hi"), col("fh_lo"), col("doc_id").as("a_id"))
     val b = kept.select(col("fh_hi"), col("fh_lo"), col("doc_id").as("b_id"))
-    val shared = a.join(b, Seq("fh_hi", "fh_lo"))
+    a.join(b, Seq("fh_hi", "fh_lo"))
       .filter(col("b_id") < col("a_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= VideoShareMin)
-    val dup0 = shared.groupBy(col("a_id")).agg(min(col("b_id")).as("d0"))
-    // n_frames counts the RAW frame walk (pre-distinct), so a container
-    // with repeated identical frames reports its true frame count — the
-    // matching set `fd` stays distinct, only the published count differs
+  }
+
+  /** Resolution tail shared by q125/q127: gate the per-pair shared-frame
+    * count, resolve each video to its smallest matched id, report the
+    * RAW frame-walk count (pre-distinct, so repeated identical frames
+    * report the true frame count — the matching sets stay distinct). */
+  private def videoResolve(fh: DataFrame, shared: DataFrame): DataFrame = {
+    val dup0 = shared.filter(col("shared") >= VideoShareMin)
+      .groupBy(col("a_id")).agg(min(col("b_id")).as("d0"))
     val nf = fh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
     nf.join(dup0, nf("doc_id") === dup0("a_id"), "left")
       .withColumn("dup_of",
@@ -947,15 +1000,37 @@ object StreamMultimodalQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  private def q125(s: SparkSession, d: String): DataFrame = {
+    // barrier (the q118 rule): the plan references the frame hashes from
+    // four subtrees (distinct set, df counts, both join sides) — behind
+    // one exchange all of them reuse a single decode+hash pass
+    val fh = Media.videoFrameHashes(neardupVideoMedia(s, d))
+      .repartition(col("doc_id"))
+    videoResolve(fh, videoSharedExact(fh))
+  }
+
   // frame hashes recomputed from generator arithmetic: frames kept by
-  // the head trim, bimodal pixel values (+ the re-grade), per-frame
-  // integer mean, strict threshold, unsigned-32 bit packing — exactly
-  // the q118 oracle pattern per (doc, frame)
-  private val videoFhSqlPrefix =
-    s"""WITH d2 AS (
-       |  SELECT doc_id, CAST(doc_id % 25 AS INTEGER) AS g,
-       |    CAST((doc_id // 25) % 20 AS INTEGER) AS r
-       |  FROM documents),
+  // the head trim, bimodal pixel values (+ the re-grade, + the optional
+  // per-frame cell flips of the q127 corpus), per-frame integer mean,
+  // strict threshold, unsigned-32 bit packing — exactly the q118 oracle
+  // pattern per (doc, frame)
+  private def videoFhSqlPrefix(flips: Boolean): String = {
+    val base = bimodalBaseSql("d.g * 6 + c.f", "c.p")
+    val v =
+      if (flips)
+        s"""CASE WHEN EXISTS (
+           |        SELECT 1 FROM range(0, 4) jr(j)
+           |        WHERE j < d.r % 4
+           |          AND (d.r * 17 + j * 29 + c.f * 31) % 64 = c.t)
+           |      THEN 200 - ($base)
+           |      ELSE $base
+           |    END""".stripMargin
+      else base
+    s"""WITH mm AS (
+       |  SELECT GREATEST(25, (max(doc_id) + 1) // 20) AS m FROM documents),
+       |d2 AS (
+       |  SELECT doc_id, doc_id % mm.m AS g, (doc_id // mm.m) % 20 AS r
+       |  FROM documents, mm),
        |cells AS (
        |  SELECT d.doc_id, f.f AS f, t.t AS t,
        |    32 * (t.t // 8) + 2 * (t.t % 8) AS p
@@ -963,8 +1038,7 @@ object StreamMultimodalQueries extends QueryModule {
        |  WHERE f.f >= d.r % 3),
        |vals AS (
        |  SELECT c.doc_id, c.f, c.t,
-       |    CASE WHEN (c.p + 7) * (d.g * 6 + c.f + 1) % 151 < 76
-       |      THEN 40 ELSE 160 END + d.r AS v
+       |    $v + d.r AS v
        |  FROM cells c JOIN d2 d ON d.doc_id = c.doc_id),
        |m AS (SELECT doc_id, f, CAST(sum(v) AS BIGINT) // 64 AS mean
        |      FROM vals GROUP BY 1, 2),
@@ -976,9 +1050,10 @@ object StreamMultimodalQueries extends QueryModule {
        |      THEN 1::BIGINT << v.t ELSE 0 END) AS BIGINT) AS fh_lo
        |  FROM vals v JOIN m ON m.doc_id = v.doc_id AND m.f = v.f
        |  GROUP BY 1, 2)""".stripMargin
+  }
 
   private val q125Sql =
-    s"""$videoFhSqlPrefix,
+    s"""${videoFhSqlPrefix(flips = false)},
        |fd AS (SELECT DISTINCT doc_id, fh_hi, fh_lo FROM fh),
        |nv AS (SELECT count(DISTINCT doc_id) AS n_vid FROM fd),
        |hdf AS (SELECT fh_hi, fh_lo, count(*) AS fdf FROM fd GROUP BY 1, 2),
@@ -1017,15 +1092,108 @@ object StreamMultimodalQueries extends QueryModule {
   }
 
   private val q126Sql =
-    s"""$videoFhSqlPrefix
+    s"""${videoFhSqlPrefix(flips = false)}
        |SELECT fh_hi, fh_lo, min(doc_id) AS first_id, count(*) AS n_docs
        |FROM fh GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- q127: Hamming-tolerant VIDEO near-dup (the q118/q123 tier for
+  // frames). q125 matches frames by EXACT 64-bit equality: a re-ENCODE
+  // that drifts a few pixels past a cell-mean boundary flips 1–3 hash
+  // bits per frame and the frame-set overlap silently drops to zero —
+  // the same escape q123 closed for audio. Here each df-capped frame
+  // hash (the q125 stopword discipline, applied BEFORE any join so a
+  // ubiquitous frame can't explode candidacy) goes through the SHARED
+  // Media.phashChunks split; frame PAIRS come from the chunk equi-join
+  // (pigeonhole: Hamming ≤ 3 guarantees a shared chunk), pay the exact
+  // popcount gate, and THEN the q125 share gate counts distinct MATCHED
+  // a-frames per video pair.
+  //
+  // Fixture: the q125 corpus with flips = true — replica r additionally
+  // inverts exactly r%4 sampled cells in EVERY kept frame (cells keyed
+  // (r, j, f), so each frame drifts differently), putting replica-vs-
+  // base frames at Hamming r%4 ≤ 3 (matched) while exact equality sees
+  // zero shared frames for any r%4 ≠ 0 replica. Resolution still
+  // reaches the base (its frames are unperturbed; min over matched ids),
+  // and the oracle recomputes every flipped bit from the same integer
+  // arithmetic.
+  //
+  // Scale shape: O(frames × 4) chunk rows equi-joined on 16-bit buckets,
+  // never pairwise; the df cap bounds any one hash's posting list; the
+  // popcount runs on candidates only — q118's shape with frames as the
+  // unit, so the same sub-quadratic argument applies at 10×.
+  private def q127(s: SparkSession, d: String): DataFrame = {
+    val fh = Media.videoFrameHashes(neardupVideoMedia(s, d, flips = true))
+      .repartition(col("doc_id"))
+    val chunks = Media.phashChunks(videoKeptFrames(fh)
+      .withColumnRenamed("fh_hi", "ph_hi")
+      .withColumnRenamed("fh_lo", "ph_lo"))
+    // one a-frame can match several b-frames (and via several chunks):
+    // distinct on (pair, a-frame) before counting so "shared" means
+    // matched FRAMES, not matched frame-pairs
+    val shared = chunkMatched(chunks)
+      .select(col("a_id"), col("b_id"), col("a_hi"), col("a_lo"))
+      .distinct()
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared"))
+    videoResolve(fh, shared)
+  }
+
+  private val q127Sql =
+    s"""${videoFhSqlPrefix(flips = true)},
+       |fd AS (SELECT DISTINCT doc_id, fh_hi, fh_lo FROM fh),
+       |nv AS (SELECT count(DISTINCT doc_id) AS n_vid FROM fd),
+       |hdf AS (SELECT fh_hi, fh_lo, count(*) AS fdf FROM fd GROUP BY 1, 2),
+       |kept AS (
+       |  SELECT fd.doc_id, fd.fh_hi AS ph_hi, fd.fh_lo AS ph_lo
+       |  FROM fd JOIN hdf USING (fh_hi, fh_lo) CROSS JOIN nv
+       |  WHERE hdf.fdf * 100 <= nv.n_vid * $VideoDfCapPct),
+       |chunks AS (
+       |  SELECT doc_id, ph_hi, ph_lo, 1 AS ci, ph_lo % 65536 AS ck FROM kept
+       |  UNION ALL
+       |  SELECT doc_id, ph_hi, ph_lo, 2, (ph_lo >> 16) % 65536 FROM kept
+       |  UNION ALL
+       |  SELECT doc_id, ph_hi, ph_lo, 3, ph_hi % 65536 FROM kept
+       |  UNION ALL
+       |  SELECT doc_id, ph_hi, ph_lo, 4, (ph_hi >> 16) % 65536 FROM kept),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.ph_hi AS a_hi, a.ph_lo AS a_lo, b.ph_hi AS b_hi, b.ph_lo AS b_lo
+       |  FROM chunks a JOIN chunks b
+       |    ON a.ci = b.ci AND a.ck = b.ck AND b.doc_id < a.doc_id),
+       |mt AS (
+       |  SELECT DISTINCT a_id, b_id, a_hi, a_lo FROM cand
+       |  WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo))
+       |    <= $PHamMax),
+       |sh AS (SELECT a_id, b_id, count(*) AS shared FROM mt GROUP BY 1, 2),
+       |near AS (SELECT a_id, min(b_id) AS d0 FROM sh
+       |         WHERE shared >= $VideoShareMin GROUP BY 1),
+       |nf AS (SELECT doc_id, count(*) AS n_frames FROM fh GROUP BY 1)
+       |SELECT nf.doc_id, nf.n_frames,
+       |  CASE WHEN n.d0 IS NOT NULL AND n.d0 < nf.doc_id
+       |       THEN n.d0 ELSE nf.doc_id END AS dup_of,
+       |  CASE WHEN n.d0 IS NOT NULL AND n.d0 < nf.doc_id
+       |       THEN TRUE ELSE FALSE END AS is_dup
+       |FROM nf LEFT JOIN near n ON n.a_id = nf.doc_id
+       |ORDER BY 1""".stripMargin
+
+  /** Attribution frames for the bench's scale10 stage — the media
+    * members' intermediates whose row counts explain the walls (the
+    * q43cand discipline): q118's deduped chunk-join candidate pairs
+    * (pre-popcount), q125's exact shared-frame video pairs (pre-gate). */
+  private[graft] val scale10Candidates
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_image_neardup" -> ((s, d) => chunkCandidates(Media.phashChunks(
+      Media.imagePHash(neardupImageMedia(s, d)).repartition(col("doc_id"))))),
+    "q125_video_neardup" -> ((s, d) => videoSharedExact(
+      Media.videoFrameHashes(neardupVideoMedia(s, d))
+        .repartition(col("doc_id")))))
 
   def defs: Map[String, QueryDef] = Map(
     "q121_audio_fingerprint_dedup" -> QueryDef(q121, Some(q121Sql)),
     "q123_audio_neardup" -> QueryDef(q123, Some(q123Sql)),
     "q125_video_neardup" -> QueryDef(q125, Some(q125Sql)),
     "q126_video_frame_buckets" -> QueryDef(q126, Some(q126Sql)),
+    "q127_video_neardup_hamming" -> QueryDef(q127, Some(q127Sql)),
     "q124_audio_chunk_buckets" -> QueryDef(q124, Some(q124Sql)),
     "q120_image_chunk_buckets" -> QueryDef(q120, Some(q120Sql)),
     "q118_image_neardup" -> QueryDef(q118, Some(q118Sql)),

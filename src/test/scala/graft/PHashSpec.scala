@@ -190,17 +190,58 @@ class PHashSpec extends SparkSuite {
     // byte hashing finds NO duplicates: every (g, r) payload differs
     // (the re-grade touches every pixel byte, the trim changes length)
     val enc = udf((id: Long) => {
-      val g = (id % 25).toInt
+      val g = id % 25
       val r = ((id / 25) % 20).toInt
       (r % 3 until 6).map { f =>
         Media.encodePgm(16, 16, p =>
-          (if ((p + 7) * (g * 6 + f + 1) % 151 < 76) 40 else 160) + r)
+          graft.queries.StreamMultimodalQueries.bimodalBase(g * 6 + f, p.toLong) + r)
       }.reduce(_ ++ _)
     })
     val byteHashes = Tables.documents(spark, d)
       .select(md5(enc(col("doc_id"))).as("mh")).distinct().count()
     assert(byteHashes == 500L,
       s"every (pattern, re-master) payload must be byte-unique, got $byteHashes")
+  }
+
+  test("q127: per-frame re-encode drift (r%4 bits per frame) resolves to its base; exact frame equality misses it") {
+    import spark.implicits._
+    // the registered Hamming-tolerant query resolves EVERY re-master
+    // (head trim + re-grade + per-frame cell flips together) to its base
+    val out = SparkEntry.queries("q127_video_neardup_hamming")(spark, d)
+    val wrong = out.filter(col("dup_of") =!= col("doc_id") % 25).count()
+    assert(wrong == 0, s"$wrong drifted videos resolved off their group base")
+    val docs = Tables.documents(spark, d).count()
+    assert(out.filter(col("is_dup")).count() == docs - 25)
+    // the capability delta, measured on the SAME flipped corpus: exact
+    // frame-hash matching (q125's tier) only links replicas whose frames
+    // are UNperturbed (r%4 == 0 — 5 of 20 per group; flip sets are keyed
+    // by r, so any two distinct perturbed replicas share zero exact
+    // frame hashes), leaving every drifted replica unresolved
+    val encFlip = udf((id: Long) => {
+      val g = id % 25
+      val r = ((id / 25) % 20).toInt
+      (r % 3 until 6).map { f =>
+        val pert = (0 until r % 4)
+          .map(j => (r * 17 + j * 29 + f * 31) % 64)
+          .map(t => 32 * (t / 8) + 2 * (t % 8)).toSet
+        Media.encodePgm(16, 16, { p =>
+          val b = graft.queries.StreamMultimodalQueries.bimodalBase(g * 6 + f, p.toLong)
+          (if (pert(p)) 200 - b else b) + r
+        })
+      }.reduce(_ ++ _)
+    })
+    val fd = Media.videoFrameHashes(Tables.documents(spark, d)
+        .select(col("doc_id"), encFlip(col("doc_id")).as("media")))
+      .select(col("doc_id"), col("fh_hi"), col("fh_lo")).distinct()
+    val exactDups = fd.as("a").join(fd.as("b"),
+        col("a.fh_hi") === col("b.fh_hi") && col("a.fh_lo") === col("b.fh_lo") &&
+          col("b.doc_id") < col("a.doc_id"))
+      .groupBy(col("a.doc_id"), col("b.doc_id")).count()
+      .filter(col("count") >= 4)
+      .select(col("a.doc_id")).distinct().count()
+    // 5 unperturbed replicas per group, 4 of them non-minimal → 100
+    assert(exactDups == 100,
+      s"exact frame matching must catch only the unflipped re-masters (100), got $exactDups")
   }
 
   test("gain invariance is exact arithmetic: x2 and x7 re-masters fingerprint-identically") {
