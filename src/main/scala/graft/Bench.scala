@@ -736,8 +736,14 @@ object Bench {
         // spec parity but no measured seconds — this publishes the cold
         // in-query encode against the at-rest codes read (VERDICT r9
         // task 3)
+        // media trio joined in round 11 (MediaStore): the perceptual
+        // queries re-decode the media column per session — exactly the
+        // once-per-ingest cost the family amortizes; q118/q125/q127
+        // represent the three store tables (img, vid, vidf; the audio
+        // pair rides the same machinery, spec-pinned)
         val cold = Seq("q71_argo_atlas", "q97_sparse_cosine",
-          "q78_ivfpq_ann").flatMap { name =>
+          "q78_ivfpq_ann", "q118_image_neardup", "q125_video_neardup",
+          "q127_video_neardup_hamming").flatMap { name =>
           val oks = (1 to reps).flatMap { _ =>
             forceCold()
             val t0 = System.nanoTime()
@@ -791,6 +797,11 @@ object Bench {
               graft.queries.ArgoQueries.profilesProbe(spark, sfDir),
               graft.queries.ArgoQueries.ExportAtlas, "bench_atlasstore",
               buckets = 32, path = Some(s"$dir/atlas"))
+          },
+          timed1("media") {
+            graft.queries.StreamMultimodalQueries.landMediaStore(
+              spark, sfDir, "bench_mediastore", buckets = 32,
+              s"$dir/media")
           })
         val build = buildSplit.map(_._2).sum
         System.err.println(f"[bench] stores build           $build%8.2f s")
@@ -798,12 +809,15 @@ object Bench {
           "spark.graft.docStore" -> s"$sfDir=bench_docstore",
           "spark.graft.termStore" -> s"$sfDir=bench_termstore",
           "spark.graft.vecStore" -> s"$sfDir=$dir/vecs",
-          "spark.graft.atlasStore" -> s"$sfDir=bench_atlasstore")
+          "spark.graft.atlasStore" -> s"$sfDir=bench_atlasstore",
+          "spark.graft.mediaStore" -> s"$sfDir=bench_mediastore")
         val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
         confs.foreach { case (k, v) => spark.conf.set(k, v) }
         try {
           val timed = Seq("q37_fingerprint", "q45_ann_ivf_kmeans",
-            "q71_argo_atlas", "q78_ivfpq_ann", "q97_sparse_cosine").map { name =>
+            "q71_argo_atlas", "q78_ivfpq_ann", "q97_sparse_cosine",
+            "q118_image_neardup", "q125_video_neardup",
+            "q127_video_neardup_hamming").map { name =>
             def one(): (Double, Long) = {
               val t0 = System.nanoTime()
               val n = try SparkEntry.queries(name)(spark, sfDir).count()
@@ -889,7 +903,9 @@ object Bench {
             case (k, None) => spark.conf.unset(k)
           }
           (Seq("bench_docstore", "bench_atlasstore") ++
-            graft.sources.TermStore.tablesOf("bench_termstore"))
+            graft.sources.TermStore.tablesOf("bench_termstore") ++
+            graft.queries.StreamMultimodalQueries
+              .mediaStoreTables("bench_mediastore"))
             .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
           deleteRec(dir)
         }
@@ -982,7 +998,7 @@ object Bench {
       s""""interp_profiles_per_sec":${r1(ps)},"interp_profiles_per_sec_per_core":${r1(ps / nCores)}"""
     }
     val StoresHeadline = Set("build", "q71_cold", "q97_cold", "q78_cold",
-      "q71", "q78", "q97")
+      "q71", "q78", "q97", "q118_cold", "q118")
     def storesFrag(keys: String => Boolean): Option[String] =
       storeTimes.filter(t => keys(t._1)) match {
         case Seq() => None

@@ -452,14 +452,64 @@ object StreamMultimodalQueries extends QueryModule {
       .select(col("doc_id"), enc(col("doc_id")).as("media"))
   }
 
+  /** The at-rest MediaStore hash table for corpus `d` and modality
+    * `suffix`, if this session points one at it:
+    * `spark.graft.mediaStore = "<corpusDir>=<tablePrefix>"`. The
+    * corpusDir guard keeps a store from silently serving a different
+    * corpus than the one the query names (MediaStoreSpec pins result
+    * parity and that the store path plans NO decode). */
+  private def mediaStoreTable(s: SparkSession, d: String,
+                              suffix: String): Option[DataFrame] =
+    s.conf.get("spark.graft.mediaStore", "").split("=", 2) match {
+      case Array(dir, prefix) if dir == d &&
+          s.catalog.tableExists(s"${prefix}_$suffix") =>
+        Some(s.table(s"${prefix}_$suffix"))
+      case _ => None
+    }
+
+  /** Image perceptual hashes for q118/q120: the at-rest store when the
+    * session points at one — plain bucketed scans, ZERO session state
+    * and no barrier (the TermStore lesson: each consumer subtree plans
+    * its own column-pruned scan and the bucket layout already carries
+    * the doc_id clustering) — else decode + hash, behind the
+    * one-exchange barrier when more than one subtree will consume it
+    * (the q35 discipline: without it each plan reference re-runs the
+    * whole synthesize+decode+hash subtree — measured 3 decode passes). */
+  private def imageHashes(s: SparkSession, d: String,
+                          barrier: Boolean): DataFrame =
+    mediaStoreTable(s, d, "img").getOrElse {
+      val ph = Media.imagePHash(neardupImageMedia(s, d))
+      if (barrier) ph.repartition(col("doc_id")) else ph
+    }
+
+  /** Audio envelope hashes for q123/q124 — the audio twin of
+    * [[imageHashes]] (store suffix `aud`; n_samples pruned away). */
+  private def audioHashes(s: SparkSession, d: String,
+                          barrier: Boolean): DataFrame =
+    mediaStoreTable(s, d, "aud")
+      .map(_.select(col("doc_id"), col("ph_hi"), col("ph_lo")))
+      .getOrElse {
+        val ph = Media.audioEnvelope64(neardupAudioMedia(s, d))
+          .select(col("doc_id"), col("ph_hi"), col("ph_lo"))
+        if (barrier) ph.repartition(col("doc_id")) else ph
+      }
+
+  /** Per-frame video hashes for q125/q126/q127 — the video member
+    * (store suffix `vid`, or `vidf` for the flipped q127 corpus: the
+    * two fixtures model DIFFERENT corpora, so they land as different
+    * tables). */
+  private def videoHashes(s: SparkSession, d: String, flips: Boolean,
+                          barrier: Boolean): DataFrame =
+    mediaStoreTable(s, d, if (flips) "vidf" else "vid").getOrElse {
+      val fh = Media.videoFrameHashes(neardupVideoMedia(s, d, flips))
+      if (barrier) fh.repartition(col("doc_id")) else fh
+    }
+
   private def q118(s: SparkSession, d: String): DataFrame = {
-    val media = neardupImageMedia(s, d)
-    // repartition barrier ON the hash frame (the q35 discipline): the
+    // barrier ON the compute-path hash frame (the q35 discipline): the
     // plan references ph three times (both join sides + the resolution
-    // join), and without the barrier each reference re-runs the whole
-    // synthesize+decode+hash subtree — measured 3 parquet scans / 3
-    // decode passes; behind one exchange all three consumers reuse it
-    val ph = Media.imagePHash(media).repartition(col("doc_id"))
+    // join) — behind one exchange all three consumers reuse one decode
+    val ph = imageHashes(s, d, barrier = true)
     // 4×16-bit chunks — Media.phashChunks, THE shared split (q120 and
     // the streaming first-seen maintenance bucket with it; the oracle's
     // UNION branches number theirs 1..4 — the two indexings never meet,
@@ -593,8 +643,8 @@ object StreamMultimodalQueries extends QueryModule {
   // Media.phashChunks → DocStreams.bucketFirstSeen), so the gate's full
   // SQL oracle row verifies the exact table the stream maintains.
   private def q120(s: SparkSession, d: String): DataFrame = {
-    val chunks = Media.phashChunks(
-      Media.imagePHash(neardupImageMedia(s, d)))
+    // single consumer — no barrier on the compute path
+    val chunks = Media.phashChunks(imageHashes(s, d, barrier = false))
       .select(col("doc_id"), col("ci").as("band"), col("ck").as("key"))
     graft.streaming.DocStreams.bucketFirstSeen(chunks)
       .select(col("band").as("ci"), col("key").as("ck"),
@@ -770,11 +820,8 @@ object StreamMultimodalQueries extends QueryModule {
   }
 
   private def q123(s: SparkSession, d: String): DataFrame = {
-    val media = neardupAudioMedia(s, d)
     // same barrier as q118: the plan references the envelope three times
-    val ph = Media.audioEnvelope64(media)
-      .select(col("doc_id"), col("ph_hi"), col("ph_lo"))
-      .repartition(col("doc_id"))
+    val ph = audioHashes(s, d, barrier = true)
     chunkNearDup(ph, Media.phashChunks(ph))
   }
 
@@ -857,9 +904,8 @@ object StreamMultimodalQueries extends QueryModule {
   // StreamingSpec replays a batch through MemoryStream and asserts
   // equality). State <= 4*2^16 rows by value range at ANY corpus size.
   private def q124(s: SparkSession, d: String): DataFrame = {
-    val chunks = Media.phashChunks(
-      Media.audioEnvelope64(neardupAudioMedia(s, d))
-        .select(col("doc_id"), col("ph_hi"), col("ph_lo")))
+    // single consumer — no barrier on the compute path
+    val chunks = Media.phashChunks(audioHashes(s, d, barrier = false))
       .select(col("doc_id"), col("ci").as("band"), col("ck").as("key"))
     graft.streaming.DocStreams.bucketFirstSeen(chunks)
       .select(col("band").as("ci"), col("key").as("ck"),
@@ -1004,8 +1050,7 @@ object StreamMultimodalQueries extends QueryModule {
     // barrier (the q118 rule): the plan references the frame hashes from
     // four subtrees (distinct set, df counts, both join sides) — behind
     // one exchange all of them reuse a single decode+hash pass
-    val fh = Media.videoFrameHashes(neardupVideoMedia(s, d))
-      .repartition(col("doc_id"))
+    val fh = videoHashes(s, d, flips = false, barrier = true)
     videoResolve(fh, videoSharedExact(fh))
   }
 
@@ -1083,7 +1128,8 @@ object StreamMultimodalQueries extends QueryModule {
   // VideoShareMin hits with first_id < its own id make it a near-dup
   // candidate without rescanning the corpus.
   private def q126(s: SparkSession, d: String): DataFrame = {
-    val fh = Media.videoFrameHashes(neardupVideoMedia(s, d))
+    // single consumer — no barrier on the compute path
+    val fh = videoHashes(s, d, flips = false, barrier = false)
       .select(col("doc_id"), col("fh_hi").as("band"), col("fh_lo").as("key"))
     graft.streaming.DocStreams.bucketFirstSeen(fh)
       .select(col("band").as("fh_hi"), col("key").as("fh_lo"),
@@ -1122,8 +1168,7 @@ object StreamMultimodalQueries extends QueryModule {
   // popcount runs on candidates only — q118's shape with frames as the
   // unit, so the same sub-quadratic argument applies at 10×.
   private def q127(s: SparkSession, d: String): DataFrame = {
-    val fh = Media.videoFrameHashes(neardupVideoMedia(s, d, flips = true))
-      .repartition(col("doc_id"))
+    val fh = videoHashes(s, d, flips = true, barrier = true)
     val chunks = Media.phashChunks(videoKeptFrames(fh)
       .withColumnRenamed("fh_hi", "ph_hi")
       .withColumnRenamed("fh_lo", "ph_lo"))
@@ -1175,6 +1220,28 @@ object StreamMultimodalQueries extends QueryModule {
        |       THEN TRUE ELSE FALSE END AS is_dup
        |FROM nf LEFT JOIN near n ON n.a_id = nf.doc_id
        |ORDER BY 1""".stripMargin
+
+  /** Land the per-modality MediaStore tables for corpus `d` under
+    * `prefix` — the once-per-ingest decode the per-session savings
+    * amortize (bench stores stage + MediaStoreSpec). The fixtures are
+    * the REGISTERED queries' corpora, handed to [[graft.sources.MediaStore]]
+    * which applies the shared constructions verbatim. */
+  private[graft] def landMediaStore(s: SparkSession, d: String,
+      prefix: String, buckets: Int, dir: String): Unit = {
+    graft.sources.MediaStore.saveImage(neardupImageMedia(s, d),
+      s"${prefix}_img", buckets, Some(s"$dir/img"))
+    graft.sources.MediaStore.saveAudio(neardupAudioMedia(s, d),
+      s"${prefix}_aud", buckets, Some(s"$dir/aud"))
+    graft.sources.MediaStore.saveVideo(neardupVideoMedia(s, d),
+      s"${prefix}_vid", buckets, Some(s"$dir/vid"))
+    graft.sources.MediaStore.saveVideo(neardupVideoMedia(s, d, flips = true),
+      s"${prefix}_vidf", buckets, Some(s"$dir/vidf"))
+  }
+
+  /** The tables [[landMediaStore]] creates — one list so every teardown
+    * drops exactly what landing created (the TermStore.tablesOf rule). */
+  private[graft] def mediaStoreTables(prefix: String): Seq[String] =
+    Seq("img", "aud", "vid", "vidf").map(sfx => s"${prefix}_$sfx")
 
   /** Attribution frames for the bench's scale10 stage — the media
     * members' intermediates whose row counts explain the walls (the

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.multimodal.Media
+
+/** Perceptual hashes at rest — the media member of the at-rest layout
+  * family ([[DocStore]], [[TermStore]], [[VecStore]],
+  * [[graft.argo.AtlasStore]]).
+  *
+  * Every perceptual query re-DECODES the media column per session; at
+  * 100 TB the decode is orders of magnitude more expensive than the
+  * ~16 B/row of hash it produces, and it is exactly the once-per-ingest
+  * cost the store family amortizes. Each modality lands through the
+  * VERIFIED construction — [[Media.imagePHash]], [[Media.audioEnvelope64]],
+  * [[Media.videoFrameHashes]] are called here verbatim, so an at-rest
+  * hash can never drift from the in-session one — bucketed (and sorted)
+  * by doc_id like the rest of the family: the per-doc joins and
+  * first-seen aggregations the consumers run stay co-located scan-side
+  * work, and each consumer subtree plans its own column-pruned bucketed
+  * scan (the TermStore lesson: zero session state beats any cache form
+  * for a table orders smaller than the corpus it indexes).
+  *
+  * Sessions point retrieval at a store with
+  * `spark.graft.mediaStore = "<corpusDir>=<tablePrefix>"`; the consumers
+  * read `<tablePrefix>_img` / `_aud` / `_vid` / `_vidf` behind the same
+  * corpusDir guard the text/vector stores use (MediaStoreSpec pins
+  * result parity and that the store path plans no decode).
+  */
+object MediaStore {
+  /** Land still-image perceptual hashes: (doc_id, ph_hi, ph_lo). */
+  def saveImage(media: DataFrame, table: String, buckets: Int,
+                path: Option[String] = None): Unit =
+    Stores.landBucketed(Media.imagePHash(media), table, buckets,
+      Seq("doc_id"), path)
+
+  /** Land audio envelope hashes: (doc_id, n_samples, ph_hi, ph_lo). */
+  def saveAudio(media: DataFrame, table: String, buckets: Int,
+                path: Option[String] = None): Unit =
+    Stores.landBucketed(Media.audioEnvelope64(media), table, buckets,
+      Seq("doc_id"), path)
+
+  /** Land per-frame video hashes: (doc_id, frame_idx, fh_hi, fh_lo). */
+  def saveVideo(media: DataFrame, table: String, buckets: Int,
+                path: Option[String] = None): Unit =
+    Stores.landBucketed(Media.videoFrameHashes(media), table, buckets,
+      Seq("doc_id"), path)
+
+  def loadBucketed(s: SparkSession, table: String): DataFrame = s.table(table)
+}
