@@ -473,10 +473,16 @@ object Bench {
     // frozen-quantizer update must stay O(delta × cells) + bounded
     // probe fan-out as the at-rest corpus grows, which is exactly what
     // a 10× blowup falsifies empirically
+    // q118/q125 joined in round 11: the media tier's df-cap and
+    // chunk-join scale claims were argued in comments but never
+    // rehearsed at 10× — now the candidate-generating media families
+    // carry measured 10× walls + counts like every other family (the
+    // fixtures keep cluster size ~constant as the corpus grows, so the
+    // ratio measures the PLAN, not a fixture artifact)
     val Scale10Queries = Seq("q36_ngram_jaccard", "q38_dedup_clusters",
       "q41_ann_lsh", "q43_embedding_neardup",
       "q67_semantic_clusters", "q97_sparse_cosine", "q102_hybrid_rank",
-      "q122_ivf_ingest")
+      "q118_image_neardup", "q122_ivf_ingest", "q125_video_neardup")
     /** One quick effective-cores reading (no storage/load) — stage
       * bracketing: the main loop's calib samples stop at its "end", so a
       * burst confined to the post-loop stages (scale10 / atlas-scale /
@@ -557,7 +563,8 @@ object Bench {
           // the only work separating the tail queries' first runs from
           // their re-runs.
           val candFrames = graft.queries.TextQueries.scale10Candidates ++
-            graft.queries.EmbeddingQueries.scale10Candidates
+            graft.queries.EmbeddingQueries.scale10Candidates ++
+            graft.queries.StreamMultimodalQueries.scale10Candidates
           val s10Counts: Seq[(String, Double)] = Scale10Queries.flatMap { name =>
             val q = name.takeWhile(_ != '_')
             val cand = candFrames.get(name).map { f =>
