@@ -1007,43 +1007,43 @@ object Bench {
       // 1255 s vs r8's 875 s was the readable tell the drift verdict
       // missed).
       val tail = (if (calibRerun.nonEmpty) Seq(
-        s""""eff2":${arr(calibRerun, _.eff, r1)}""",
         s""""wall2":${r1(suiteWall2)}""") else Nil) ++
         Seq(s""""procs":$procs""",
           s""""quota":${if (quota > 0) r1(quota) else "-1"}""",
           s""""expected":${r1(calibExpected)}""",
-          // the verdict's threshold fraction is an INPUT like every other
-          // calibration input: an artifact produced under the env
-          // override (the contended-path test hook) must carry the
-          // fraction its flag was computed with, or the flag is
-          // inconsistent with the documented 0.5 rule
-          s""""frac":${r2(CalibEffFrac)}""",
           s""""effmin":${r1(effMin(finalPass))}""",
           s""""wall":${r1(suiteWall)}""",
           s""""contended":$contended""")
+      // the verdict's threshold fraction is an INPUT like every other
+      // calibration input: an artifact produced under the env override
+      // (the contended-path test hook) must carry the fraction its flag
+      // was computed with — full artifact only, per the r10 advice
       val full = (Seq(
         s""""t1":${arr(calibMain, _.t1, r2)}""",
         s""""eff":${arr(calibMain, _.eff, r1)}""",
         s""""load":${arr(calibMain, _.load, r1)}""",
-        s""""stor":${calibMain.map(_.storMB).mkString("[", ",", "]")}""") ++
+        s""""stor":${calibMain.map(_.storMB).mkString("[", ",", "]")}""",
+        s""""frac":${r2(CalibEffFrac)}""") ++
         (if (calibRerun.nonEmpty)
-          Seq(s""""load2":${arr(calibRerun, _.load, r1)}""") else Nil) ++
+          Seq(s""""eff2":${arr(calibRerun, _.eff, r1)}""",
+            s""""load2":${arr(calibRerun, _.load, r1)}""") else Nil) ++
         tail).mkString("\"calib\":{", ",", "}")
-      // stdout form keeps the VERDICT inputs (the eff samples, the
-      // absolute anchor keys, the wall) and leaves the witnesses (t1,
-      // load, storage) to the full artifact: the r10 first run's full
-      // calib block alone pushed the scale10 walls off the driver's
-      // 1880-char line
-      val compact = (s""""eff":${arr(calibMain, _.eff, r1)}""" +: tail)
-        .mkString("\"calib\":{", ",", "}")
+      // stdout form keeps the VERDICT OUTPUTS (effmin, the absolute
+      // anchor keys, the wall, the flag) and leaves the per-sample
+      // arrays and frac to the full artifact: with 123 queries on the
+      // line, the eff array alone was the difference between the stores
+      // block landing on the driver-parsed line or being evicted
+      val compact = tail.mkString("\"calib\":{", ",", "}")
       (full, compact)
     }
     // one stage-key renderer: count keys and the contended flag are
-    // integers, everything else seconds at two decimals
+    // integers, everything else seconds at two decimals with trailing
+    // zeros trimmed (the r2t rule: the 123-query line leaves the stage
+    // blocks ~100 chars of headroom, and "6.9" is the same number)
     def stageKV(k: String, v: Double): String =
       if (k.endsWith("cand") || k.endsWith("out") || k.startsWith("cont"))
         s"\"$k\":${v.toLong}"
-      else s"\"$k\":${r2(v)}"
+      else s"\"$k\":${r2t(v)}"
     def scale10FragOf(withCounts: Boolean): Option[String] =
       scale10.filter(t => withCounts ||
         !(t._1.endsWith("cand") || t._1.endsWith("out"))) match {
@@ -1054,10 +1054,19 @@ object Bench {
     val interpFrag: Option[String] = interpT.map { case (ps, _) =>
       s""""interp_profiles_per_sec":${r1(ps)},"interp_profiles_per_sec_per_core":${r1(ps / nCores)}"""
     }
-    val StoresHeadline = Set("build", "q71_cold", "q97_cold", "q78_cold",
-      "q71", "q78", "q97", "q118_cold", "q118",
-      // the stage's own in-window verdict (VERDICT r10 task 1) belongs
-      // on the driver-parsed line beside the numbers it defends
+    // stdout form drops the per-core figure: it divides a constant by
+    // the core count (the flat-wall corollary, SCALING.md) so cross-
+    // core-count readers misread it, and the ~45 chars buy the stores
+    // block its place on the driver-parsed line
+    val interpFragCompact: Option[String] = interpT.map { case (ps, _) =>
+      s""""interp_profiles_per_sec":${r1(ps)}"""
+    }
+    // stdout keeps ONE representative store pair per family era (q97 =
+    // the text saga, q118 = the media tier) plus build and the stage's
+    // own in-window verdict (VERDICT r10 task 1) — the q71/q78/q125/
+    // q127 pairs and the splits live in BENCH_FULL
+    val StoresHeadline = Set("build", "q97_cold", "q97",
+      "q118_cold", "q118",
       "wall", "effmin", "cont", "wall1", "effmin1")
     def storesFrag(keys: String => Boolean): Option[String] =
       storeTimes.filter(t => keys(t._1)) match {
@@ -1093,7 +1102,10 @@ object Bench {
     // appends a ~75-char "[success]" line — 1880 leaves real margin.
     // Greedy by priority: a block that does not fit is skipped (it still
     // lives in the full artifact), later smaller blocks may still land.
-    val LineBudget = 1880
+    // driver tails 2000 chars and sbt appends a ~66-char "[success]"
+    // line; 1900 leaves real margin while fitting the stores block
+    // beside 123 queries
+    val LineBudget = 1900
     val included = scala.collection.mutable.ArrayBuffer[String]()
     // stdout priority uses the COMPACT calib + walls-only scale10 (the
     // counts are deterministic and live in the full artifact; the walls
@@ -1102,7 +1114,7 @@ object Bench {
     // scale10 walls off the parsed line — eviction must be visible in
     // the log, not discovered by diffing artifacts).
     Seq("calib" -> Some(calibFragCompact), "scale10" -> scale10FragOf(false),
-      "interp" -> interpFrag, "stores" -> storesFrag(StoresHeadline),
+      "stores" -> storesFrag(StoresHeadline), "interp" -> interpFragCompact,
       "atlas" -> atlasFrag, "atlas_profiles" -> apFrag,
       "fallback" -> fallbackFrag, "cores" -> coresFrag,
       "counts" -> countsFrag)
