@@ -493,7 +493,11 @@ object Bench {
       * disproved both. */
     def effQuick(): Double = {
       val t1 = calibSpin()
-      nThreads * t1 / calibSpinPar(nThreads)
+      // best-of-2 gangs, the main loop's sample() discipline: a single
+      // unlucky descheduling between stage members must not fake a
+      // contended stage and buy a whole-stage re-run (minutes) to save
+      // one ~0.4 s probe
+      nThreads * t1 / math.min(calibSpinPar(nThreads), calibSpinPar(nThreads))
     }
     /** Run one post-loop stage with IN-WINDOW calibration and its own
       * contended verdict (VERDICT r10 task 1): the stage body calls

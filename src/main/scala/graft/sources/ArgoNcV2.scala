@@ -92,46 +92,95 @@ object ArgoNcV2 {
 
   private val Epoch1950Ms = -631152000000L
 
-  /** One `_prof.nc` file = one input partition. */
-  private final case class NcPartition(path: String) extends InputPartition
+  /** The session Hadoop configuration entries that DIFFER from a
+    * default `Configuration` — the overlay a reader needs to resolve a
+    * session-configured filesystem (s3a credentials, custom schemes) on
+    * executors. Shipping only the diff keeps the per-task payload small
+    * (Spark's own SerializableConfiguration is private[spark]). */
+  private def confOverlay(c: Configuration): Map[String, String] = {
+    val base = new Configuration()
+    c.iterator().asScala
+      .map(e => e.getKey -> e.getValue)
+      .filter { case (k, v) => base.get(k) != v }
+      .toMap
+  }
+  private def rebuild(overlay: Map[String, String]): Configuration = {
+    val c = new Configuration()
+    overlay.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
 
-  private final class NcScan(paths: Seq[String], required: StructType)
+  /** One input partition = a BIN-PACKED group of `_prof.nc` files:
+    * MB-scale GDAC files one-per-task would pay per-task overhead the
+    * binaryFile path amortizes via maxPartitionBytes, so the planner
+    * packs files up to a byte target instead. */
+  private final case class NcPartition(paths: Seq[String]) extends InputPartition
+
+  private final class NcScan(files: Seq[(String, Long)], required: StructType,
+                             overlay: Map[String, String])
       extends Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
-    override def planInputPartitions(): Array[InputPartition] =
-      paths.map(NcPartition(_): InputPartition).toArray
+    override def planInputPartitions(): Array[InputPartition] = {
+      // greedy byte-target packing over the sorted listing, the file
+      // source's maxSplitBytes discipline: cap at 128 MB, floor at an
+      // even spread over the session's parallelism (a 20-file fixture
+      // must not collapse to one task), and bill each file a 4 MB open
+      // cost so a million tiny files still pack instead of one-per-task
+      val openCost = 4L * 1024 * 1024
+      val totalBytes = files.map(_._2 + openCost).sum
+      val par = math.max(1,
+        org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism)
+      val target = math.max(openCost,
+        math.min(128L * 1024 * 1024, totalBytes / par + 1))
+      val out = scala.collection.mutable.ArrayBuffer[InputPartition]()
+      var cur = scala.collection.mutable.ArrayBuffer[String]()
+      var acc = 0L
+      files.foreach { case (path, len) =>
+        if (cur.nonEmpty && acc + len + openCost > target) {
+          out += NcPartition(cur.toSeq)
+          cur = scala.collection.mutable.ArrayBuffer[String]()
+          acc = 0L
+        }
+        cur += path
+        acc += len + openCost
+      }
+      if (cur.nonEmpty) out += NcPartition(cur.toSeq)
+      out.toArray
+    }
     override def createReaderFactory(): PartitionReaderFactory =
-      new NcReaderFactory(required)
+      new NcReaderFactory(required, overlay)
     override def description(): String =
       s"ArgoNcV2 ReadSchema: ${required.fieldNames.mkString(",")}"
   }
 
-  private final class NcReaderFactory(required: StructType)
+  private final class NcReaderFactory(required: StructType,
+                                      overlay: Map[String, String])
       extends PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-      new NcReader(p.asInstanceOf[NcPartition].path, required)
+      new NcReader(p.asInstanceOf[NcPartition].paths, required, overlay)
   }
 
-  /** Range-reading per-file reader: header probe first, then one seek +
-    * contiguous read per NEEDED fixed variable. */
-  private final class NcReader(path: String, required: StructType)
+  /** Range-reading reader over one file group: per file, header probe
+    * first, then one seek + contiguous read per NEEDED fixed variable. */
+  private final class NcReader(paths: Seq[String], required: StructType,
+                               overlay: Map[String, String])
       extends PartitionReader[InternalRow] {
-    private var rows: Iterator[InternalRow] = _
+    private val conf = rebuild(overlay)
+    private val files = paths.iterator
+    private var rows: Iterator[InternalRow] = Iterator.empty
     private var cur: InternalRow = _
 
-    private def ensureOpen(): Unit = if (rows == null) rows = parse()
-
     override def next(): Boolean = {
-      ensureOpen()
+      while (!rows.hasNext && files.hasNext) rows = parse(files.next())
       if (rows.hasNext) { cur = rows.next(); true } else false
     }
     override def get(): InternalRow = cur
     override def close(): Unit = ()
 
-    private def parse(): Iterator[InternalRow] = {
+    private def parse(path: String): Iterator[InternalRow] = {
       val hp = new HPath(path)
-      val fs = hp.getFileSystem(new Configuration())
+      val fs = hp.getFileSystem(conf)
       val len = fs.getFileStatus(hp).getLen
       val in = fs.open(hp)
       try {
@@ -302,14 +351,15 @@ object ArgoNcV2 {
     }
   }
 
-  private final class NcScanBuilder(paths: Seq[String])
+  private final class NcScanBuilder(files: Seq[(String, Long)],
+                                    overlay: Map[String, String])
       extends ScanBuilder with SupportsPushDownRequiredColumns {
     private var required: StructType = Schema
     override def pruneColumns(requiredSchema: StructType): Unit =
       // Catalyst hands a subset of Schema (possibly reordered); empty
       // projections (bare count) keep zero columns — rows still emit
       required = requiredSchema
-    override def build(): Scan = new NcScan(paths, required)
+    override def build(): Scan = new NcScan(files, required, overlay)
   }
 
   private final class NcTable(root: String) extends Table with SupportsRead {
@@ -318,17 +368,21 @@ object ArgoNcV2 {
     override def capabilities(): java.util.Set[TableCapability] =
       java.util.EnumSet.of(TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-      // driver-side listing, same glob contract as the binaryFile path
+      // driver-side listing with the SESSION's Hadoop configuration,
+      // whose non-default overlay then travels with the scan so
+      // executors resolve the same filesystem the driver listed
+      val hconf = org.apache.spark.sql.SparkSession.active
+        .sessionState.newHadoopConf()
       val hp = new HPath(root)
-      val fs = hp.getFileSystem(new Configuration())
-      val files = scala.collection.mutable.ArrayBuffer[String]()
+      val fs = hp.getFileSystem(hconf)
+      val files = scala.collection.mutable.ArrayBuffer[(String, Long)]()
       val it = fs.listFiles(hp, true)
       while (it.hasNext) {
         val f = it.next()
         if (f.isFile && f.getPath.getName.endsWith("_prof.nc"))
-          files += f.getPath.toUri.getPath
+          files += ((f.getPath.toUri.getPath, f.getLen))
       }
-      new NcScanBuilder(files.sorted.toSeq)
+      new NcScanBuilder(files.sortBy(_._1).toSeq, confOverlay(hconf))
     }
   }
 }
