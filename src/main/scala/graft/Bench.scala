@@ -1135,11 +1135,19 @@ object Bench {
     // bounded tail always holds it complete (printing it twice would push
     // the first copy past the 2000-char window, and a head-truncated copy
     // is what broke r03 — and silently clipped r08).
+    // a SCOPED run (SPARK_GRAFT_ONLY / disabled stages) must never
+    // clobber the committed full-run artifact — it happened twice across
+    // rounds during query-level verification; partial runs land beside
+    // it under a name no reader confuses with the closing artifact
+    val fullRun = only.isEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_SCALE10", "1") != "0" &&
+      sys.env.getOrElse("SPARK_GRAFT_STORES", "1") != "0"
+    val artifact = if (fullRun) "BENCH_FULL.json" else "BENCH_FULL.partial.json"
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_FULL.json write failed: " +
+      System.err.println(s"[bench] $artifact write failed: " +
         s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
     }
     System.err.println(s"[bench] full ${fullLine.length} chars: $fullLine")
