@@ -87,8 +87,11 @@ object ArgoNcV2 {
     * reads data bytes for is recorded here, so ArgoNcV2Spec can assert
     * that a header-only projection never touches the science grids —
     * executors share the JVM under local[*], which is exactly where the
-    * spec runs. Cleared by the spec before each assertion. */
+    * spec runs. OFF in production (a JVM-lifetime queue appended per
+    * (file × variable) would grow without bound on a real scan): the
+    * spec flips `witnessEnabled` around its assertions. */
   private[graft] val readVarsWitness = new ConcurrentLinkedQueue[String]()
+  @volatile private[graft] var witnessEnabled = false
 
   private val Epoch1950Ms = -631152000000L
 
@@ -193,9 +196,10 @@ object ArgoNcV2 {
           in.readFully(0L, probe, 0, probeLen)
           try nc = new Nc3.NcFile(probe)
           catch {
-            case e: Throwable if probeLen < len =>
+            // NonFatal only: an OOM or interrupt must fail the task, not
+            // retry with a 4x larger allocation
+            case scala.util.control.NonFatal(_) if probeLen < len =>
               probeLen = math.min(len, probeLen * 4L).toInt
-            case e: Throwable => throw e
           }
         }
         val (dac, wmo) = ArgoNetCDF.dacWmoFromPath(path) match {
@@ -226,7 +230,7 @@ object ArgoNcV2 {
           val dataLen = v.shape.foldLeft(1L)(_ * _) * Nc3.typeSize(v.ncType)
           val buf = new Array[Byte](dataLen.toInt)
           in.readFully(v.begin, buf, 0, dataLen.toInt)
-          readVarsWitness.add(name)
+          if (witnessEnabled) readVarsWitness.add(name)
           name -> buf
         }.toMap
 
@@ -376,11 +380,24 @@ object ArgoNcV2 {
       val hp = new HPath(root)
       val fs = hp.getFileSystem(hconf)
       val files = scala.collection.mutable.ArrayBuffer[(String, Long)]()
-      val it = fs.listFiles(hp, true)
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.isFile && f.getPath.getName.endsWith("_prof.nc"))
-          files += ((f.getPath.toUri.getPath, f.getLen))
+      // glob expansion first (parity with binaryFile's .load(glob) —
+      // "/gdac/{aoml,coriolis}" must keep working on the V2 default),
+      // then a recursive walk under each expanded root
+      val roots =
+        if (root.exists("{}[]*?".contains(_)))
+          Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+            .map(_.getPath)
+        else Seq(hp)
+      roots.foreach { r =>
+        val it = fs.listFiles(r, true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && f.getPath.getName.endsWith("_prof.nc"))
+            // full URI string, scheme and authority included:
+            // toUri.getPath would strip "s3a://bucket" and the reader
+            // would resolve the bare path against the DEFAULT filesystem
+            files += ((f.getPath.toString, f.getLen))
+        }
       }
       new NcScanBuilder(files.sortBy(_._1).toSeq, confOverlay(hconf))
     }

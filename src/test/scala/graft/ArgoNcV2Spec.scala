@@ -98,6 +98,9 @@ class ArgoNcV2Spec extends SparkSuite {
   }
 
   test("pruning pin: a header projection never reads the science grids' bytes") {
+    // the witness is OFF in production (unbounded queue otherwise) —
+    // enabled only around these assertions
+    ArgoNcV2.witnessEnabled = true
     ArgoNcV2.readVarsWitness.clear()
     val n = v2.select(col("dac"), col("WMO"), col("JULD")).collect().length
     assert(n == 2 * nProf)
@@ -111,8 +114,20 @@ class ArgoNcV2Spec extends SparkSuite {
     ArgoNcV2.readVarsWitness.clear()
     ArgoNetCDF.rawHeader(v2).collect()
     val got2 = witnessed()
+    ArgoNcV2.witnessEnabled = false
     assert(got2.nonEmpty && !Set("PRES", "TEMP", "PSAL").exists(got2.contains),
       s"summary projection read science grids: $got2")
+  }
+
+  test("glob paths keep working on the V2 default (binaryFile .load(glob) parity)") {
+    import java.nio.file.Paths
+    val sub = Paths.get(gdac)
+    val globbed = spark.read.format("argonc")
+      .load(s"${sub}/{aoml,coriolis}")
+      .orderBy("WMO", "IPROF").collect().toSeq
+    // aoml holds the adjusted fixture AND the dropped missing-PRES file;
+    // coriolis the unadjusted one — the glob must see both dacs
+    assert(globbed == v2.orderBy("WMO", "IPROF").collect().toSeq)
   }
 
   test("the production read() rides V2 by default and falls back under spark.graft.ncV2=false") {
