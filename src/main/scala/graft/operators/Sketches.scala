@@ -141,4 +141,83 @@ object Sketches {
     val u = udaf(new DdHist(k, nBuckets), ExpressionEncoder[Double]())
     u(_)
   }
+
+  /** Bloom filter (Bloom 1970) over pre-hashed 64-bit keys: a fixed-size
+    * bitset where each key sets k positions; membership tests k positions
+    * and can say "definitely absent" (no false negatives) or "possibly
+    * present". The merge is bitwise OR — commutative, associative,
+    * idempotent — so the built filter is PARTITION-INVARIANT like the
+    * other sketches here.
+    *
+    * The 100 TB role is the runtime semi-join filter: build the filter
+    * over the SMALL side of a join (an ingest batch's fingerprints,
+    * m/8 bytes total), ship it to the scan of the HUGE side, and drop
+    * non-matching rows BEFORE the shuffle — exactly what Spark's own
+    * `InjectRuntimeFilter` does for equi-joins, made explicit so the
+    * pruned column can be a derived fingerprint the optimizer cannot see
+    * through. False positives only let a few extra rows reach the exact
+    * join that follows; false negatives cannot occur, so composed results
+    * stay exact (q128's oracle is plain SQL, no fixture needed).
+    *
+    * IN = pre-hashed key (pair with [[graft.functions.CharHashExpr]] or
+    * `xxhash64` upstream); BUF = the long-word bitset; OUT = the bitset
+    * packed little-endian into bytes, the shape
+    * [[graft.functions.BloomProbeExpr]] tests against.
+    */
+  class BloomFilter(mBits: Int, k: Int)
+      extends Aggregator[Long, Array[Long], Array[Byte]] {
+    require(mBits >= 64 && (mBits & 63) == 0, "mBits must be a multiple of 64")
+    def zero: Array[Long] = new Array[Long](mBits >>> 6)
+    def reduce(b: Array[Long], h: Long): Array[Long] = {
+      var i = 0
+      while (i < k) {
+        val j = Bloom.pos(h, i, mBits)
+        b(j >>> 6) |= 1L << (j & 63)
+        i += 1
+      }
+      b
+    }
+    def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < b1.length) { b1(i) |= b2(i); i += 1 }
+      b1
+    }
+    def finish(b: Array[Long]): Array[Byte] = {
+      val out = new Array[Byte](b.length * 8)
+      val bb = java.nio.ByteBuffer.wrap(out)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.asLongBuffer().put(b)
+      out
+    }
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Byte]] = ExpressionEncoder[Array[Byte]]()
+  }
+
+  object Bloom {
+    /** Position i of key h: splitmix64 of (h ⊕ seed_i), floor-mod m —
+      * the same independent-row derivation as [[CountMin.cell]]. */
+    @inline def pos(h: Long, i: Int, mBits: Int): Int = {
+      val x = mix64(h ^ (0xA24BAED4963EE407L * (i + 1)))
+      (((x % mBits) + mBits) % mBits).toInt
+    }
+
+    /** Membership test against the little-endian packed bitset. Bit j
+      * lives at byte j>>>3, in-byte position j&7 (LE long packing keeps
+      * the byte/bit numbering identical to the builder's word/bit one). */
+    def mightContain(bits: Array[Byte], h: Long, k: Int): Boolean = {
+      val mBits = bits.length << 3
+      var i = 0
+      while (i < k) {
+        val j = pos(h, i, mBits)
+        if (((bits(j >>> 3) >>> (j & 7)) & 1) == 0) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  def bloomFilter(mBits: Int, k: Int): Column => Column = {
+    val u = udaf(new BloomFilter(mBits, k), ExpressionEncoder[Long]())
+    u(_)
+  }
 }

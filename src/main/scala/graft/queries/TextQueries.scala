@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 import graft.Tables
-import graft.functions.{FP, TextFns => T}
-import graft.operators.{Bpe, Logit}
+import graft.functions.{BloomProbeExpr, FP, TextFns => T}
+import graft.operators.{Bpe, Logit, Sketches}
 
 /** Training-data text pipeline over the `documents` table: exact and
   * near deduplication (MinHash+LSH, SimHash, n-gram Jaccard), language ID,
@@ -485,6 +485,74 @@ object TextQueries extends QueryModule {
        |FROM ex e LEFT JOIN (SELECT * FROM near WHERE rn = 1) n USING (doc_id)
        |ORDER BY 1""".stripMargin
   }
+
+  // ---- q128: Bloom-pruned ingest dedup (runtime semi-join filter) --------
+  // The exact tier of q110 reshaped for the 100 TB asymmetry: the ingest
+  // BATCH is tiny, the corpus is the whole lake, and a per-ingest
+  // batch⋈corpus equi-join shuffles corpus fingerprints that can never
+  // match. Instead the batch's fingerprints build ONE Bloom filter
+  // (Sketches.BloomFilter: OR-merged bitset, m/8 bytes total, no false
+  // negatives) in a job over the SMALL side; the filter lands on the
+  // corpus scan as a codegen'd literal probe (BloomProbeExpr) that drops
+  // non-matching corpus rows BEFORE any exchange — the explicit form of
+  // Spark's InjectRuntimeFilter, reaching a DERIVED key (the content
+  // fingerprint) the optimizer cannot see through. Survivors (true dups
+  // plus a ~2^-k sliver of false positives) are the only corpus rows that
+  // reach the exact min-per-fp aggregate, which then BROADCASTS back to
+  // the batch: the corpus is never shuffled and the batch never leaves
+  // its ingest partitioning. False positives are eliminated by the exact
+  // join, so the result is bit-equal to the unpruned plan and the oracle
+  // is plain SQL (BloomSpec pins no-false-negatives, the measured prune
+  // ratio, and result-equality against the unpruned path). Intra-batch
+  // copies are q110's job; this is the batch-vs-corpus verdict.
+  //
+  // Sizing: m defaults to 2^20 bits (128 KB literal) ≈ 16 bits/element up
+  // to a 65k-doc batch — fp rate ~1e-3 at k=5; a deployment sizes it from
+  // the ingest batch bound via spark.graft.bloomBits. With
+  // spark.graft.docStore wired the corpus side reads its precomputed fp
+  // at rest (the q110/q37 discipline), so the prune scans one long column.
+  private def q128(s: SparkSession, d: String): DataFrame = {
+    val mBits = s.conf.get("spark.graft.bloomBits", (1 << 20).toString).toInt
+    val kHashes = 5
+    val corpusFp = s.conf.get("spark.graft.docStore", "").split("=", 2) match {
+      case Array(dir, table) if dir == d && s.catalog.tableExists(table) =>
+        graft.sources.DocStore.loadBucketed(s, table)
+          .filter(col("doc_id") % IngestMod =!= IngestRem)
+          .select(col("doc_id"), col("fp"))
+      case _ => docs(s, d).filter(col("doc_id") % IngestMod =!= IngestRem)
+        .select(col("doc_id"), T.contentFingerprint(col("text")).as("fp"))
+    }
+    val batchFp = docs(s, d).filter(col("doc_id") % IngestMod === IngestRem)
+      .select(col("doc_id"), T.contentFingerprint(col("text")).as("fp"))
+    // one tiny job over the batch; the filter is a bounded driver model
+    // (m/8 bytes, 128 KB at the default) — the runtime-filter shape of
+    // Spark's own InSubqueryExec results
+    val bloom = batchFp
+      .agg(Sketches.bloomFilter(mBits, kHashes)(col("fp")))
+      .head.getAs[Array[Byte]](0)
+    val corpusMin = corpusFp
+      .filter(BloomProbeExpr.bloomMightContain(lit(bloom), col("fp"), kHashes))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("c_min"))
+    batchFp.join(broadcast(corpusMin), Seq("fp"), "left")
+      .select(col("doc_id"),
+        when(col("c_min").isNotNull, lit("dup")).otherwise(lit("new"))
+          .as("verdict"),
+        col("c_min").as("match_id"))
+      .orderBy("doc_id")
+  }
+
+  private val q128Sql =
+    s"""WITH fp AS (
+       |  SELECT doc_id, ${T.sqlContentFingerprint("text")} AS fp,
+       |    (doc_id % $IngestMod = $IngestRem) AS is_batch
+       |  FROM documents),
+       |cmin AS (
+       |  SELECT fp, min(doc_id) AS c_min FROM fp WHERE NOT is_batch GROUP BY 1)
+       |SELECT b.doc_id,
+       |  CASE WHEN c.c_min IS NOT NULL THEN 'dup' ELSE 'new' END AS verdict,
+       |  c.c_min AS match_id
+       |FROM fp b LEFT JOIN cmin c USING (fp)
+       |WHERE b.is_batch ORDER BY 1""".stripMargin
 
   // ---- q101: streaming near-dup first-seen (ingest-side LSH dedup) -------
   // The INGEST half of near-dedup: as documents arrive, is each one a
@@ -2556,6 +2624,7 @@ object TextQueries extends QueryModule {
     "q38_dedup_clusters" -> QueryDef(q38, Some(q38Sql)),
     "q109_cluster_best" -> QueryDef(q109, Some(q109Sql)),
     "q110_ingest_dedup" -> QueryDef(q110, Some(q110Sql)),
+    "q128_bloom_ingest" -> QueryDef(q128, Some(q128Sql)),
     "q101_stream_neardup" -> QueryDef(q101, Some(q101Sql)),
     "q112_budget_select" -> QueryDef(q112, Some(q112Sql)),
     "q39_corpus_stats" -> QueryDef(q39, Some(q39Sql)))
