@@ -812,9 +812,12 @@ object Bench {
         // once-per-ingest cost the family amortizes; q118/q125/q127
         // represent the three store tables (img, vid, vidf; the audio
         // pair rides the same machinery, spec-pinned)
+        // q34 joins the family in round 11 (BandStore): near-dup pair
+        // generation re-hashes the whole corpus per session — the
+        // once-per-ingest projection the band table at rest amortizes
         val cold = Seq("q71_argo_atlas", "q97_sparse_cosine",
           "q78_ivfpq_ann", "q118_image_neardup", "q125_video_neardup",
-          "q127_video_neardup_hamming").flatMap { name =>
+          "q127_video_neardup_hamming", "q34_minhash_lsh").flatMap { name =>
           val oks = (1 to reps).flatMap { _ =>
             forceCold()
             val t0 = System.nanoTime()
@@ -874,6 +877,10 @@ object Bench {
             graft.queries.StreamMultimodalQueries.landMediaStore(
               spark, sfDir, "bench_mediastore", buckets = 32,
               s"$dir/media")
+          },
+          timed1("band") {
+            graft.sources.BandStore.saveBucketed(docs, "bench_bandstore",
+              buckets = 32, path = Some(s"$dir/bands"))
           })
         val build = buildSplit.map(_._2).sum
         System.err.println(f"[bench] stores build           $build%8.2f s")
@@ -883,14 +890,15 @@ object Bench {
           "spark.graft.termStore" -> s"$sfDir=bench_termstore",
           "spark.graft.vecStore" -> s"$sfDir=$dir/vecs",
           "spark.graft.atlasStore" -> s"$sfDir=bench_atlasstore",
-          "spark.graft.mediaStore" -> s"$sfDir=bench_mediastore")
+          "spark.graft.mediaStore" -> s"$sfDir=bench_mediastore",
+          "spark.graft.bandStore" -> s"$sfDir=bench_bandstore")
         val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
         confs.foreach { case (k, v) => spark.conf.set(k, v) }
         try {
           val timed = Seq("q37_fingerprint", "q45_ann_ivf_kmeans",
             "q71_argo_atlas", "q78_ivfpq_ann", "q97_sparse_cosine",
             "q118_image_neardup", "q125_video_neardup",
-            "q127_video_neardup_hamming").map { name =>
+            "q127_video_neardup_hamming", "q34_minhash_lsh").map { name =>
             def one(): (Double, Long) = {
               val t0 = System.nanoTime()
               val n = try SparkEntry.queries(name)(spark, sfDir).count()
@@ -976,7 +984,7 @@ object Bench {
             case (k, Some(v)) => spark.conf.set(k, v)
             case (k, None) => spark.conf.unset(k)
           }
-          (Seq("bench_docstore", "bench_atlasstore") ++
+          (Seq("bench_docstore", "bench_atlasstore", "bench_bandstore") ++
             graft.sources.TermStore.tablesOf("bench_termstore") ++
             graft.queries.StreamMultimodalQueries
               .mediaStoreTables("bench_mediastore"))

@@ -204,13 +204,36 @@ object TextQueries extends QueryModule {
   def minhashBandFrame(docsDf: DataFrame): DataFrame =
     T.minhashBandFrame(docsDf)
 
+  /** The at-rest BandStore this session points at for corpus `d`, if
+    * any: spark.graft.bandStore = "<corpusDir>=<tableName>" (the
+    * termStore/docStore conf discipline, corpusDir guard included). */
+  private def bandStoreTable(s: SparkSession, d: String): Option[String] =
+    s.conf.get("spark.graft.bandStore", "").split("=", 2) match {
+      case Array(dir, table) if dir == d && s.catalog.tableExists(table) =>
+        Some(table)
+      case _ => None
+    }
+
+  /** The corpus band table every near-dup pass starts from: the at-rest
+    * BandStore when wired — a (band, key)-bucketed scan replaces the
+    * whole-corpus shingle-hash + minhash projection, which is THE
+    * dominant per-session cost of the q34/q38/q101/q110 family and is
+    * once-per-ingest by nature — otherwise the in-session construction
+    * (repartitioned BEFORE the hash projection so a small parquet file
+    * doesn't hash single-threaded, and so CollapseProject can't inline
+    * the kernels into every downstream reference). */
+  private def corpusBands(s: SparkSession, d: String): DataFrame =
+    bandStoreTable(s, d) match {
+      case Some(table) => graft.sources.BandStore.loadBucketed(s, table)
+      case None => minhashBandFrame(docs(s, d).repartition(col("doc_id")))
+    }
+
   private def q34Body(s: SparkSession, d: String): DataFrame = {
-    // repartition BEFORE the hash projection: a small parquet file scans as
-    // one task, and the shingle hashing must run on all cores, after the
-    // Exchange (which also stops CollapseProject from inlining it into
-    // every downstream reference). Kernels are the compiled twins of the
-    // HOF spec in TextFns — bit-identical to the DuckDB oracle.
-    val bands = minhashBandFrame(docs(s, d).repartition(col("doc_id")))
+    // Kernels are the compiled twins of the HOF spec in TextFns —
+    // bit-identical to the DuckDB oracle. On the store path the
+    // candidate self-join below runs bucketed-scan × bucketed-scan on
+    // its exact join keys (band, key): zero exchange on either side.
+    val bands = corpusBands(s, d)
     val l = bands.select(col("band"), col("key"),
       col("doc_id").as("d1"), col("hs").as("hs1"))
     val r = bands.select(col("band"), col("key"),
@@ -369,9 +392,10 @@ object TextQueries extends QueryModule {
   // docs: candidates exist only via shared band buckets (never
   // all-pairs), each scored once after id-level dedup, and the best
   // match per batch doc is a batch-partitioned window (bounded by the
-  // ingest, not the corpus). A deployment would additionally land the
-  // corpus band table at rest beside the DocStore — same layout
-  // discipline, out of scope here.
+  // ingest, not the corpus). With spark.graft.bandStore wired the corpus
+  // band table is read at rest (sources/BandStore): the per-ingest corpus
+  // re-hash disappears and the batch probes a (band, key)-bucketed scan.
+  // The exact tier's batch-side Bloom prune is q128.
   private val IngestMod = 10L
   private val IngestRem = 7L
 
@@ -407,9 +431,8 @@ object TextQueries extends QueryModule {
     val bBands = minhashBandFrame(
       batch.join(survivors, Seq("doc_id")).repartition(col("doc_id")))
       .select(col("band"), col("key"), col("doc_id").as("bd"), col("hs").as("bhs"))
-    val cBands = minhashBandFrame(
-      docs(s, d).filter(col("doc_id") % IngestMod =!= IngestRem)
-        .repartition(col("doc_id")))
+    val cBands = corpusBands(s, d)
+      .filter(col("doc_id") % IngestMod =!= IngestRem)
       .select(col("band"), col("key"), col("doc_id").as("cd"), col("hs").as("chs"))
     val scored = bBands.join(cBands, Seq("band", "key"))
       .select(col("bd"), col("cd"), col("bhs"), col("chs")).distinct()
@@ -567,7 +590,7 @@ object TextQueries extends QueryModule {
   // SQL side's NULL keys never join, so the filter also keeps the two
   // engines on the same candidate set).
   private def q101(s: SparkSession, d: String): DataFrame = {
-    val bands = minhashBandFrame(docs(s, d).repartition(col("doc_id")))
+    val bands = corpusBands(s, d)
       .filter(length(col("hs")) > 0) // hs is the PACKED byte set
       .select(col("doc_id"), col("band"), col("key"))
     val first = graft.streaming.DocStreams.bucketFirstSeen(bands)

@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.TextFns
+
+/** The MinHash LSH band table (doc_id, hs, band, key) at rest — the
+  * near-dup member of the layout family ([[DocStore]], [[TermStore]],
+  * [[VecStore]], [[MediaStore]], [[graft.argo.AtlasStore]]).
+  *
+  * Every near-dup pass (q34 pair generation, q38 cluster resolution,
+  * q110's per-ingest near tier, q101's first-seen maintenance) starts by
+  * shingle-hashing and minhashing the WHOLE corpus — per session, per
+  * ingest batch. That projection is the dominant cost of the pass and it
+  * is once-per-ingest by nature: a document's band buckets never change
+  * after landing. This store lands the exact verified construction
+  * ([[TextFns.minhashBandFrame]] — the q34/q110/q101 oracles hash-check
+  * it) bucketed AND sorted by (band, key), so:
+  *
+  *  - the q34/q38 candidate self-join runs bucketed-scan × bucketed-scan
+  *    on its exact join keys — ZERO exchange on either side;
+  *  - a per-ingest batch probe (q110's near tier) joins its few bands
+  *    against a co-located scan — the corpus is never reshuffled;
+  *  - the q101 first-seen aggregation groups by the bucket key the scan
+  *    is already clustered on — no exchange.
+  *
+  * Storage: `hs` (the packed shingle-hash set, the scoring input) is
+  * denormalized per band row — a factor-of-MinHashBands (4) duplication
+  * of a field that is itself far smaller than the text it summarizes, in
+  * exchange for candidate scoring that needs no extra join back to a
+  * signature table. `buckets` sizes the parallelism of every later pass.
+  */
+object BandStore {
+  /** THE band construction, shared verbatim with the in-session paths so
+    * the store can never drift from the verified semantics. */
+  def bandFrame(docs: DataFrame): DataFrame =
+    TextFns.minhashBandFrame(docs)
+
+  def saveBucketed(docs: DataFrame, table: String, buckets: Int,
+                   path: Option[String] = None): Unit =
+    Stores.landBucketed(bandFrame(docs), table, buckets, Seq("band", "key"), path)
+
+  def loadBucketed(s: SparkSession, table: String): DataFrame = s.table(table)
+}
