@@ -306,7 +306,11 @@ object StreamMultimodalQueries extends QueryModule {
   // Scale shape: decode + hash is a narrow decoder-init-once map
   // (Tungsten rows, as q90 pins); the dedup groupBy shuffles 16 bytes
   // of hash per image — O(images), never pairwise.
-  private def q117(s: SparkSession, d: String): DataFrame = {
+  /** q117's fixture corpus — the exact-dedup images (a DIFFERENT corpus
+    * than the near-dup tiers' [[neardupImageMedia]]: group-patterned
+    * pixels plus per-doc brightness drift), named so the at-rest landing
+    * and the in-session path share one definition. */
+  private def exactImageMedia(s: SparkSession, d: String): DataFrame = {
     val enc = udf((id: Long) => {
       val g = (id % 25).toInt
       val delta = ((id / 25) % 40).toInt
@@ -314,9 +318,16 @@ object StreamMultimodalQueries extends QueryModule {
       val h = 8 + g % 7
       Media.encodePgm(w, h, i => (i * 31 + g * 17) % 200 + delta)
     })
-    val media = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), enc(col("doc_id")).as("media"))
-    val ph = Media.imagePHash(media)
+  }
+
+  private def q117(s: SparkSession, d: String): DataFrame = {
+    // at-rest fast path (suffix `imgx`): the exact tier's fixture models
+    // a different corpus than the near-dup tiers', so it lands as its
+    // own table through the same MediaStore discipline
+    val ph = mediaStoreTable(s, d, "imgx")
+      .getOrElse(Media.imagePHash(exactImageMedia(s, d)))
     // ONE hash-partitioned window, not groupBy + self-join back onto ph:
     // the self-join's probe side re-runs the whole encode+decode+hash
     // subtree (a second full decode pass per invocation — and broadcast
@@ -691,7 +702,11 @@ object StreamMultimodalQueries extends QueryModule {
   // Scale shape: decode + fingerprint is the decoder-init-once narrow
   // map; the dedup groupBy ships 16 bytes per clip — O(clips), never
   // pairwise.
-  private def q121(s: SparkSession, d: String): DataFrame = {
+  /** q121's fixture corpus — the exact-dedup recordings (re-masters at
+    * integer gains; a different corpus than [[neardupAudioMedia]]'s),
+    * named so the at-rest landing and the in-session path share one
+    * definition. */
+  private def exactAudioMedia(s: SparkSession, d: String): DataFrame = {
     val enc = udf((id: Long) => {
       val g = (id % 25).toInt
       val k = 1 + ((id / 25) % 3).toInt
@@ -699,9 +714,16 @@ object StreamMultimodalQueries extends QueryModule {
       Media.encodeWav(16000,
         i => (((i.toLong * 7 + g * 13) % 4096 - 2048) * k).toInt, n)
     })
-    val media = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), enc(col("doc_id")).as("media"))
-    val af = Media.audioFingerprint(media)
+  }
+
+  private def q121(s: SparkSession, d: String): DataFrame = {
+    // at-rest fast path (suffix `audx`): the exact tier's 16-window
+    // comparison fingerprint (audioFingerprint), not the 64-window
+    // envelope the near tier lands — its own construction, own table
+    val af = mediaStoreTable(s, d, "audx")
+      .getOrElse(Media.audioFingerprint(exactAudioMedia(s, d)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("n_samples"), col("afp"))
     af.withColumn("dup_of", min(col("doc_id")).over(w))
@@ -1236,12 +1258,18 @@ object StreamMultimodalQueries extends QueryModule {
       s"${prefix}_vid", buckets, Some(s"$dir/vid"))
     graft.sources.MediaStore.saveVideo(neardupVideoMedia(s, d, flips = true),
       s"${prefix}_vidf", buckets, Some(s"$dir/vidf"))
+    // the EXACT tiers' corpora (q117/q121) — different fixtures than the
+    // near-dup tiers', landed through the same discipline
+    graft.sources.MediaStore.saveImage(exactImageMedia(s, d),
+      s"${prefix}_imgx", buckets, Some(s"$dir/imgx"))
+    graft.sources.MediaStore.saveAudioFingerprint(exactAudioMedia(s, d),
+      s"${prefix}_audx", buckets, Some(s"$dir/audx"))
   }
 
   /** The tables [[landMediaStore]] creates — one list so every teardown
     * drops exactly what landing created (the TermStore.tablesOf rule). */
   private[graft] def mediaStoreTables(prefix: String): Seq[String] =
-    Seq("img", "aud", "vid", "vidf").map(sfx => s"${prefix}_$sfx")
+    Seq("img", "aud", "vid", "vidf", "imgx", "audx").map(sfx => s"${prefix}_$sfx")
 
   /** Attribution frames for the bench's scale10 stage — the media
     * members' intermediates whose row counts explain the walls (the

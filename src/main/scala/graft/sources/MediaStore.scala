@@ -40,6 +40,15 @@ object MediaStore {
     Stores.landBucketed(Media.audioEnvelope64(media), table, buckets,
       Seq("doc_id"), path)
 
+  /** Land exact-tier audio comparison fingerprints:
+    * (doc_id, n_samples, afp) — q121's 16-window construction
+    * ([[Media.audioFingerprint]]), distinct from the 64-window envelope
+    * the near tier uses. */
+  def saveAudioFingerprint(media: DataFrame, table: String, buckets: Int,
+                           path: Option[String] = None): Unit =
+    Stores.landBucketed(Media.audioFingerprint(media), table, buckets,
+      Seq("doc_id"), path)
+
   /** Land per-frame video hashes: (doc_id, frame_idx, fh_hi, fh_lo). */
   def saveVideo(media: DataFrame, table: String, buckets: Int,
                 path: Option[String] = None): Unit =

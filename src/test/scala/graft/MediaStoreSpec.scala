@@ -15,13 +15,16 @@ class MediaStoreSpec extends SparkSuite {
   private val Prefix = "media_store_spec"
   // every registered consumer of the store, across all three modalities
   private val MediaQueries = Seq(
-    "q118_image_neardup", "q120_image_chunk_buckets",
+    "q117_image_phash_dedup", "q118_image_neardup",
+    "q120_image_chunk_buckets", "q121_audio_fingerprint_dedup",
     "q123_audio_neardup", "q124_audio_chunk_buckets",
     "q125_video_neardup", "q126_video_frame_buckets",
     "q127_video_neardup_hamming")
   private val StoreTableOf = Map(
+    "q117_image_phash_dedup" -> s"${Prefix}_imgx",
     "q118_image_neardup" -> s"${Prefix}_img",
     "q120_image_chunk_buckets" -> s"${Prefix}_img",
+    "q121_audio_fingerprint_dedup" -> s"${Prefix}_audx",
     "q123_audio_neardup" -> s"${Prefix}_aud",
     "q124_audio_chunk_buckets" -> s"${Prefix}_aud",
     "q125_video_neardup" -> s"${Prefix}_vid",
