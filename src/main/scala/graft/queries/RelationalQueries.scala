@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 import graft.Tables
-import graft.functions.FP
+import graft.functions.{FP, ZOrderExpr}
 import graft.operators.Aggregates
+import graft.sources.Layout
 
 /** Relational operator coverage (SURVEY.md §2.2–§2.7) expressed over the
   * test tables, each with a DuckDB oracle.
@@ -568,7 +569,65 @@ object RelationalQueries extends QueryModule {
       |FROM (SELECT o_custkey FROM b96 EXCEPT SELECT o_custkey FROM b97)
       |ORDER BY cohort, o_custkey""".stripMargin
 
+  // ---- q129: Z-order layout rewrite + 2-D rectangle scan -----------------
+  // The lakehouse OPTIMIZE ZORDER operation: rewrite events clustered
+  // along the Morton curve of (time bucket, user_id) — sources/Layout +
+  // the codegen'd ZOrderExpr — then answer a rectangle predicate
+  // (a time slice AND a user band) from the rewritten files. Every
+  // landed file covers a tight (ts, user) rectangle, so stock parquet
+  // min/max row-group pruning serves BOTH dimensions; a linear layout
+  // prunes only its leading sort column (ZOrderSpec measures the scanned-
+  // row ratio). The rewrite is once-per-ingest, amortized like the
+  // at-rest stores; the aggregate result is layout-independent, which is
+  // exactly what the oracle verifies (the clustering must never change
+  // answers, only I/O).
+  //
+  // The min/max bounds are a 2-long driver model (one agg job): the
+  // rectangle and the time-bucket granule derive from them
+  // deterministically in both engines (integer arithmetic on µs).
+  private def q129(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+    val r = ev.agg(min(col("ts_us")), max(col("ts_us")),
+      max(col("user_id"))).head
+    val (mn, mx, umax) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val g = math.max(1L, (mx - mn) >> 20) // ≤ 2^20 time buckets: 31-bit safe
+    val z = ZOrderExpr.zorder2(
+      floor((col("ts_us") - mn) / g).cast("int"),
+      col("user_id").cast("int"))
+    val dir = graft.TempDirs.create("graft-zorder").resolve("events").toString
+    Layout.writeZOrdered(ev, z, dir, partitions = 8,
+      maxRecordsPerFile = 2048)
+    val t1 = mn + (mx - mn) / 4
+    val t2 = mn + (mx - mn) / 2
+    // user band = [umax/5, 2·umax/5): derived, so the rectangle is
+    // non-degenerate at every scale factor (sf0.001 has 15 users)
+    s.read.parquet(dir)
+      .filter(col("ts_us") >= t1 && col("ts_us") < t2 &&
+        col("user_id") >= umax / 5 && col("user_id") < (2 * umax) / 5)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(FP.micro(col("value"))).as("sum_value_u"))
+      .orderBy("event_type")
+  }
+
+  private val q129Sql =
+    s"""WITH b AS (
+       |  SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx,
+       |    max(user_id) AS umax FROM events),
+       |r AS (
+       |  SELECT e.event_type, ${FP.sqlMicro("e.value")} AS v
+       |  FROM events e, b
+       |  WHERE epoch_us(e.ts) >= b.mn + (b.mx - b.mn) // 4
+       |    AND epoch_us(e.ts) <  b.mn + (b.mx - b.mn) // 2
+       |    AND e.user_id >= b.umax // 5 AND e.user_id < (2 * b.umax) // 5)
+       |SELECT event_type, count(*) AS n_events,
+       |  CAST(sum(v) AS BIGINT) AS sum_value_u
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "q129_zorder_scan" -> QueryDef(q129, Some(q129Sql)),
     "q23_set_ops" -> QueryDef(q23, Some(q23Sql)),
     "q24_cube" -> QueryDef(q24, Some(q24Sql)),
     "q25_pivot" -> QueryDef(q25, Some(q25Sql)),
