@@ -482,7 +482,8 @@ object Bench {
     val Scale10Queries = Seq("q36_ngram_jaccard", "q38_dedup_clusters",
       "q41_ann_lsh", "q43_embedding_neardup",
       "q67_semantic_clusters", "q97_sparse_cosine", "q102_hybrid_rank",
-      "q118_image_neardup", "q122_ivf_ingest", "q125_video_neardup")
+      "q118_image_neardup", "q122_ivf_ingest", "q125_video_neardup",
+      "q128_bloom_ingest")
     /** One quick effective-cores reading (no storage/load) — the
       * gang-probe anchor sampled INSIDE the post-loop stage windows via
       * [[stagePass]]: the main loop's calib samples stop at its "end",

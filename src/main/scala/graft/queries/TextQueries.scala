@@ -534,9 +534,18 @@ object TextQueries extends QueryModule {
   // the ingest batch bound via spark.graft.bloomBits. With
   // spark.graft.docStore wired the corpus side reads its precomputed fp
   // at rest (the q110/q37 discipline), so the prune scans one long column.
-  private def q128(s: SparkSession, d: String): DataFrame = {
+  private val BloomK = 5
+
+  private def ingestBatchFp(s: SparkSession, d: String): DataFrame =
+    docs(s, d).filter(col("doc_id") % IngestMod === IngestRem)
+      .select(col("doc_id"), T.contentFingerprint(col("text")).as("fp"))
+
+  /** Corpus rows surviving the batch's Bloom prune — q128's candidate
+    * frame (true dups plus the ~1e-3 false-positive sliver; published as
+    * `q128cand` by the scale10 stage so the prune ratio is attributable
+    * from the artifact). */
+  private[graft] def bloomSurvivors(s: SparkSession, d: String): DataFrame = {
     val mBits = s.conf.get("spark.graft.bloomBits", (1 << 20).toString).toInt
-    val kHashes = 5
     val corpusFp = s.conf.get("spark.graft.docStore", "").split("=", 2) match {
       case Array(dir, table) if dir == d && s.catalog.tableExists(table) =>
         graft.sources.DocStore.loadBucketed(s, table)
@@ -545,18 +554,20 @@ object TextQueries extends QueryModule {
       case _ => docs(s, d).filter(col("doc_id") % IngestMod =!= IngestRem)
         .select(col("doc_id"), T.contentFingerprint(col("text")).as("fp"))
     }
-    val batchFp = docs(s, d).filter(col("doc_id") % IngestMod === IngestRem)
-      .select(col("doc_id"), T.contentFingerprint(col("text")).as("fp"))
     // one tiny job over the batch; the filter is a bounded driver model
     // (m/8 bytes, 128 KB at the default) — the runtime-filter shape of
     // Spark's own InSubqueryExec results
-    val bloom = batchFp
-      .agg(Sketches.bloomFilter(mBits, kHashes)(col("fp")))
+    val bloom = ingestBatchFp(s, d)
+      .agg(Sketches.bloomFilter(mBits, BloomK)(col("fp")))
       .head.getAs[Array[Byte]](0)
-    val corpusMin = corpusFp
-      .filter(BloomProbeExpr.bloomMightContain(lit(bloom), col("fp"), kHashes))
+    corpusFp.filter(
+      BloomProbeExpr.bloomMightContain(lit(bloom), col("fp"), BloomK))
+  }
+
+  private def q128(s: SparkSession, d: String): DataFrame = {
+    val corpusMin = bloomSurvivors(s, d)
       .groupBy(col("fp")).agg(min(col("doc_id")).as("c_min"))
-    batchFp.join(broadcast(corpusMin), Seq("fp"), "left")
+    ingestBatchFp(s, d).join(broadcast(corpusMin), Seq("fp"), "left")
       .select(col("doc_id"),
         when(col("c_min").isNotNull, lit("dup")).otherwise(lit("new"))
           .as("verdict"),
@@ -2374,7 +2385,8 @@ object TextQueries extends QueryModule {
     "q36_ngram_jaccard" -> (jaccardCandidates(_, _)),
     "q38_dedup_clusters" -> (minhashPairs(_, _)),
     "q97_sparse_cosine" -> (sparseDots(_, _)),
-    "q102_hybrid_rank" -> (hybridCosDots(_, _)))
+    "q102_hybrid_rank" -> (hybridCosDots(_, _)),
+    "q128_bloom_ingest" -> (bloomSurvivors(_, _)))
 
   /** Default head threshold of [[joinDfreq]]: a term in more than this
     * percent of documents is "head". */
