@@ -188,4 +188,60 @@ object Graph {
       .join(broadcast(labelMap), Seq("id"), "left")
       .select(col("id"), coalesce(col("comp_m"), col("id")).as("comp"))
   }
+
+  /** PageRank in exact integer micro-units — the authority score of a
+    * crawl/host graph (the Common Crawl host-rank quality signal a
+    * training-data pipeline feeds its source weighting), and the second
+    * iterative pattern beside [[connectedComponents]]: CC propagates a
+    * MIN (order-free, converges to a unique fixpoint), PageRank iterates
+    * a weighted SUM — which is only engine-exact because every step is
+    * integer arithmetic: ranks live in micro-units, each contribution is
+    * the truncating quotient `r * dampingPm div 1000 div out_deg`, and
+    * the per-node update adds a constant base. Integer sums are
+    * associative, so the result is partition-invariant and a SQL oracle
+    * with the same truncation matches bit-for-bit (floating-point
+    * PageRank would drift by summation order on every shuffle).
+    *
+    * Scale shape per iteration: one join of the rank vector onto the
+    * edge list (edges carry their out_deg and are partitioned by src
+    * ONCE, checkpointed, and reused — only the rank vector, one row per
+    * node, moves per pass) and one groupBy(dst) with map-side partial
+    * sums. The driver holds nothing; lineage is truncated per pass and
+    * superseded checkpoints are released ([[release]]).
+    *
+    * @param edges     (src, dst) DIRECTED pairs; pass both directions for
+    *                  an undirected graph. Nodes with no out-edges would
+    *                  leak rank (the standard dangling-mass issue) — a
+    *                  symmetric edge list has none, which is the
+    *                  registered caller's shape.
+    * @param iters     fixed iteration count (the oracle unrolls it)
+    * @param dampingPm damping in per-mille (850 = the canonical 0.85)
+    * @return (id, r) with r the final rank in micro-units; initial rank
+    *         is 1e6 per node, per-node base is 1000·(1000−dampingPm)
+    */
+  def pageRank(edges: DataFrame, iters: Int, dampingPm: Int = 850): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+      .localCheckpoint()
+    // (src, dst, out_deg) clustered by src once — every pass joins the
+    // rank vector against this layout without moving the edges again
+    val e = edges.join(deg, Seq("src"))
+      .repartition(col("src")).localCheckpoint()
+    var ranks = nodes.withColumn("r", lit(1000000L)).localCheckpoint()
+    val base = 1000L * (1000 - dampingPm)
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks, e("src") === ranks("id"))
+        .select(col("dst").as("id"),
+          expr(s"r * $dampingPm div 1000 div out_deg").as("c"))
+      val next = nodes
+        .join(contrib.groupBy(col("id")).agg(sum(col("c")).as("s")),
+          Seq("id"), "left")
+        .select(col("id"), (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
+        .localCheckpoint()
+      release(ranks)
+      ranks = next
+    }
+    ranks
+  }
 }

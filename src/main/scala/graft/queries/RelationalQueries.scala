@@ -626,7 +626,64 @@ object RelationalQueries extends QueryModule {
        |  CAST(sum(v) AS BIGINT) AS sum_value_u
        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q130: PageRank authority over the trade graph ---------------------
+  // The crawl-graph quality signal (Common Crawl publishes host-level
+  // ranks that pipelines feed their source weights): PageRank in exact
+  // integer micro-units (operators/Graph.pageRank — truncating integer
+  // contributions make the iterated SUM associative, so the distributed
+  // result is partition-invariant and the 5-iteration unrolled SQL
+  // oracle matches bit-for-bit; floating-point PageRank drifts by
+  // summation order on every shuffle). Graph: the customer↔supplier
+  // bipartite trade graph from orders ⋈ lineitem — symmetric edges, so
+  // no node dangles and no rank mass leaks. Node ids pack both key
+  // spaces into one long (customer 2k, supplier 2k+1). Output: the
+  // top-25 authorities with their in-graph degree-weighted rank.
+  private val PrIters = 5
+  private val PrDampPm = 850
+
+  private def q130(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+    graft.operators.Graph.pageRank(edges, PrIters, PrDampPm)
+      .select(col("id"), col("r").as("rank_u"))
+      .orderBy(col("rank_u").desc, col("id"))
+      .limit(25)
+  }
+
+  private val q130Sql = {
+    val base = 1000L * (1000 - PrDampPm)
+    val iters = (1 to PrIters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.id, CAST($base + coalesce(sum(c.c_r), 0) AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, (r.r * $PrDampPm // 1000 // e.out_deg) AS c_r
+         |    FROM e JOIN r${i - 1} r ON r.id = e.src) c ON c.dst = n.id
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION ALL SELECT b AS src, a AS dst FROM pairs),
+       |deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY 1),
+       |e AS (SELECT edges.src, edges.dst, deg.out_deg
+       |      FROM edges JOIN deg USING (src)),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$iters
+       |SELECT id, r AS rank_u FROM r$PrIters
+       |ORDER BY rank_u DESC, id LIMIT 25""".stripMargin
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "q130_pagerank" -> QueryDef(q130, Some(q130Sql)),
     "q129_zorder_scan" -> QueryDef(q129, Some(q129Sql)),
     "q23_set_ops" -> QueryDef(q23, Some(q23Sql)),
     "q24_cube" -> QueryDef(q24, Some(q24Sql)),
