@@ -815,10 +815,13 @@ object Bench {
         // pair rides the same machinery, spec-pinned)
         // q34 joins the family in round 11 (BandStore): near-dup pair
         // generation re-hashes the whole corpus per session — the
-        // once-per-ingest projection the band table at rest amortizes
+        // once-per-ingest projection the band table at rest amortizes.
+        // q128 too: its corpus side reads the DocStore fp column at rest
+        // (cold = recompute every corpus fingerprint per ingest check)
         val cold = Seq("q71_argo_atlas", "q97_sparse_cosine",
           "q78_ivfpq_ann", "q118_image_neardup", "q125_video_neardup",
-          "q127_video_neardup_hamming", "q34_minhash_lsh").flatMap { name =>
+          "q127_video_neardup_hamming", "q34_minhash_lsh",
+          "q128_bloom_ingest").flatMap { name =>
           val oks = (1 to reps).flatMap { _ =>
             forceCold()
             val t0 = System.nanoTime()
@@ -899,7 +902,8 @@ object Bench {
           val timed = Seq("q37_fingerprint", "q45_ann_ivf_kmeans",
             "q71_argo_atlas", "q78_ivfpq_ann", "q97_sparse_cosine",
             "q118_image_neardup", "q125_video_neardup",
-            "q127_video_neardup_hamming", "q34_minhash_lsh").map { name =>
+            "q127_video_neardup_hamming", "q34_minhash_lsh",
+            "q128_bloom_ingest").map { name =>
             def one(): (Double, Long) = {
               val t0 = System.nanoTime()
               val n = try SparkEntry.queries(name)(spark, sfDir).count()

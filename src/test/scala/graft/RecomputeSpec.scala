@@ -86,6 +86,43 @@ class RecomputeSpec extends SparkSuite {
       "degenerate fixture: pair graph has almost no non-trivial clusters")
   }
 
+  test("injected task failure under the PageRank iteration: ranks are bit-identical") {
+    // The weighted-SUM iterative twin of the CC case above: CC's
+    // retry-safety comes from a unique fixpoint (min reachable id) that
+    // forgives ANY intermediate state; PageRank has no such forgiveness
+    // — its safety rests entirely on integer associativity (micro-unit
+    // ranks, truncating contributions), so a retried edge-scan task
+    // re-contributing in a different merge order must still produce the
+    // identical rank vector. Floating-point PageRank would fail exactly
+    // this test.
+    val d = "/root/testdata/sf0.001"
+    val pairs = graft.Tables.orders(spark, d)
+      .join(graft.Tables.lineitem(spark, d),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+      .distinct()
+    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionAll(pairs.select($"b".as("src"), $"a".as("dst")))
+    def ranks(e: DataFrame): Seq[(Long, Long)] =
+      graft.operators.Graph.pageRank(e, iters = 5)
+        .as[(Long, Long)].collect().toSeq.sorted
+    val want = ranks(edges)
+    RecomputeSpec.fired.set(false)
+    val chaotic = spark.createDataFrame(
+      edges.rdd.mapPartitions { it =>
+        val tc = TaskContext.get()
+        if (tc.attemptNumber() == 0 && !RecomputeSpec.fired.getAndSet(true))
+          throw new RuntimeException("injected executor-loss rehearsal")
+        it
+      }, edges.schema)
+    val got = ranks(chaotic)
+    assert(RecomputeSpec.fired.get(), "the injected failure never fired")
+    assert(got == want,
+      "PageRank after a task failure must be bit-identical to the clean run")
+    assert(want.map(_._2).distinct.size > 10,
+      "degenerate fixture: ranks collapsed to a handful of values")
+  }
+
   test("injected task failure under the XOR manifest: checksums are bit-identical") {
     // The q115/q116 integrity claim under the one condition an integrity
     // mechanism must survive: executor loss DURING manifest computation.
