@@ -588,6 +588,64 @@ object TextQueries extends QueryModule {
        |FROM fp b LEFT JOIN cmin c USING (fp)
        |WHERE b.is_batch ORDER BY 1""".stripMargin
 
+  // ---- q131: Unicode-NFC-normalized dedup (form-invariant fingerprints) --
+  // Byte-level dedup keys split documents that RENDER identically: the
+  // same "café" arrives precomposed (U+00E9) from web crawls and
+  // decomposed ("e" + combining U+0301) from macOS-origin sources, and
+  // md5/charHash see two documents. Pipeline hygiene normalizes to NFC
+  // BEFORE fingerprinting (functions/NormalizeExpr — Spark has no
+  // built-in; codegen'd static call, isNormalized fast path for the
+  // all-ASCII common case). The fixture renders each of 20 content
+  // groups in the form picked by doc_id parity (the q117 fixture
+  // discipline: the oracle rebuilds the text with chr() arithmetic), and
+  // dedup is q30's shape on the NORMALIZED hash — the raw hash rides
+  // along so the artifact shows exactly which rows only normalization
+  // could group. Both engines hash per BMP code point (Spark charAt ≡
+  // DuckDB ascii over string_split), so the cross-engine hash match IS
+  // the NFC-equivalence proof.
+  //
+  // Scale shape: a narrow codegen'd map (normalize + two hashes), then
+  // one 16-byte-per-doc window — O(docs), never pairwise; the same
+  // normalize belongs upstream of any DocStore landing whose sources
+  // mix Unicode forms.
+  private def q131(s: SparkSession, d: String): DataFrame = {
+    // explicit escapes: the two forms RENDER identically (the point of
+    // the operator), and raw literals would be one editor-side NFC
+    // normalization away from silently collapsing the fixture
+    // form = (doc_id div 20) % 2, NOT doc_id % 2: the group is
+    // doc_id % 20, so parity is CONSTANT inside a group — keyed on it,
+    // no group would ever mix forms and the demo would be vacuous;
+    // keyed on div, consecutive members of every group alternate forms
+    val accent = when((col("doc_id") / 20).cast("long") % 2 === 0,
+      lit("\u00e9")).otherwise(lit("e\u0301"))
+    val t = concat(lit("doc "), (col("doc_id") % 20).cast("string"),
+      lit(" caf"), accent)
+    val keyed = docs(s, d).select(col("doc_id"),
+      graft.functions.CharHashExpr.charHashNative(t).as("raw_h"),
+      graft.functions.CharHashExpr.charHashNative(
+        graft.functions.NormalizeExpr.nfcNormalize(t)).as("norm_h"),
+      (graft.functions.NormalizeExpr.nfcNormalize(t) =!= t).as("recomposed"))
+    val w = Window.partitionBy(col("norm_h"))
+    keyed.withColumn("dup_of", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("raw_h"), col("norm_h"), col("recomposed"),
+        col("dup_of"), (col("dup_of") < col("doc_id")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  private val q131Sql = {
+    val t = "'doc ' || (doc_id % 20) || ' caf' || " +
+      "CASE WHEN (doc_id // 20) % 2 = 0 THEN chr(233) ELSE 'e' || chr(769) END"
+    s"""WITH k AS (
+       |  SELECT doc_id, ${T.sqlCharHash(s"($t)")} AS raw_h,
+       |    ${T.sqlCharHash(s"nfc_normalize($t)")} AS norm_h,
+       |    nfc_normalize($t) <> ($t) AS recomposed
+       |  FROM documents),
+       |g AS (SELECT norm_h, min(doc_id) AS dup_of FROM k GROUP BY 1)
+       |SELECT k.doc_id, k.raw_h, k.norm_h, k.recomposed, g.dup_of,
+       |  g.dup_of < k.doc_id AS is_dup
+       |FROM k JOIN g USING (norm_h) ORDER BY 1""".stripMargin
+  }
+
   // ---- q101: streaming near-dup first-seen (ingest-side LSH dedup) -------
   // The INGEST half of near-dedup: as documents arrive, is each one a
   // near-duplicate of ANYTHING seen so far? State is the per-bucket
@@ -2660,6 +2718,7 @@ object TextQueries extends QueryModule {
     "q109_cluster_best" -> QueryDef(q109, Some(q109Sql)),
     "q110_ingest_dedup" -> QueryDef(q110, Some(q110Sql)),
     "q128_bloom_ingest" -> QueryDef(q128, Some(q128Sql)),
+    "q131_unicode_dedup" -> QueryDef(q131, Some(q131Sql)),
     "q101_stream_neardup" -> QueryDef(q101, Some(q101Sql)),
     "q112_budget_select" -> QueryDef(q112, Some(q112Sql)),
     "q39_corpus_stats" -> QueryDef(q39, Some(q39Sql)))
