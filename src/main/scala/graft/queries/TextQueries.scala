@@ -588,6 +588,91 @@ object TextQueries extends QueryModule {
        |FROM fp b LEFT JOIN cmin c USING (fp)
        |WHERE b.is_batch ORDER BY 1""".stripMargin
 
+  // ---- q132: MinHash-LSH recall harness (the lexical q106) ---------------
+  // The measurement a banding config is tuned against: of the pairs that
+  // are TRULY similar (exact n-gram Jaccard ≥ threshold), what fraction
+  // does the band join actually surface as candidates? With 4 bands × 2
+  // rows, P(collide) = 1 − (1 − j²)⁴ — 0.68 at j = 0.5 — so recall < 1
+  // is the honest expected output, and a deployment raising bands/rows
+  // re-runs THIS query to see the trade. Ground truth is probe-bounded
+  // (a fixed ≤40-doc probe set × corpus via broadcast, the q40/q106
+  // discipline — never corpus²); the found set is the verified band
+  // construction (corpusBands — BandStore-served when wired). Per-probe
+  // and exact integer per-mille, so the oracle matches bit-for-bit.
+  private val RecallProbeMod = 25L
+  private val RecallProbeMax = 40L
+
+  private def q132(s: SparkSession, d: String): DataFrame = {
+    val isProbe = (id: Column) =>
+      id % RecallProbeMod === 0 && id < RecallProbeMod * RecallProbeMax
+    val base = docs(s, d).repartition(col("doc_id"))
+      .select(col("doc_id"), T.shingleHashesPacked(3)(col("text")).as("hs"))
+      .filter(length(col("hs")) > 0) // degenerate docs have no shingles
+    val probes = base.filter(isProbe(col("doc_id")))
+      .select(col("doc_id").as("p_id"), col("hs").as("phs"))
+    val truth = base.crossJoin(broadcast(probes))
+      .filter(col("doc_id") =!= col("p_id"))
+      .select(col("p_id"), col("doc_id"),
+        T.jaccardMicroPacked(col("phs"), col("hs")).as("j_u"))
+      .filter(col("j_u") >= (JaccardThreshold * 1e6).toLong)
+    val bands = corpusBands(s, d)
+      .filter(length(col("hs")) > 0)
+      .select(col("doc_id"), col("band"), col("key"))
+    val found = bands.filter(isProbe(col("doc_id")))
+      .select(col("doc_id").as("p_id"), col("band"), col("key"))
+      .join(bands, Seq("band", "key"))
+      .filter(col("doc_id") =!= col("p_id"))
+      .select(col("p_id"), col("doc_id")).distinct()
+    truth
+      .join(found.withColumn("hit", lit(1)), Seq("p_id", "doc_id"), "left")
+      .groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"))
+      .select(col("p_id"), col("n_true"), col("n_found"),
+        expr("n_found * 1000 div n_true").as("recall_pm"))
+      .orderBy("p_id")
+  }
+
+  private val q132Sql = {
+    val pred = (id: String) =>
+      s"$id % $RecallProbeMod = 0 AND $id < ${RecallProbeMod * RecallProbeMax}"
+    val sigExprs = (0 until T.MinHashK)
+      .map(j => s"${T.sqlMinhash("hs", j)} AS sig$j").mkString(",\n    ")
+    val bandSelects = (0 until T.MinHashBands).map { b =>
+      val key = (0 until T.MinHashRows)
+        .map(r => s"sig${b * T.MinHashRows + r}").mkString(" || ':' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    val jac = FP.sqlMicro(
+      "len(list_intersect(p.phs, b.hs))::DOUBLE / len(list_distinct(list_concat(p.phs, b.hs)))")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      ${T.sqlShingles(s"(${T.sqlTokens("text")})", 3)},
+       |      sh -> ${T.sqlCharHash("sh")})) AS hs
+       |  FROM documents),
+       |nz AS (SELECT * FROM base WHERE len(hs) > 0),
+       |p AS (SELECT doc_id AS p_id, hs AS phs FROM nz WHERE ${pred("doc_id")}),
+       |truth AS (
+       |  SELECT p.p_id, b.doc_id FROM p, nz b
+       |  WHERE b.doc_id <> p.p_id
+       |    AND $jac >= ${(JaccardThreshold * 1e6).toLong}),
+       |sigs AS (SELECT doc_id, hs, $sigExprs FROM nz),
+       |bands AS (
+       |  $bandSelects),
+       |found AS (
+       |  SELECT DISTINCT a.doc_id AS p_id, b.doc_id
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       |  WHERE ${pred("a.doc_id")} AND b.doc_id <> a.doc_id),
+       |j AS (
+       |  SELECT t.p_id, t.doc_id, f.p_id IS NOT NULL AS hit
+       |  FROM truth t LEFT JOIN found f
+       |    ON f.p_id = t.p_id AND f.doc_id = t.doc_id)
+       |SELECT p_id, count(*) AS n_true,
+       |  count(*) FILTER (hit) AS n_found,
+       |  (count(*) FILTER (hit) * 1000) // count(*) AS recall_pm
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ---- q131: Unicode-NFC-normalized dedup (form-invariant fingerprints) --
   // Byte-level dedup keys split documents that RENDER identically: the
   // same "café" arrives precomposed (U+00E9) from web crawls and
@@ -2719,6 +2804,7 @@ object TextQueries extends QueryModule {
     "q110_ingest_dedup" -> QueryDef(q110, Some(q110Sql)),
     "q128_bloom_ingest" -> QueryDef(q128, Some(q128Sql)),
     "q131_unicode_dedup" -> QueryDef(q131, Some(q131Sql)),
+    "q132_lsh_recall" -> QueryDef(q132, Some(q132Sql)),
     "q101_stream_neardup" -> QueryDef(q101, Some(q101Sql)),
     "q112_budget_select" -> QueryDef(q112, Some(q112Sql)),
     "q39_corpus_stats" -> QueryDef(q39, Some(q39Sql)))

@@ -61,6 +61,37 @@ class PageRankSpec extends SparkSuite {
       s"star center must dominate its leaves: $s")
   }
 
+  test("per-iteration plan: the checkpointed edge layout never re-shuffles") {
+    // the pageRank scale claim — edges are partitioned by src ONCE and
+    // every pass moves only the rank vector — rests on localCheckpoint
+    // preserving the child's output partitioning in its LogicalRDD; this
+    // pins that mechanism on the exact join shape the loop builds
+    val edges = web.toDF("src", "dst")
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val e = edges.join(deg, Seq("src"))
+      .repartition(col("src")).localCheckpoint()
+    val ranks = e.select(col("src").as("id")).distinct()
+      .withColumn("r", lit(1000000L)).localCheckpoint()
+    val contrib = e.join(ranks, e("src") === ranks("id"))
+      .groupBy(col("dst")).agg(sum(col("r")).as("s"))
+    contrib.collect()
+    val p = contrib.queryExecution.executedPlan.toString
+    // only the rank vector may move (a broadcast or an id-keyed shuffle)
+    // plus the partial-summed dst aggregation; a src-keyed exchange
+    // means the edge layout itself moved again
+    assert(!p.contains("Exchange hashpartitioning(src"),
+      s"edge layout re-shuffled on src:\n$p")
+    // and the dst exchange must carry partial sums, not raw join output
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.foreach { case (ln, i) =>
+      if (ln.contains("Exchange hashpartitioning(dst")) {
+        val below = lines.drop(i + 1).take(2).mkString("\n")
+        assert(below.contains("HashAggregate"),
+          s"dst exchange fed by raw join output:\n$ln\n$below")
+      }
+    }
+  }
+
   test("q130 end-to-end: 25 authorities, suppliers outrank on the trade graph") {
     val rows = SparkEntry.queries("q130_pagerank")(spark, "/root/testdata/sf0.001")
       .as[(Long, Long)].collect().toSeq
