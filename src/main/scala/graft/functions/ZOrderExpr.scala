@@ -63,8 +63,52 @@ object ZOrderExpr {
     * x occupies even bit positions, y odd. */
   def interleave(x: Int, y: Int): Long = spread(x) | (spread(y) << 1)
 
+  /** 3-D Morton dilation: the low 21 bits of v, one per bit triple. */
+  @inline def spread3(v0: Int): Long = {
+    var v = v0.toLong & 0x1FFFFFL
+    v = (v | (v << 32)) & 0x001F00000000FFFFL
+    v = (v | (v << 16)) & 0x001F0000FF0000FFL
+    v = (v | (v << 8)) & 0x100F00F00F00F00FL
+    v = (v | (v << 4)) & 0x10C30C30C30C30C3L
+    v = (v | (v << 2)) & 0x1249249249249249L
+    v
+  }
+
+  /** 3-D Morton code (21 bits per dimension, 63-bit positive result). */
+  def interleave3(x: Int, y: Int, z: Int): Long =
+    spread3(x) | (spread3(y) << 1) | (spread3(z) << 2)
+
   /** Column-API handle. */
   def zorder2(x: Column, y: Column): Column =
     ColumnBridge.column(
       ZOrderExpr(ColumnBridge.expression(x), ColumnBridge.expression(y)))
+
+  /** 3-column Z code — real lakehouse layouts commonly cluster 2–4
+    * columns; past that the per-dimension resolution (⌊62/n⌋ bits)
+    * stops paying for itself, which is why the engines cap the list. */
+  def zorder3(x: Column, y: Column, z: Column): Column =
+    ColumnBridge.column(ZOrder3Expr(ColumnBridge.expression(x),
+      ColumnBridge.expression(y), ColumnBridge.expression(z)))
+}
+
+/** 3-D sibling of [[ZOrderExpr]]: 21 bits per dimension. */
+case class ZOrder3Expr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(IntegerType, IntegerType, IntegerType)
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(x: Any, y: Any, z: Any): Any =
+    ZOrderExpr.interleave3(x.asInstanceOf[Int], y.asInstanceOf[Int],
+      z.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (x, y, z) => s"graft.functions.ZOrderExpr.interleave3($x, $y, $z)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): ZOrder3Expr =
+    copy(first = f, second = s, third = t)
+
+  override def prettyName: String = "zorder3"
 }

@@ -47,6 +47,43 @@ class ZOrderSpec extends SparkSuite {
     }
   }
 
+  private def naive3(x: Int, y: Int, z: Int): Long = {
+    var c = 0L
+    var i = 0
+    while (i < 21) {
+      c |= ((x.toLong >> i) & 1L) << (3 * i)
+      c |= ((y.toLong >> i) & 1L) << (3 * i + 1)
+      c |= ((z.toLong >> i) & 1L) << (3 * i + 2)
+      i += 1
+    }
+    c
+  }
+
+  test("3-D interleave matches the bit-by-bit reference") {
+    val probes = Seq(0, 1, 5, 255, 4096, 0x1FFFFF, 0x155555)
+    for (x <- probes; y <- probes; z <- probes)
+      assert(ZOrderExpr.interleave3(x, y, z) == naive3(x, y, z), s"($x,$y,$z)")
+  }
+
+  test("a z-only predicate prunes a 3-D z-clustered layout") {
+    val n = 100000
+    val df = spark.range(n.toLong)
+      .select(col("id"),
+        (col("id") * 48271L % 100003L % 256L).cast("int").as("x"),
+        (col("id") * 40503L % 99991L % 256L).cast("int").as("y"),
+        (col("id") * 16807L % 99989L % 256L).cast("int").as("z"))
+    val dir = graft.TempDirs.create("graft-zorder3").resolve("t").toString
+    Layout.writeZOrdered(df,
+      ZOrderExpr.zorder3(col("x"), col("y"), col("z")),
+      dir, partitions = 8, maxRecordsPerFile = 2048)
+    val pred = col("z") >= 100 && col("z") < 110 // ~4%, x/y-blind
+    val zc = spark.read.parquet(dir).filter(pred)
+    val scanned = scannedRows(zc)
+    assert(zc.count() > 0)
+    assert(scanned * 2 < n,
+      s"3-D z layout pruned too little: scanned $scanned of $n")
+  }
+
   test("codes are non-negative and inputs masked to 31 bits") {
     assert(ZOrderExpr.interleave(-1, -1) ==
       ZOrderExpr.interleave(0x7FFFFFFF, 0x7FFFFFFF))
