@@ -40,5 +40,12 @@ object BandStore {
                    path: Option[String] = None): Unit =
     Stores.landBucketed(bandFrame(docs), table, buckets, Seq("band", "key"), path)
 
+  /** Per-ingest increment: band the BATCH only and append it into the
+    * existing store — O(batch) work per sync, corpus never re-hashed
+    * (a document's band buckets never change after landing, so append
+    * is exact, not approximate). `buckets` must match the landing. */
+  def appendBatch(docsBatch: DataFrame, table: String, buckets: Int): Unit =
+    Stores.appendBucketed(bandFrame(docsBatch), table, buckets, Seq("band", "key"))
+
   def loadBucketed(s: SparkSession, table: String): DataFrame = s.table(table)
 }

@@ -34,5 +34,11 @@ object DocStore {
                    path: Option[String] = None): Unit =
     Stores.landBucketed(fingerprint(docs), table, buckets, Seq("fp"), path)
 
+  /** Per-ingest increment: fingerprint the BATCH only and append it into
+    * the existing store — O(batch) work per sync, the corpus never
+    * re-fingerprinted. `buckets` must match the landing. */
+  def appendBatch(docsBatch: DataFrame, table: String, buckets: Int): Unit =
+    Stores.appendBucketed(fingerprint(docsBatch), table, buckets, Seq("fp"))
+
   def loadBucketed(s: SparkSession, table: String): DataFrame = s.table(table)
 }

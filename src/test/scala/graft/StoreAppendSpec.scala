@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{BandStore, DocStore}
+
+/** Incremental store maintenance: appending an ingest batch into an
+  * existing bucketed store must (a) produce a table CONTENT-identical to
+  * re-landing the full corpus, (b) keep the consumers' results identical
+  * to the cold path, and (c) preserve the exchange-free bucketed plans —
+  * each append adds a file set per bucket, which may cost a sort but
+  * never a shuffle. This is the merge-not-rescan discipline (q115/q116)
+  * applied to the stores themselves: a 100 TB sync writes O(batch). */
+class StoreAppendSpec extends SparkSuite {
+
+  private val d = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$d/documents.parquet")
+  // the q110/q128 ingest split: batch = doc_id % 10 == 7
+  private def corpus = docs.filter(col("doc_id") % 10 =!= 7)
+  private def batch = docs.filter(col("doc_id") % 10 === 7)
+
+  test("BandStore append ≡ full land: content, consumer results, plan") {
+    val tmp = graft.TempDirs.create("graft-bandappend")
+    BandStore.saveBucketed(corpus, "bands_app", buckets = 8,
+      path = Some(tmp.resolve("a").toString))
+    BandStore.appendBatch(batch, "bands_app", buckets = 8)
+    BandStore.saveBucketed(docs, "bands_full", buckets = 8,
+      path = Some(tmp.resolve("f").toString))
+    try {
+      def content(t: String) = BandStore.loadBucketed(spark, t)
+        .select(col("doc_id"), col("band"), col("key"), hex(col("hs")))
+        .collect().map(_.toSeq).toSet
+      assert(content("bands_app") == content("bands_full"))
+      // registered consumers over the appended store = the cold path
+      val want = Seq("q34_minhash_lsh", "q110_ingest_dedup").map { q =>
+        q -> SparkEntry.queries(q)(spark, d).collect().toSeq
+      }
+      spark.conf.set("spark.graft.bandStore", s"$d=bands_app")
+      try want.foreach { case (q, w) =>
+        assert(SparkEntry.queries(q)(spark, d).collect().toSeq == w,
+          s"$q over the appended store differs")
+        if (q == "q34_minhash_lsh") {
+          val df = SparkEntry.queries(q)(spark, d)
+          df.collect()
+          val p = df.queryExecution.executedPlan.toString
+          assert(p.contains("Bucketed: true"), s"append lost bucketing:\n$p")
+          assert(!p.contains("Exchange hashpartitioning(band"),
+            s"append made the self-join shuffle:\n$p")
+        }
+      } finally spark.conf.unset("spark.graft.bandStore")
+    } finally Seq("bands_app", "bands_full")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("DocStore append ≡ full land: content and the q37 consumer") {
+    val tmp = graft.TempDirs.create("graft-docappend")
+    DocStore.saveBucketed(corpus, "docs_app", buckets = 8,
+      path = Some(tmp.resolve("a").toString))
+    DocStore.appendBatch(batch, "docs_app", buckets = 8)
+    DocStore.saveBucketed(docs, "docs_full", buckets = 8,
+      path = Some(tmp.resolve("f").toString))
+    try {
+      def content(t: String) = DocStore.loadBucketed(spark, t)
+        .select(col("doc_id"), col("fp")).collect().map(_.toSeq).toSet
+      assert(content("docs_app") == content("docs_full"))
+      val want = SparkEntry.queries("q37_fingerprint")(spark, d).collect().toSeq
+      spark.conf.set("spark.graft.docStore", s"$d=docs_app")
+      try assert(
+        SparkEntry.queries("q37_fingerprint")(spark, d).collect().toSeq == want,
+        "q37 over the appended store differs")
+      finally spark.conf.unset("spark.graft.docStore")
+    } finally Seq("docs_app", "docs_full")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+}
