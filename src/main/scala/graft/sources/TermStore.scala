@@ -56,6 +56,45 @@ object TermStore {
     land(docs.agg(count(lit(1)).as("n_docs")), "_meta")
   }
 
+  /** Per-ingest increment: index the BATCH only, append its postings
+    * into the existing store, and MERGE the sidecars — document
+    * frequency and n_docs are counting monoids (the q116 merge-not-
+    * rescan rule), so `dfreq' = dfreq ⊎ batch_dfreq` and
+    * `n_docs' = n_docs + batch_n` reproduce a full re-land exactly
+    * (StoreAppendSpec pins it). O(batch) postings written; the sidecar
+    * rewrite is vocabulary-sized, not corpus-sized. The merged frames
+    * are checkpointed BEFORE the overwrite — Spark refuses to overwrite
+    * a table its own plan is reading, and the checkpoint severs exactly
+    * that read. `buckets` must match the landing. */
+  def appendBatch(docsBatch: DataFrame, table: String, buckets: Int): Unit = {
+    val s = docsBatch.sparkSession
+    val bfi = forwardIndex(docsBatch)
+    Stores.appendBucketed(bfi, table, buckets, Seq("doc_id"))
+    // batch df from the JUST-APPENDED rows' source frame would re-run
+    // the tokenize; aggregate the appended slice via the landed table
+    // minus nothing — cheapest correct form is the batch index itself
+    val mergedDf = s.table(s"${table}_df")
+      .unionByName(bfi.groupBy(col("w")).agg(count(lit(1)).as("dfreq")))
+      .groupBy(col("w")).agg(sum(col("dfreq")).as("dfreq"))
+      .localCheckpoint()
+    val mergedMeta = s.table(s"${table}_meta")
+      .unionByName(docsBatch.agg(count(lit(1)).as("n_docs")))
+      .agg(sum(col("n_docs")).as("n_docs"))
+      .localCheckpoint()
+    // preserve an external sidecar's location across the overwrite (a
+    // pathless re-save would silently migrate it to the warehouse)
+    def rewrite(df: DataFrame, t: String): Unit = {
+      val meta = s.sessionState.catalog.getTableMetadata(
+        s.sessionState.sqlParser.parseTableIdentifier(t))
+      val w = df.write.mode("overwrite").format("parquet")
+      (if (meta.tableType ==
+          org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL)
+        w.option("path", meta.location.toString) else w).saveAsTable(t)
+    }
+    rewrite(mergedDf, s"${table}_df")
+    rewrite(mergedMeta, s"${table}_meta")
+  }
+
   /** The sidecar-bearing tables of [[saveBucketed]] — one list so every
     * teardown (spec, bench, probes) drops exactly what landing created. */
   def tablesOf(table: String): Seq[String] =

@@ -52,6 +52,31 @@ class StoreAppendSpec extends SparkSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("TermStore append merges the sidecars: q97 ≡ full land, dfreq exact") {
+    val tmp = graft.TempDirs.create("graft-termappend")
+    graft.sources.TermStore.saveBucketed(corpus, "terms_app", buckets = 8,
+      path = Some(tmp.resolve("a").toString))
+    graft.sources.TermStore.appendBatch(batch, "terms_app", buckets = 8)
+    graft.sources.TermStore.saveBucketed(docs, "terms_full", buckets = 8,
+      path = Some(tmp.resolve("f").toString))
+    try {
+      def side(t: String) = (
+        spark.table(s"${t}_df").collect().map(_.toSeq).toSet,
+        spark.table(s"${t}_meta").collect().map(_.toSeq).toSet,
+        spark.table(t).collect().map(_.toSeq).toSet)
+      assert(side("terms_app") == side("terms_full"),
+        "appended index + merged sidecars must equal the full re-land")
+      val want = SparkEntry.queries("q97_sparse_cosine")(spark, d).collect().toSeq
+      spark.conf.set("spark.graft.termStore", s"$d=terms_app")
+      try assert(
+        SparkEntry.queries("q97_sparse_cosine")(spark, d).collect().toSeq == want,
+        "q97 over the appended store differs from the cold path")
+      finally spark.conf.unset("spark.graft.termStore")
+    } finally (graft.sources.TermStore.tablesOf("terms_app") ++
+      graft.sources.TermStore.tablesOf("terms_full"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("DocStore append ≡ full land: content and the q37 consumer") {
     val tmp = graft.TempDirs.create("graft-docappend")
     DocStore.saveBucketed(corpus, "docs_app", buckets = 8,
