@@ -14,7 +14,7 @@ object Graph {
     * storage for the life of the job. (Spark logs a WARN for every
     * unpersist of a locally-checkpointed RDD by design; here it is the
     * intended effect, not a recompute hazard.) */
-  private def release(df: DataFrame): Unit = df.queryExecution.logical match {
+  private[graft] def release(df: DataFrame): Unit = df.queryExecution.logical match {
     case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
     case _              => () // not a checkpoint frame; nothing to drop
   }
@@ -220,14 +220,20 @@ object Graph {
     *         is 1e6 per node, per-node base is 1000·(1000−dampingPm)
     */
   def pageRank(edges: DataFrame, iters: Int, dampingPm: Int = 850): DataFrame = {
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
-    val nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct()
+    // materialize the caller's edge pipeline ONCE (the connectedComponents
+    // discipline): deg/nodes/e below each launch their own jobs, and an
+    // unmaterialized `edges` (a join → distinct → union in q130) would
+    // re-execute per derivation
+    val es = edges.localCheckpoint()
+    val deg = es.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val nodes = es.select(col("src").as("id"))
+      .union(es.select(col("dst").as("id"))).distinct()
       .localCheckpoint()
     // (src, dst, out_deg) clustered by src once — every pass joins the
     // rank vector against this layout without moving the edges again
-    val e = edges.join(deg, Seq("src"))
+    val e = es.join(deg, Seq("src"))
       .repartition(col("src")).localCheckpoint()
+    release(es) // e carries everything the loop needs
     var ranks = nodes.withColumn("r", lit(1000000L)).localCheckpoint()
     val base = 1000L * (1000 - dampingPm)
     for (_ <- 1 to iters) {
@@ -242,6 +248,9 @@ object Graph {
       release(ranks)
       ranks = next
     }
+    // the final ranks checkpoint is the return value; its inputs are done
+    release(e)
+    release(nodes)
     ranks
   }
 }

@@ -399,11 +399,14 @@ object TextQueries extends QueryModule {
   private val IngestMod = 10L
   private val IngestRem = 7L
 
-  private def q110(s: SparkSession, d: String): DataFrame = {
-    val isBatch = col("doc_id") % IngestMod === IngestRem
-    // corpus fingerprints: the at-rest DocStore when wired (the store
-    // carries the verified fp expression via DocStore.fingerprint)
-    val corpusFp = s.conf.get("spark.graft.docStore", "").split("=", 2) match {
+  /** The non-batch corpus side's (doc_id, fp) frame — the at-rest
+    * DocStore when wired (the store carries the verified fp expression
+    * via DocStore.fingerprint), else computed in-session. ONE resolver
+    * shared by the q110 exact tier and q128's Bloom prune, so the two
+    * ingest surfaces can never diverge on the corpus side (the
+    * corpusBands discipline applied to the fingerprint frame). */
+  private def corpusFp(s: SparkSession, d: String): DataFrame =
+    s.conf.get("spark.graft.docStore", "").split("=", 2) match {
       case Array(dir, table) if dir == d && s.catalog.tableExists(table) =>
         graft.sources.DocStore.loadBucketed(s, table)
           .filter(col("doc_id") % IngestMod =!= IngestRem)
@@ -411,6 +414,9 @@ object TextQueries extends QueryModule {
       case _ => docs(s, d).filter(col("doc_id") % IngestMod =!= IngestRem)
         .select(col("doc_id"), T.contentFingerprint(col("text")).as("fp"))
     }
+
+  private def q110(s: SparkSession, d: String): DataFrame = {
+    val isBatch = col("doc_id") % IngestMod === IngestRem
     val batch = docs(s, d).filter(isBatch)
     val batchFp = batch
       .select(col("doc_id"), T.contentFingerprint(col("text")).as("fp"))
@@ -418,7 +424,7 @@ object TextQueries extends QueryModule {
     // doc, or min EARLIER batch doc (ingest order = doc_id; the first
     // batch copy of a new fingerprint is 'kept', later copies are exact
     // dups of it). least() skips NULLs in both engines.
-    val corpusMin = corpusFp.groupBy(col("fp"))
+    val corpusMin = corpusFp(s, d).groupBy(col("fp"))
       .agg(min(col("doc_id")).as("c_min"))
     val wPrev = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -546,21 +552,13 @@ object TextQueries extends QueryModule {
     * from the artifact). */
   private[graft] def bloomSurvivors(s: SparkSession, d: String): DataFrame = {
     val mBits = s.conf.get("spark.graft.bloomBits", (1 << 20).toString).toInt
-    val corpusFp = s.conf.get("spark.graft.docStore", "").split("=", 2) match {
-      case Array(dir, table) if dir == d && s.catalog.tableExists(table) =>
-        graft.sources.DocStore.loadBucketed(s, table)
-          .filter(col("doc_id") % IngestMod =!= IngestRem)
-          .select(col("doc_id"), col("fp"))
-      case _ => docs(s, d).filter(col("doc_id") % IngestMod =!= IngestRem)
-        .select(col("doc_id"), T.contentFingerprint(col("text")).as("fp"))
-    }
     // one tiny job over the batch; the filter is a bounded driver model
     // (m/8 bytes, 128 KB at the default) — the runtime-filter shape of
     // Spark's own InSubqueryExec results
     val bloom = ingestBatchFp(s, d)
       .agg(Sketches.bloomFilter(mBits, BloomK)(col("fp")))
       .head.getAs[Array[Byte]](0)
-    corpusFp.filter(
+    corpusFp(s, d).filter(
       BloomProbeExpr.bloomMightContain(lit(bloom), col("fp"), BloomK))
   }
 

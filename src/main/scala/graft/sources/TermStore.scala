@@ -68,11 +68,12 @@ object TermStore {
     * that read. `buckets` must match the landing. */
   def appendBatch(docsBatch: DataFrame, table: String, buckets: Int): Unit = {
     val s = docsBatch.sparkSession
-    val bfi = forwardIndex(docsBatch)
+    // checkpointed so the postings append and the dfreq merge below read
+    // ONE materialization — an unmaterialized plan would re-run the
+    // batch tokenize per consumer (and let a non-deterministic batch
+    // frame make the appended postings and the sidecar disagree)
+    val bfi = forwardIndex(docsBatch).localCheckpoint()
     Stores.appendBucketed(bfi, table, buckets, Seq("doc_id"))
-    // batch df from the JUST-APPENDED rows' source frame would re-run
-    // the tokenize; aggregate the appended slice via the landed table
-    // minus nothing — cheapest correct form is the batch index itself
     val mergedDf = s.table(s"${table}_df")
       .unionByName(bfi.groupBy(col("w")).agg(count(lit(1)).as("dfreq")))
       .groupBy(col("w")).agg(sum(col("dfreq")).as("dfreq"))
@@ -93,6 +94,8 @@ object TermStore {
     }
     rewrite(mergedDf, s"${table}_df")
     rewrite(mergedMeta, s"${table}_meta")
+    // the writes above were the checkpoints' only consumers
+    Seq(bfi, mergedDf, mergedMeta).foreach(graft.operators.Graph.release)
   }
 
   /** The sidecar-bearing tables of [[saveBucketed]] — one list so every

@@ -48,9 +48,12 @@ class BandStoreSpec extends SparkSuite {
       // may feed the candidate join from either scan
       assert(!p.contains("Exchange hashpartitioning(band"),
         s"the candidate self-join reshuffled a bucketed side:\n$p")
-      // and the whole-corpus shingle-hash projection is gone: the packed
-      // hash kernel no longer appears above a documents scan
-      assert(!p.contains("shingle"), s"store path still re-hashes the corpus:\n$p")
+      // and the whole-corpus shingle-hash projection is gone: the store
+      // path must not scan the documents parquet at all (the anonymous
+      // hash UDFs print as bare "UDF", so the scan source is the
+      // testable witness)
+      assert(!p.contains("documents.parquet"),
+        s"store path still re-hashes the corpus:\n$p")
     }
   }
 
