@@ -33,6 +33,17 @@ object VecStore {
                       path: String): Unit =
     assign(embs, model).write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Per-ingest increment: route the BATCH by the FROZEN quantizer (the
+    * q122 rule — re-training per batch would re-route and re-land the
+    * whole at-rest corpus) and append it into the cell directories.
+    * O(batch) bytes written, the stored corpus untouched, and an
+    * appended vector is partition-prunable the sync it lands. Re-train
+    * and re-land to re-balance when a deployment's drift warrants, as
+    * with any IVF index. */
+  def appendPartitioned(embsBatch: DataFrame, model: Array[Array[Double]],
+                        path: String): Unit =
+    assign(embsBatch, model).write.mode("append").partitionBy("cell").parquet(path)
+
   def load(s: SparkSession, path: String): DataFrame = s.read.parquet(path)
 
   // ---- PQ sidecar --------------------------------------------------------

@@ -77,6 +77,37 @@ class StoreAppendSpec extends SparkSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("VecStore append routes by the FROZEN quantizer and stays prunable") {
+    import spark.implicits._
+    val embs = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val store = embs.filter(col("vec_id") % 10 =!= 7)
+    val delta = embs.filter(col("vec_id") % 10 === 7)
+    // the quantizer is trained on the STORED corpus and frozen (q122's
+    // rule); append must route the delta by it, never re-train
+    val model = graft.operators.KMeans.fit(store, "vec_id", "embedding",
+      dim = 16, k = 8, iters = 5)
+    val dir = graft.TempDirs.create("graft-vecappend").resolve("v").toString
+    graft.sources.VecStore.savePartitioned(store, model, dir)
+    graft.sources.VecStore.appendPartitioned(delta, model, dir)
+    // content ≡ the whole corpus assigned by the SAME frozen model
+    val got = graft.sources.VecStore.load(spark, dir)
+      .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toSet
+    val want = graft.sources.VecStore.assign(embs, model)
+      .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // an appended vector is partition-prunable the sync it lands
+    val one = graft.sources.VecStore.assign(delta, model)
+      .select(col("vec_id"), col("cell")).as[(Long, Int)].head()
+    val scan = graft.sources.VecStore.load(spark, dir)
+      .filter(col("cell") === one._2)
+    scan.collect()
+    val p = scan.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(cell"),
+      s"cell filter must prune partitions:\n${p.take(1500)}")
+    assert(scan.filter(col("vec_id") === one._1).count() == 1,
+      "the appended vector must be findable in its routed cell")
+  }
+
   test("DocStore append ≡ full land: content and the q37 consumer") {
     val tmp = graft.TempDirs.create("graft-docappend")
     DocStore.saveBucketed(corpus, "docs_app", buckets = 8,
