@@ -1528,12 +1528,11 @@ object EmbeddingQueries extends QueryModule {
     * codes frame (vec_id, cell, code)) — shared by q78's in-query cold
     * path and [[landVecStore]]'s sidecar landing, so at-rest codes can
     * never drift from the verified encoding. */
-  private def ivfPqBuild(s: SparkSession, d: String)
-      : (Array[Array[Double]], Array[Array[Array[Double]]], DataFrame) = {
-    val emb = vecs(s, d).select(col("vec_id"), col("embedding"))
-    // coarse quantizer: fitPq with one subspace == deterministic L2 Lloyd
-    val coarse = memoModel(d, "ivfpq-coarse")(
-      KMeans.fitPq(emb, "vec_id", "embedding", 1, Dim, IvfPqCells, PqIters))(0)
+  /** (vec_id, cell, resid) under a FROZEN coarse quantizer — the
+    * residual half of the IVF-PQ encoding, shared by the corpus build
+    * and the per-ingest delta encode so the two cannot drift. */
+  private def residFrame(emb: DataFrame,
+                         coarse: Array[Array[Double]]): DataFrame = {
     val residUdf = udf((v: Seq[Float]) => {
       val sub = new Array[Double](Dim)
       var i = 0
@@ -1545,14 +1544,15 @@ object EmbeddingQueries extends QueryModule {
       while (i < Dim) { r(i) = sub(i) - cent(i); i += 1 }
       (cell, r)
     })
-    val resid = emb.repartition(col("vec_id"))
+    emb.repartition(col("vec_id"))
       .withColumn("cr", residUdf(col("embedding")))
       .select(col("vec_id"), col("cr._1").as("cell"), col("cr._2").as("resid"))
-    // PQ codebooks on the residuals (float-exactness does not hold for
-    // residuals, so fitPq's float cast quantizes at ~1e-7 relative —
-    // uniform across partitionings, still bit-deterministic)
-    val books = memoModel(d, "ivfpq-books")(
-      KMeans.fitPq(resid, "vec_id", "resid", PqM, PqSubDim, PqK, PqIters))
+  }
+
+  /** (vec_id, cell, code) from residuals under FROZEN codebooks — the
+    * other shared half. */
+  private def encodeResid(resid: DataFrame,
+                          books: Array[Array[Array[Double]]]): DataFrame = {
     val encode = udf((r: Seq[Double]) => {
       val code = new Array[Byte](PqM)
       var m = 0
@@ -1566,8 +1566,49 @@ object EmbeddingQueries extends QueryModule {
       }
       code
     })
-    (coarse, books,
-      resid.select(col("vec_id"), col("cell"), encode(col("resid")).as("code")))
+    resid.select(col("vec_id"), col("cell"), encode(col("resid")).as("code"))
+  }
+
+  /** Encode an arbitrary (vec_id, embedding) frame with FROZEN
+    * quantizers — the per-ingest delta encode (q122's rule applied to
+    * the PQ sidecar). */
+  private[graft] def pqEncodeFrozen(emb: DataFrame,
+      coarse: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): DataFrame =
+    encodeResid(residFrame(emb, coarse), books)
+
+  private def ivfPqBuild(s: SparkSession, d: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]], DataFrame) = {
+    val emb = vecs(s, d).select(col("vec_id"), col("embedding"))
+    // coarse quantizer: fitPq with one subspace == deterministic L2 Lloyd
+    val coarse = memoModel(d, "ivfpq-coarse")(
+      KMeans.fitPq(emb, "vec_id", "embedding", 1, Dim, IvfPqCells, PqIters))(0)
+    val resid = residFrame(emb, coarse)
+    // PQ codebooks on the residuals (float-exactness does not hold for
+    // residuals, so fitPq's float cast quantizes at ~1e-7 relative —
+    // uniform across partitionings, still bit-deterministic)
+    val books = memoModel(d, "ivfpq-books")(
+      KMeans.fitPq(resid, "vec_id", "resid", PqM, PqSubDim, PqK, PqIters))
+    (coarse, books, encodeResid(resid, books))
+  }
+
+  /** Per-ingest increment for the vector store: the delta is routed into
+    * the cell-partitioned vectors by the caller's frozen IVF model, and
+    * — when the store carries the PQ sidecar — encoded with the FROZEN
+    * coarse quantizer + residual codebooks read back from `_pqmodel` and
+    * appended into `_pqcodes`. Without the codes append a delta vector
+    * would be silently INVISIBLE to the at-rest IVF-PQ search (q78 reads
+    * only the codes), which is the failure mode this method exists to
+    * prevent; StoreAppendSpec pins codes parity and searchability. */
+  def appendVecStore(s: SparkSession, embsBatch: DataFrame,
+                     ivfModel: Array[Array[Double]], path: String): Unit = {
+    graft.sources.VecStore.appendPartitioned(embsBatch, ivfModel, path)
+    if (graft.sources.VecStore.hasPqSidecar(path)) {
+      val (coarse, books) = graft.sources.VecStore.loadPqModel(s, path)
+      pqEncodeFrozen(embsBatch.select(col("vec_id"), col("embedding")),
+        coarse, books)
+        .write.mode("append").partitionBy("cell").parquet(s"$path/_pqcodes")
+    }
   }
 
   private def q78(s: SparkSession, d: String): DataFrame = {

@@ -108,6 +108,44 @@ class StoreAppendSpec extends SparkSuite {
       "the appended vector must be findable in its routed cell")
   }
 
+  test("VecStore append with PQ sidecar: delta codes land, search sees them") {
+    import spark.implicits._
+    // full land (store + sidecar) from the corpus dir, then a synthetic
+    // delta of fresh ids carrying EXISTING vectors — known ground truth
+    val dir = graft.TempDirs.create("graft-vecpq").resolve("v").toString
+    graft.queries.EmbeddingQueries.landVecStore(spark, d, dir)
+    val embs = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val nBefore = graft.sources.VecStore.loadPqCodes(spark, dir).count()
+    val delta = embs.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val ivfModel = graft.operators.KMeans.fit(embs, "vec_id", "embedding",
+      dim = 16, k = 8, iters = 5)
+    graft.queries.EmbeddingQueries.appendVecStore(spark, delta, ivfModel, dir)
+    val codes = graft.sources.VecStore.loadPqCodes(spark, dir)
+    assert(codes.count() == nBefore + 5, "delta codes must land in _pqcodes")
+    // frozen-model parity: the landed delta codes ARE the frozen encode
+    val (coarse, books) = graft.sources.VecStore.loadPqModel(spark, dir)
+    val want = graft.queries.EmbeddingQueries
+      .pqEncodeFrozen(delta, coarse, books)
+      .select(col("vec_id"), col("cell"), hex(col("code")))
+      .collect().map(_.toSeq).toSet
+    val got = codes.filter(col("vec_id") >= 1000000L)
+      .select(col("vec_id"), col("cell"), hex(col("code")))
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.size == 5)
+    // a delta twin of vec v carries v's EXACT code (same bytes in, same
+    // frozen quantizers) — the searchability witness without re-running
+    // the whole q78 probe machinery
+    val base = codes.filter(col("vec_id") < 5)
+      .select(col("vec_id"), hex(col("code"))).as[(Long, String)]
+      .collect().toMap
+    val twins = codes.filter(col("vec_id") >= 1000000L)
+      .select(col("vec_id"), hex(col("code"))).as[(Long, String)]
+      .collect().toMap
+    assert(base.forall { case (id, c) => twins(id + 1000000L) == c },
+      "a byte-identical delta twin must encode to its base's exact code")
+  }
+
   test("DocStore append ≡ full land: content and the q37 consumer") {
     val tmp = graft.TempDirs.create("graft-docappend")
     DocStore.saveBucketed(corpus, "docs_app", buckets = 8,
