@@ -1248,12 +1248,23 @@ object EmbeddingQueries extends QueryModule {
 
   private def q45(s: SparkSession, d: String): DataFrame = {
     val corpus = vecs(s, d).select(col("vec_id"), col("embedding"))
-    // the MODEL is needed either way (query-time probe→cell routing); a
-    // deployment persists it beside the store — memoized per (dir, tag)
-    // like every driver-held model, and a cold fit is bit-identical, so
-    // store cells and cents always agree
-    val model = memoModel(d, "ivf")(
-      KMeans.fit(corpus, "vec_id", "embedding", Dim, KCells, KmIters))
+    // the MODEL is needed either way (query-time probe→cell routing):
+    // read back from the store's _ivfmodel sidecar when one is wired
+    // (doubles round-trip parquet bit-exactly, so the loaded model IS
+    // the fitted one — a fresh session runs zero Lloyd iterations),
+    // else fitted and memoized per (dir, tag) like every driver model
+    val storePath = s.conf.get("spark.graft.vecStore", "").split("=", 2) match {
+      case Array(dir, path) if dir == d &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(path)) =>
+        Some(path)
+      case _ => None
+    }
+    val model = storePath
+      .filter(graft.sources.VecStore.hasIvfModel)
+      .map(p => memoModel(d, s"ivf@$p")(
+        graft.sources.VecStore.loadIvfModel(s, p)))
+      .getOrElse(memoModel(d, "ivf")(
+        KMeans.fit(corpus, "vec_id", "embedding", Dim, KCells, KmIters)))
     val norms = model.map(c => math.sqrt(c.map(x => x * x).sum))
     import s.implicits._
     val cents = model.zipWithIndex
@@ -1263,12 +1274,11 @@ object EmbeddingQueries extends QueryModule {
     // the cell-partitioned store already carries the assignment, and the
     // cell join below prunes its SCAN to the probed directories —
     // VecStoreSpec pins parity + pruning on this registered query.
-    val withCells = s.conf.get("spark.graft.vecStore", "").split("=", 2) match {
-      case Array(dir, path) if dir == d &&
-          java.nio.file.Files.exists(java.nio.file.Paths.get(path)) =>
+    val withCells = storePath match {
+      case Some(path) =>
         graft.sources.VecStore.load(s, path)
           .select(col("cell"), col("vec_id"), col("embedding"))
-      case _ => KMeans.withCell(corpus, model, "embedding")
+      case None => KMeans.withCell(corpus, model, "embedding")
         .repartition(col("cell"))
     }
     val b = withCells
@@ -1600,9 +1610,14 @@ object EmbeddingQueries extends QueryModule {
     * would be silently INVISIBLE to the at-rest IVF-PQ search (q78 reads
     * only the codes), which is the failure mode this method exists to
     * prevent; StoreAppendSpec pins codes parity and searchability. */
-  def appendVecStore(s: SparkSession, embsBatch: DataFrame,
-                     ivfModel: Array[Array[Double]], path: String): Unit = {
-    graft.sources.VecStore.appendPartitioned(embsBatch, ivfModel, path)
+  def appendVecStore(s: SparkSession, embsBatch: DataFrame, path: String,
+                     ivfModel: Option[Array[Array[Double]]] = None): Unit = {
+    val model = ivfModel.getOrElse {
+      require(graft.sources.VecStore.hasIvfModel(path),
+        s"$path carries no _ivfmodel sidecar and no model was given")
+      graft.sources.VecStore.loadIvfModel(s, path)
+    }
+    graft.sources.VecStore.appendPartitioned(embsBatch, model, path)
     if (graft.sources.VecStore.hasPqSidecar(path)) {
       val (coarse, books) = graft.sources.VecStore.loadPqModel(s, path)
       pqEncodeFrozen(embsBatch.select(col("vec_id"), col("embedding")),

@@ -25,13 +25,33 @@ object VecStore {
   def assign(embs: DataFrame, model: Array[Array[Double]]): DataFrame =
     KMeans.withCell(embs.drop("cell"), model, "embedding")
 
-  /** Land `embs` under `path` partitioned by quantizer cell. Pick the
-    * quantizer k so one cell's vectors fit an executor comfortably at the
-    * target scale (k grows with the corpus; re-train and re-land to
-    * re-balance). */
+  /** Land `embs` under `path` partitioned by quantizer cell, plus the
+    * quantizer itself as the `_ivfmodel` sidecar (underscore-hidden from
+    * partition discovery, doubles round-trip parquet bit-exactly): a
+    * fresh session routes probes and appends deltas WITHOUT re-running a
+    * single Lloyd iteration — at 100 TB the fit is a corpus-scale scan
+    * per iteration, exactly the once-per-ingest cost this store exists
+    * to amortize. Pick the quantizer k so one cell's vectors fit an
+    * executor comfortably at the target scale (k grows with the corpus;
+    * re-train and re-land to re-balance). */
   def savePartitioned(embs: DataFrame, model: Array[Array[Double]],
-                      path: String): Unit =
+                      path: String): Unit = {
     assign(embs, model).write.mode("overwrite").partitionBy("cell").parquet(path)
+    val s = embs.sparkSession
+    import s.implicits._
+    model.zipWithIndex.toSeq.map { case (c, j) => (j, c.toSeq) }
+      .toDF("j", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_ivfmodel")
+  }
+
+  def hasIvfModel(path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_ivfmodel"))
+
+  /** The landed routing quantizer — a driver-held model bounded at
+    * cells×dim doubles (KBs). */
+  def loadIvfModel(s: SparkSession, path: String): Array[Array[Double]] =
+    s.read.parquet(s"$path/_ivfmodel").select("j", "vec").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
 
   /** Per-ingest increment: route the BATCH by the FROZEN quantizer (the
     * q122 rule — re-training per batch would re-route and re-land the

@@ -118,9 +118,10 @@ class StoreAppendSpec extends SparkSuite {
     val nBefore = graft.sources.VecStore.loadPqCodes(spark, dir).count()
     val delta = embs.filter(col("vec_id") < 5)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-    val ivfModel = graft.operators.KMeans.fit(embs, "vec_id", "embedding",
-      dim = 16, k = 8, iters = 5)
-    graft.queries.EmbeddingQueries.appendVecStore(spark, delta, ivfModel, dir)
+    // no model argument: the routing quantizer comes off the _ivfmodel
+    // sidecar the landing wrote — a sync needs zero Lloyd iterations
+    assert(graft.sources.VecStore.hasIvfModel(dir), "landing must write _ivfmodel")
+    graft.queries.EmbeddingQueries.appendVecStore(spark, delta, dir)
     val codes = graft.sources.VecStore.loadPqCodes(spark, dir)
     assert(codes.count() == nBefore + 5, "delta codes must land in _pqcodes")
     // frozen-model parity: the landed delta codes ARE the frozen encode
