@@ -1255,14 +1255,18 @@ object EmbeddingQueries extends QueryModule {
     // else fitted and memoized per (dir, tag) like every driver model
     val storePath = s.conf.get("spark.graft.vecStore", "").split("=", 2) match {
       case Array(dir, path) if dir == d &&
-          java.nio.file.Files.exists(java.nio.file.Paths.get(path)) =>
+          graft.sources.VecStore.storeExists(s, path) =>
         Some(path)
       case _ => None
     }
+    // the sidecar load is NOT memoized: a KB-scale parquet read per
+    // invocation is nothing, and a memo keyed on the path would serve a
+    // STALE model after a same-session re-train + re-land at the same
+    // path (the rebalance flow the store docs recommend) — probes would
+    // route by old centroids against new cell assignments
     val model = storePath
-      .filter(graft.sources.VecStore.hasIvfModel)
-      .map(p => memoModel(d, s"ivf@$p")(
-        graft.sources.VecStore.loadIvfModel(s, p)))
+      .filter(p => graft.sources.VecStore.hasIvfModel(s, p))
+      .map(p => graft.sources.VecStore.loadIvfModel(s, p))
       .getOrElse(memoModel(d, "ivf")(
         KMeans.fit(corpus, "vec_id", "embedding", Dim, KCells, KmIters)))
     val norms = model.map(c => math.sqrt(c.map(x => x * x).sum))
@@ -1534,15 +1538,14 @@ object EmbeddingQueries extends QueryModule {
   private val IvfPqCells = 8
   private val IvfPqNProbe = 4
 
-  /** THE IVF-PQ construction — (coarse quantizer, residual codebooks,
-    * codes frame (vec_id, cell, code)) — shared by q78's in-query cold
-    * path and [[landVecStore]]'s sidecar landing, so at-rest codes can
-    * never drift from the verified encoding. */
   /** (vec_id, cell, resid) under a FROZEN coarse quantizer — the
     * residual half of the IVF-PQ encoding, shared by the corpus build
-    * and the per-ingest delta encode so the two cannot drift. */
-  private def residFrame(emb: DataFrame,
-                         coarse: Array[Array[Double]]): DataFrame = {
+    * and the per-ingest delta encode so the two cannot drift.
+    * `reshuffle` spreads the UDF work for the corpus-build path; the
+    * delta path passes false (a sync-sized batch needs no exchange
+    * before a row-wise encode). */
+  private def residFrame(emb: DataFrame, coarse: Array[Array[Double]],
+                         reshuffle: Boolean = true): DataFrame = {
     val residUdf = udf((v: Seq[Float]) => {
       val sub = new Array[Double](Dim)
       var i = 0
@@ -1554,7 +1557,7 @@ object EmbeddingQueries extends QueryModule {
       while (i < Dim) { r(i) = sub(i) - cent(i); i += 1 }
       (cell, r)
     })
-    emb.repartition(col("vec_id"))
+    (if (reshuffle) emb.repartition(col("vec_id")) else emb)
       .withColumn("cr", residUdf(col("embedding")))
       .select(col("vec_id"), col("cr._1").as("cell"), col("cr._2").as("resid"))
   }
@@ -1585,8 +1588,12 @@ object EmbeddingQueries extends QueryModule {
   private[graft] def pqEncodeFrozen(emb: DataFrame,
       coarse: Array[Array[Double]],
       books: Array[Array[Array[Double]]]): DataFrame =
-    encodeResid(residFrame(emb, coarse), books)
+    encodeResid(residFrame(emb, coarse, reshuffle = false), books)
 
+  /** THE IVF-PQ construction — (coarse quantizer, residual codebooks,
+    * codes frame (vec_id, cell, code)) — shared by q78's in-query cold
+    * path and [[landVecStore]]'s sidecar landing, so at-rest codes can
+    * never drift from the verified encoding. */
   private def ivfPqBuild(s: SparkSession, d: String)
       : (Array[Array[Double]], Array[Array[Array[Double]]], DataFrame) = {
     val emb = vecs(s, d).select(col("vec_id"), col("embedding"))
@@ -1613,17 +1620,35 @@ object EmbeddingQueries extends QueryModule {
   def appendVecStore(s: SparkSession, embsBatch: DataFrame, path: String,
                      ivfModel: Option[Array[Array[Double]]] = None): Unit = {
     val model = ivfModel.getOrElse {
-      require(graft.sources.VecStore.hasIvfModel(path),
+      require(graft.sources.VecStore.hasIvfModel(s, path),
         s"$path carries no _ivfmodel sidecar and no model was given")
       graft.sources.VecStore.loadIvfModel(s, path)
     }
-    graft.sources.VecStore.appendPartitioned(embsBatch, model, path)
-    if (graft.sources.VecStore.hasPqSidecar(path)) {
+    // projected to the store's exact schema (a batch carrying extra
+    // ingest columns or double-typed vectors would otherwise land files
+    // whose footer fights the store's on every later scan), and
+    // checkpointed so the two appends read ONE materialization of
+    // whatever pipeline produced the batch
+    val batch = embsBatch
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .localCheckpoint()
+    // codes FIRST, vectors second: the two appends are not atomic (the
+    // lakehouse table formats' transactional commit is the production
+    // answer). With this order a failure in between leaves orphan CODES
+    // — harmless to q45 (scans vectors) and dropped by q78's exact
+    // rerank join (no vector row to rerank against) — where the reverse
+    // order leaves vectors silently INVISIBLE to q78, an undetectable
+    // wrong answer. A half-applied sync must not be blindly re-run
+    // (either half would duplicate): recover by anti-joining the batch
+    // against the store's AND the sidecar's vec_ids first, re-appending
+    // only what each half is missing.
+    if (graft.sources.VecStore.hasPqSidecar(s, path)) {
       val (coarse, books) = graft.sources.VecStore.loadPqModel(s, path)
-      pqEncodeFrozen(embsBatch.select(col("vec_id"), col("embedding")),
-        coarse, books)
+      pqEncodeFrozen(batch, coarse, books)
         .write.mode("append").partitionBy("cell").parquet(s"$path/_pqcodes")
     }
+    graft.sources.VecStore.appendPartitioned(batch, model, path)
+    graft.operators.Graph.release(batch)
   }
 
   private def q78(s: SparkSession, d: String): DataFrame = {
@@ -1641,7 +1666,7 @@ object EmbeddingQueries extends QueryModule {
     val stored: Option[String] =
       s.conf.get("spark.graft.vecStore", "").split("=", 2) match {
         case Array(dir, p) if dir == d &&
-            graft.sources.VecStore.hasPqSidecar(p) => Some(p)
+            graft.sources.VecStore.hasPqSidecar(s, p) => Some(p)
         case _ => None
       }
     val (coarse, books, b) = stored match {

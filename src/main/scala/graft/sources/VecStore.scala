@@ -44,8 +44,19 @@ object VecStore {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_ivfmodel")
   }
 
-  def hasIvfModel(path: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_ivfmodel"))
+  def hasIvfModel(s: SparkSession, path: String): Boolean =
+    exists(s, s"$path/_ivfmodel")
+
+  /** Whether a store root exists at all — the conf-guard check. */
+  def storeExists(s: SparkSession, path: String): Boolean = exists(s, path)
+
+  /** Filesystem-agnostic existence check through the session's Hadoop
+    * conf — java.nio would answer false for every hdfs://s3a:// store,
+    * silently re-fitting what the sidecar exists to amortize. */
+  private def exists(s: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(s.sessionState.newHadoopConf()).exists(hp)
+  }
 
   /** The landed routing quantizer — a driver-held model bounded at
     * cells×dim doubles (KBs). */
@@ -100,8 +111,8 @@ object VecStore {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_pqmodel")
   }
 
-  def hasPqSidecar(path: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_pqcodes"))
+  def hasPqSidecar(s: SparkSession, path: String): Boolean =
+    exists(s, s"$path/_pqcodes")
 
   def loadPqCodes(s: SparkSession, path: String): DataFrame =
     s.read.parquet(s"$path/_pqcodes")

@@ -120,7 +120,8 @@ class StoreAppendSpec extends SparkSuite {
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
     // no model argument: the routing quantizer comes off the _ivfmodel
     // sidecar the landing wrote — a sync needs zero Lloyd iterations
-    assert(graft.sources.VecStore.hasIvfModel(dir), "landing must write _ivfmodel")
+    assert(graft.sources.VecStore.hasIvfModel(spark, dir),
+      "landing must write _ivfmodel")
     graft.queries.EmbeddingQueries.appendVecStore(spark, delta, dir)
     val codes = graft.sources.VecStore.loadPqCodes(spark, dir)
     assert(codes.count() == nBefore + 5, "delta codes must land in _pqcodes")
@@ -143,7 +144,7 @@ class StoreAppendSpec extends SparkSuite {
     val twins = codes.filter(col("vec_id") >= 1000000L)
       .select(col("vec_id"), hex(col("code"))).as[(Long, String)]
       .collect().toMap
-    assert(base.forall { case (id, c) => twins(id + 1000000L) == c },
+    assert(base.forall { case (id, c) => twins.get(id + 1000000L).contains(c) },
       "a byte-identical delta twin must encode to its base's exact code")
   }
 
