@@ -31,7 +31,7 @@ case class BloomProbeExpr(left: Expression, right: Expression, k: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      (bits, h) => s"graft.operators.Sketches.Bloom.mightContain($bits, $h, $k)")
+      (bits, h) => s"graft.functions.BloomProbeExpr.mightContain($bits, $h, $k)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BloomProbeExpr =
@@ -41,6 +41,15 @@ case class BloomProbeExpr(left: Expression, right: Expression, k: Int)
 }
 
 object BloomProbeExpr {
+  /** Called from generated code — Janino needs a Java-visible STATIC path,
+    * and a nested Scala object (`Sketches.Bloom`) has none (its compiled
+    * form is an instance method on `Sketches$Bloom$`). A top-level
+    * companion method gets a static forwarder on the `BloomProbeExpr`
+    * class, the same discipline as [[CharHashExpr.hash]] and
+    * [[ZOrderExpr]]'s interleave helpers. */
+  def mightContain(bits: Array[Byte], h: Long, k: Int): Boolean =
+    graft.operators.Sketches.Bloom.mightContain(bits, h, k)
+
   /** Column-API handle: `bits` is the packed filter (normally a literal),
     * `h` the per-row 64-bit key, `k` the builder's hash count. */
   def bloomMightContain(bits: Column, h: Column, k: Int): Column =

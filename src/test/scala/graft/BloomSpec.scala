@@ -97,6 +97,44 @@ class BloomSpec extends SparkSuite {
     assert(survivors < corpus.count(), "prune discarded nothing")
   }
 
+  test("probe's generated code COMPILES — no silent interpreted fallback") {
+    // Janino needs a Java-visible static path; a nested Scala object has
+    // none, so this regressed once (generated code referenced
+    // Sketches.Bloom.mightContain, Janino failed, Spark fell back to
+    // interpreted eval for the whole scan stage while results stayed
+    // correct). GeneratePredicate THROWS on compile failure, so this test
+    // fails loudly if the static forwarder path breaks again.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GeneratePredicate
+    import org.apache.spark.sql.types.{BinaryType, LongType}
+    val bits = build(members)
+    val expr = functions.BloomProbeExpr(
+      Literal(bits, BinaryType), BoundReference(0, LongType, nullable = false), K)
+    val compiled = GeneratePredicate.generate(expr) // throws if Janino rejects
+    (members.take(50) ++ strangers.take(50)).foreach { h =>
+      assert(compiled.eval(InternalRow(h)) == Bloom.mightContain(bits, h, K),
+        s"compiled probe disagrees with interpreted for $h")
+    }
+  }
+
+  test("q128 stays correct under CODEGEN_ONLY (fallback disabled)") {
+    val d = "/root/testdata/sf0.001"
+    val want = SparkEntry.queries("q128_bloom_ingest")(spark, d).count()
+    val conf = spark.conf
+    val prevFallback = conf.get("spark.sql.codegen.fallback", "true")
+    val prevFactory = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    try {
+      conf.set("spark.sql.codegen.fallback", "false")
+      conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val n = SparkEntry.queries("q128_bloom_ingest")(spark, d).count()
+      assert(n == want && n > 0, s"q128 rows under CODEGEN_ONLY: $n != $want")
+    } finally {
+      conf.set("spark.sql.codegen.fallback", prevFallback)
+      conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
+
   test("q128 plan: probe is scan-side (before any exchange), join broadcasts") {
     val plan = SparkEntry.queries("q128_bloom_ingest")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
