@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1249,21 +1249,51 @@ object StreamMultimodalQueries extends QueryModule {
     * the REGISTERED queries' corpora, handed to [[graft.sources.MediaStore]]
     * which applies the shared constructions verbatim. */
   private[graft] def landMediaStore(s: SparkSession, d: String,
-      prefix: String, buckets: Int, dir: String): Unit = {
-    graft.sources.MediaStore.saveImage(neardupImageMedia(s, d),
+      prefix: String, buckets: Int, dir: String,
+      docFilter: Column = lit(true)): Unit = {
+    graft.sources.MediaStore.saveImage(
+      neardupImageMedia(s, d).filter(docFilter),
       s"${prefix}_img", buckets, Some(s"$dir/img"))
-    graft.sources.MediaStore.saveAudio(neardupAudioMedia(s, d),
+    graft.sources.MediaStore.saveAudio(
+      neardupAudioMedia(s, d).filter(docFilter),
       s"${prefix}_aud", buckets, Some(s"$dir/aud"))
-    graft.sources.MediaStore.saveVideo(neardupVideoMedia(s, d),
+    graft.sources.MediaStore.saveVideo(
+      neardupVideoMedia(s, d).filter(docFilter),
       s"${prefix}_vid", buckets, Some(s"$dir/vid"))
-    graft.sources.MediaStore.saveVideo(neardupVideoMedia(s, d, flips = true),
+    graft.sources.MediaStore.saveVideo(
+      neardupVideoMedia(s, d, flips = true).filter(docFilter),
       s"${prefix}_vidf", buckets, Some(s"$dir/vidf"))
     // the EXACT tiers' corpora (q117/q121) — different fixtures than the
     // near-dup tiers', landed through the same discipline
-    graft.sources.MediaStore.saveImage(exactImageMedia(s, d),
+    graft.sources.MediaStore.saveImage(
+      exactImageMedia(s, d).filter(docFilter),
       s"${prefix}_imgx", buckets, Some(s"$dir/imgx"))
-    graft.sources.MediaStore.saveAudioFingerprint(exactAudioMedia(s, d),
+    graft.sources.MediaStore.saveAudioFingerprint(
+      exactAudioMedia(s, d).filter(docFilter),
       s"${prefix}_audx", buckets, Some(s"$dir/audx"))
+  }
+
+  /** Sync an ingest batch (`batchDocs` over doc_id) into the six landed
+    * tables — decode the batch only, hash through the SAME verified
+    * constructions, hash-route into the existing bucket scheme
+    * ([[graft.sources.MediaStore.appendImage]] family). O(batch) per
+    * sync where a re-land re-decodes the corpus; StoreAppendSpec pins
+    * appended ≡ full-land per modality, consumers and plans included. */
+  private[graft] def appendMediaStore(s: SparkSession, d: String,
+      prefix: String, buckets: Int, batchDocs: Column): Unit = {
+    graft.sources.MediaStore.appendImage(
+      neardupImageMedia(s, d).filter(batchDocs), s"${prefix}_img", buckets)
+    graft.sources.MediaStore.appendAudio(
+      neardupAudioMedia(s, d).filter(batchDocs), s"${prefix}_aud", buckets)
+    graft.sources.MediaStore.appendVideo(
+      neardupVideoMedia(s, d).filter(batchDocs), s"${prefix}_vid", buckets)
+    graft.sources.MediaStore.appendVideo(
+      neardupVideoMedia(s, d, flips = true).filter(batchDocs),
+      s"${prefix}_vidf", buckets)
+    graft.sources.MediaStore.appendImage(
+      exactImageMedia(s, d).filter(batchDocs), s"${prefix}_imgx", buckets)
+    graft.sources.MediaStore.appendAudioFingerprint(
+      exactAudioMedia(s, d).filter(batchDocs), s"${prefix}_audx", buckets)
   }
 
   /** The tables [[landMediaStore]] creates — one list so every teardown

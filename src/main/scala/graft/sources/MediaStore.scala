@@ -55,5 +55,37 @@ object MediaStore {
     Stores.landBucketed(Media.videoFrameHashes(media), table, buckets,
       Seq("doc_id"), path)
 
+  // ---- Incremental sync (the Stores.appendBucketed discipline) ----------
+  // A sync decodes the BATCH only and hash-routes it into the existing
+  // bucket scheme — O(batch) work where a re-land re-decodes the corpus,
+  // and media is the store where that gap is widest by construction:
+  // decode dominates the ~16 B/row it produces. The perceptual hash of a
+  // landed document never changes (it is a pure function of the bytes),
+  // so append is EXACT, not approximate: appended ≡ full-land content
+  // (StoreAppendSpec pins it per modality, consumers included).
+  // `buckets` must match the landing, like every appendBatch in the
+  // family.
+
+  /** Sync an image batch into an existing `_img`/`_imgx` table. */
+  def appendImage(mediaBatch: DataFrame, table: String, buckets: Int): Unit =
+    Stores.appendBucketed(Media.imagePHash(mediaBatch), table, buckets,
+      Seq("doc_id"))
+
+  /** Sync an audio batch into an existing `_aud` envelope table. */
+  def appendAudio(mediaBatch: DataFrame, table: String, buckets: Int): Unit =
+    Stores.appendBucketed(Media.audioEnvelope64(mediaBatch), table, buckets,
+      Seq("doc_id"))
+
+  /** Sync an audio batch into an existing `_audx` exact-tier table. */
+  def appendAudioFingerprint(mediaBatch: DataFrame, table: String,
+                             buckets: Int): Unit =
+    Stores.appendBucketed(Media.audioFingerprint(mediaBatch), table, buckets,
+      Seq("doc_id"))
+
+  /** Sync a video batch into an existing `_vid`/`_vidf` table. */
+  def appendVideo(mediaBatch: DataFrame, table: String, buckets: Int): Unit =
+    Stores.appendBucketed(Media.videoFrameHashes(mediaBatch), table, buckets,
+      Seq("doc_id"))
+
   def loadBucketed(s: SparkSession, table: String): DataFrame = s.table(table)
 }

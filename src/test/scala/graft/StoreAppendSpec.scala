@@ -148,6 +148,50 @@ class StoreAppendSpec extends SparkSuite {
       "a byte-identical delta twin must encode to its base's exact code")
   }
 
+  test("MediaStore append ≡ full land: all six modality tables, consumers, no decode") {
+    import graft.queries.{StreamMultimodalQueries => SMQ}
+    val tmp = graft.TempDirs.create("graft-mediaappend")
+    val corpusF = col("doc_id") % 10 =!= 7
+    val batchF = col("doc_id") % 10 === 7
+    // land the pre-batch corpus, sync the batch (decode O(batch) only),
+    // and a full re-land as ground truth
+    SMQ.landMediaStore(spark, d, "media_app", buckets = 8,
+      tmp.resolve("a").toString, corpusF)
+    SMQ.appendMediaStore(spark, d, "media_app", buckets = 8, batchF)
+    SMQ.landMediaStore(spark, d, "media_full", buckets = 8,
+      tmp.resolve("f").toString)
+    try {
+      // (a) content parity per modality: perceptual hashes are pure
+      // functions of the bytes, so append is EXACT, not approximate
+      SMQ.mediaStoreTables("media_app").zip(SMQ.mediaStoreTables("media_full"))
+        .foreach { case (a, f) =>
+          val ca = spark.table(a).collect().map(_.toSeq).toSet
+          assert(ca == spark.table(f).collect().map(_.toSeq).toSet,
+            s"$a differs from the full re-land")
+          assert(ca.nonEmpty, s"$a landed empty")
+        }
+      // (b) every registered perceptual consumer over the appended store
+      // equals the decode path, and (c) still plans NO decode (the
+      // MediaStoreSpec object-boundary assertion)
+      val qs = Seq("q117_image_phash_dedup", "q118_image_neardup",
+        "q120_image_chunk_buckets", "q121_audio_fingerprint_dedup",
+        "q123_audio_neardup", "q124_audio_chunk_buckets",
+        "q125_video_neardup", "q126_video_frame_buckets",
+        "q127_video_neardup_hamming")
+      val want = qs.map(q => q -> SparkEntry.queries(q)(spark, d).collect().toSeq)
+      spark.conf.set("spark.graft.mediaStore", s"$d=media_app")
+      try want.foreach { case (q, w) =>
+        val df = SparkEntry.queries(q)(spark, d)
+        assert(df.collect().toSeq == w, s"$q over the appended store differs")
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("MapPartitions"),
+          s"$q appended-store path must plan no decode:\n${p.take(2000)}")
+      } finally spark.conf.unset("spark.graft.mediaStore")
+    } finally (SMQ.mediaStoreTables("media_app") ++
+      SMQ.mediaStoreTables("media_full"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("DocStore append ≡ full land: content and the q37 consumer") {
     val tmp = graft.TempDirs.create("graft-docappend")
     DocStore.saveBucketed(corpus, "docs_app", buckets = 8,
