@@ -209,11 +209,21 @@ object Graph {
     * sums. The driver holds nothing; lineage is truncated per pass and
     * superseded checkpoints are released ([[release]]).
     *
+    * Dangling nodes (no out-edges — real crawl graphs are directed and
+    * full of them) are handled per iteration the standard way: their
+    * damped rank mass is redistributed evenly over ALL nodes instead of
+    * leaking. Integer-exact like everything else: the dangling sum is one
+    * scalar agg over the rank vector (the dangling node SET is static and
+    * computed once), the per-node share is the truncating quotient by the
+    * node count, and the division remainder goes to the deterministic
+    * min-id node, so total mass is conserved to within per-op truncation
+    * and a SQL oracle with the same arithmetic matches bit-for-bit
+    * (PageRankSpec pins both). A graph with no dangling nodes skips the
+    * per-iteration agg entirely and computes exactly what it always did
+    * (q130's symmetric trade graph).
+    *
     * @param edges     (src, dst) DIRECTED pairs; pass both directions for
-    *                  an undirected graph. Nodes with no out-edges would
-    *                  leak rank (the standard dangling-mass issue) — a
-    *                  symmetric edge list has none, which is the
-    *                  registered caller's shape.
+    *                  an undirected graph.
     * @param iters     fixed iteration count (the oracle unrolls it)
     * @param dampingPm damping in per-mille (850 = the canonical 0.85)
     * @return (id, r) with r the final rank in micro-units; initial rank
@@ -229,21 +239,44 @@ object Graph {
     val nodes = es.select(col("src").as("id"))
       .union(es.select(col("dst").as("id"))).distinct()
       .localCheckpoint()
+    // the dangling node set is STATIC (out-degree never changes): one
+    // anti-join at setup, consulted by one scalar agg per iteration
+    val dangling = nodes
+      .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
+      .localCheckpoint()
     // (src, dst, out_deg) clustered by src once — every pass joins the
     // rank vector against this layout without moving the edges again
     val e = es.join(deg, Seq("src"))
       .repartition(col("src")).localCheckpoint()
-    release(es) // e carries everything the loop needs
+    release(es) // e and dangling carry everything the loop needs
+    val hasDangling = dangling.limit(1).count() > 0
+    val nNodes = if (hasDangling) nodes.count() else 0L
+    val minId = if (hasDangling)
+      nodes.agg(min(col("id"))).head.getLong(0) else 0L
     var ranks = nodes.withColumn("r", lit(1000000L)).localCheckpoint()
     val base = 1000L * (1000 - dampingPm)
     for (_ <- 1 to iters) {
+      // damped dangling mass, split evenly; remainder to the min-id node
+      // (sum FIRST, one truncating damp — the oracle mirrors the order)
+      val dmass = if (!hasDangling) 0L else
+        ranks.join(dangling, Seq("id"), "left_semi")
+          .agg(coalesce(sum(col("r")), lit(0L))).head.getLong(0) *
+          dampingPm / 1000L
+      val share = if (hasDangling) dmass / nNodes else 0L
+      val rem = if (hasDangling) dmass % nNodes else 0L
       val contrib = e.join(ranks, e("src") === ranks("id"))
         .select(col("dst").as("id"),
           expr(s"r * $dampingPm div 1000 div out_deg").as("c"))
-      val next = nodes
+      val summed = nodes
         .join(contrib.groupBy(col("id")).agg(sum(col("c")).as("s")),
           Seq("id"), "left")
-        .select(col("id"), (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
+      val next = (if (hasDangling)
+        summed.select(col("id"),
+          (lit(base + share) + coalesce(col("s"), lit(0L)) +
+            when(col("id") === lit(minId), lit(rem)).otherwise(lit(0L))).as("r"))
+      else
+        summed.select(col("id"),
+          (lit(base) + coalesce(col("s"), lit(0L))).as("r")))
         .localCheckpoint()
       release(ranks)
       ranks = next
@@ -251,6 +284,7 @@ object Graph {
     // the final ranks checkpoint is the return value; its inputs are done
     release(e)
     release(nodes)
+    release(dangling)
     ranks
   }
 }

@@ -585,20 +585,32 @@ object RelationalQueries extends QueryModule {
   // The min/max bounds are a 2-long driver model (one agg job): the
   // rectangle and the time-bucket granule derive from them
   // deterministically in both engines (integer arithmetic on µs).
+  //
+  // The rewrite is memoized per corpus dir (the memoModel discipline:
+  // a path names immutable data) so the once-per-ingest layout job runs
+  // once per SESSION too — without the memo every invocation (bench
+  // reps, correctness sweeps) wrote a fresh full copy of events into a
+  // new TempDirs dir that only JVM exit reclaimed.
+  private val zorderMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long, Long, Long)]
+
   private def q129(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-      .select(unix_micros(col("ts")).as("ts_us"), col("user_id"),
-        col("event_type"), col("value"))
-    val r = ev.agg(min(col("ts_us")), max(col("ts_us")),
-      max(col("user_id"))).head
-    val (mn, mx, umax) = (r.getLong(0), r.getLong(1), r.getLong(2))
-    val g = math.max(1L, (mx - mn) >> 20) // ≤ 2^20 time buckets: 31-bit safe
-    val z = ZOrderExpr.zorder2(
-      floor((col("ts_us") - mn) / g).cast("int"),
-      col("user_id").cast("int"))
-    val dir = graft.TempDirs.create("graft-zorder").resolve("events").toString
-    Layout.writeZOrdered(ev, z, dir, partitions = 8,
-      maxRecordsPerFile = 2048)
+    val (dir, mn, mx, umax) = zorderMemo.getOrElseUpdate(d, {
+      val ev = Tables.events(s, d)
+        .select(unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
+      val r = ev.agg(min(col("ts_us")), max(col("ts_us")),
+        max(col("user_id"))).head
+      val (mn, mx, umax) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val g = math.max(1L, (mx - mn) >> 20) // ≤ 2^20 time buckets: 31-bit safe
+      val z = ZOrderExpr.zorder2(
+        floor((col("ts_us") - mn) / g).cast("int"),
+        col("user_id").cast("int"))
+      val out = graft.TempDirs.create("graft-zorder").resolve("events").toString
+      Layout.writeZOrdered(ev, z, out, partitions = 8,
+        maxRecordsPerFile = 2048)
+      (out, mn, mx, umax)
+    })
     val t1 = mn + (mx - mn) / 4
     val t2 = mn + (mx - mn) / 2
     // user band = [umax/5, 2·umax/5): derived, so the rectangle is
@@ -682,8 +694,61 @@ object RelationalQueries extends QueryModule {
        |ORDER BY rank_u DESC, id LIMIT 25""".stripMargin
   }
 
+  // ---- q133: PageRank over a DIRECTED graph with dangling nodes ----------
+  // The crawl-graph shape q130's symmetric construction sidesteps: edges
+  // run customer → supplier ONLY, so every supplier is a planted dangling
+  // node (no out-edges) — like a crawl frontier's leaf hosts. Without
+  // redistribution their damped rank (85% of the supplier mass, most of
+  // the graph's total) would leak every iteration; Graph.pageRank instead
+  // splits it evenly (truncating div by node count, remainder to the
+  // min-id node), all integer-exact, so the unrolled-CTE oracle below —
+  // which models the same dangling arithmetic — matches bit-for-bit and
+  // PageRankSpec can pin mass conservation to the truncation bound.
+  private def q133(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    graft.operators.Graph.pageRank(edges, PrIters, PrDampPm)
+      .select(col("id"), col("r").as("rank_u"))
+      .orderBy(col("rank_u").desc, col("id"))
+      .limit(25)
+  }
+
+  private val q133Sql = {
+    val base = 1000L * (1000 - PrDampPm)
+    val iters = (1 to PrIters).map { i =>
+      s"""d$i AS (
+         |  SELECT CAST(coalesce(sum(r.r), 0) * $PrDampPm // 1000 AS BIGINT) AS dm
+         |  FROM r${i - 1} r WHERE r.id NOT IN (SELECT src FROM pairs)),
+         |r$i AS (
+         |  SELECT s.id, CAST($base + d.dm // m.n
+         |      + CASE WHEN s.id = m.mid THEN d.dm % m.n ELSE 0 END
+         |      + s.cr AS BIGINT) AS r
+         |  FROM (SELECT n.id, coalesce(sum(c.c_r), 0) AS cr
+         |        FROM nodes n LEFT JOIN (
+         |          SELECT e.dst, (r.r * $PrDampPm // 1000 // e.out_deg) AS c_r
+         |          FROM e JOIN r${i - 1} r ON r.id = e.src) c ON c.dst = n.id
+         |        GROUP BY 1) s, meta m, d$i d)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |deg AS (SELECT src, count(*) AS out_deg FROM pairs GROUP BY 1),
+       |e AS (SELECT pairs.src, pairs.dst, deg.out_deg
+       |      FROM pairs JOIN deg USING (src)),
+       |nodes AS (SELECT src AS id FROM pairs UNION SELECT dst FROM pairs),
+       |meta AS (SELECT count(*) AS n, min(id) AS mid FROM nodes),
+       |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$iters
+       |SELECT id, r AS rank_u FROM r$PrIters
+       |ORDER BY rank_u DESC, id LIMIT 25""".stripMargin
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "q130_pagerank" -> QueryDef(q130, Some(q130Sql)),
+    "q133_pagerank_dangling" -> QueryDef(q133, Some(q133Sql)),
     "q129_zorder_scan" -> QueryDef(q129, Some(q129Sql)),
     "q23_set_ops" -> QueryDef(q23, Some(q23Sql)),
     "q24_cube" -> QueryDef(q24, Some(q24Sql)),

@@ -11,8 +11,8 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualNullSafe, EqualTo, Filter, In, IsNotNull, Or}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -91,9 +91,27 @@ object ArgoNcV2 {
     * (file × variable) would grow without bound on a real scan): the
     * spec flips `witnessEnabled` around its assertions. */
   private[graft] val readVarsWitness = new ConcurrentLinkedQueue[String]()
+  /** Same discipline for file OPENS: the filter-pushdown witness — a
+    * single-WMO query must open exactly its one file. */
+  private[graft] val openedFilesWitness = new ConcurrentLinkedQueue[String]()
   @volatile private[graft] var witnessEnabled = false
 
   private val Epoch1950Ms = -631152000000L
+
+  /** Guard for the whole-file paths: a JVM byte array caps at ~2³¹, and
+    * without this a >2 GiB NC3 file (CDF-2/64-bit-offset allows them)
+    * would surface as a bare NegativeArraySizeException from `len.toInt`
+    * overflow. The pruned range path handles such files FINE (per-variable
+    * ranges are far smaller than the file); only the record-variable
+    * fallback needs the full image, so fail it with an actionable message
+    * instead of an arithmetic artifact. */
+  private[graft] def requireJvmReadable(len: Long, path: String): Unit =
+    if (len > Int.MaxValue - 16L)
+      throw new UnsupportedOperationException(
+        s"$path is $len bytes: the record-variable fallback materializes " +
+          "the whole file and a JVM array caps at 2 GiB. Split the file, " +
+          "or restructure it with fixed dimensions so the pruned range " +
+          "reader (which has no such limit) serves it.")
 
   /** The session Hadoop configuration entries that DIFFER from a
     * default `Configuration` — the overlay a reader needs to resolve a
@@ -182,6 +200,7 @@ object ArgoNcV2 {
     override def close(): Unit = ()
 
     private def parse(path: String): Iterator[InternalRow] = {
+      if (witnessEnabled) openedFilesWitness.add(path)
       val hp = new HPath(path)
       val fs = hp.getFileSystem(conf)
       val len = fs.getFileStatus(hp).getLen
@@ -219,6 +238,7 @@ object ArgoNcV2 {
         if (neededVars.exists(n => nc.variable(n).isRecord)) {
           // record-variable fallback: whole file through the verbatim
           // parse path, then project — correct, just unpruned
+          requireJvmReadable(len, path)
           val all = new Array[Byte](len.toInt)
           in.readFully(0L, all, 0, len.toInt)
           return ArgoNetCDF.parseFile(path, all).iterator.map(projectRow)
@@ -355,15 +375,70 @@ object ArgoNcV2 {
     }
   }
 
+  /** File-level predicate pushdown: dac and WMO are fully determined by
+    * the PATH ([[ArgoNetCDF.dacWmoFromPath]]), so an equality/IN filter
+    * on them — the reference's own per-float access pattern
+    * (`interpolation.py:106,154`) — prunes the driver-side FILE LIST
+    * before partition planning: a single-WMO query opens one file instead
+    * of header-probing the whole GDAC. Evaluation is exact on the path
+    * pair, and every filter is still RETURNED as residual so Spark
+    * re-applies it post-scan — the prune is an I/O optimization,
+    * correctness never depends on it (the Parquet source's discipline). */
+  private[graft] def evalPathFilter(f: Filter, dac: String, wmo: Int): Boolean =
+    f match {
+      case EqualTo("WMO", v: Number)       => wmo == v.intValue
+      case EqualNullSafe("WMO", v: Number) => wmo == v.intValue
+      case EqualTo("dac", v)               => dac == String.valueOf(v)
+      case EqualNullSafe("dac", v)         => dac == String.valueOf(v)
+      case In("WMO", vs) =>
+        vs.exists { case v: Number => wmo == v.intValue; case _ => false }
+      case In("dac", vs) => vs.exists(v => dac == String.valueOf(v))
+      case IsNotNull("WMO") | IsNotNull("dac") => true // path-derived: never null
+      case And(l, r) => evalPathFilter(l, dac, wmo) && evalPathFilter(r, dac, wmo)
+      case Or(l, r)  => evalPathFilter(l, dac, wmo) || evalPathFilter(r, dac, wmo)
+      case _ => true // not a path predicate: cannot prune on it
+    }
+
+  /** Does the prune understand every leaf of this filter? (An Or with an
+    * un-understood side must not prune at all — `evalPathFilter`'s `true`
+    * default is only safe under And.) */
+  private def prunable(f: Filter): Boolean = f match {
+    case EqualTo("WMO", _: Number) | EqualNullSafe("WMO", _: Number) => true
+    case EqualTo("dac", _) | EqualNullSafe("dac", _)                 => true
+    case In("WMO", _) | In("dac", _)                                 => true
+    case IsNotNull("WMO") | IsNotNull("dac")                         => true
+    case And(l, r) => prunable(l) && prunable(r)
+    case Or(l, r)  => prunable(l) && prunable(r)
+    case _ => false
+  }
+
   private final class NcScanBuilder(files: Seq[(String, Long)],
                                     overlay: Map[String, String])
-      extends ScanBuilder with SupportsPushDownRequiredColumns {
+      extends ScanBuilder with SupportsPushDownRequiredColumns
+      with SupportsPushDownFilters {
     private var required: StructType = Schema
+    private var pushed: Array[Filter] = Array.empty
     override def pruneColumns(requiredSchema: StructType): Unit =
       // Catalyst hands a subset of Schema (possibly reordered); empty
       // projections (bare count) keep zero columns — rows still emit
       required = requiredSchema
-    override def build(): Scan = new NcScan(files, required, overlay)
+    override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+      pushed = filters.filter(prunable)
+      filters // ALL filters stay residual; the prune is I/O-only
+    }
+    override def pushedFilters(): Array[Filter] = pushed
+    override def build(): Scan = {
+      val pruned = if (pushed.isEmpty) files
+      else files.filter { case (path, _) =>
+        ArgoNetCDF.dacWmoFromPath(path) match {
+          case Some((dac, wmo)) => pushed.forall(evalPathFilter(_, dac, wmo))
+          // an unparseable path emits no rows anyway — with a dac/WMO
+          // predicate present it can never match, so skip the open
+          case None => false
+        }
+      }
+      new NcScan(pruned, required, overlay)
+    }
   }
 
   private final class NcTable(root: String) extends Table with SupportsRead {

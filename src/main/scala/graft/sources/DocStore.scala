@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFns
+import graft.functions.{NormalizeExpr, TextFns}
 
 /** Content-fingerprinted document storage — the at-rest layout for the
   * dedup family at 100 TB, the text twin of [[graft.argo.AtlasStore]].
@@ -22,9 +22,21 @@ import graft.functions.TextFns
   */
 object DocStore {
   /** documents + `fp` content fingerprint — built by
-    * [[TextFns.contentFingerprint]], the same expression q37 verifies. */
-  def fingerprint(docs: DataFrame): DataFrame =
-    docs.drop("fp").withColumn("fp", TextFns.contentFingerprint(col("text")))
+    * [[TextFns.contentFingerprint]], the same expression q37 verifies,
+    * over NFC-NORMALIZED text (q131's operator, [[NormalizeExpr]]): real
+    * ingest sources mix Unicode forms (web crawls compose, macOS-origin
+    * content decomposes), and a byte-level landing key would split
+    * documents that render identically. `spark.graft.docStore.nfc=false`
+    * opts a landing out (e.g. to match a legacy store's raw keys); the
+    * default is on for new landings. Identity on all-ASCII text — the
+    * codegen'd isNormalized fast path — so composed-form corpora land
+    * byte-identical keys either way. */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val nfcOn = docs.sparkSession.conf
+      .get("spark.graft.docStore.nfc", "true").toBoolean
+    val t = if (nfcOn) NormalizeExpr.nfcNormalize(col("text")) else col("text")
+    docs.drop("fp").withColumn("fp", TextFns.contentFingerprint(t))
+  }
 
   /** Land `docs` as a parquet table bucketed and sorted on the
     * fingerprint. `buckets` sizes the parallelism of every later dedup

@@ -65,21 +65,37 @@ object TermStore {
     * rewrite is vocabulary-sized, not corpus-sized. The merged frames
     * are checkpointed BEFORE the overwrite — Spark refuses to overwrite
     * a table its own plan is reading, and the checkpoint severs exactly
-    * that read. `buckets` must match the landing. */
+    * that read. `buckets` must match the landing.
+    *
+    * Failure window & recovery (the appendVecStore discipline): the
+    * postings append is job-atomic (commit protocol — it lands whole or
+    * not at all), the two sidecar rewrites after it are not, so a crash
+    * mid-sync can leave dfreq/n_docs understated. The batch is
+    * ANTI-JOINED against the stored index up front (one column-pruned
+    * bucketed scan of doc_id — the store side never shuffles), so
+    * re-running the same sync never double-appends postings; after the
+    * re-run, [[reconcileSidecars]] rebuilds the sidecars from the landed
+    * postings — the ground truth — making crash recovery exact
+    * (StoreAppendSpec simulates the crash and pins full-land parity). */
   def appendBatch(docsBatch: DataFrame, table: String, buckets: Int): Unit = {
     val s = docsBatch.sparkSession
+    // re-run safety: drop batch docs a prior (possibly crashed) sync of
+    // the same batch already landed
+    val docsNew = docsBatch.join(
+      s.table(table).select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     // checkpointed so the postings append and the dfreq merge below read
     // ONE materialization — an unmaterialized plan would re-run the
     // batch tokenize per consumer (and let a non-deterministic batch
     // frame make the appended postings and the sidecar disagree)
-    val bfi = forwardIndex(docsBatch).localCheckpoint()
+    val bfi = forwardIndex(docsNew).localCheckpoint()
     Stores.appendBucketed(bfi, table, buckets, Seq("doc_id"))
     val mergedDf = s.table(s"${table}_df")
       .unionByName(bfi.groupBy(col("w")).agg(count(lit(1)).as("dfreq")))
       .groupBy(col("w")).agg(sum(col("dfreq")).as("dfreq"))
       .localCheckpoint()
     val mergedMeta = s.table(s"${table}_meta")
-      .unionByName(docsBatch.agg(count(lit(1)).as("n_docs")))
+      .unionByName(docsNew.agg(count(lit(1)).as("n_docs")))
       .agg(sum(col("n_docs")).as("n_docs"))
       .localCheckpoint()
     // preserve an external sidecar's location across the overwrite (a
@@ -95,7 +111,39 @@ object TermStore {
     rewrite(mergedDf, s"${table}_df")
     rewrite(mergedMeta, s"${table}_meta")
     // the writes above were the checkpoints' only consumers
-    Seq(bfi, mergedDf, mergedMeta).foreach(graft.operators.Graph.release)
+    Seq(docsNew, bfi, mergedDf, mergedMeta)
+      .foreach(graft.operators.Graph.release)
+  }
+
+  /** Crash recovery for [[appendBatch]]'s sidecar window: rebuild both
+    * sidecars from the LANDED postings — the ground truth the append
+    * committed atomically. `dfreq` is always exact (a vocabulary-sized
+    * agg over a column-pruned bucketed scan). `n_docs` counts distinct
+    * indexed doc_ids, exact whenever every corpus doc has ≥1 token; a
+    * corpus with token-EMPTY docs should pass its true count as
+    * `totalDocs` (the ingest ledger knows it — empty docs land no
+    * postings, so the index cannot witness them). */
+  def reconcileSidecars(s: SparkSession, table: String,
+                        totalDocs: Option[Long] = None): Unit = {
+    val landed = s.table(table)
+    val df = landed.groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
+      .localCheckpoint()
+    val meta = totalDocs match {
+      case Some(n) => s.range(1).select(lit(n).as("n_docs"))
+      case None => landed.agg(
+        count_distinct(col("doc_id")).as("n_docs")).localCheckpoint()
+    }
+    def rewrite(d: DataFrame, t: String): Unit = {
+      val m = s.sessionState.catalog.getTableMetadata(
+        s.sessionState.sqlParser.parseTableIdentifier(t))
+      val w = d.write.mode("overwrite").format("parquet")
+      (if (m.tableType ==
+          org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL)
+        w.option("path", m.location.toString) else w).saveAsTable(t)
+    }
+    rewrite(df, s"${table}_df")
+    rewrite(meta, s"${table}_meta")
+    Seq(df, meta).foreach(graft.operators.Graph.release)
   }
 
   /** The sidecar-bearing tables of [[saveBucketed]] — one list so every

@@ -119,6 +119,53 @@ class ArgoNcV2Spec extends SparkSuite {
       s"summary projection read science grids: $got2")
   }
 
+  private def opened(): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    ArgoNcV2.openedFilesWitness.asScala.toSet
+  }
+
+  test("filter pushdown: a single-WMO query opens exactly ONE file") {
+    // the reference's own per-float access pattern (interpolation.py:106)
+    // — dac/WMO are fully determined by the path, so the file list is
+    // pruned before partition planning and the other files never open
+    ArgoNcV2.witnessEnabled = true
+    ArgoNcV2.openedFilesWitness.clear()
+    val rows = v2.filter(col("WMO") === 2901002)
+      .orderBy("IPROF").collect().toSeq
+    val got = opened()
+    ArgoNcV2.witnessEnabled = false
+    assert(rows.size == nProf && rows.forall(_.getAs[Int]("WMO") == 2901002))
+    assert(got.size == 1 && got.head.endsWith("2901002_prof.nc"),
+      s"single-WMO query opened: $got")
+    // results unchanged vs the unpruned path post-filtered
+    assert(rows == v1.filter(col("WMO") === 2901002)
+      .orderBy("IPROF").collect().toSeq)
+  }
+
+  test("filter pushdown: dac equality prunes to the dac; non-path filters never prune") {
+    ArgoNcV2.witnessEnabled = true
+    ArgoNcV2.openedFilesWitness.clear()
+    val n = v2.filter(col("dac") === "aoml").collect().length
+    val aomlOpened = opened()
+    assert(n == nProf) // 2901003 opens (same dac) but its rows are gated
+    assert(aomlOpened.forall(_.contains("/aoml/")) && aomlOpened.size == 2,
+      s"dac filter must open exactly aoml's two files: $aomlOpened")
+    // a filter the path cannot answer must leave the listing intact
+    ArgoNcV2.openedFilesWitness.clear()
+    v2.filter(col("LATITUDE") < -30.0).collect()
+    val all = opened()
+    ArgoNcV2.witnessEnabled = false
+    assert(all.size == 3, s"non-path filter must not prune files: $all")
+  }
+
+  test("record fallback >2 GiB guard: actionable failure, not array overflow") {
+    ArgoNcV2.requireJvmReadable(1024L, "small_prof.nc") // no-op
+    ArgoNcV2.requireJvmReadable(Int.MaxValue - 16L, "edge_prof.nc")
+    val e = intercept[UnsupportedOperationException](
+      ArgoNcV2.requireJvmReadable(3L << 30, "/gdac/aoml/big/big_prof.nc"))
+    assert(e.getMessage.contains("big_prof.nc") && e.getMessage.contains("2 GiB"))
+  }
+
   test("glob paths keep working on the V2 default (binaryFile .load(glob) parity)") {
     import java.nio.file.Paths
     val sub = Paths.get(gdac)

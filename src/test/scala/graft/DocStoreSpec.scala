@@ -66,6 +66,40 @@ class DocStoreSpec extends SparkSuite {
     }
   }
 
+  test("landing key is NFC-form-stable: mixed-form corpora dedup through the store") {
+    // the q131 fixture discipline: explicit escapes, because the two
+    // forms RENDER identically and a raw literal is one editor-side
+    // normalization away from silently collapsing the fixture
+    val mixed = (0L until 40L).map { i =>
+      val accent = if ((i / 20) % 2 == 0) "\u00e9" else "e\u0301"
+      (i, s"doc ${i % 20} caf$accent")
+    }.toDF("doc_id", "text")
+    val tmp = graft.TempDirs.create("graft-docstore-nfc")
+    DocStore.saveBucketed(mixed, "docs_nfc", buckets = 4,
+      path = Some(tmp.resolve("n").toString))
+    try {
+      // through the store, each content group collapses to ONE
+      // fingerprint even though its members carry different bytes —
+      // exactly the dedup the same corpus gets when normalized up front
+      val got = DocStore.loadBucketed(spark, "docs_nfc")
+        .groupBy("fp").agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_docs"))
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(got.size == 20, s"expected 20 form-stable groups, got ${got.size}")
+      assert(got.forall(_._3 == 2), s"every group holds both forms: $got")
+      // a raw byte key would have split every group: opt out and re-land
+      spark.conf.set("spark.graft.docStore.nfc", "false")
+      try {
+        DocStore.saveBucketed(mixed, "docs_raw", buckets = 4,
+          path = Some(tmp.resolve("r").toString))
+        val raw = DocStore.loadBucketed(spark, "docs_raw")
+          .select(countDistinct(col("fp"))).head.getLong(0)
+        assert(raw == 40, s"raw keys must split the mixed forms: $raw groups")
+      } finally spark.conf.unset("spark.graft.docStore.nfc")
+    } finally Seq("docs_nfc", "docs_raw")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("registered q37 rides the store when spark.graft.docStore points at it") {
     // The layout proof above lives on hand-built frames; this is the
     // REGISTERED fingerprint-dedup query over the at-rest store:

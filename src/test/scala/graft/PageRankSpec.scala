@@ -11,17 +11,23 @@ import graft.operators.Graph
 class PageRankSpec extends SparkSuite {
   import spark.implicits._
 
-  /** Naive reference: same truncating integer arithmetic, Maps + loops. */
+  /** Naive reference: same truncating integer arithmetic, Maps + loops —
+    * including the dangling-mass redistribution (damped dangling sum,
+    * truncating even split, remainder to the min-id node). */
   private def naive(edges: Seq[(Long, Long)], iters: Int,
                     dampPm: Long = 850L): Map[Long, Long] = {
     val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size.toLong
+    val minId = nodes.min
     var r = nodes.map(_ -> 1000000L).toMap
     val base = 1000L * (1000L - dampPm)
     for (_ <- 1 to iters) {
+      val dm = nodes.filterNot(out.contains).map(r).sum * dampPm / 1000L
       val contrib = edges.groupBy(_._2).view.mapValues(
         _.map { case (s, _) => r(s) * dampPm / 1000L / out(s) }.sum).toMap
-      r = nodes.map(n => n -> (base + contrib.getOrElse(n, 0L))).toMap
+      r = nodes.map(x => x -> (base + dm / n +
+        (if (x == minId) dm % n else 0L) + contrib.getOrElse(x, 0L))).toMap
     }
     r
   }
@@ -90,6 +96,48 @@ class PageRankSpec extends SparkSuite {
           s"dst exchange fed by raw join output:\n$ln\n$below")
       }
     }
+  }
+
+  test("dangling mass is redistributed, not leaked: naive parity + conservation") {
+    // a directed graph with planted dangling nodes: 4 and 5 have no
+    // out-edges, and they receive most of the in-links
+    val directed = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L),
+      (6L, 4L), (7L, 4L), (6L, 1L))
+    val got = Graph.pageRank(directed.toDF("src", "dst"), 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == naive(directed, 5),
+      "distributed dangling handling differs from the naive reference")
+    // total mass is conserved to the truncation bound: exact arithmetic
+    // keeps Σr = N·1e6 every iteration (base adds N·(1−d), damping keeps
+    // d, dangling redistribution returns the rest); each truncating op
+    // loses < 1 µ-unit, ≤ 2 per edge contribution + 1 for the dangling
+    // damp per iteration. Without redistribution the two dangling nodes
+    // alone would leak ~0.85 × their ~2.9M µ-units EVERY iteration.
+    val n = got.size.toLong
+    val total = got.values.sum
+    val bound = 5L * (2L * directed.size + n + 2L)
+    assert(total <= n * 1000000L,
+      s"mass created from nothing: $total > ${n * 1000000L}")
+    assert(n * 1000000L - total <= bound,
+      s"mass leaked beyond the truncation bound: Σr=$total, " +
+        s"expected ≥ ${n * 1000000L - bound}")
+    // and the redistribution is partition-invariant like the rest
+    val rep = Graph.pageRank(
+      directed.toDF("src", "dst").repartition(5, col("dst")), 5)
+      .as[(Long, Long)].collect().toMap
+    assert(rep == got)
+  }
+
+  test("q133 end-to-end: dangling suppliers keep authority on the directed graph") {
+    val rows = SparkEntry.queries("q133_pagerank_dangling")(
+      spark, "/root/testdata/sf0.001").as[(Long, Long)].collect().toSeq
+    assert(rows.size == 25)
+    assert(rows.map(_._2) == rows.map(_._2).sorted.reverse, "not rank-ordered")
+    // suppliers (odd ids) are the sinks: with redistribution they still
+    // top the list because all link mass flows INTO them before the even
+    // split hands it back
+    assert(rows.take(5).forall(_._1 % 2 == 1),
+      s"expected supplier authorities at the top: ${rows.take(5)}")
   }
 
   test("q130 end-to-end: 25 authorities, suppliers outrank on the trade graph") {

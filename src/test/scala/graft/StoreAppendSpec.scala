@@ -77,6 +77,37 @@ class StoreAppendSpec extends SparkSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("TermStore crashed sync: re-run never double-appends; reconcile restores sidecars") {
+    import graft.sources.{Stores, TermStore}
+    val tmp = graft.TempDirs.create("graft-termrec")
+    TermStore.saveBucketed(corpus, "terms_rec", buckets = 8,
+      path = Some(tmp.resolve("a").toString))
+    TermStore.saveBucketed(docs, "terms_recfull", buckets = 8,
+      path = Some(tmp.resolve("f").toString))
+    try {
+      // simulate the documented crash window: the batch postings landed
+      // (the append job commits atomically) but the sidecar rewrites
+      // never ran — dfreq/n_docs are stale at their pre-batch values
+      Stores.appendBucketed(TermStore.forwardIndex(batch), "terms_rec",
+        buckets = 8, Seq("doc_id"))
+      // a BLIND re-run of the same sync: the anti-join must drop the
+      // already-landed batch, postings must not double
+      TermStore.appendBatch(batch, "terms_rec", buckets = 8)
+      def content(t: String) = spark.table(t).collect().map(_.toSeq).toSet
+      assert(content("terms_rec") == content("terms_recfull"),
+        "re-run double-appended (or dropped) postings")
+      // ground-truth reconciliation rebuilds both sidecars exactly (the
+      // default n_docs reconstruction: every fixture doc has tokens)
+      TermStore.reconcileSidecars(spark, "terms_rec")
+      assert(content("terms_rec_df") == content("terms_recfull_df"),
+        "reconciled dfreq differs from the full re-land")
+      assert(content("terms_rec_meta") == content("terms_recfull_meta"),
+        "reconciled n_docs differs from the full re-land")
+    } finally (TermStore.tablesOf("terms_rec") ++
+      TermStore.tablesOf("terms_recfull"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("VecStore append routes by the FROZEN quantizer and stays prunable") {
     import spark.implicits._
     val embs = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
@@ -146,6 +177,92 @@ class StoreAppendSpec extends SparkSuite {
       .collect().toMap
     assert(base.forall { case (id, c) => twins.get(id + 1000000L).contains(c) },
       "a byte-identical delta twin must encode to its base's exact code")
+  }
+
+  test("compactBuckets: appended buckets collapse to one SORTED file; parity; plans") {
+    import graft.sources.Stores
+    val tmp = graft.TempDirs.create("graft-compact")
+    val dir = tmp.resolve("c").toString
+    // 1 land + 3 appends → up to 4 file sets per bucket
+    BandStore.saveBucketed(docs.filter(col("doc_id") % 4 === 0), "bands_cmp",
+      buckets = 8, path = Some(dir))
+    (1 to 3).foreach(i =>
+      BandStore.appendBatch(docs.filter(col("doc_id") % 4 === i), "bands_cmp", 8))
+    def content() = BandStore.loadBucketed(spark, "bands_cmp")
+      .select(col("doc_id"), col("band"), col("key"), hex(col("hs")))
+      .collect().map(_.toSeq).toSet
+    def bucketFiles() = new java.io.File(dir).listFiles.toSeq
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .groupBy(f => """_(\d+)\.""".r.findFirstMatchIn(f.getName).get.group(1).toInt)
+    try {
+      val before = content()
+      assert(bucketFiles().exists(_._2.size > 1), "appends produced no multi-file bucket")
+      val q34Cold = SparkEntry.queries("q34_minhash_lsh")(spark, d).collect().toSeq
+      val n = Stores.compactBuckets(spark, "bands_cmp", Seq("band", "key"),
+        maxFilesPerBucket = 1)
+      assert(n > 0, "no bucket was compacted")
+      // (a) content parity with the pre-compaction store
+      assert(content() == before, "compaction changed the table content")
+      // (b) one file per bucket, each internally sorted on (band, key) —
+      // the property Spark only trusts on single-file buckets
+      val byBucket = bucketFiles()
+      assert(byBucket.nonEmpty && byBucket.forall(_._2.size == 1),
+        s"buckets not single-file after compaction: ${byBucket.view.mapValues(_.size).toMap}")
+      byBucket.values.flatten.foreach { f =>
+        val rows = spark.read.parquet(f.getPath)
+          .select(col("band"), col("key")).collect()
+          .map(r => (r.getInt(0), r.getString(1))).toSeq
+        assert(rows == rows.sorted, s"${f.getName} lost the per-bucket sort")
+      }
+      // idempotence: nothing left above the threshold
+      assert(Stores.compactBuckets(spark, "bands_cmp", Seq("band", "key"),
+        maxFilesPerBucket = 1) == 0)
+      // (c) the consumer still matches and stays exchange-free
+      spark.conf.set("spark.graft.bandStore", s"$d=bands_cmp")
+      try {
+        val df = SparkEntry.queries("q34_minhash_lsh")(spark, d)
+        assert(df.collect().toSeq == q34Cold, "q34 over the compacted store differs")
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.contains("Bucketed: true"), s"compaction lost bucketing:\n$p")
+        assert(!p.contains("Exchange hashpartitioning(band"),
+          s"compaction made the self-join shuffle:\n$p")
+      } finally spark.conf.unset("spark.graft.bandStore")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bands_cmp")
+      graft.TempDirs.deleteRec(tmp.toString)
+    }
+  }
+
+  test("compactBuckets recovers an interrupted run before re-compacting") {
+    import graft.sources.Stores
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = graft.TempDirs.create("graft-compactrec")
+    val dir = tmp.resolve("c").toString
+    BandStore.saveBucketed(docs, "bands_rec", buckets = 4, path = Some(dir))
+    def content() = BandStore.loadBucketed(spark, "bands_rec")
+      .select(col("doc_id"), col("band"), col("key")).collect().map(_.toSeq).toSet
+    try {
+      val before = content()
+      val aFile = new java.io.File(dir).listFiles
+        .filter(f => f.isFile && f.getName.startsWith("part-")).head
+      // simulate a crash between steps 2 and 3: the compacted part still
+      // sits in the tmp dir, a real data file already moved to replaced/
+      val crashTmp = Paths.get(dir, "_compact_tmp_99")
+      Files.createDirectories(crashTmp.resolve("replaced"))
+      Files.copy(aFile.toPath, crashTmp.resolve("part-compacted.parquet"),
+        StandardCopyOption.COPY_ATTRIBUTES) // stands in for the merged file
+      Files.move(aFile.toPath,
+        crashTmp.resolve("replaced").resolve(aFile.getName))
+      spark.catalog.refreshTable("bands_rec")
+      assert(content() != before, "crash simulation removed nothing")
+      // recovery rolls the replaced file back and drops the tmp
+      Stores.compactBuckets(spark, "bands_rec", Seq("band", "key"))
+      assert(content() == before, "recovery did not restore the table")
+      assert(!Files.exists(crashTmp), "recovery left the tmp dir behind")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bands_rec")
+      graft.TempDirs.deleteRec(tmp.toString)
+    }
   }
 
   test("MediaStore append ≡ full land: all six modality tables, consumers, no decode") {
