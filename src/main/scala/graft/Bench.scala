@@ -801,6 +801,7 @@ object Bench {
             .foreach(_.unpersist(blocking = false))
           graft.queries.TextQueries.invalidateSessionMemos(spark)
           graft.queries.EmbeddingQueries.invalidateSessionMemos(spark)
+          graft.queries.RelationalQueries.invalidateSessionMemos(spark)
           graft.queries.ArgoQueries.releaseSessionFrames(spark)
           System.gc()
         }
@@ -818,10 +819,13 @@ object Bench {
         // once-per-ingest projection the band table at rest amortizes.
         // q128 too: its corpus side reads the DocStore fp column at rest
         // (cold = recompute every corpus fingerprint per ingest check)
+        // q129 joins in round 12 (events Z-store): cold pays the full
+        // per-session layout rewrite (forceCold clears its memo), the
+        // store path scans the once-per-ingest landing
         val cold = Seq("q71_argo_atlas", "q97_sparse_cosine",
           "q78_ivfpq_ann", "q118_image_neardup", "q125_video_neardup",
           "q127_video_neardup_hamming", "q34_minhash_lsh",
-          "q128_bloom_ingest").flatMap { name =>
+          "q128_bloom_ingest", "q129_zorder_scan").flatMap { name =>
           val oks = (1 to reps).flatMap { _ =>
             forceCold()
             val t0 = System.nanoTime()
@@ -885,6 +889,10 @@ object Bench {
           timed1("band") {
             graft.sources.BandStore.saveBucketed(docs, "bench_bandstore",
               buckets = 32, path = Some(s"$dir/bands"))
+          },
+          timed1("eventsz") {
+            graft.queries.RelationalQueries.landEventsZStore(
+              spark, sfDir, s"$dir/eventsz")
           })
         val build = buildSplit.map(_._2).sum
         System.err.println(f"[bench] stores build           $build%8.2f s")
@@ -895,7 +903,8 @@ object Bench {
           "spark.graft.vecStore" -> s"$sfDir=$dir/vecs",
           "spark.graft.atlasStore" -> s"$sfDir=bench_atlasstore",
           "spark.graft.mediaStore" -> s"$sfDir=bench_mediastore",
-          "spark.graft.bandStore" -> s"$sfDir=bench_bandstore")
+          "spark.graft.bandStore" -> s"$sfDir=bench_bandstore",
+          "spark.graft.eventsZStore" -> s"$sfDir=$dir/eventsz")
         val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
         confs.foreach { case (k, v) => spark.conf.set(k, v) }
         try {
@@ -903,7 +912,7 @@ object Bench {
             "q71_argo_atlas", "q78_ivfpq_ann", "q97_sparse_cosine",
             "q118_image_neardup", "q125_video_neardup",
             "q127_video_neardup_hamming", "q34_minhash_lsh",
-            "q128_bloom_ingest").map { name =>
+            "q128_bloom_ingest", "q129_zorder_scan").map { name =>
             def one(): (Double, Long) = {
               val t0 = System.nanoTime()
               val n = try SparkEntry.queries(name)(spark, sfDir).count()
@@ -982,7 +991,31 @@ object Bench {
               s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
             Nil
           }
-          val split = splitQ71 ++ splitQ97
+          // the q129 pruning ratio: rows the z-clustered scan EMITTED
+          // (post row-group pruning) vs the table — the ZOrderSpec
+          // measurement, published in the artifact so the store's win is
+          // attributable to pruning, not caching
+          val splitQ129 = try {
+            // the PRE-AGGREGATE rectangle scan: no exchange → no AQE
+            // wrapper, so the leaf scan's numOutputRows is readable (the
+            // aggregated q129's AdaptiveSparkPlanExec is leaf-less and
+            // reported 0 when first measured here)
+            val q = graft.queries.RelationalQueries
+              .q129RectangleScan(spark, sfDir)
+            q.collect()
+            val scanned = q.queryExecution.executedPlan.collectLeaves()
+              .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L))
+              .sum
+            val total = spark.read.parquet(s"$sfDir/events.parquet").count()
+            System.err.println(
+              f"[bench] stores q129 prune: scanned $scanned%d of $total%d rows")
+            Seq("q129scan" -> scanned.toDouble, "q129rows" -> total.toDouble)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] stores q129 prune FAILED: " +
+              s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
+            Nil
+          }
+          val split = splitQ71 ++ splitQ97 ++ splitQ129
           (("build" -> build) +: cold) ++ timed ++ split ++ buildSplit
         } finally {
           prior.foreach {
@@ -1040,6 +1073,14 @@ object Bench {
           s""""effmin":${r1(effMin(finalPass))}""",
           s""""wall":${r1(suiteWall)}""",
           s""""contended":$contended""")
+      // procs/quota/expected are forensics INPUTS, not verdict outputs
+      // (expected = the core count, a constant) — at 129 queries they
+      // are the difference between the stores headline and the atlas
+      // throughput landing on the driver-parsed line or not; the full
+      // artifact keeps all of them
+      val tailCompact = tail.filterNot(t =>
+        t.startsWith("\"procs\"") || t.startsWith("\"quota\"") ||
+          t.startsWith("\"expected\""))
       // the verdict's threshold fraction is an INPUT like every other
       // calibration input: an artifact produced under the env override
       // (the contended-path test hook) must carry the fraction its flag
@@ -1059,7 +1100,7 @@ object Bench {
       // arrays and frac to the full artifact: with 123 queries on the
       // line, the eff array alone was the difference between the stores
       // block landing on the driver-parsed line or being evicted
-      val compact = tail.mkString("\"calib\":{", ",", "}")
+      val compact = tailCompact.mkString("\"calib\":{", ",", "}")
       (full, compact)
     }
     // one stage-key renderer: count keys and the contended flag are
@@ -1087,12 +1128,13 @@ object Bench {
     val interpFragCompact: Option[String] = interpT.map { case (ps, _) =>
       s""""interp_profiles_per_sec":${r1(ps)}"""
     }
-    // stdout keeps ONE representative store pair per family era (q97 =
-    // the text saga, q118 = the media tier) plus build and the stage's
-    // own in-window verdict (VERDICT r10 task 1) — the q71/q78/q125/
-    // q127 pairs and the splits live in BENCH_FULL
-    val StoresHeadline = Set("build", "q97_cold", "q97",
-      "q118_cold", "q118",
+    // stdout keeps THE ROUND'S representative store pair (q129 = the
+    // round-12 Z-store member) plus the stage's own in-window verdict
+    // (VERDICT r10 task 1) — the q97/q118/q71/q78/q125/q127 pairs, the
+    // build splits and the pruning counts live in BENCH_FULL, which is
+    // where stores detail is read from; at 129 queries the base line
+    // leaves no room for more than one pair
+    val StoresHeadline = Set("q129_cold", "q129",
       "wall", "effmin", "cont", "wall1", "effmin1")
     def storesFrag(keys: String => Boolean): Option[String] =
       storeTimes.filter(t => keys(t._1)) match {
@@ -1131,7 +1173,7 @@ object Bench {
     // driver tails 2000 chars and sbt appends a ~66-char "[success]"
     // line; 1900 leaves real margin while fitting the stores block
     // beside 123 queries
-    val LineBudget = 1900
+    val LineBudget = 1920
     val included = scala.collection.mutable.ArrayBuffer[String]()
     // stdout priority uses the COMPACT calib + walls-only scale10 (the
     // counts are deterministic and live in the full artifact; the walls
@@ -1139,8 +1181,12 @@ object Bench {
     // NAMED in the log (r10: the full calib block silently pushed the
     // scale10 walls off the parsed line — eviction must be visible in
     // the log, not discovered by diffing artifacts).
+    // interp BEFORE stores (the stated priority: the BASELINE throughput
+    // must never lose its place to a store pair — r12 caught the code
+    // order contradicting this comment's order)
     Seq("calib" -> Some(calibFragCompact), "scale10" -> scale10FragOf(false),
-      "stores" -> storesFrag(StoresHeadline), "interp" -> interpFragCompact,
+      "interp" -> interpFragCompact,
+      "stores" -> storesFrag(StoresHeadline),
       "atlas" -> atlasFrag, "atlas_profiles" -> apFrag,
       "fallback" -> fallbackFrag, "cores" -> coresFrag,
       "counts" -> countsFrag)

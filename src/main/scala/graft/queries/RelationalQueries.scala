@@ -590,27 +590,77 @@ object RelationalQueries extends QueryModule {
   // a path names immutable data) so the once-per-ingest layout job runs
   // once per SESSION too — without the memo every invocation (bench
   // reps, correctness sweeps) wrote a fresh full copy of events into a
-  // new TempDirs dir that only JVM exit reclaimed.
+  // new TempDirs dir that only JVM exit reclaimed. With
+  // `spark.graft.eventsZStore = "<corpusDir>=<path>"` the query serves
+  // the rectangle from an AT-REST z-clustered landing instead
+  // ([[landEventsZStore]] — the store-family shape: rewrite once per
+  // ingest, every session scans), bounds read from the `_bounds`
+  // sidecar so the store path launches no corpus-wide agg at all.
   private val zorderMemo =
     scala.collection.concurrent.TrieMap.empty[String, (String, Long, Long, Long)]
 
-  private def q129(s: SparkSession, d: String): DataFrame = {
-    val (dir, mn, mx, umax) = zorderMemo.getOrElseUpdate(d, {
-      val ev = Tables.events(s, d)
-        .select(unix_micros(col("ts")).as("ts_us"), col("user_id"),
-          col("event_type"), col("value"))
-      val r = ev.agg(min(col("ts_us")), max(col("ts_us")),
-        max(col("user_id"))).head
-      val (mn, mx, umax) = (r.getLong(0), r.getLong(1), r.getLong(2))
-      val g = math.max(1L, (mx - mn) >> 20) // ≤ 2^20 time buckets: 31-bit safe
-      val z = ZOrderExpr.zorder2(
-        floor((col("ts_us") - mn) / g).cast("int"),
-        col("user_id").cast("int"))
-      val out = graft.TempDirs.create("graft-zorder").resolve("events").toString
-      Layout.writeZOrdered(ev, z, out, partitions = 8,
-        maxRecordsPerFile = 2048)
-      (out, mn, mx, umax)
-    })
+  /** Clear q129's per-session layout memo and reclaim its written dirs —
+    * the bench's forceCold hook (a cold rep must pay the rewrite). */
+  private[graft] def invalidateSessionMemos(s: SparkSession): Unit = {
+    zorderMemo.values.foreach { case (dir, _, _, _) =>
+      graft.TempDirs.deleteRec(
+        new java.io.File(dir).getParentFile.getAbsolutePath)
+    }
+    zorderMemo.clear()
+  }
+
+  private def eventsNormalized(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+
+  private def rewriteZOrdered(s: SparkSession, d: String,
+                              out: String): (Long, Long, Long) = {
+    val ev = eventsNormalized(s, d)
+    val r = ev.agg(min(col("ts_us")), max(col("ts_us")),
+      max(col("user_id"))).head
+    val (mn, mx, umax) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val g = math.max(1L, (mx - mn) >> 20) // ≤ 2^20 time buckets: 31-bit safe
+    val z = ZOrderExpr.zorder2(
+      floor((col("ts_us") - mn) / g).cast("int"),
+      col("user_id").cast("int"))
+    Layout.writeZOrdered(ev, z, out, partitions = 8,
+      maxRecordsPerFile = 2048)
+    (mn, mx, umax)
+  }
+
+  /** Land the events table z-clustered at `path` with its `_bounds`
+    * sidecar — the at-rest member q129 serves from under
+    * `spark.graft.eventsZStore` (the underscore dir is invisible to the
+    * layout scan but readable as an explicit root, the parquet-listing
+    * rule the other stores' sidecars use). */
+  private[graft] def landEventsZStore(s: SparkSession, d: String,
+                                      path: String): Unit = {
+    val (mn, mx, umax) = rewriteZOrdered(s, d, path)
+    import s.implicits._
+    Seq((mn, mx, umax)).toDF("mn", "mx", "umax")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_bounds")
+  }
+
+  /** q129's rectangle scan alone (pre-aggregate): the filtered read over
+    * the resolved layout. Exposed for the bench's pruning measurement —
+    * a bare scan+filter plans without AQE, so its leaf's numOutputRows
+    * IS the post-row-group-pruning row count (the ZOrderSpec metric;
+    * the aggregated q129 plan wraps in AdaptiveSparkPlanExec, whose
+    * leaf-less shape hides the scan metric). */
+  private[graft] def q129RectangleScan(s: SparkSession, d: String): DataFrame = {
+    val (dir, mn, mx, umax) =
+      s.conf.get("spark.graft.eventsZStore", "").split("=", 2) match {
+        case Array(cd, path) if cd == d =>
+          val b = s.read.parquet(s"$path/_bounds").head
+          (path, b.getLong(0), b.getLong(1), b.getLong(2))
+        case _ => zorderMemo.getOrElseUpdate(d, {
+          val out = graft.TempDirs.create("graft-zorder")
+            .resolve("events").toString
+          val (mn, mx, umax) = rewriteZOrdered(s, d, out)
+          (out, mn, mx, umax)
+        })
+      }
     val t1 = mn + (mx - mn) / 4
     val t2 = mn + (mx - mn) / 2
     // user band = [umax/5, 2·umax/5): derived, so the rectangle is
@@ -618,11 +668,14 @@ object RelationalQueries extends QueryModule {
     s.read.parquet(dir)
       .filter(col("ts_us") >= t1 && col("ts_us") < t2 &&
         col("user_id") >= umax / 5 && col("user_id") < (2 * umax) / 5)
+  }
+
+  private def q129(s: SparkSession, d: String): DataFrame =
+    q129RectangleScan(s, d)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(FP.micro(col("value"))).as("sum_value_u"))
       .orderBy("event_type")
-  }
 
   private val q129Sql =
     s"""WITH b AS (

@@ -432,13 +432,32 @@ object TextQueries extends QueryModule {
       .withColumn("b_prev", min(col("doc_id")).over(wPrev))
       .join(corpusMin, Seq("fp"), "left")
       .select(col("doc_id"), least(col("c_min"), col("b_prev")).as("exact_id"))
-    // near tier, only for batch docs the exact tier did not resolve
+    // near tier, only for batch docs the exact tier did not resolve.
+    // Checkpointed: the batch band frame feeds BOTH the Bloom build below
+    // and the candidate join — unmaterialized, the shingle+minhash (and
+    // the exact tier it depends on) would run twice.
     val survivors = exact.filter(col("exact_id").isNull).select("doc_id")
     val bBands = minhashBandFrame(
       batch.join(survivors, Seq("doc_id")).repartition(col("doc_id")))
       .select(col("band"), col("key"), col("doc_id").as("bd"), col("hs").as("bhs"))
+      .localCheckpoint()
+    // the q128 runtime filter applied to the NEAR tier: the batch's few
+    // (band, key) buckets build one OR-merged Bloom (a tiny job over the
+    // small side), and the probe lands on the corpus band scan BEFORE its
+    // exchange — with spark.graft.bandStore wired that scan is the
+    // at-rest band table, so a sync reads it but shuffles only the
+    // bucket-matching sliver. No false negatives (BloomSpec), and false
+    // positives die in the exact (band, key) equi-join right after, so
+    // the result is bit-equal to the unpruned plan (BandStoreSpec pins
+    // parity AND the scan-side probe).
+    val mBits = s.conf.get("spark.graft.bloomBits", (1 << 20).toString).toInt
+    val bandBloom = bBands
+      .agg(Sketches.bloomFilter(mBits, BloomK)(xxhash64(col("band"), col("key"))))
+      .head.getAs[Array[Byte]](0)
     val cBands = corpusBands(s, d)
       .filter(col("doc_id") % IngestMod =!= IngestRem)
+      .filter(BloomProbeExpr.bloomMightContain(lit(bandBloom),
+        xxhash64(col("band"), col("key")), BloomK))
       .select(col("band"), col("key"), col("doc_id").as("cd"), col("hs").as("chs"))
     val scored = bBands.join(cBands, Seq("band", "key"))
       .select(col("bd"), col("cd"), col("bhs"), col("chs")).distinct()

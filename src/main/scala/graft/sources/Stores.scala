@@ -55,6 +55,13 @@ object Stores {
     * one small job reading just that bucket's files (rows are already
     * hash-routed; no shuffle, no re-hash) — and leaves the rest untouched.
     *
+    * Each merge is ONE task (repartition(1)) — the price of the
+    * single-file sort property Spark trusts — so compaction assumes the
+    * bucket count was sized for task-fit buckets, which the landing
+    * guidance already requires (buckets ~2-4× the cluster's cores at
+    * the target scale); a bucket too big to merge in one task is a
+    * store that needs MORE buckets, not a smarter compactor.
+    *
     * Crash safety (single concurrent maintainer, like every lakehouse
     * compactor): per bucket, (1) write the merged sorted file into a
     * hidden `_compact_tmp_<b>` dir (invisible to scans), (2) rename the

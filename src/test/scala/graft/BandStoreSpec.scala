@@ -57,6 +57,25 @@ class BandStoreSpec extends SparkSuite {
     }
   }
 
+  test("q110 near tier: the batch Bloom probes the band-store scan before its exchange") {
+    withStore {
+      val df = SparkEntry.queries("q110_ingest_dedup")(spark, d)
+      df.collect() // materialize: the probe literal builds at plan time
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("bloom_might_contain"),
+        s"the near tier lost its runtime band filter:\n${p.take(2000)}")
+      // the probe must sit scan-side: below it, a band-store scan; no
+      // exchange between them (the q128 plan discipline on the near tier)
+      val lines = p.linesIterator.toSeq
+      val probeIdx = lines.indexWhere(_.contains("bloom_might_contain"))
+      val scanIdx = lines.indexWhere(_.contains("bands_bucketed"), probeIdx)
+      assert(probeIdx >= 0 && scanIdx > probeIdx,
+        s"probe is not above the band-store scan:\n${p.take(2000)}")
+      assert(!lines.slice(probeIdx, scanIdx).exists(_.contains("Exchange")),
+        s"an exchange sits between the band scan and its Bloom probe:\n$p")
+    }
+  }
+
   test("store scan parity: the landed rows ARE the verified construction") {
     withStore {
       val got = BandStore.loadBucketed(spark, "bands_bucketed")

@@ -135,4 +135,25 @@ class ZOrderSpec extends SparkSuite {
     assert(rows.nonEmpty)
     assert(rows.map(_.getLong(1)).sum > 0, "empty rectangle")
   }
+
+  test("q129 serves from the at-rest events Z-store; the corpusDir guard holds") {
+    val d = "/root/testdata/sf0.001"
+    val want = SparkEntry.queries("q129_zorder_scan")(spark, d).collect().toSeq
+    val path = graft.TempDirs.create("graft-ezstore").resolve("ez").toString
+    graft.queries.RelationalQueries.landEventsZStore(spark, d, path)
+    try {
+      spark.conf.set("spark.graft.eventsZStore", s"$d=$path")
+      val df = SparkEntry.queries("q129_zorder_scan")(spark, d)
+      assert(df.collect().toSeq == want,
+        "q129 over the landed store differs from the session rewrite")
+      // the store path must scan the LANDED layout (bounds off the
+      // sidecar, no in-query rewrite): its leaf scans read `path`
+      val leaves = df.queryExecution.executedPlan.collectLeaves().mkString("\n")
+      assert(leaves.contains("ez"), s"store path did not scan the landing:\n$leaves")
+      // a store landed for another corpus is never consulted
+      spark.conf.set("spark.graft.eventsZStore", s"/not/this/corpus=$path")
+      assert(SparkEntry.queries("q129_zorder_scan")(spark, d)
+        .collect().toSeq == want, "guard fallback changed the answer")
+    } finally spark.conf.unset("spark.graft.eventsZStore")
+  }
 }
