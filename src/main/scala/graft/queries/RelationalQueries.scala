@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -611,21 +611,38 @@ object RelationalQueries extends QueryModule {
 
   private def eventsNormalized(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .select(unix_micros(col("ts")).as("ts_us"), col("user_id"),
-        col("event_type"), col("value"))
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
 
-  private def rewriteZOrdered(s: SparkSession, d: String,
-                              out: String): (Long, Long, Long) = {
-    val ev = eventsNormalized(s, d)
+  /** The layout's curve: time bucketed by granule `g` from origin `mn`,
+    * interleaved with user_id. (ZOrderExpr masks to 31 bits, so a batch
+    * outside the frozen origin still codes validly — only its clustering
+    * quality pays, never an answer.) */
+  private def zCodeOf(mn: Long, g: Long) =
+    ZOrderExpr.zorder2(
+      floor((col("ts_us") - mn) / g).cast("int"),
+      col("user_id").cast("int"))
+
+  /** Time granule for the (time, user) curve: bucket count matched to
+    * the USER cardinality. Interleaving only clusters in both dimensions
+    * when their bit widths are comparable — with 2^20 time buckets
+    * against ~2^8 users, the excess high time bits interleave with
+    * nothing, the code degenerates to time-major, and a user predicate
+    * prunes no files at all (measured 27% scanned for a 5% rectangle at
+    * sf0.1; balanced, the same rectangle scans ~its own selectivity). */
+  private def granuleOf(mn: Long, mx: Long, umax: Long): Long = {
+    val ubits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, umax))
+    math.max(1L, (mx - mn) >> ubits)
+  }
+
+  private def rewriteZOrdered(s: SparkSession, d: String, out: String,
+                              rowFilter: Column = lit(true)): (Long, Long, Long) = {
+    val ev = eventsNormalized(s, d).filter(rowFilter)
     val r = ev.agg(min(col("ts_us")), max(col("ts_us")),
       max(col("user_id"))).head
     val (mn, mx, umax) = (r.getLong(0), r.getLong(1), r.getLong(2))
-    val g = math.max(1L, (mx - mn) >> 20) // ≤ 2^20 time buckets: 31-bit safe
-    val z = ZOrderExpr.zorder2(
-      floor((col("ts_us") - mn) / g).cast("int"),
-      col("user_id").cast("int"))
-    Layout.writeZOrdered(ev, z, out, partitions = 8,
-      maxRecordsPerFile = 2048)
+    Layout.writeZOrdered(ev, zCodeOf(mn, granuleOf(mn, mx, umax)), out,
+      partitions = 8, maxRecordsPerFile = 2048)
     (mn, mx, umax)
   }
 
@@ -633,13 +650,75 @@ object RelationalQueries extends QueryModule {
     * sidecar — the at-rest member q129 serves from under
     * `spark.graft.eventsZStore` (the underscore dir is invisible to the
     * layout scan but readable as an explicit root, the parquet-listing
-    * rule the other stores' sidecars use). */
+    * rule the other stores' sidecars use). The sidecar carries the live
+    * (mn, mx, umax) bounds — min/max MONOIDS, merged per sync — plus the
+    * FROZEN curve origin/granule (mn0, g0) appends encode with, the
+    * VecStore frozen-quantizer rule. */
   private[graft] def landEventsZStore(s: SparkSession, d: String,
-                                      path: String): Unit = {
-    val (mn, mx, umax) = rewriteZOrdered(s, d, path)
+                                      path: String,
+                                      rowFilter: Column = lit(true)): Unit = {
+    val (mn, mx, umax) = rewriteZOrdered(s, d, path, rowFilter)
+    writeBounds(s, path, mn, mx, umax,
+      mn0 = mn, g0 = granuleOf(mn, mx, umax))
+  }
+
+  private def writeBounds(s: SparkSession, path: String, mn: Long, mx: Long,
+                          umax: Long, mn0: Long, g0: Long): Unit = {
     import s.implicits._
-    Seq((mn, mx, umax)).toDF("mn", "mx", "umax")
+    Seq((mn, mx, umax, mn0, g0)).toDF("mn", "mx", "umax", "mn0", "g0")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_bounds")
+  }
+
+  /** Sync an events batch into a landed Z-store: new rows (anti-joined
+    * on event_id against the landed layout — one column-pruned scan, so
+    * a blind re-run never double-appends) are z-coded by the FROZEN
+    * curve from the `_bounds` sidecar and appended as their own
+    * range-clustered files ([[Layout.appendZOrdered]]), then the live
+    * bounds merge as min/max monoids. q129 over the appended store is
+    * bit-equal to a full re-land: the merged bounds ARE the full
+    * table's (min/max are monoids), and answers never depend on the
+    * dropped z-code — only pruning granularity pays, per-batch instead
+    * of global, until a compacting rewrite re-lands.
+    *
+    * Failure window: the data append commits atomically (job commit);
+    * a crash before the sidecar rewrite leaves bounds stale — re-run
+    * the sync (idempotent) and call [[reconcileEventsZBounds]], which
+    * rebuilds the live bounds from the landed files. */
+  private[graft] def appendEventsZStore(s: SparkSession, batch: DataFrame,
+                                        path: String): Unit = {
+    val b = s.read.parquet(s"$path/_bounds").head
+    val (mn0, g0) = (b.getAs[Long]("mn0"), b.getAs[Long]("g0"))
+    val fresh = batch
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .join(s.read.parquet(path).select(col("event_id")),
+        Seq("event_id"), "left_anti")
+      .localCheckpoint() // consumed by the write AND the bounds merge
+    Layout.appendZOrdered(fresh, zCodeOf(mn0, g0), path,
+      partitions = 8, maxRecordsPerFile = 2048)
+    val r = fresh.agg(min(col("ts_us")), max(col("ts_us")),
+      max(col("user_id"))).head
+    if (!r.isNullAt(0)) // empty batch (or full re-run): bounds unchanged
+      writeBounds(s, path,
+        math.min(b.getAs[Long]("mn"), r.getLong(0)),
+        math.max(b.getAs[Long]("mx"), r.getLong(1)),
+        math.max(b.getAs[Long]("umax"), r.getLong(2)), mn0, g0)
+    graft.operators.Graph.release(fresh)
+    // drop any cached file listing for the path: a consumer that read
+    // the store before this sync must see the appended files
+    s.catalog.refreshByPath(path)
+  }
+
+  /** Crash recovery for [[appendEventsZStore]]'s sidecar window: rebuild
+    * the live bounds from the landed files (ground truth), preserving
+    * the frozen curve. */
+  private[graft] def reconcileEventsZBounds(s: SparkSession,
+                                            path: String): Unit = {
+    val b = s.read.parquet(s"$path/_bounds").head
+    val r = s.read.parquet(path).agg(min(col("ts_us")), max(col("ts_us")),
+      max(col("user_id"))).head
+    writeBounds(s, path, r.getLong(0), r.getLong(1), r.getLong(2),
+      b.getAs[Long]("mn0"), b.getAs[Long]("g0"))
   }
 
   /** q129's rectangle scan alone (pre-aggregate): the filtered read over
@@ -653,7 +732,8 @@ object RelationalQueries extends QueryModule {
       s.conf.get("spark.graft.eventsZStore", "").split("=", 2) match {
         case Array(cd, path) if cd == d =>
           val b = s.read.parquet(s"$path/_bounds").head
-          (path, b.getLong(0), b.getLong(1), b.getLong(2))
+          (path, b.getAs[Long]("mn"), b.getAs[Long]("mx"),
+            b.getAs[Long]("umax"))
         case _ => zorderMemo.getOrElseUpdate(d, {
           val out = graft.TempDirs.create("graft-zorder")
             .resolve("events").toString

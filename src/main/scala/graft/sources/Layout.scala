@@ -31,11 +31,29 @@ object Layout {
     * has granularity even on small inputs. */
   def writeZOrdered(df: DataFrame, zCode: Column, path: String,
                     partitions: Int, maxRecordsPerFile: Long = 0L): Unit =
+    zWrite(df, zCode, path, partitions, maxRecordsPerFile, "overwrite")
+
+  /** Incremental sync into an existing z-clustered layout: the BATCH is
+    * z-coded (by the caller's FROZEN curve parameters — the VecStore
+    * frozen-quantizer rule), range-clustered among ITSELF and appended
+    * as new files. Answers never depend on the code (it is dropped), so
+    * append ≡ re-land exactly; only pruning granularity pays — each
+    * sync's files are tight rectangles of their OWN batch, so a scan
+    * prunes per batch instead of globally. Compact by re-running the
+    * full rewrite when sync counts warrant (the once-per-ingest cost
+    * the append path defers, not avoids). */
+  def appendZOrdered(batch: DataFrame, zCode: Column, path: String,
+                     partitions: Int, maxRecordsPerFile: Long = 0L): Unit =
+    zWrite(batch, zCode, path, partitions, maxRecordsPerFile, "append")
+
+  private def zWrite(df: DataFrame, zCode: Column, path: String,
+                     partitions: Int, maxRecordsPerFile: Long,
+                     mode: String): Unit =
     df.withColumn("_z", zCode)
       .repartitionByRange(partitions, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")
-      .write.mode("overwrite")
+      .write.mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
 }

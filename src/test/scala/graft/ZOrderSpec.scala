@@ -136,6 +136,45 @@ class ZOrderSpec extends SparkSuite {
     assert(rows.map(_.getLong(1)).sum > 0, "empty rectangle")
   }
 
+  test("events Z-store sync: frozen-curve append ≡ full re-land; idempotent; bounds recover") {
+    import graft.queries.{RelationalQueries => RQ}
+    val d = "/root/testdata/sf0.001"
+    val want = SparkEntry.queries("q129_zorder_scan")(spark, d).collect().toSeq
+    val tmp = graft.TempDirs.create("graft-ezappend")
+    val store = tmp.resolve("ez").toString
+    val isBatch = col("event_id") % 4 === 3
+    // land the pre-batch corpus, then sync the batch: the live bounds
+    // merge as min/max monoids, so the rectangle (derived from them)
+    // equals the full table's and the answer is bit-equal
+    RQ.landEventsZStore(spark, d, store, !isBatch)
+    val batch = Tables.events(spark, d).filter(isBatch)
+    RQ.appendEventsZStore(spark, batch, store)
+    try {
+      spark.conf.set("spark.graft.eventsZStore", s"$d=$store")
+      assert(SparkEntry.queries("q129_zorder_scan")(spark, d)
+        .collect().toSeq == want, "appended store differs from the re-land answer")
+      // idempotence: a blind re-run of the same sync lands nothing
+      val rows = spark.read.parquet(store).count()
+      RQ.appendEventsZStore(spark, batch, store)
+      assert(spark.read.parquet(store).count() == rows,
+        "re-run double-appended the batch")
+      // crash window: data landed, sidecar rewrite lost — restore a
+      // STALE pre-append sidecar, then reconcile from the landed files
+      val b = spark.read.parquet(s"$store/_bounds").head
+      val stale = Tables.events(spark, d).filter(!isBatch)
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+          max(col("user_id"))).head
+      import spark.implicits._
+      Seq((stale.getLong(0), stale.getLong(1), stale.getLong(2),
+        b.getAs[Long]("mn0"), b.getAs[Long]("g0")))
+        .toDF("mn", "mx", "umax", "mn0", "g0")
+        .coalesce(1).write.mode("overwrite").parquet(s"$store/_bounds")
+      RQ.reconcileEventsZBounds(spark, store)
+      assert(SparkEntry.queries("q129_zorder_scan")(spark, d)
+        .collect().toSeq == want, "reconciled bounds did not restore the answer")
+    } finally spark.conf.unset("spark.graft.eventsZStore")
+  }
+
   test("q129 serves from the at-rest events Z-store; the corpusDir guard holds") {
     val d = "/root/testdata/sf0.001"
     val want = SparkEntry.queries("q129_zorder_scan")(spark, d).collect().toSeq
