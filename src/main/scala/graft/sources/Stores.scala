@@ -104,9 +104,12 @@ object Stores {
     oversized.foreach { case (bucket, files) =>
       val tmp = new Path(dir, s"_compact_tmp_$bucket")
       // (1) one merged file, re-sorted on the bucket cols — restoring the
-      // sort property the appends dropped
+      // sort property the appends dropped. coalesce, not repartition:
+      // the rows are already the right set (one bucket's files), so the
+      // merge is one task reading them directly — an exchange would
+      // write and re-read the whole bucket for nothing
       s.read.parquet(files.map(_.getPath.toString): _*)
-        .repartition(1).sortWithinPartitions(cols.map(col): _*)
+        .coalesce(1).sortWithinPartitions(cols.map(col): _*)
         .write.mode("overwrite").option("compression", "snappy")
         .parquet(tmp.toString)
       val part = fs.listStatus(tmp)
