@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -26,8 +26,8 @@ object Stores {
     * bucket, which drops only the per-bucket SORT property (Spark plans
     * a sort when it needs one) — clustering, the property the joins and
     * aggregations rely on, is preserved (StoreAppendSpec pins parity
-    * AND the no-exchange plan on an appended store). Compact by
-    * re-landing when file counts warrant, as lakehouse engines do. */
+    * AND the no-exchange plan on an appended store). Compact with
+    * [[compactBuckets]] when file counts warrant. */
   def appendBucketed(df: DataFrame, table: String, buckets: Int,
                      cols: Seq[String]): Unit =
     df.write.mode("append").format("parquet")
@@ -44,6 +44,52 @@ object Stores {
     case _             => -1
   }
 
+  /** Settle any interrupted compaction under `dir` before trusting its
+    * listing: a leftover `_compact_tmp_*` that still holds its merged
+    * part file never committed — roll the replaced files back; one
+    * without it committed — deleting the tmp completes the cleanup.
+    * Either way the directory is consistent afterwards. Returns whether
+    * anything was settled. */
+  private def recoverCompaction(fs: FileSystem, dir: Path): Boolean = {
+    val leftovers = fs.listStatus(dir).filter(st => st.isDirectory &&
+      st.getPath.getName.startsWith("_compact_tmp_"))
+    leftovers.foreach { st =>
+      val part = fs.listStatus(st.getPath)
+        .find(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      if (part.isDefined) { // commit never ran: roll back the replaced files
+        val replaced = new Path(st.getPath, "replaced")
+        if (fs.exists(replaced)) fs.listStatus(replaced)
+          .foreach(f => fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
+      } // else commit ran: the old files in replaced/ are superseded
+      fs.delete(st.getPath, true)
+    }
+    leftovers.nonEmpty
+  }
+
+  /** The crash-safe swap both compactors share: (1) write `merged` into
+    * a hidden `_compact_tmp_<tag>` under `dir` (invisible to scans),
+    * (2) rename the old files into `replaced/` under it (atomic per-file
+    * renames — out of the directory's view), (3) rename the new file
+    * into `dir` under `newName`, (4) drop the tmp. [[recoverCompaction]]
+    * settles any window a crash leaves. */
+  private def swapCompacted(fs: FileSystem, dir: Path, tag: String,
+                            files: Seq[FileStatus], merged: DataFrame,
+                            newName: String): Unit = {
+    val tmp = new Path(dir, s"_compact_tmp_$tag")
+    merged.write.mode("overwrite").option("compression", "snappy")
+      .parquet(tmp.toString)
+    val part = fs.listStatus(tmp)
+      .find(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .getOrElse(sys.error(s"compaction wrote no data file for $tag"))
+      .getPath
+    val replaced = new Path(tmp, "replaced")
+    fs.mkdirs(replaced)
+    files.foreach(f =>
+      fs.rename(f.getPath, new Path(replaced, f.getPath.getName)))
+    fs.rename(part, new Path(dir, newName))
+    fs.delete(tmp, true)
+  }
+
   /** Compact the oversized buckets of an appended store back to one
     * sorted file each — the maintenance half of [[appendBucketed]].
     * Appends accumulate one file set per bucket per sync, and Spark only
@@ -53,26 +99,20 @@ object Stores {
     * Buckets are per-bucket-addressable by file naming, so this rewrites
     * ONLY buckets whose file count exceeds `maxFilesPerBucket` — each in
     * one small job reading just that bucket's files (rows are already
-    * hash-routed; no shuffle, no re-hash) — and leaves the rest untouched.
+    * hash-routed; no shuffle, no re-hash — coalesce, not repartition:
+    * an exchange would write and re-read the whole bucket for nothing) —
+    * and leaves the rest untouched.
     *
-    * Each merge is ONE task (repartition(1)) — the price of the
-    * single-file sort property Spark trusts — so compaction assumes the
-    * bucket count was sized for task-fit buckets, which the landing
-    * guidance already requires (buckets ~2-4× the cluster's cores at
-    * the target scale); a bucket too big to merge in one task is a
-    * store that needs MORE buckets, not a smarter compactor.
+    * Each merge is ONE task — the price of the single-file sort property
+    * Spark trusts — so compaction assumes the bucket count was sized for
+    * task-fit buckets, which the landing guidance already requires
+    * (buckets ~2-4× the cluster's cores at the target scale); a bucket
+    * too big to merge in one task is a store that needs MORE buckets,
+    * not a smarter compactor.
     *
     * Crash safety (single concurrent maintainer, like every lakehouse
-    * compactor): per bucket, (1) write the merged sorted file into a
-    * hidden `_compact_tmp_<b>` dir (invisible to scans), (2) rename the
-    * old files into `_compact_tmp_<b>/replaced/`, (3) rename the new file
-    * into the table dir, (4) delete the tmp dir. A re-run first recovers
-    * any leftover tmp: if it still holds the compacted part file, step 3
-    * never ran — roll the replaced files back; if not, step 3 committed —
-    * deleting the tmp is completing step 4. Either way the table is
-    * consistent and the re-run proceeds.
-    *
-    * Returns the number of buckets rewritten. */
+    * compactor): the [[swapCompacted]] protocol, settled on re-entry by
+    * [[recoverCompaction]]. Returns the number of buckets rewritten. */
   def compactBuckets(s: SparkSession, table: String, cols: Seq[String],
                      maxFilesPerBucket: Int = 4): Int = {
     val loc = s.sql(s"DESC FORMATTED $table").collect()
@@ -81,53 +121,63 @@ object Stores {
     val dir = new Path(loc)
     val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
 
-    // recover any interrupted prior run before trusting the listing
-    val leftovers = fs.listStatus(dir).filter(st => st.isDirectory &&
-      st.getPath.getName.startsWith("_compact_tmp_"))
-    leftovers.foreach { st =>
-      val part = fs.listStatus(st.getPath)
-        .find(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      if (part.isDefined) { // step 3 never ran: roll back the replaced files
-        val replaced = new Path(st.getPath, "replaced")
-        if (fs.exists(replaced)) fs.listStatus(replaced)
-          .foreach(f => fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
-      } // else step 3 committed: the old files in replaced/ are superseded
-      fs.delete(st.getPath, true)
-    }
-    if (leftovers.nonEmpty) s.catalog.refreshTable(table)
+    if (recoverCompaction(fs, dir)) s.catalog.refreshTable(table)
 
-    def dataFiles(): Seq[FileStatus] = fs.listStatus(dir).toSeq
+    val oversized = fs.listStatus(dir).toSeq
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-    val oversized = dataFiles().groupBy(f => bucketIdOf(f.getPath.getName))
+      .groupBy(f => bucketIdOf(f.getPath.getName))
       .filter { case (b, fls) => b >= 0 && fls.size > maxFilesPerBucket }
 
     oversized.foreach { case (bucket, files) =>
-      val tmp = new Path(dir, s"_compact_tmp_$bucket")
-      // (1) one merged file, re-sorted on the bucket cols — restoring the
-      // sort property the appends dropped. coalesce, not repartition:
-      // the rows are already the right set (one bucket's files), so the
-      // merge is one task reading them directly — an exchange would
-      // write and re-read the whole bucket for nothing
-      s.read.parquet(files.map(_.getPath.toString): _*)
-        .coalesce(1).sortWithinPartitions(cols.map(col): _*)
-        .write.mode("overwrite").option("compression", "snappy")
-        .parquet(tmp.toString)
-      val part = fs.listStatus(tmp)
-        .find(f => f.isFile && f.getPath.getName.startsWith("part-"))
-        .getOrElse(sys.error(s"compaction wrote no data file for bucket $bucket"))
-        .getPath
-      // (2) old files out of the table's view (atomic per-file renames)
-      val replaced = new Path(tmp, "replaced")
-      fs.mkdirs(replaced)
-      files.foreach(f =>
-        fs.rename(f.getPath, new Path(replaced, f.getPath.getName)))
-      // (3) commit: the new file adopts the bucket-id naming the scan
-      // recognizes, (4) drop the tmp (and the superseded files with it)
-      fs.rename(part, new Path(dir,
-        f"part-00000-${java.util.UUID.randomUUID}%s_$bucket%05d.c000.snappy.parquet"))
-      fs.delete(tmp, true)
+      // one merged file, re-sorted on the bucket cols (restoring the
+      // property the appends dropped), named with the bucket-id suffix
+      // the bucketed scan recognizes
+      swapCompacted(fs, dir, bucket.toString, files,
+        s.read.parquet(files.map(_.getPath.toString): _*)
+          .coalesce(1).sortWithinPartitions(cols.map(col): _*),
+        f"part-00000-${java.util.UUID.randomUUID}%s_$bucket%05d.c000.snappy.parquet")
     }
     if (oversized.nonEmpty) s.catalog.refreshTable(table)
     oversized.size
+  }
+
+  /** Compact the oversized PARTITION DIRECTORIES of a directory-
+    * partitioned store — the maintenance half of the partitioned appends
+    * ([[VecStore.appendPartitioned]] cells, the `_pqcodes` sidecar):
+    * each sync adds a file set to every touched partition, and at 100 TB
+    * the cost of a long-lived store is its FILE COUNT (opens, listings,
+    * footer reads) — a full re-land to fix it is what the append path
+    * exists to avoid. Rewrites ONLY single-level `k=v` directories whose
+    * data-file count exceeds `maxFilesPerDir`, one task each reading
+    * just that directory's files (rows are already routed; the partition
+    * value lives in the DIRECTORY NAME, so the merged file needs no
+    * re-derivation and partition pruning is untouched). No sort property
+    * is involved — partitioned stores prune by directory, not order.
+    * Same [[swapCompacted]]/[[recoverCompaction]] crash protocol as
+    * [[compactBuckets]]. Returns the number of directories rewritten. */
+  def compactPartitions(s: SparkSession, root: String,
+                        maxFilesPerDir: Int = 4): Int = {
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(rootP).filter(st => st.isDirectory &&
+      st.getPath.getName.contains("=") &&
+      !st.getPath.getName.startsWith("_") &&
+      !st.getPath.getName.startsWith("."))
+    var touched = false
+    var n = 0
+    parts.foreach { p =>
+      touched |= recoverCompaction(fs, p.getPath)
+      val files = fs.listStatus(p.getPath).toSeq
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      if (files.size > maxFilesPerDir) {
+        swapCompacted(fs, p.getPath, "0", files,
+          s.read.parquet(files.map(_.getPath.toString): _*).coalesce(1),
+          s"part-00000-${java.util.UUID.randomUUID}.c000.snappy.parquet")
+        n += 1
+        touched = true
+      }
+    }
+    if (touched) s.catalog.refreshByPath(root)
+    n
   }
 }

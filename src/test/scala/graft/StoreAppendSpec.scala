@@ -233,6 +233,44 @@ class StoreAppendSpec extends SparkSuite {
     }
   }
 
+  test("compactPartitions: appended cell dirs collapse to one file; parity; pruning") {
+    import org.apache.spark.sql.functions.{col => c}
+    import graft.sources.{Stores, VecStore}
+    val embs = Tables.embeddings(spark, d).select(c("vec_id"), c("embedding"))
+    val store = embs.filter(c("vec_id") % 10 =!= 7)
+    val model = graft.operators.KMeans.fit(store, "vec_id", "embedding",
+      dim = 16, k = 8, iters = 5)
+    val dir = graft.TempDirs.create("graft-veccompact").resolve("v").toString
+    VecStore.savePartitioned(store, model, dir)
+    // three delta syncs: every touched cell dir accumulates file sets
+    (0 until 3).foreach { i =>
+      VecStore.appendPartitioned(
+        embs.filter(c("vec_id") % 10 === 7 && c("vec_id") % 3 === i), model, dir)
+    }
+    def cellDirs() = new java.io.File(dir).listFiles.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    def filesOf(cd: java.io.File) = cd.listFiles.toSeq
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+    assert(cellDirs().exists(filesOf(_).size > 1),
+      "appends produced no multi-file cell")
+    def content() = VecStore.load(spark, dir)
+      .select(c("vec_id"), c("cell")).collect().map(_.toSeq).toSet
+    val before = content()
+    val n = Stores.compactPartitions(spark, dir, maxFilesPerDir = 1)
+    assert(n > 0, "no cell dir was compacted")
+    assert(cellDirs().nonEmpty && cellDirs().forall(filesOf(_).size == 1),
+      s"cells not single-file: ${cellDirs().map(cd => cd.getName -> filesOf(cd).size)}")
+    assert(content() == before, "compaction changed the store content")
+    // idempotence + pruning untouched: a cell filter still prunes
+    assert(Stores.compactPartitions(spark, dir, maxFilesPerDir = 1) == 0)
+    val one = before.head(1).asInstanceOf[Int]
+    val scan = VecStore.load(spark, dir).filter(c("cell") === one)
+    scan.collect()
+    val p = scan.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(cell"),
+      s"cell filter must still prune partitions:\n${p.take(1500)}")
+  }
+
   test("compactBuckets recovers an interrupted run before re-compacting") {
     import graft.sources.Stores
     import java.nio.file.{Files, Paths, StandardCopyOption}
