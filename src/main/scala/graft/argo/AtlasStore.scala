@@ -53,5 +53,9 @@ object AtlasStore {
     graft.sources.Stores.landBucketed(
       bucketize(profiles, atlas), table, buckets, Seq("bi", "bj"), path)
 
-  def loadBucketed(s: SparkSession, table: String): DataFrame = s.table(table)
+  /** Loads through [[graft.sources.Stores.guardedTable]]: fails fast
+    * inside a compaction window instead of scanning a half-swapped
+    * store. */
+  def loadBucketed(s: SparkSession, table: String): DataFrame =
+    graft.sources.Stores.guardedTable(s, table)
 }

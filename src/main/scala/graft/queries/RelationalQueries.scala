@@ -599,14 +599,18 @@ object RelationalQueries extends QueryModule {
   private val zorderMemo =
     scala.collection.concurrent.TrieMap.empty[String, (String, Long, Long, Long)]
 
-  /** Clear q129's per-session layout memo and reclaim its written dirs —
-    * the bench's forceCold hook (a cold rep must pay the rewrite). */
+  /** Clear q129's per-session layout memo and reclaim its written dirs,
+    * and forget the memoized trade-pair checkpoint — the bench's
+    * forceCold hook (a cold rep must pay the rewrite; an unpersisted
+    * localCheckpoint has truncated lineage, so a cleared block manager
+    * makes the memo's frame unservable and it must be forgotten). */
   private[graft] def invalidateSessionMemos(s: SparkSession): Unit = {
     zorderMemo.values.foreach { case (dir, _, _, _) =>
       graft.TempDirs.deleteRec(
         new java.io.File(dir).getParentFile.getAbsolutePath)
     }
     zorderMemo.clear()
+    tradePairsMemo.invalidate(s)
   }
 
   private def eventsNormalized(s: SparkSession, d: String): DataFrame =
@@ -646,33 +650,43 @@ object RelationalQueries extends QueryModule {
     (mn, mx, umax)
   }
 
-  /** Land the events table z-clustered at `path` with its `_bounds`
-    * sidecar — the at-rest member q129 serves from under
-    * `spark.graft.eventsZStore` (the underscore dir is invisible to the
-    * layout scan but readable as an explicit root, the parquet-listing
-    * rule the other stores' sidecars use). The sidecar carries the live
-    * (mn, mx, umax) bounds — min/max MONOIDS, merged per sync — plus the
-    * FROZEN curve origin/granule (mn0, g0) appends encode with, the
-    * VecStore frozen-quantizer rule. */
+  /** Land the events table z-clustered at `path` with its TWO sidecars
+    * — the at-rest member q129 serves from under
+    * `spark.graft.eventsZStore` (underscore dirs are invisible to the
+    * layout scan but readable as explicit roots, the parquet-listing
+    * rule the other stores' sidecars use):
+    *
+    *  - `_curve` — the FROZEN origin/granule (mn0, g0) appends encode
+    *    with (the VecStore frozen-quantizer rule). Written ONCE here and
+    *    NEVER rewritten: the curve parameters cannot be rederived from
+    *    data, so they must never sit inside an overwrite window — a sync
+    *    that rewrote them could leave the store unrecoverable (ADVICE
+    *    r12: mode("overwrite") deletes before the new job commits).
+    *  - `_bounds` — the LIVE (mn, mx, umax), min/max MONOIDS merged per
+    *    sync. Rewritten per append; a crash inside ITS overwrite window
+    *    loses only derivable state, which [[reconcileEventsZBounds]]
+    *    rebuilds from the landed files alone. */
   private[graft] def landEventsZStore(s: SparkSession, d: String,
                                       path: String,
                                       rowFilter: Column = lit(true)): Unit = {
     val (mn, mx, umax) = rewriteZOrdered(s, d, path, rowFilter)
-    writeBounds(s, path, mn, mx, umax,
-      mn0 = mn, g0 = granuleOf(mn, mx, umax))
+    import s.implicits._
+    Seq((mn, granuleOf(mn, mx, umax))).toDF("mn0", "g0")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_curve")
+    writeBounds(s, path, mn, mx, umax)
   }
 
   private def writeBounds(s: SparkSession, path: String, mn: Long, mx: Long,
-                          umax: Long, mn0: Long, g0: Long): Unit = {
+                          umax: Long): Unit = {
     import s.implicits._
-    Seq((mn, mx, umax, mn0, g0)).toDF("mn", "mx", "umax", "mn0", "g0")
+    Seq((mn, mx, umax)).toDF("mn", "mx", "umax")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_bounds")
   }
 
   /** Sync an events batch into a landed Z-store: new rows (anti-joined
     * on event_id against the landed layout — one column-pruned scan, so
     * a blind re-run never double-appends) are z-coded by the FROZEN
-    * curve from the `_bounds` sidecar and appended as their own
+    * curve from the write-once `_curve` sidecar and appended as their own
     * range-clustered files ([[Layout.appendZOrdered]]), then the live
     * bounds merge as min/max monoids. q129 over the appended store is
     * bit-equal to a full re-land: the merged bounds ARE the full
@@ -686,8 +700,9 @@ object RelationalQueries extends QueryModule {
     * rebuilds the live bounds from the landed files. */
   private[graft] def appendEventsZStore(s: SparkSession, batch: DataFrame,
                                         path: String): Unit = {
+    val c = s.read.parquet(s"$path/_curve").head
+    val (mn0, g0) = (c.getAs[Long]("mn0"), c.getAs[Long]("g0"))
     val b = s.read.parquet(s"$path/_bounds").head
-    val (mn0, g0) = (b.getAs[Long]("mn0"), b.getAs[Long]("g0"))
     val fresh = batch
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("user_id"), col("event_type"), col("value"))
@@ -702,23 +717,46 @@ object RelationalQueries extends QueryModule {
       writeBounds(s, path,
         math.min(b.getAs[Long]("mn"), r.getLong(0)),
         math.max(b.getAs[Long]("mx"), r.getLong(1)),
-        math.max(b.getAs[Long]("umax"), r.getLong(2)), mn0, g0)
+        math.max(b.getAs[Long]("umax"), r.getLong(2)))
     graft.operators.Graph.release(fresh)
     // drop any cached file listing for the path: a consumer that read
     // the store before this sync must see the appended files
     s.catalog.refreshByPath(path)
   }
 
+  /** Compacting rewrite of an appended events Z-store (VERDICT r12
+    * task 3 — the "compacting rewrite" [[appendEventsZStore]] defers to):
+    * every landed row re-sorts along the FROZEN curve (`_curve` — the
+    * append encoding, so the rewrite needs no re-derivation) into one
+    * fresh range-clustered file set, restoring the GLOBAL pruning
+    * granularity the per-batch appends traded away (each sync's files
+    * are tight rectangles of their own batch only; after N syncs a
+    * rectangle query scans up to N overlapping file sets). Sidecars are
+    * untouched — answers never depended on the dropped z-code, so this
+    * is pure layout maintenance: bit-equal before/after (ZOrderSpec pins
+    * it), only the scan-side row count changes (the bench publishes the
+    * degraded and restored ratios). Crash-safe via [[Stores.rewriteDir]]'s
+    * commit-marker protocol; concurrent scans fail fast on the
+    * `_compact_lock`. Returns the number of files replaced. */
+  private[graft] def compactEventsZStore(s: SparkSession, path: String): Int = {
+    val c = s.read.parquet(s"$path/_curve").head
+    val (mn0, g0) = (c.getAs[Long]("mn0"), c.getAs[Long]("g0"))
+    graft.sources.Stores.rewriteDir(s, path) { (df, tmp) =>
+      Layout.writeZOrdered(df, zCodeOf(mn0, g0), tmp,
+        partitions = 8, maxRecordsPerFile = 2048)
+    }
+  }
+
   /** Crash recovery for [[appendEventsZStore]]'s sidecar window: rebuild
-    * the live bounds from the landed files (ground truth), preserving
-    * the frozen curve. */
+    * the live bounds from the landed files — the ground truth, and ALL
+    * the recovery needs (the frozen curve lives in the write-once
+    * `_curve` sidecar no sync touches, so even a crash that destroyed
+    * `_bounds` mid-overwrite leaves the store fully recoverable). */
   private[graft] def reconcileEventsZBounds(s: SparkSession,
                                             path: String): Unit = {
-    val b = s.read.parquet(s"$path/_bounds").head
     val r = s.read.parquet(path).agg(min(col("ts_us")), max(col("ts_us")),
       max(col("user_id"))).head
-    writeBounds(s, path, r.getLong(0), r.getLong(1), r.getLong(2),
-      b.getAs[Long]("mn0"), b.getAs[Long]("g0"))
+    writeBounds(s, path, r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
   /** q129's rectangle scan alone (pre-aggregate): the filtered read over
@@ -731,6 +769,10 @@ object RelationalQueries extends QueryModule {
     val (dir, mn, mx, umax) =
       s.conf.get("spark.graft.eventsZStore", "").split("=", 2) match {
         case Array(cd, path) if cd == d =>
+          // fail fast inside a compaction window (the loader-family
+          // guard applied to this path-wired consumer)
+          graft.sources.Stores.assertNotCompacting(s,
+            new org.apache.hadoop.fs.Path(path))
           val b = s.read.parquet(s"$path/_bounds").head
           (path, b.getAs[Long]("mn"), b.getAs[Long]("mx"),
             b.getAs[Long]("umax"))
@@ -786,13 +828,29 @@ object RelationalQueries extends QueryModule {
   private val PrIters = 5
   private val PrDampPm = 850
 
+  private val tradePairsMemo = new SessionMemo[DataFrame]
+
+  /** The distinct customer↔supplier pair set BOTH PageRank queries
+    * derive from orders ⋈ lineitem — memoized per (session, corpus) as
+    * ONE localCheckpoint (the q113 shortlist discipline; VERDICT r12
+    * task 7): q130 and q133 each paid the join + distinct + the
+    * checkpoint separately (~12% of the whole loop) for bit-identical
+    * frames. The memoized frame is the PRE-direction pair set — q130
+    * symmetrizes it, q133 uses it as directed edges — so one
+    * materialization feeds both graph shapes. */
+  private def tradePairs(s: SparkSession, d: String): DataFrame =
+    tradePairsMemo.getOrElseUpdate(s, d) {
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+        .localCheckpoint()
+    }
+
   private def q130(s: SparkSession, d: String): DataFrame = {
-    val pairs = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("a"),
-        (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
+    val pairs = tradePairs(s, d)
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
     graft.operators.Graph.pageRank(edges, PrIters, PrDampPm)
@@ -838,11 +896,8 @@ object RelationalQueries extends QueryModule {
   // which models the same dangling arithmetic — matches bit-for-bit and
   // PageRankSpec can pin mass conservation to the truncation bound.
   private def q133(s: SparkSession, d: String): DataFrame = {
-    val edges = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
+    val edges = tradePairs(s, d)
+      .select(col("a").as("src"), col("b").as("dst"))
     graft.operators.Graph.pageRank(edges, PrIters, PrDampPm)
       .select(col("id"), col("r").as("rank_u"))
       .orderBy(col("rank_u").desc, col("id"))

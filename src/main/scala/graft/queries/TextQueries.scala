@@ -8,6 +8,7 @@ import org.apache.spark.sql.types.LongType
 import graft.Tables
 import graft.functions.{BloomProbeExpr, FP, TextFns => T}
 import graft.operators.{Bpe, Logit, Sketches}
+import graft.sources.DocStore
 
 /** Training-data text pipeline over the `documents` table: exact and
   * near deduplication (MinHash+LSH, SimHash, n-gram Jaccard), language ID,
@@ -412,14 +413,17 @@ object TextQueries extends QueryModule {
           .filter(col("doc_id") % IngestMod =!= IngestRem)
           .select(col("doc_id"), col("fp"))
       case _ => docs(s, d).filter(col("doc_id") % IngestMod =!= IngestRem)
-        .select(col("doc_id"), T.contentFingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), DocStore.fpExpr(s, col("text")).as("fp"))
     }
 
   private def q110(s: SparkSession, d: String): DataFrame = {
     val isBatch = col("doc_id") % IngestMod === IngestRem
     val batch = docs(s, d).filter(isBatch)
+    // the probe fingerprint is the SHARED nfc-aware builder
+    // (DocStore.fpExpr): a raw probe against a store whose identical
+    // content landed an NFC key would miss every mixed-form exact dup
     val batchFp = batch
-      .select(col("doc_id"), T.contentFingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), DocStore.fpExpr(s, col("text")).as("fp"))
     // exact tier: smallest prior holder of the fingerprint — min corpus
     // doc, or min EARLIER batch doc (ingest order = doc_id; the first
     // batch copy of a new fingerprint is 'kept', later copies are exact
@@ -450,15 +454,38 @@ object TextQueries extends QueryModule {
     // positives die in the exact (band, key) equi-join right after, so
     // the result is bit-equal to the unpruned plan (BandStoreSpec pins
     // parity AND the scan-side probe).
-    val mBits = s.conf.get("spark.graft.bloomBits", (1 << 20).toString).toInt
-    val bandBloom = bBands
-      .agg(Sketches.bloomFilter(mBits, BloomK)(xxhash64(col("band"), col("key"))))
-      .head.getAs[Array[Byte]](0)
-    val cBands = corpusBands(s, d)
+    //
+    // SIZE-CONDITIONAL (VERDICT r12 task 5): the Bloom build + probe is
+    // a per-sync CONSTANT (~0.3 s at sf0.1 — measured as a 40% q110
+    // regression when always-on) whose payoff is the corpus band volume
+    // it stops from reaching the exchange — real when the corpus dwarfs
+    // the batch (the 100 TB ingest shape), negative when it doesn't (the
+    // gate fixture's fixed 9:1 split). Gated on the corpus/batch row
+    // ratio, the same size-conditional discipline as the CC/trainer fast
+    // paths: default crossover 32× (spark.graft.nearBloomMinRatio);
+    // spark.graft.nearBloom=on|off forces a branch. Both branches are
+    // bit-equal by the no-false-negatives argument above — BandStoreSpec
+    // runs its probe pins (and parity) with the probe forced ON.
+    val nCorpus = graft.operators.Joins.memoCount(s"$d/documents!corpus",
+      docs(s, d).filter(!isBatch))
+    val nBatch = math.max(1L, graft.operators.Joins.memoCount(
+      s"$d/documents!batch", docs(s, d).filter(isBatch)))
+    val probeOn = s.conf.get("spark.graft.nearBloom", "auto") match {
+      case "on"  => true
+      case "off" => false
+      case _ => nCorpus >=
+        s.conf.get("spark.graft.nearBloomMinRatio", "32").toLong * nBatch
+    }
+    val cBandsAll = corpusBands(s, d)
       .filter(col("doc_id") % IngestMod =!= IngestRem)
-      .filter(BloomProbeExpr.bloomMightContain(lit(bandBloom),
+    val cBands = (if (!probeOn) cBandsAll else {
+      val mBits = s.conf.get("spark.graft.bloomBits", (1 << 20).toString).toInt
+      val bandBloom = bBands
+        .agg(Sketches.bloomFilter(mBits, BloomK)(xxhash64(col("band"), col("key"))))
+        .head.getAs[Array[Byte]](0)
+      cBandsAll.filter(BloomProbeExpr.bloomMightContain(lit(bandBloom),
         xxhash64(col("band"), col("key")), BloomK))
-      .select(col("band"), col("key"), col("doc_id").as("cd"), col("hs").as("chs"))
+    }).select(col("band"), col("key"), col("doc_id").as("cd"), col("hs").as("chs"))
     val scored = bBands.join(cBands, Seq("band", "key"))
       .select(col("bd"), col("cd"), col("bhs"), col("chs")).distinct()
       .select(col("bd"), col("cd"),
@@ -489,7 +516,7 @@ object TextQueries extends QueryModule {
     }.mkString("\n  UNION ALL\n  ")
     val jac = FP.sqlMicro("len(list_intersect(bhs, chs))::DOUBLE / len(list_distinct(list_concat(bhs, chs)))")
     s"""WITH fp AS (
-       |  SELECT doc_id, ${T.sqlContentFingerprint("text")} AS fp,
+       |  SELECT doc_id, ${DocStore.sqlFp("text")} AS fp,
        |    (doc_id % $IngestMod = $IngestRem) AS is_batch
        |  FROM documents),
        |cmin AS (
@@ -563,7 +590,7 @@ object TextQueries extends QueryModule {
 
   private def ingestBatchFp(s: SparkSession, d: String): DataFrame =
     docs(s, d).filter(col("doc_id") % IngestMod === IngestRem)
-      .select(col("doc_id"), T.contentFingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), DocStore.fpExpr(s, col("text")).as("fp"))
 
   /** Corpus rows surviving the batch's Bloom prune — q128's candidate
     * frame (true dups plus the ~1e-3 false-positive sliver; published as
@@ -594,7 +621,7 @@ object TextQueries extends QueryModule {
 
   private val q128Sql =
     s"""WITH fp AS (
-       |  SELECT doc_id, ${T.sqlContentFingerprint("text")} AS fp,
+       |  SELECT doc_id, ${DocStore.sqlFp("text")} AS fp,
        |    (doc_id % $IngestMod = $IngestRem) AS is_batch
        |  FROM documents),
        |cmin AS (
@@ -962,9 +989,9 @@ object TextQueries extends QueryModule {
     // At-rest fast path (the q97/TermStore discipline): point
     //   spark.graft.docStore = "<corpusDir>=<tableName>"
     // at a fingerprint-bucketed DocStore and the scan already carries
-    // `fp` (the SAME TextFns.contentFingerprint expression — shared via
-    // DocStore.fingerprint, so the stored key cannot drift from the
-    // verified one) and the dedup groupBy below rides the buckets with
+    // `fp` (the SAME nfc-aware expression — DocStore.fpExpr, the one
+    // builder every probe surface shares, so the stored key cannot
+    // drift from the cold branch's) and the dedup groupBy rides the buckets with
     // NO exchange at all (DocStoreSpec pins plan + parity on this
     // registered query). At 100 TB that is the difference between a
     // per-ingest corpus reshuffle and a co-located scan.
@@ -973,7 +1000,7 @@ object TextQueries extends QueryModule {
         graft.sources.DocStore.loadBucketed(s, table)
           .select(col("doc_id"), col("fp"))
       case _ => docs(s, d)
-        .select(col("doc_id"), T.contentFingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), DocStore.fpExpr(s, col("text")).as("fp"))
     }
     withFp
       .groupBy(col("fp"))
@@ -982,7 +1009,7 @@ object TextQueries extends QueryModule {
   }
 
   private val q37Sql =
-    s"""SELECT ${T.sqlContentFingerprint("text")} AS fp,
+    s"""SELECT ${DocStore.sqlFp("text")} AS fp,
        | min(doc_id) AS keep_id, count(*) AS n_docs
        |FROM documents GROUP BY 1 ORDER BY 2""".stripMargin
 
@@ -1789,7 +1816,7 @@ object TextQueries extends QueryModule {
   }
 
   private val q115Sql = {
-    val rh = T.sqlContentFingerprint("CAST(doc_id AS VARCHAR) || ':' || text")
+    val rh = DocStore.sqlFp("CAST(doc_id AS VARCHAR) || ':' || text")
     s"""WITH a AS (
        |  SELECT doc_id * 48271 % 2147483647 % $DiffShards AS shard,
        |    count(*) AS n, bit_xor($rh) AS x
@@ -1835,7 +1862,7 @@ object TextQueries extends QueryModule {
   private def q116(s: SparkSession, d: String): DataFrame = {
     val rows = docs(s, d).select(
       (col("doc_id") * 48271L % 2147483647L % DiffShards).as("shard"),
-      T.contentFingerprint(
+      DocStore.fpExpr(s,
         concat(col("doc_id").cast("string"), lit(":"), col("text")))
         .as("rh"),
       (col("doc_id") % MergeBatchMod === MergeBatchRem).as("b"))
@@ -1864,7 +1891,7 @@ object TextQueries extends QueryModule {
   }
 
   private val q116Sql = {
-    val rh = T.sqlContentFingerprint("CAST(doc_id AS VARCHAR) || ':' || text")
+    val rh = DocStore.sqlFp("CAST(doc_id AS VARCHAR) || ':' || text")
     s"""WITH rows_ AS (
        |  SELECT doc_id * 48271 % 2147483647 % $DiffShards AS shard,
        |    $rh AS rh,

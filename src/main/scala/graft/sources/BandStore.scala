@@ -43,9 +43,23 @@ object BandStore {
   /** Per-ingest increment: band the BATCH only and append it into the
     * existing store — O(batch) work per sync, corpus never re-hashed
     * (a document's band buckets never change after landing, so append
-    * is exact, not approximate). `buckets` must match the landing. */
-  def appendBatch(docsBatch: DataFrame, table: String, buckets: Int): Unit =
-    Stores.appendBucketed(bandFrame(docsBatch), table, buckets, Seq("band", "key"))
+    * is exact, not approximate). Re-run-safe (the TermStore discipline):
+    * the batch anti-joins on doc_id against one column-pruned scan of
+    * the landed table, so a retried sync never double-appends — and
+    * duplicated band rows are answer-changing here (pair multiplicities
+    * feed q110's best-match window). `buckets` must match the landing. */
+  def appendBatch(docsBatch: DataFrame, table: String, buckets: Int): Unit = {
+    val s = docsBatch.sparkSession
+    import org.apache.spark.sql.functions.col
+    val fresh = docsBatch.join(
+      s.table(table).select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    Stores.appendBucketed(bandFrame(fresh), table, buckets, Seq("band", "key"))
+    graft.operators.Graph.release(fresh)
+  }
 
-  def loadBucketed(s: SparkSession, table: String): DataFrame = s.table(table)
+  /** Loads through [[Stores.guardedTable]]: fails fast inside a
+    * compaction window instead of scanning a half-swapped store. */
+  def loadBucketed(s: SparkSession, table: String): DataFrame =
+    Stores.guardedTable(s, table)
 }

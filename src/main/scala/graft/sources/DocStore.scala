@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{NormalizeExpr, TextFns}
@@ -21,22 +21,42 @@ import graft.functions.{NormalizeExpr, TextFns}
   * key is verified semantics, not a parallel implementation.
   */
 object DocStore {
-  /** documents + `fp` content fingerprint — built by
-    * [[TextFns.contentFingerprint]], the same expression q37 verifies,
+  /** THE content-fingerprint expression — [[TextFns.contentFingerprint]]
     * over NFC-NORMALIZED text (q131's operator, [[NormalizeExpr]]): real
     * ingest sources mix Unicode forms (web crawls compose, macOS-origin
-    * content decomposes), and a byte-level landing key would split
-    * documents that render identically. `spark.graft.docStore.nfc=false`
-    * opts a landing out (e.g. to match a legacy store's raw keys); the
-    * default is on for new landings. Identity on all-ASCII text — the
-    * codegen'd isNormalized fast path — so composed-form corpora land
-    * byte-identical keys either way. */
-  def fingerprint(docs: DataFrame): DataFrame = {
-    val nfcOn = docs.sparkSession.conf
-      .get("spark.graft.docStore.nfc", "true").toBoolean
-    val t = if (nfcOn) NormalizeExpr.nfcNormalize(col("text")) else col("text")
-    docs.drop("fp").withColumn("fp", TextFns.contentFingerprint(t))
+    * content decomposes), and a byte-level key would split documents
+    * that render identically. `spark.graft.docStore.nfc=false` opts a
+    * session out (e.g. to match a legacy store's raw keys); the default
+    * is on. Identity on all-ASCII text — the codegen'd isNormalized
+    * fast path — so composed-form corpora key byte-identically either
+    * way.
+    *
+    * EVERY fp-producing surface must route through here — the landing
+    * key ([[fingerprint]]), the in-session probes (q110's batch, q128's
+    * ingest batch, q37's cold branch), the streaming manifests
+    * ([[graft.streaming.DocStreams.shardManifest]]) — because a probe
+    * computing a raw fingerprint against a store that landed normalized
+    * keys silently misses every mixed-form exact duplicate (the ASCII
+    * fixtures can't see the drift; DocStoreSpec's mixed-form case can).
+    * The DuckDB oracles mirror via [[sqlFp]], which bakes the DEFAULT
+    * (nfc on): flipping the conf is a store-compatibility knob, not an
+    * oracle-checked configuration. */
+  def fpExpr(s: SparkSession, text: Column): Column = {
+    val nfcOn = s.conf.get("spark.graft.docStore.nfc", "true").toBoolean
+    TextFns.contentFingerprint(
+      if (nfcOn) NormalizeExpr.nfcNormalize(text) else text)
   }
+
+  /** DuckDB twin of [[fpExpr]] at the default (nfc on) — DuckDB's
+    * `nfc_normalize` is the engine-side [[NormalizeExpr]]'s oracle twin,
+    * the q131 pairing. */
+  def sqlFp(e: String): String =
+    TextFns.sqlContentFingerprint(s"nfc_normalize($e)")
+
+  /** documents + `fp` content fingerprint ([[fpExpr]]). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.drop("fp").withColumn("fp",
+      fpExpr(docs.sparkSession, col("text")))
 
   /** Land `docs` as a parquet table bucketed and sorted on the
     * fingerprint. `buckets` sizes the parallelism of every later dedup
@@ -48,9 +68,24 @@ object DocStore {
 
   /** Per-ingest increment: fingerprint the BATCH only and append it into
     * the existing store — O(batch) work per sync, the corpus never
-    * re-fingerprinted. `buckets` must match the landing. */
-  def appendBatch(docsBatch: DataFrame, table: String, buckets: Int): Unit =
-    Stores.appendBucketed(fingerprint(docsBatch), table, buckets, Seq("fp"))
+    * re-fingerprinted. Re-run-safe (the TermStore discipline): the batch
+    * is anti-joined on doc_id against one column-pruned bucketed scan of
+    * the landed store, so a retried sync — the family's operational
+    * reality at 100 TB — never double-appends (StoreAppendSpec pins the
+    * blind re-run). `buckets` must match the landing. */
+  def appendBatch(docsBatch: DataFrame, table: String, buckets: Int): Unit = {
+    val s = docsBatch.sparkSession
+    // checkpointed: severs the landed-table read from the append writing
+    // into the same table, and the anti-join runs once, not per-consumer
+    val fresh = docsBatch.join(
+      s.table(table).select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    Stores.appendBucketed(fingerprint(fresh), table, buckets, Seq("fp"))
+    graft.operators.Graph.release(fresh)
+  }
 
-  def loadBucketed(s: SparkSession, table: String): DataFrame = s.table(table)
+  /** Loads through [[Stores.guardedTable]]: fails fast inside a
+    * compaction window instead of scanning a half-swapped store. */
+  def loadBucketed(s: SparkSession, table: String): DataFrame =
+    Stores.guardedTable(s, table)
 }

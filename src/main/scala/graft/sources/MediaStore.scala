@@ -63,29 +63,42 @@ object MediaStore {
   // landed document never changes (it is a pure function of the bytes),
   // so append is EXACT, not approximate: appended ≡ full-land content
   // (StoreAppendSpec pins it per modality, consumers included).
-  // `buckets` must match the landing, like every appendBatch in the
-  // family.
+  // Re-run-safe (the TermStore discipline): the batch anti-joins on
+  // doc_id against one column-pruned bucketed scan of the landed table
+  // BEFORE the decode — a retried sync neither double-appends (duplicate
+  // hash rows change the consumers' group counts) nor re-decodes the
+  // already-landed rows. `buckets` must match the landing, like every
+  // appendBatch in the family.
+  private def appendFresh(mediaBatch: DataFrame, table: String, buckets: Int)
+                         (build: DataFrame => DataFrame): Unit = {
+    val s = mediaBatch.sparkSession
+    import org.apache.spark.sql.functions.col
+    val fresh = mediaBatch.join(
+      s.table(table).select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    Stores.appendBucketed(build(fresh), table, buckets, Seq("doc_id"))
+    graft.operators.Graph.release(fresh)
+  }
 
   /** Sync an image batch into an existing `_img`/`_imgx` table. */
   def appendImage(mediaBatch: DataFrame, table: String, buckets: Int): Unit =
-    Stores.appendBucketed(Media.imagePHash(mediaBatch), table, buckets,
-      Seq("doc_id"))
+    appendFresh(mediaBatch, table, buckets)(Media.imagePHash)
 
   /** Sync an audio batch into an existing `_aud` envelope table. */
   def appendAudio(mediaBatch: DataFrame, table: String, buckets: Int): Unit =
-    Stores.appendBucketed(Media.audioEnvelope64(mediaBatch), table, buckets,
-      Seq("doc_id"))
+    appendFresh(mediaBatch, table, buckets)(Media.audioEnvelope64)
 
   /** Sync an audio batch into an existing `_audx` exact-tier table. */
   def appendAudioFingerprint(mediaBatch: DataFrame, table: String,
                              buckets: Int): Unit =
-    Stores.appendBucketed(Media.audioFingerprint(mediaBatch), table, buckets,
-      Seq("doc_id"))
+    appendFresh(mediaBatch, table, buckets)(Media.audioFingerprint)
 
   /** Sync a video batch into an existing `_vid`/`_vidf` table. */
   def appendVideo(mediaBatch: DataFrame, table: String, buckets: Int): Unit =
-    Stores.appendBucketed(Media.videoFrameHashes(mediaBatch), table, buckets,
-      Seq("doc_id"))
+    appendFresh(mediaBatch, table, buckets)(Media.videoFrameHashes)
 
-  def loadBucketed(s: SparkSession, table: String): DataFrame = s.table(table)
+  /** Loads through [[Stores.guardedTable]]: fails fast inside a
+    * compaction window instead of scanning a half-swapped store. */
+  def loadBucketed(s: SparkSession, table: String): DataFrame =
+    Stores.guardedTable(s, table)
 }

@@ -35,6 +35,59 @@ object Stores {
       .sortBy(cols.head, cols.tail: _*)
       .saveAsTable(table)
 
+  /** Marker a compactor holds while its swap windows are open. Readers
+    * that resolve a store through the family's loaders check it and FAIL
+    * FAST instead of silently scanning a half-swapped directory (see
+    * [[assertNotCompacting]]). */
+  private[graft] val CompactLock = "_compact_lock"
+
+  /** Reader-side guard for the compaction window (VERDICT r12 task 6):
+    * between [[swapCompacted]]'s rename of the old files into
+    * `replaced/` and the rename of the merged file in, a LISTING of the
+    * directory sees neither file set — a concurrent scan would silently
+    * MISS rows, not error. This engine has no log-based snapshot
+    * isolation (that is a lakehouse table format's job), so the contract
+    * is: compaction requires no concurrent readers, and the loaders
+    * enforce the half of it they can see — a read that STARTS inside the
+    * window throws here instead of returning a partial store. A scan
+    * planned BEFORE the window opened (a cached file listing) is outside
+    * any marker's reach: quiesce in-flight queries before compacting, or
+    * expect FileNotFoundException-and-retry semantics from them. A lock
+    * left by a CRASHED compactor keeps readers failing fast until the
+    * next compaction call settles the directory ([[recoverCompaction]])
+    * and releases it. */
+  def assertNotCompacting(s: SparkSession, dir: Path): Unit = {
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(dir, CompactLock)))
+      throw new IllegalStateException(
+        s"$dir is inside a compaction window ($CompactLock present): " +
+          "a scan now could silently miss rows. Re-run after the " +
+          "compactor finishes — or, if it crashed, re-run compaction " +
+          "to settle the directory and release the lock.")
+  }
+
+  /** [[assertNotCompacting]] resolved through the catalog — the shared
+    * loader chain for the bucketed stores, so every conf-wired consumer
+    * gets the reader-side guard without its own location lookup code. */
+  def guardedTable(s: SparkSession, table: String): org.apache.spark.sql.DataFrame = {
+    val meta = s.sessionState.catalog.getTableMetadata(
+      s.sessionState.sqlParser.parseTableIdentifier(table))
+    assertNotCompacting(s, new Path(meta.location))
+    s.table(table)
+  }
+
+  private def withLock(fs: FileSystem, dir: Path)(body: => Unit): Unit = {
+    val lock = new Path(dir, CompactLock)
+    fs.create(lock, true).close()
+    try body finally fs.delete(lock, false)
+  }
+
+  /** Drop a lock a CRASHED compactor left behind — called once the
+    * directory has been settled by [[recoverCompaction]], at which point
+    * readers may trust the listing again. */
+  private def dropStaleLock(fs: FileSystem, dir: Path): Unit =
+    fs.delete(new Path(dir, CompactLock), false)
+
   /** Spark's bucket-file naming (`BucketingUtils`): the LAST `_<digits>`
     * group before the extension is the bucket id. */
   private val BucketFile = """.*_(\d+)(?:\..*)?$""".r
@@ -45,22 +98,31 @@ object Stores {
   }
 
   /** Settle any interrupted compaction under `dir` before trusting its
-    * listing: a leftover `_compact_tmp_*` that still holds its merged
-    * part file never committed — roll the replaced files back; one
-    * without it committed — deleting the tmp completes the cleanup.
-    * Either way the directory is consistent afterwards. Returns whether
-    * anything was settled. */
+    * listing. Single-file swaps ([[swapCompacted]]) commit via ONE atomic
+    * rename, so a tmp still holding its merged part file never committed
+    * — roll the replaced files back; one without it committed — deleting
+    * the tmp completes the cleanup. Multi-file rewrites ([[rewriteDir]])
+    * commit via a `_commit` MARKER written after the old files moved out
+    * and before the new files move in: a marker means roll FORWARD (move
+    * the remaining new files in), no marker means roll back. Either way
+    * the directory is consistent afterwards. Returns whether anything
+    * was settled. */
   private def recoverCompaction(fs: FileSystem, dir: Path): Boolean = {
     val leftovers = fs.listStatus(dir).filter(st => st.isDirectory &&
       st.getPath.getName.startsWith("_compact_tmp_"))
     leftovers.foreach { st =>
-      val part = fs.listStatus(st.getPath)
-        .find(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      if (part.isDefined) { // commit never ran: roll back the replaced files
+      val parts = fs.listStatus(st.getPath)
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      if (fs.exists(new Path(st.getPath, "_commit"))) {
+        // multi-file commit was in flight: finish moving the new files in
+        parts.foreach(f =>
+          fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
+      } else if (parts.nonEmpty) {
+        // commit never ran: roll back the replaced files
         val replaced = new Path(st.getPath, "replaced")
         if (fs.exists(replaced)) fs.listStatus(replaced)
           .foreach(f => fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
-      } // else commit ran: the old files in replaced/ are superseded
+      } // else: single-file commit ran; replaced/ contents are superseded
       fs.delete(st.getPath, true)
     }
     leftovers.nonEmpty
@@ -111,10 +173,21 @@ object Stores {
     * not a smarter compactor.
     *
     * Crash safety (single concurrent maintainer, like every lakehouse
-    * compactor): the [[swapCompacted]] protocol, settled on re-entry by
-    * [[recoverCompaction]]. Returns the number of buckets rewritten. */
+    * compactor — and NO CONCURRENT READERS, the contract
+    * [[assertNotCompacting]] documents and the loaders enforce via the
+    * `_compact_lock` this method holds across its swap windows): the
+    * [[swapCompacted]] protocol, settled on re-entry by
+    * [[recoverCompaction]].
+    *
+    * The default `maxFilesPerBucket = 1` is what the sort-restoration
+    * claim REQUIRES: Spark only trusts a bucket's sort order when the
+    * bucket is a single file, so any bucket left at 2+ files keeps
+    * costing its consumers a scan-side sort. Pass a higher cap only to
+    * bound file-count growth cheaply between real compactions (those
+    * runs restore clustering economics, not the trusted sort). Returns
+    * the number of buckets rewritten. */
   def compactBuckets(s: SparkSession, table: String, cols: Seq[String],
-                     maxFilesPerBucket: Int = 4): Int = {
+                     maxFilesPerBucket: Int = 1): Int = {
     val loc = s.sql(s"DESC FORMATTED $table").collect()
       .find(_.getString(0) == "Location").map(_.getString(1))
       .getOrElse(sys.error(s"no location in catalog for table $table"))
@@ -122,23 +195,72 @@ object Stores {
     val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
 
     if (recoverCompaction(fs, dir)) s.catalog.refreshTable(table)
+    dropStaleLock(fs, dir) // the directory is settled: readers may return
 
     val oversized = fs.listStatus(dir).toSeq
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
       .groupBy(f => bucketIdOf(f.getPath.getName))
       .filter { case (b, fls) => b >= 0 && fls.size > maxFilesPerBucket }
 
-    oversized.foreach { case (bucket, files) =>
-      // one merged file, re-sorted on the bucket cols (restoring the
-      // property the appends dropped), named with the bucket-id suffix
-      // the bucketed scan recognizes
-      swapCompacted(fs, dir, bucket.toString, files,
-        s.read.parquet(files.map(_.getPath.toString): _*)
-          .coalesce(1).sortWithinPartitions(cols.map(col): _*),
-        f"part-00000-${java.util.UUID.randomUUID}%s_$bucket%05d.c000.snappy.parquet")
+    if (oversized.nonEmpty) withLock(fs, dir) {
+      oversized.foreach { case (bucket, files) =>
+        // one merged file, re-sorted on the bucket cols (restoring the
+        // property the appends dropped), named with the bucket-id suffix
+        // the bucketed scan recognizes
+        swapCompacted(fs, dir, bucket.toString, files,
+          s.read.parquet(files.map(_.getPath.toString): _*)
+            .coalesce(1).sortWithinPartitions(cols.map(col): _*),
+          f"part-00000-${java.util.UUID.randomUUID}%s_$bucket%05d.c000.snappy.parquet")
+      }
+      s.catalog.refreshTable(table)
     }
-    if (oversized.nonEmpty) s.catalog.refreshTable(table)
     oversized.size
+  }
+
+  /** Whole-directory compacting REWRITE — the multi-file sibling of
+    * [[compactBuckets]] for layouts whose files are range-clustered, not
+    * bucket-addressable (the events Z-store: appends add per-batch file
+    * sets whose rectangles overlap the landing's, degrading pruning
+    * granularity until a re-sort). Reads every top-level `part-*` file
+    * under `root`, hands the frame to `write` (which must land the
+    * rewritten file set at the tmp path it is given — the caller brings
+    * its own clustering, e.g. [[Layout.writeZOrdered]] by the frozen
+    * curve), then swaps atomically-per-file under the
+    * `_compact_tmp` protocol extended with a `_commit` marker: old files
+    * move into `replaced/` FIRST, the marker commits, the new files move
+    * in, the tmp drops. A crash is settled by [[recoverCompaction]] —
+    * roll back before the marker, roll FORWARD after it. Sidecar dirs
+    * (`_bounds`, `_curve`, …) are untouched: only top-level data files
+    * swap. The `_compact_lock` is held across the window, so guarded
+    * readers fail fast rather than see a half-swapped listing.
+    * Returns the number of data files replaced. */
+  def rewriteDir(s: SparkSession, root: String)
+                (write: (org.apache.spark.sql.DataFrame, String) => Unit): Int = {
+    val dir = new Path(root)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, dir)
+    dropStaleLock(fs, dir)
+    val files = fs.listStatus(dir).toSeq
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    if (files.isEmpty) return 0
+    val tmp = new Path(dir, "_compact_tmp_rewrite")
+    withLock(fs, dir) {
+      write(s.read.parquet(files.map(_.getPath.toString): _*), tmp.toString)
+      // only the rewritten DATA files take part in the swap
+      val newParts = fs.listStatus(tmp)
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      require(newParts.nonEmpty, s"rewrite wrote no data files under $tmp")
+      val replaced = new Path(tmp, "replaced")
+      fs.mkdirs(replaced)
+      files.foreach(f =>
+        fs.rename(f.getPath, new Path(replaced, f.getPath.getName)))
+      fs.create(new Path(tmp, "_commit"), true).close()
+      newParts.foreach(f =>
+        fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
+      fs.delete(tmp, true)
+    }
+    s.catalog.refreshByPath(root)
+    files.size
   }
 
   /** Compact the oversized PARTITION DIRECTORIES of a directory-
@@ -165,16 +287,22 @@ object Stores {
       !st.getPath.getName.startsWith("."))
     var touched = false
     var n = 0
-    parts.foreach { p =>
-      touched |= recoverCompaction(fs, p.getPath)
-      val files = fs.listStatus(p.getPath).toSeq
-        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      if (files.size > maxFilesPerDir) {
-        swapCompacted(fs, p.getPath, "0", files,
-          s.read.parquet(files.map(_.getPath.toString): _*).coalesce(1),
-          s"part-00000-${java.util.UUID.randomUUID}.c000.snappy.parquet")
-        n += 1
-        touched = true
+    // ONE root-level lock across every partition's swap window — the
+    // same no-concurrent-readers contract as compactBuckets, checked by
+    // the path-based loaders (VecStore.load) via assertNotCompacting
+    parts.foreach(p => touched |= recoverCompaction(fs, p.getPath))
+    dropStaleLock(fs, rootP)
+    withLock(fs, rootP) {
+      parts.foreach { p =>
+        val files = fs.listStatus(p.getPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        if (files.size > maxFilesPerDir) {
+          swapCompacted(fs, p.getPath, "0", files,
+            s.read.parquet(files.map(_.getPath.toString): _*).coalesce(1),
+            s"part-00000-${java.util.UUID.randomUUID}.c000.snappy.parquet")
+          n += 1
+          touched = true
+        }
       }
     }
     if (touched) s.catalog.refreshByPath(root)

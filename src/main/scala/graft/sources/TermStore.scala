@@ -76,7 +76,17 @@ object TermStore {
     * re-running the same sync never double-appends postings; after the
     * re-run, [[reconcileSidecars]] rebuilds the sidecars from the landed
     * postings — the ground truth — making crash recovery exact
-    * (StoreAppendSpec simulates the crash and pins full-land parity). */
+    * (StoreAppendSpec simulates the crash and pins full-land parity).
+    *
+    * Token-EMPTY docs caveat (the [[reconcileSidecars]] caveat, which
+    * starts HERE): an empty doc lands no postings, so the landed index
+    * cannot witness it and the anti-join cannot drop it on a re-run —
+    * each re-run (or overlapping batch) of such a doc inflates the
+    * `n_docs` sidecar again. Exact recovery for corpora with empty docs
+    * therefore needs an external doc-count ledger passed to
+    * [[reconcileSidecars]] as `totalDocs`; without empty docs (every
+    * fixture corpus; most tokenized corpora after quality filtering)
+    * the recovery is exact as stated. */
   def appendBatch(docsBatch: DataFrame, table: String, buckets: Int): Unit = {
     val s = docsBatch.sparkSession
     // re-run safety: drop batch docs a prior (possibly crashed) sync of
@@ -151,5 +161,8 @@ object TermStore {
   def tablesOf(table: String): Seq[String] =
     Seq(table, s"${table}_df", s"${table}_meta")
 
-  def loadBucketed(s: SparkSession, table: String): DataFrame = s.table(table)
+  /** Loads through [[Stores.guardedTable]]: fails fast inside a
+    * compaction window instead of scanning a half-swapped store. */
+  def loadBucketed(s: SparkSession, table: String): DataFrame =
+    Stores.guardedTable(s, table)
 }

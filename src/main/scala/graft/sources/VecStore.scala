@@ -75,7 +75,14 @@ object VecStore {
                         path: String): Unit =
     assign(embsBatch, model).write.mode("append").partitionBy("cell").parquet(path)
 
-  def load(s: SparkSession, path: String): DataFrame = s.read.parquet(path)
+  /** Fails fast inside a [[Stores.compactPartitions]] window (the
+    * root-level `_compact_lock`) instead of scanning half-swapped cell
+    * directories. */
+  def load(s: SparkSession, path: String): DataFrame = {
+    Stores.assertNotCompacting(s,
+      new org.apache.hadoop.fs.Path(path))
+    s.read.parquet(path)
+  }
 
   // ---- PQ sidecar --------------------------------------------------------
   // The codes ARE the search-time corpus for IVF-PQ (q78): 8 B/vector vs

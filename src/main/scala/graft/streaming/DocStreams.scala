@@ -43,7 +43,12 @@ object DocStreams {
   def shardManifest(df: DataFrame, shards: Long): DataFrame =
     df.select(
         (col("doc_id") * 48271L % 2147483647L % shards).as("shard"),
-        graft.functions.TextFns.contentFingerprint(
+        // the SHARED nfc-aware fingerprint (DocStore.fpExpr, like every
+        // fp-producing surface): a manifest built from raw bytes would
+        // report a phantom "changed" shard when a re-crawl returns the
+        // same text recomposed — the q131 form-stability rule applied to
+        // change detection
+        graft.sources.DocStore.fpExpr(df.sparkSession,
           concat(col("doc_id").cast("string"), lit(":"), col("text")))
           .as("rh"))
       .groupBy(col("shard"))

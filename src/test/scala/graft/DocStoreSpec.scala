@@ -100,6 +100,48 @@ class DocStoreSpec extends SparkSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("mixed-form ingest: q110/q128 store-wired ≡ cold, NFD batch finds its NFC corpus twin") {
+    // THE input the NFC landing key was motivated by (ADVICE r12 high):
+    // the corpus landed composed (web-crawl shape), the ingest batch
+    // arrives decomposed (macOS-origin shape). Every fp surface — the
+    // store's landing key, q110's batch probe, q128's ingest probe —
+    // must route through the ONE nfc-aware builder (DocStore.fpExpr):
+    // before that was shared, the ASCII fixtures passed while a raw
+    // probe against an NFC store missed every such exact duplicate.
+    // explicit escapes (the q131 fixture discipline): the two forms
+    // RENDER identically, so raw literals could silently collapse
+    val nfc = "caf\u00e9"   // composed
+    val nfd = "cafe\u0301"  // decomposed — renders identically
+    val mixed = (0L until 40L).map { i =>
+      val form = if (i % 10 == 7) nfd else nfc
+      // batch doc 4k+7 carries the same CONTENT as corpus doc 4k+0 —
+      // an exact duplicate once forms are normalized, invisible raw
+      (i, s"morning $form terrace document number ${i / 10 * 10} end")
+    }.toDF("doc_id", "text")
+    val tmp = graft.TempDirs.create("graft-docstore-mixed")
+    val dir = tmp.resolve("corpus").toString
+    mixed.write.parquet(s"$dir/documents.parquet")
+    DocStore.saveBucketed(
+      mixed.filter(col("doc_id") % 10 =!= 7), "docs_mixed", buckets = 4,
+      path = Some(tmp.resolve("t").toString))
+    try {
+      for (q <- Seq("q110_ingest_dedup", "q128_bloom_ingest")) {
+        val cold = SparkEntry.queries(q)(spark, dir).collect().toSeq
+        // the exact tier must SEE the cross-form duplicates at all
+        val verdicts = cold.map(r => r.getString(1))
+        assert(verdicts.nonEmpty && verdicts.forall(v => v == "exact" || v == "dup"),
+          s"$q cold: every NFD batch doc has an NFC corpus twin, got $verdicts")
+        spark.conf.set("spark.graft.docStore", s"$dir=docs_mixed")
+        try assert(SparkEntry.queries(q)(spark, dir).collect().toSeq == cold,
+          s"$q over the NFC-keyed store diverged from the cold path on mixed forms")
+        finally spark.conf.unset("spark.graft.docStore")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS docs_mixed")
+      graft.TempDirs.deleteRec(tmp.toString)
+    }
+  }
+
   test("registered q37 rides the store when spark.graft.docStore points at it") {
     // The layout proof above lives on hand-built frames; this is the
     // REGISTERED fingerprint-dedup query over the at-rest store:

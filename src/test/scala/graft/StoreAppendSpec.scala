@@ -24,6 +24,10 @@ class StoreAppendSpec extends SparkSuite {
     BandStore.saveBucketed(corpus, "bands_app", buckets = 8,
       path = Some(tmp.resolve("a").toString))
     BandStore.appendBatch(batch, "bands_app", buckets = 8)
+    // a BLIND re-run of the same sync (crashed-coordinator retry): the
+    // doc_id anti-join must drop the whole already-landed batch —
+    // duplicate band rows would change q110's best-match multiplicities
+    BandStore.appendBatch(batch, "bands_app", buckets = 8)
     BandStore.saveBucketed(docs, "bands_full", buckets = 8,
       path = Some(tmp.resolve("f").toString))
     try {
@@ -303,6 +307,111 @@ class StoreAppendSpec extends SparkSuite {
     }
   }
 
+  test("compactEventsZStore: frozen-curve re-sort; parity; idempotent; crash recovery both sides of the marker") {
+    import graft.queries.{RelationalQueries => RQ}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val want = SparkEntry.queries("q129_zorder_scan")(spark, d).collect().toSeq
+    val tmp = graft.TempDirs.create("graft-zcompact")
+    val store = tmp.resolve("ez").toString
+    val isBatch = col("event_id") % 4 === 3
+    RQ.landEventsZStore(spark, d, store, !isBatch)
+    // three syncs, each its own per-batch file set — the pruning
+    // granularity the compactor exists to restore
+    (0 until 3).foreach { i =>
+      RQ.appendEventsZStore(spark,
+        Tables.events(spark, d).filter(col("event_id") % 12 === 3 + 4 * i),
+        store)
+    }
+    def dataFiles() = new java.io.File(store).listFiles.toSeq
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+    def q129() = {
+      spark.conf.set("spark.graft.eventsZStore", s"$d=$store")
+      try SparkEntry.queries("q129_zorder_scan")(spark, d).collect().toSeq
+      finally spark.conf.unset("spark.graft.eventsZStore")
+    }
+    try {
+      assert(q129() == want, "appended store broke parity before compaction")
+      val before = dataFiles().size
+      val curve = spark.read.parquet(s"$store/_curve").head
+      val bounds = spark.read.parquet(s"$store/_bounds").head
+      val n = RQ.compactEventsZStore(spark, store)
+      assert(n == before, s"compaction replaced $n of $before files")
+      assert(dataFiles().size < before,
+        "compaction did not reduce the per-batch file sets")
+      assert(q129() == want, "compaction changed the answer")
+      // sidecars untouched: the curve is FROZEN, the bounds are already
+      // the full table's (min/max monoids merged per sync)
+      assert(spark.read.parquet(s"$store/_curve").head == curve)
+      assert(spark.read.parquet(s"$store/_bounds").head == bounds)
+      // idempotence: a second full rewrite is bit-equal again
+      RQ.compactEventsZStore(spark, store)
+      assert(q129() == want, "re-compaction changed the answer")
+      // crash BEFORE the marker: merged files sit in the tmp, one real
+      // file already moved to replaced/ — recovery must roll BACK
+      val f1 = dataFiles().head
+      val crashA = Paths.get(store, "_compact_tmp_rewrite")
+      Files.createDirectories(crashA.resolve("replaced"))
+      Files.copy(f1.toPath, crashA.resolve("part-merged.parquet"),
+        StandardCopyOption.COPY_ATTRIBUTES)
+      Files.move(f1.toPath, crashA.resolve("replaced").resolve(f1.getName))
+      RQ.compactEventsZStore(spark, store)
+      assert(q129() == want, "pre-marker crash recovery lost rows")
+      // crash AFTER the marker: a new file still sits in the tmp root
+      // with _commit present — recovery must roll FORWARD
+      val f2 = dataFiles().head
+      val crashB = Paths.get(store, "_compact_tmp_rewrite")
+      Files.createDirectories(crashB)
+      Files.move(f2.toPath, crashB.resolve(f2.getName))
+      Files.createFile(crashB.resolve("_commit"))
+      RQ.compactEventsZStore(spark, store)
+      assert(q129() == want, "post-marker crash recovery lost rows")
+      assert(!Files.exists(Paths.get(store, "_compact_tmp_rewrite")),
+        "recovery left the tmp behind")
+      assert(!Files.exists(Paths.get(store, "_compact_lock")),
+        "compaction left the reader lock behind")
+    } finally graft.TempDirs.deleteRec(tmp.toString)
+  }
+
+  test("compaction window: guarded readers fail fast on the lock, release after") {
+    import graft.sources.Stores
+    val tmp = graft.TempDirs.create("graft-lock")
+    val dir = tmp.resolve("b").toString
+    BandStore.saveBucketed(corpus, "bands_lock", buckets = 4, path = Some(dir))
+    try {
+      val lock = java.nio.file.Paths.get(dir, "_compact_lock")
+      java.nio.file.Files.createFile(lock)
+      // a read STARTING inside the window must fail fast, not silently
+      // scan a half-swapped listing (the task-6 reader contract)
+      val e = intercept[IllegalStateException] {
+        BandStore.loadBucketed(spark, "bands_lock")
+      }
+      assert(e.getMessage.contains("compaction window"))
+      // the conf-wired Z-store consumer checks the same lock
+      val ezDir = tmp.resolve("ez").toString
+      graft.queries.RelationalQueries.landEventsZStore(spark, d, ezDir)
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(ezDir, "_compact_lock"))
+      spark.conf.set("spark.graft.eventsZStore", s"$d=$ezDir")
+      try intercept[IllegalStateException] {
+        SparkEntry.queries("q129_zorder_scan")(spark, d).collect()
+      } finally spark.conf.unset("spark.graft.eventsZStore")
+      java.nio.file.Files.delete(lock)
+      assert(BandStore.loadBucketed(spark, "bands_lock").count() > 0,
+        "reader must recover once the lock releases")
+      // a real compaction run (multi-file buckets from a genuine append;
+      // the sort-restoring default maxFilesPerBucket = 1) releases its
+      // own lock
+      BandStore.appendBatch(batch, "bands_lock", 4)
+      assert(Stores.compactBuckets(spark, "bands_lock", Seq("band", "key")) > 0)
+      assert(!java.nio.file.Files.exists(lock),
+        "compactBuckets left its lock behind")
+      assert(BandStore.loadBucketed(spark, "bands_lock").count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bands_lock")
+      graft.TempDirs.deleteRec(tmp.toString)
+    }
+  }
+
   test("MediaStore append ≡ full land: all six modality tables, consumers, no decode") {
     import graft.queries.{StreamMultimodalQueries => SMQ}
     val tmp = graft.TempDirs.create("graft-mediaappend")
@@ -312,6 +421,9 @@ class StoreAppendSpec extends SparkSuite {
     // and a full re-land as ground truth
     SMQ.landMediaStore(spark, d, "media_app", buckets = 8,
       tmp.resolve("a").toString, corpusF)
+    SMQ.appendMediaStore(spark, d, "media_app", buckets = 8, batchF)
+    // blind re-run: all four modality appends must anti-join the landed
+    // doc_ids — duplicated hash rows change the consumers' group counts
     SMQ.appendMediaStore(spark, d, "media_app", buckets = 8, batchF)
     SMQ.landMediaStore(spark, d, "media_full", buckets = 8,
       tmp.resolve("f").toString)
@@ -351,6 +463,9 @@ class StoreAppendSpec extends SparkSuite {
     val tmp = graft.TempDirs.create("graft-docappend")
     DocStore.saveBucketed(corpus, "docs_app", buckets = 8,
       path = Some(tmp.resolve("a").toString))
+    DocStore.appendBatch(batch, "docs_app", buckets = 8)
+    // blind re-run: the anti-join must drop the already-landed batch —
+    // duplicate fp rows would inflate q37's group counts
     DocStore.appendBatch(batch, "docs_app", buckets = 8)
     DocStore.saveBucketed(docs, "docs_full", buckets = 8,
       path = Some(tmp.resolve("f").toString))

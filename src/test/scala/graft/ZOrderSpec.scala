@@ -160,18 +160,28 @@ class ZOrderSpec extends SparkSuite {
         "re-run double-appended the batch")
       // crash window: data landed, sidecar rewrite lost — restore a
       // STALE pre-append sidecar, then reconcile from the landed files
-      val b = spark.read.parquet(s"$store/_bounds").head
       val stale = Tables.events(spark, d).filter(!isBatch)
         .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
           max(col("user_id"))).head
       import spark.implicits._
-      Seq((stale.getLong(0), stale.getLong(1), stale.getLong(2),
-        b.getAs[Long]("mn0"), b.getAs[Long]("g0")))
-        .toDF("mn", "mx", "umax", "mn0", "g0")
+      Seq((stale.getLong(0), stale.getLong(1), stale.getLong(2)))
+        .toDF("mn", "mx", "umax")
         .coalesce(1).write.mode("overwrite").parquet(s"$store/_bounds")
       RQ.reconcileEventsZBounds(spark, store)
       assert(SparkEntry.queries("q129_zorder_scan")(spark, d)
         .collect().toSeq == want, "reconciled bounds did not restore the answer")
+      // the WORST crash: _bounds destroyed mid-overwrite (the ADVICE r12
+      // window — mode("overwrite") deletes before the new job commits).
+      // The frozen curve lives in the write-once _curve sidecar no sync
+      // touches, so recovery still restores the exact answer AND a later
+      // sync still encodes with the original curve
+      val curve = spark.read.parquet(s"$store/_curve").head
+      graft.TempDirs.deleteRec(s"$store/_bounds")
+      RQ.reconcileEventsZBounds(spark, store)
+      assert(SparkEntry.queries("q129_zorder_scan")(spark, d)
+        .collect().toSeq == want, "recovery from a destroyed _bounds failed")
+      assert(spark.read.parquet(s"$store/_curve").head == curve,
+        "recovery must never touch the frozen curve")
     } finally spark.conf.unset("spark.graft.eventsZStore")
   }
 
