@@ -127,6 +127,32 @@ object Bench {
       try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
     } catch { case _: Throwable => -1.0 }
 
+  /** Fraction of the round's OWN calibration band below which a stage
+    * window is flagged `slow` (VERDICT r12 task 4). */
+  private[graft] val SlowBandFrac = 0.75
+
+  /** Slow-window verdict: the stage's in-window effective-core minimum
+    * against the round's own calibration band (the main suite's median
+    * eff sample). The absolute `CalibEffFrac` floor catches hard bursts;
+    * this RELATIVE verdict catches the r12 blind spot — a host running
+    * 25% under its own in-suite band (effmin 17.6 vs band ~24) read
+    * `cont: 0` while the window's multi-second members (q43/q67) ran
+    * ~1.7× slow, leaving the regression unattributable from the
+    * artifact. A flagged window re-runs once like a contended one, and
+    * the final pass publishes `slow: 1` so readers discount it. */
+  private[graft] def slowWindow(effMin: Double, band: Double,
+                                frac: Double = SlowBandFrac): Boolean =
+    effMin < frac * band
+
+  /** The round's own band anchor: the MEDIAN of the main suite's
+    * calibration samples — robust to the one-sample bursts the median
+    * of five shrugs off, and exactly the number a human reads from the
+    * artifact's `eff` array when judging a stage window. */
+  private[graft] def calibBand(effs: Seq[Double], fallback: Double): Double = {
+    val es = effs.sorted
+    if (es.isEmpty) fallback else es(es.size / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -507,9 +533,16 @@ object Bench {
       * fraction as the main loop's verdict) re-runs the WHOLE stage once
       * — per-key minima merged, since a burst only ever inflates; count
       * keys (…cand/…out) are deterministic and keep their first value.
-      * Each stage's block then carries its own `wall`/`effmin`/`cont`
-      * (plus `wall1`/`effmin1` when a re-run fired), so burst forensics
-      * read off the artifact alone instead of an isolated judge re-run. */
+      * A window that clears the absolute floor but falls below the
+      * round's OWN calibration band gets the same re-run and publishes
+      * `slow: 1` ([[slowWindow]] — VERDICT r12 task 4: the 25%-under
+      * window the absolute floor called clean cost the round its q43/q67
+      * attribution). Each stage's block then carries its own
+      * `wall`/`effmin`/`cont`/`slow` (plus `wall1`/`effmin1` when a
+      * re-run fired), so burst forensics read off the artifact alone
+      * instead of an isolated judge re-run. */
+    val bandMedian = calibBand(
+      (calibMain ++ calibRerun).map(_.eff), calibExpected)
     def stagePass(tag: String)
                  (body: (() => Unit) => Seq[(String, Double)])
         : Seq[(String, Double)] = {
@@ -523,36 +556,42 @@ object Bench {
         val wall = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $tag%-11s wall $wall%8.2f s, in-window eff " +
           effs.map(v => f"$v%.1f").mkString("[", ", ", "]") +
-          f" / $calibExpected%.0f")
+          f" / $calibExpected%.0f (band $bandMedian%.1f)")
         (keys, effs.toSeq, wall)
       }
       val isCount = (k: String) => k.endsWith("cand") || k.endsWith("out")
+      def flags(effmin: Double): Seq[(String, Double)] = Seq(
+        "cont" -> (if (effmin < CalibEffFrac * calibExpected) 1.0 else 0.0),
+        "slow" -> (if (slowWindow(effmin, bandMedian)) 1.0 else 0.0))
       val (k1, e1, w1) = onePass()
       val cont1 = e1.min < CalibEffFrac * calibExpected
-      if (!cont1) {
+      val slow1 = slowWindow(e1.min, bandMedian)
+      if (!cont1 && !slow1) {
         if (k1.isEmpty) Nil // disabled/failed stage: no block, as before
-        else k1 ++ Seq("wall" -> w1, "effmin" -> e1.min, "cont" -> 0.0)
+        else k1 ++ Seq("wall" -> w1, "effmin" -> e1.min,
+          "cont" -> 0.0, "slow" -> 0.0)
       } else {
-        System.err.println(f"[bench] $tag stage effCores ${e1.min}%.1f" +
-          f" < ${CalibEffFrac * calibExpected}%.1f — contended; re-running the stage once")
+        System.err.println(f"[bench] $tag stage effCores ${e1.min}%.1f — " +
+          (if (cont1) f"contended (< ${CalibEffFrac * calibExpected}%.1f)"
+           else f"slow (< ${SlowBandFrac * bandMedian}%.1f of the round's band)") +
+          "; re-running the stage once")
         val (k2, e2, w2) = onePass()
         if (k2.isEmpty) {
           // a FAILED re-run must not certify burst-inflated pass-1
-          // numbers as clean: keep pass 1 with its own (contended)
-          // verdict, and surface the failure in the log
+          // numbers as clean: keep pass 1 with its own verdict, and
+          // surface the failure in the log
           System.err.println(s"[bench] $tag re-run produced no keys; " +
-            "keeping pass-1 numbers with the contended flag")
+            "keeping pass-1 numbers with its flags")
           if (k1.isEmpty) Nil
-          else k1 ++ Seq("wall" -> w1, "effmin" -> e1.min, "cont" -> 1.0)
+          else k1 ++ Seq("wall" -> w1, "effmin" -> e1.min) ++ flags(e1.min)
         } else {
           val k2m = k2.toMap
           val merged = k1.map { case (k, v) =>
             k -> (if (isCount(k)) v
                   else k2m.get(k).map(math.min(v, _)).getOrElse(v))
           } ++ k2.filterNot { case (k, _) => k1.exists(_._1 == k) }
-          merged ++ Seq("wall" -> w2, "effmin" -> e2.min,
-            "cont" -> (if (e2.min < CalibEffFrac * calibExpected) 1.0 else 0.0),
-            "wall1" -> w1, "effmin1" -> e1.min)
+          merged ++ Seq("wall" -> w2, "effmin" -> e2.min) ++ flags(e2.min) ++
+            Seq("wall1" -> w1, "effmin1" -> e1.min)
         }
       }
     }
@@ -628,21 +667,31 @@ object Bench {
           val candFrames = graft.queries.TextQueries.scale10Candidates ++
             graft.queries.EmbeddingQueries.scale10Candidates ++
             graft.queries.StreamMultimodalQueries.scale10Candidates
+          // each count is also TIMED (VERDICT r12 task 1 — per-stage
+          // attribution): <q>candsec is the wall of the candidate-tier
+          // subplan alone, so a regressed member splits mechanically
+          // from the artifact (q43: candidates vs scoring = q43 −
+          // q43candsec; q67: its cand frame is the SCORED pair set, so
+          // CC = q67 − q67candsec)
           val s10Counts: Seq[(String, Double)] = Scale10Queries.flatMap { name =>
             val q = name.takeWhile(_ != '_')
-            val cand = candFrames.get(name).map { f =>
-              try f(spark, dir).count()
-              catch { case e: Throwable =>
-                System.err.println(s"[bench] scale10 $q cand count FAILED: " +
-                  s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
-                -1L
-              }
-            }.getOrElse(-1L)
+            val (cand, candSec) = candFrames.get(name).map { f =>
+              val t0 = System.nanoTime()
+              val n = try f(spark, dir).count()
+                catch { case e: Throwable =>
+                  System.err.println(s"[bench] scale10 $q cand count FAILED: " +
+                    s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
+                  -1L
+                }
+              (n, (System.nanoTime() - t0) / 1e9)
+            }.getOrElse((-1L, -1.0))
             val out = firstPass.collectFirst {
               case (n, _, rows) if n == name && rows >= 0 => rows
             }.getOrElse(-1L)
-            System.err.println(s"[bench] scale10 $q candidates=$cand survivors=$out")
-            (if (cand >= 0) Seq(s"${q}cand" -> cand.toDouble) else Nil) ++
+            System.err.println(f"[bench] scale10 $q candidates=$cand%d " +
+              f"(${math.max(0.0, candSec)}%.2f s) survivors=$out%d")
+            (if (cand >= 0) Seq(s"${q}cand" -> cand.toDouble,
+              s"${q}candsec" -> candSec) else Nil) ++
               (if (out >= 0) Seq(s"${q}out" -> out.toDouble) else Nil)
           }
           // Second chance, scale10 edition (BENCH_r07 published q43 at
@@ -891,8 +940,20 @@ object Bench {
               buckets = 32, path = Some(s"$dir/bands"))
           },
           timed1("eventsz") {
+            // landed at 3/4, then three frozen-curve syncs (VERDICT r12
+            // task 3): the store enters the timed window APPEND-DEGRADED
+            // — each sync's files are tight rectangles of their own
+            // batch only — so the stage can publish the degraded pruning
+            // ratio, compact mid-stage, and publish the restored one
+            import org.apache.spark.sql.functions.col
             graft.queries.RelationalQueries.landEventsZStore(
-              spark, sfDir, s"$dir/eventsz")
+              spark, sfDir, s"$dir/eventsz", col("event_id") % 4 =!= 3)
+            (0 until 3).foreach { i =>
+              graft.queries.RelationalQueries.appendEventsZStore(spark,
+                graft.Tables.events(spark, sfDir)
+                  .filter(col("event_id") % 12 === 3 + 4 * i),
+                s"$dir/eventsz")
+            }
           })
         val build = buildSplit.map(_._2).sum
         System.err.println(f"[bench] stores build           $build%8.2f s")
@@ -908,6 +969,38 @@ object Bench {
         val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
         confs.foreach { case (k, v) => spark.conf.set(k, v) }
         try {
+          // VERDICT r12 task 3 — the compaction story in three published
+          // numbers: the APPEND-DEGRADED pruning ratio (here), the timed
+          // compacting rewrite (buildzcmp), and the RESTORED ratio
+          // (splitQ129 below, which now measures the compacted store)
+          def zScanRows(tag: String): Option[Double] = try {
+            val q = graft.queries.RelationalQueries
+              .q129RectangleScan(spark, sfDir)
+            q.collect()
+            val r = q.queryExecution.executedPlan.collectLeaves()
+              .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L))
+              .sum.toDouble
+            System.err.println(f"[bench] stores q129 prune ($tag): ${r.toLong}%d rows")
+            Some(r)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] stores q129 prune ($tag) FAILED: " +
+              s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
+            None
+          }
+          val zApp = zScanRows("append-degraded")
+            .map("q129scan_app" -> _).toSeq
+          val zCmp = (try {
+            val t0 = System.nanoTime()
+            graft.queries.RelationalQueries
+              .compactEventsZStore(spark, s"$dir/eventsz")
+            val dt = (System.nanoTime() - t0) / 1e9
+            System.err.println(f"[bench] stores build zcompact $dt%8.2f s")
+            Some("buildzcmp" -> dt)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] stores z-compaction FAILED: " +
+              s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
+            None
+          }).toSeq
           val timed = Seq("q37_fingerprint", "q45_ann_ivf_kmeans",
             "q71_argo_atlas", "q78_ivfpq_ann", "q97_sparse_cosine",
             "q118_image_neardup", "q125_video_neardup",
@@ -1015,7 +1108,32 @@ object Bench {
               s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
             Nil
           }
-          val split = splitQ71 ++ splitQ97 ++ splitQ129
+          // media pair splits (VERDICT r12 task 4) — decode vs scan, the
+          // q71interp/q71scan discipline: a losing media pair is then
+          // attributable from the artifact (per-session decode saved vs
+          // hash-table scan paid). bit_xor forces the hash computation
+          // without the ANSI overflow a plain sum of 64-bit hashes risks.
+          val splitMedia = try {
+            import org.apache.spark.sql.functions.{col, expr}
+            def probe(df: org.apache.spark.sql.DataFrame, c: String): Double =
+              minRep(df.agg(expr(s"bit_xor($c)")).head().getLong(0))
+            val iScan = probe(spark.table("bench_mediastore_img"), "ph_hi")
+            val iDec = probe(graft.queries.StreamMultimodalQueries
+              .imageDecodeProbe(spark, sfDir), "ph_hi")
+            val vScan = probe(spark.table("bench_mediastore_vid"), "fh_hi")
+            val vDec = probe(graft.queries.StreamMultimodalQueries
+              .videoDecodeProbe(spark, sfDir), "fh_hi")
+            System.err.println(f"[bench] stores media split: img scan $iScan%.2f" +
+              f" / decode $iDec%.2f, vid scan $vScan%.2f / decode $vDec%.2f s")
+            Seq("q118scan" -> iScan, "q118dec" -> iDec,
+              "q125scan" -> vScan, "q125dec" -> vDec)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] stores media split FAILED: " +
+              s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
+            Nil
+          }
+          val split = splitQ71 ++ splitQ97 ++ splitQ129 ++ zApp ++ zCmp ++
+            splitMedia
           (("build" -> build) +: cold) ++ timed ++ split ++ buildSplit
         } finally {
           prior.foreach {
@@ -1108,12 +1226,16 @@ object Bench {
     // zeros trimmed (the r2t rule: the 123-query line leaves the stage
     // blocks ~100 chars of headroom, and "6.9" is the same number)
     def stageKV(k: String, v: Double): String =
-      if (k.endsWith("cand") || k.endsWith("out") || k.startsWith("cont"))
+      if (k.endsWith("cand") || k.endsWith("out") || k.startsWith("cont") ||
+          k == "slow")
         s"\"$k\":${v.toLong}"
       else s"\"$k\":${r2t(v)}"
+    // the stdout (walls-only) form also drops the …candsec attribution
+    // timings — deterministic-shape detail that lives in BENCH_FULL
     def scale10FragOf(withCounts: Boolean): Option[String] =
       scale10.filter(t => withCounts ||
-        !(t._1.endsWith("cand") || t._1.endsWith("out"))) match {
+        !(t._1.endsWith("cand") || t._1.endsWith("out") ||
+          t._1.endsWith("candsec"))) match {
         case Seq() => None
         case ts => Some(ts.map { case (k, v) => stageKV(k, v) }
           .mkString("\"scale10\":{", ",", "}"))
@@ -1135,7 +1257,7 @@ object Bench {
     // where stores detail is read from; at 129 queries the base line
     // leaves no room for more than one pair
     val StoresHeadline = Set("q129_cold", "q129",
-      "wall", "effmin", "cont", "wall1", "effmin1")
+      "wall", "effmin", "cont", "slow", "wall1", "effmin1")
     def storesFrag(keys: String => Boolean): Option[String] =
       storeTimes.filter(t => keys(t._1)) match {
         case Seq() => None

@@ -1301,6 +1301,20 @@ object StreamMultimodalQueries extends QueryModule {
   private[graft] def mediaStoreTables(prefix: String): Seq[String] =
     Seq("img", "aud", "vid", "vidf", "imgx", "audx").map(sfx => s"${prefix}_$sfx")
 
+  /** Measurement probes for the bench's stores-stage media pair splits
+    * (the q71interp/q71scan discipline, VERDICT r12 task 4): the
+    * per-session DECODE the store amortizes — q118's image pHash and
+    * q125's per-frame video hashes over the REGISTERED corpora, the
+    * exact subplans the cold paths pay — timed against the store's
+    * column-pruned bucketed scan of the same hash tables, so a losing
+    * pair is attributable (decode saved vs scan paid) from the
+    * artifact alone. */
+  private[graft] def imageDecodeProbe(s: SparkSession, d: String): DataFrame =
+    Media.imagePHash(neardupImageMedia(s, d))
+
+  private[graft] def videoDecodeProbe(s: SparkSession, d: String): DataFrame =
+    Media.videoFrameHashes(neardupVideoMedia(s, d))
+
   /** Attribution frames for the bench's scale10 stage — the media
     * members' intermediates whose row counts explain the walls (the
     * q43cand discipline): q118's deduped chunk-join candidate pairs
