@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
@@ -55,4 +56,21 @@ object BloomProbeExpr {
   def bloomMightContain(bits: Column, h: Column, k: Int): Column =
     ColumnBridge.column(
       BloomProbeExpr(ColumnBridge.expression(bits), ColumnBridge.expression(h), k))
+
+  /** SQL registry entry (`SELECT ... WHERE bloom_might_contain(bits, h, k)`),
+    * injected by [[graft.plans.GraftExtensions]]. `k` must be an integer
+    * LITERAL — it parameterizes the probe's generated code (a hash
+    * count), exactly like the builder aggregate's `k`. */
+  val registryEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomProbeExpr].getName, "bloom_might_contain"),
+      { exprs =>
+        require(exprs.length == 3, "bloom_might_contain(bits, hash, k)")
+        val k = exprs(2) match {
+          case Literal(i: Int, _) => i
+          case other => throw new IllegalArgumentException(
+            s"bloom_might_contain: k must be an integer literal, got $other")
+        }
+        BloomProbeExpr(exprs(0), exprs(1), k)
+      })
 }

@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -39,4 +40,15 @@ object CharHashExpr {
   /** Column-API handle. */
   def charHashNative(c: Column): Column =
     ColumnBridge.column(CharHashExpr(ColumnBridge.expression(c)))
+
+  /** SQL registry entry (`SELECT char_hash(s)`), injected by
+    * [[graft.plans.GraftExtensions]]: the rolling content hash behind
+    * the fingerprint/shingle family, reachable from plain SQL. */
+  val registryEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("char_hash"),
+      new ExpressionInfo(classOf[CharHashExpr].getName, "char_hash"),
+      { exprs =>
+        require(exprs.length == 1, "char_hash(text)")
+        CharHashExpr(Cast(exprs.head, org.apache.spark.sql.types.StringType))
+      })
 }

@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
@@ -63,4 +64,15 @@ object DotPackedExpr {
   def dotPackedNative(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotPackedExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** SQL registry entry (`SELECT dot_packed(a, b)`), injected by
+    * [[graft.plans.GraftExtensions]]: the pairwise-similarity kernel
+    * over packed vectors, reachable from plain SQL. */
+  val registryEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("dot_packed"),
+      new ExpressionInfo(classOf[DotPackedExpr].getName, "dot_packed"),
+      { exprs =>
+        require(exprs.length == 2, "dot_packed(a, b)")
+        DotPackedExpr(exprs(0), exprs(1))
+      })
 }

@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -55,4 +56,16 @@ object NormalizeExpr {
   /** Column-API handle. */
   def nfcNormalize(c: Column): Column =
     ColumnBridge.column(NormalizeExpr(ColumnBridge.expression(c)))
+
+  /** SQL registry entry (`SELECT nfc_normalize(text)`), injected by
+    * [[graft.plans.GraftExtensions]] — SQL-only users reach the same
+    * codegen'd kernel the Column API (and the DocStore landing key)
+    * uses; DuckDB's identically-named built-in is the oracle twin. */
+  val registryEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NormalizeExpr].getName, "nfc_normalize"),
+      { exprs =>
+        require(exprs.length == 1, "nfc_normalize(text)")
+        NormalizeExpr(Cast(exprs.head, StringType))
+      })
 }

@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, ExpectsInputTypes, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
@@ -89,6 +90,29 @@ object ZOrderExpr {
   def zorder3(x: Column, y: Column, z: Column): Column =
     ColumnBridge.column(ZOrder3Expr(ColumnBridge.expression(x),
       ColumnBridge.expression(y), ColumnBridge.expression(z)))
+
+  private def asInt(e: Expression): Expression = Cast(e, IntegerType)
+
+  /** SQL registry entries (`SELECT zorder2(x, y)` / `zorder3(x, y, z)`),
+    * injected by [[graft.plans.GraftExtensions]]: a SQL-only user can
+    * run the lakehouse layout recipe — `INSERT ... SELECT * ORDER BY
+    * zorder2(bucketized dims)` — against the same codegen'd Morton
+    * kernel [[graft.sources.Layout]] writes with. */
+  val registryEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("zorder2"),
+      new ExpressionInfo(classOf[ZOrderExpr].getName, "zorder2"),
+      { exprs =>
+        require(exprs.length == 2, "zorder2(x, y)")
+        ZOrderExpr(asInt(exprs(0)), asInt(exprs(1)))
+      })
+
+  val registryEntry3: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("zorder3"),
+      new ExpressionInfo(classOf[ZOrder3Expr].getName, "zorder3"),
+      { exprs =>
+        require(exprs.length == 3, "zorder3(x, y, z)")
+        ZOrder3Expr(asInt(exprs(0)), asInt(exprs(1)), asInt(exprs(2)))
+      })
 }
 
 /** 3-D sibling of [[ZOrderExpr]]: 21 bits per dimension. */

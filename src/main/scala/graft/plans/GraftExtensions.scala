@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.HaversineArgExpr
+import graft.functions.{BloomProbeExpr, CharHashExpr, DotPackedExpr,
+  HaversineArgExpr, NormalizeExpr, ZOrderExpr}
 
 /** Engine extension point, registered via
   * `spark.sql.extensions=graft.plans.GraftExtensions` (GraftSession does
@@ -12,13 +13,25 @@ import graft.functions.HaversineArgExpr
   *    operator-optimization batch, so naive distance/band theta-joins
   *    become binned equi-joins before physical planning picks a join
   *    strategy;
-  *  - `haversine_arg` becomes a SQL function, making the rewrite reachable
-  *    from `spark.sql("... WHERE haversine_arg(a,b,c,d) < 0.01")` too.
+  *  - the engine's scalar kernels become SQL functions (VERDICT r12
+  *    task 8), so a SQL-only user reaches the same codegen'd
+  *    expressions the Column API uses: `haversine_arg` (which also makes
+  *    the spatial rewrite reachable from
+  *    `spark.sql("... WHERE haversine_arg(a,b,c,d) < 0.01")`),
+  *    `nfc_normalize`, `char_hash`, `zorder2`/`zorder3`,
+  *    `bloom_might_contain`, `dot_packed` (SqlFunctionsSpec pins each
+  *    against its Column-API twin).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SpatialJoinRewrite)
     e.injectOptimizerRule(_ => BandJoinRewrite)
     e.injectFunction(HaversineArgExpr.registryEntry)
+    e.injectFunction(NormalizeExpr.registryEntry)
+    e.injectFunction(CharHashExpr.registryEntry)
+    e.injectFunction(ZOrderExpr.registryEntry)
+    e.injectFunction(ZOrderExpr.registryEntry3)
+    e.injectFunction(BloomProbeExpr.registryEntry)
+    e.injectFunction(DotPackedExpr.registryEntry)
   }
 }
