@@ -1231,11 +1231,15 @@ object Bench {
         s"\"$k\":${v.toLong}"
       else s"\"$k\":${r2t(v)}"
     // the stdout (walls-only) form also drops the …candsec attribution
-    // timings — deterministic-shape detail that lives in BENCH_FULL
+    // timings and the re-run forensics (wall1/effmin1) — deterministic-
+    // shape / justification detail that lives in BENCH_FULL; on the r13
+    // closing run those ~30 extra chars were exactly what evicted the
+    // stores headline from the driver-parsed line
     def scale10FragOf(withCounts: Boolean): Option[String] =
       scale10.filter(t => withCounts ||
         !(t._1.endsWith("cand") || t._1.endsWith("out") ||
-          t._1.endsWith("candsec"))) match {
+          t._1.endsWith("candsec") ||
+          t._1 == "wall1" || t._1 == "effmin1")) match {
         case Seq() => None
         case ts => Some(ts.map { case (k, v) => stageKV(k, v) }
           .mkString("\"scale10\":{", ",", "}"))
@@ -1257,7 +1261,7 @@ object Bench {
     // where stores detail is read from; at 129 queries the base line
     // leaves no room for more than one pair
     val StoresHeadline = Set("q129_cold", "q129",
-      "wall", "effmin", "cont", "slow", "wall1", "effmin1")
+      "wall", "effmin", "cont", "slow")
     def storesFrag(keys: String => Boolean): Option[String] =
       storeTimes.filter(t => keys(t._1)) match {
         case Seq() => None
