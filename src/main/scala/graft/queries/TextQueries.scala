@@ -437,14 +437,10 @@ object TextQueries extends QueryModule {
       .join(corpusMin, Seq("fp"), "left")
       .select(col("doc_id"), least(col("c_min"), col("b_prev")).as("exact_id"))
     // near tier, only for batch docs the exact tier did not resolve.
-    // Checkpointed: the batch band frame feeds BOTH the Bloom build below
-    // and the candidate join — unmaterialized, the shingle+minhash (and
-    // the exact tier it depends on) would run twice.
     val survivors = exact.filter(col("exact_id").isNull).select("doc_id")
-    val bBands = minhashBandFrame(
+    val bBandsPlain = minhashBandFrame(
       batch.join(survivors, Seq("doc_id")).repartition(col("doc_id")))
       .select(col("band"), col("key"), col("doc_id").as("bd"), col("hs").as("bhs"))
-      .localCheckpoint()
     // the q128 runtime filter applied to the NEAR tier: the batch's few
     // (band, key) buckets build one OR-merged Bloom (a tiny job over the
     // small side), and the probe lands on the corpus band scan BEFORE its
@@ -476,6 +472,15 @@ object TextQueries extends QueryModule {
       case _ => nCorpus >=
         s.conf.get("spark.graft.nearBloomMinRatio", "32").toLong * nBatch
     }
+    // bBands is checkpointed ONLY on the probed branch, where it feeds
+    // TWO consumers (the Bloom build's eager job + the candidate join) —
+    // unmaterialized there, the shingle+minhash (and the exact tier it
+    // depends on) would run twice. On the gated-off branch it has ONE
+    // consumer and the checkpoint would be pure cost: an eager
+    // driver-blocking job serialized BEFORE the main job (measured
+    // +0.6 s at sf0.1 — most of the r12→r13 q110 gap, bigger than the
+    // probe constant the gate removed).
+    val bBands = if (probeOn) bBandsPlain.localCheckpoint() else bBandsPlain
     val cBandsAll = corpusBands(s, d)
       .filter(col("doc_id") % IngestMod =!= IngestRem)
     val cBands = (if (!probeOn) cBandsAll else {
