@@ -1197,6 +1197,7 @@ object Bench {
       // throughput landing on the driver-parsed line or not; the full
       // artifact keeps all of them
       val tailCompact = tail.filterNot(t =>
+        t == "\"contended\":false" ||
         t.startsWith("\"procs\"") || t.startsWith("\"quota\"") ||
           t.startsWith("\"expected\""))
       // the verdict's threshold fraction is an INPUT like every other
@@ -1234,12 +1235,17 @@ object Bench {
     // timings and the re-run forensics (wall1/effmin1) — deterministic-
     // shape / justification detail that lives in BENCH_FULL; on the r13
     // closing run those ~30 extra chars were exactly what evicted the
-    // stores headline from the driver-parsed line
+    // stores headline from the driver-parsed line. CLEAN verdict flags
+    // (cont/slow at 0) are implicit on the stdout copy for the same
+    // reason — a flag earns its line space when it fires; the full
+    // artifact always carries both explicitly.
+    val implicitClean = (t: (String, Double)) =>
+      (t._1 == "cont" || t._1 == "slow") && t._2 == 0.0
     def scale10FragOf(withCounts: Boolean): Option[String] =
       scale10.filter(t => withCounts ||
         !(t._1.endsWith("cand") || t._1.endsWith("out") ||
           t._1.endsWith("candsec") ||
-          t._1 == "wall1" || t._1 == "effmin1")) match {
+          t._1 == "wall1" || t._1 == "effmin1" || implicitClean(t))) match {
         case Seq() => None
         case ts => Some(ts.map { case (k, v) => stageKV(k, v) }
           .mkString("\"scale10\":{", ",", "}"))
@@ -1262,8 +1268,8 @@ object Bench {
     // leaves no room for more than one pair
     val StoresHeadline = Set("q129_cold", "q129",
       "wall", "effmin", "cont", "slow")
-    def storesFrag(keys: String => Boolean): Option[String] =
-      storeTimes.filter(t => keys(t._1)) match {
+    def storesFrag(keys: String => Boolean, full: Boolean): Option[String] =
+      storeTimes.filter(t => keys(t._1) && (full || !implicitClean(t))) match {
         case Seq() => None
         case ts => Some(ts.map { case (k, v) => stageKV(k, v) }
           .mkString("\"stores\":{", ",", "}"))
@@ -1290,7 +1296,8 @@ object Bench {
     def lineOf(blocks: Seq[String]): String =
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs$failedPart,"stages":${blocks.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     val fullLine = lineOf(Seq(Some(calibFragFull), scale10FragOf(true),
-      interpFrag, storesFrag(_ => true), atlasFrag, apFrag, fallbackFrag,
+      interpFrag, storesFrag(_ => true, full = true), atlasFrag, apFrag,
+      fallbackFrag,
       coresFrag, countsFrag).flatten)
     // stdout budget: the driver keeps the final 2000 chars and sbt
     // appends a ~75-char "[success]" line — 1880 leaves real margin.
@@ -1312,7 +1319,7 @@ object Bench {
     // order contradicting this comment's order)
     Seq("calib" -> Some(calibFragCompact), "scale10" -> scale10FragOf(false),
       "interp" -> interpFragCompact,
-      "stores" -> storesFrag(StoresHeadline),
+      "stores" -> storesFrag(StoresHeadline, full = false),
       "atlas" -> atlasFrag, "atlas_profiles" -> apFrag,
       "fallback" -> fallbackFrag, "cores" -> coresFrag,
       "counts" -> countsFrag)
