@@ -563,13 +563,19 @@ object Bench {
       def flags(effmin: Double): Seq[(String, Double)] = Seq(
         "cont" -> (if (effmin < CalibEffFrac * calibExpected) 1.0 else 0.0),
         "slow" -> (if (slowWindow(effmin, bandMedian)) 1.0 else 0.0))
+      // the band anchor is published per stage block (full artifact;
+      // stdout drops it like the other forensics inputs) so the slow
+      // verdict is auditable from the artifact alone — including its
+      // one known caveat: a UNIFORMLY slow suite depresses its own band,
+      // and a reader comparing `band` against the previous round's calib
+      // sees exactly that
       val (k1, e1, w1) = onePass()
       val cont1 = e1.min < CalibEffFrac * calibExpected
       val slow1 = slowWindow(e1.min, bandMedian)
       if (!cont1 && !slow1) {
         if (k1.isEmpty) Nil // disabled/failed stage: no block, as before
         else k1 ++ Seq("wall" -> w1, "effmin" -> e1.min,
-          "cont" -> 0.0, "slow" -> 0.0)
+          "cont" -> 0.0, "slow" -> 0.0, "band" -> bandMedian)
       } else {
         System.err.println(f"[bench] $tag stage effCores ${e1.min}%.1f — " +
           (if (cont1) f"contended (< ${CalibEffFrac * calibExpected}%.1f)"
@@ -583,7 +589,8 @@ object Bench {
           System.err.println(s"[bench] $tag re-run produced no keys; " +
             "keeping pass-1 numbers with its flags")
           if (k1.isEmpty) Nil
-          else k1 ++ Seq("wall" -> w1, "effmin" -> e1.min) ++ flags(e1.min)
+          else k1 ++ Seq("wall" -> w1, "effmin" -> e1.min) ++
+            flags(e1.min) ++ Seq("band" -> bandMedian)
         } else {
           val k2m = k2.toMap
           val merged = k1.map { case (k, v) =>
@@ -591,7 +598,7 @@ object Bench {
                   else k2m.get(k).map(math.min(v, _)).getOrElse(v))
           } ++ k2.filterNot { case (k, _) => k1.exists(_._1 == k) }
           merged ++ Seq("wall" -> w2, "effmin" -> e2.min) ++ flags(e2.min) ++
-            Seq("wall1" -> w1, "effmin1" -> e1.min)
+            Seq("band" -> bandMedian, "wall1" -> w1, "effmin1" -> e1.min)
         }
       }
     }
@@ -1245,7 +1252,8 @@ object Bench {
       scale10.filter(t => withCounts ||
         !(t._1.endsWith("cand") || t._1.endsWith("out") ||
           t._1.endsWith("candsec") ||
-          t._1 == "wall1" || t._1 == "effmin1" || implicitClean(t))) match {
+          t._1 == "wall1" || t._1 == "effmin1" || t._1 == "band" ||
+          implicitClean(t))) match {
         case Seq() => None
         case ts => Some(ts.map { case (k, v) => stageKV(k, v) }
           .mkString("\"scale10\":{", ",", "}"))
