@@ -251,6 +251,10 @@ object Bench {
           .foreach(_.unpersist(blocking = true))
         graft.queries.TextQueries.invalidateSessionMemos(spark)
         graft.queries.EmbeddingQueries.invalidateSessionMemos(spark)
+        // checkpoint-backed ONLY: the q129 layout memo is disk-backed
+        // and survives the unpersist — dropping it here would bill the
+        // next rep a full rewrite the barrier did not make necessary
+        graft.queries.RelationalQueries.releaseCheckpointMemos(spark)
         graft.queries.ArgoQueries.releaseSessionFrames(spark)
         // cached-plan entries would otherwise survive their dropped
         // buffers and shadow the memos' re-persists; the gc lets the
@@ -622,6 +626,7 @@ object Bench {
         // forget them or they would serve dead frames to any later consumer
         graft.queries.TextQueries.invalidateSessionMemos(spark)
         graft.queries.EmbeddingQueries.invalidateSessionMemos(spark)
+        graft.queries.RelationalQueries.releaseCheckpointMemos(spark)
         graft.queries.ArgoQueries.releaseSessionFrames(spark)
         System.gc()
         val tb = System.nanoTime()
@@ -979,7 +984,11 @@ object Bench {
           // VERDICT r12 task 3 — the compaction story in three published
           // numbers: the APPEND-DEGRADED pruning ratio (here), the timed
           // compacting rewrite (buildzcmp), and the RESTORED ratio
-          // (splitQ129 below, which now measures the compacted store)
+          // (splitQ129 below, which now measures the compacted store).
+          // The probe reads the PRE-AGGREGATE rectangle scan: no exchange
+          // → no AQE wrapper, so the leaf scan's numOutputRows is
+          // readable (the aggregated q129's AdaptiveSparkPlanExec is
+          // leaf-less and reported 0 when first measured here).
           def zScanRows(tag: String): Option[Double] = try {
             val q = graft.queries.RelationalQueries
               .q129RectangleScan(spark, sfDir)
@@ -1095,26 +1104,13 @@ object Bench {
           // (post row-group pruning) vs the table — the ZOrderSpec
           // measurement, published in the artifact so the store's win is
           // attributable to pruning, not caching
-          val splitQ129 = try {
-            // the PRE-AGGREGATE rectangle scan: no exchange → no AQE
-            // wrapper, so the leaf scan's numOutputRows is readable (the
-            // aggregated q129's AdaptiveSparkPlanExec is leaf-less and
-            // reported 0 when first measured here)
-            val q = graft.queries.RelationalQueries
-              .q129RectangleScan(spark, sfDir)
-            q.collect()
-            val scanned = q.queryExecution.executedPlan.collectLeaves()
-              .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L))
-              .sum
+          // the RESTORED pruning ratio — same probe as the append-degraded
+          // reading above (zScanRows, ONE copy of the AQE-leaf caveat),
+          // taken after the compacting rewrite
+          val splitQ129 = zScanRows("restored").map { scanned =>
             val total = spark.read.parquet(s"$sfDir/events.parquet").count()
-            System.err.println(
-              f"[bench] stores q129 prune: scanned $scanned%d of $total%d rows")
-            Seq("q129scan" -> scanned.toDouble, "q129rows" -> total.toDouble)
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] stores q129 prune FAILED: " +
-              s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
-            Nil
-          }
+            Seq("q129scan" -> scanned, "q129rows" -> total.toDouble)
+          }.getOrElse(Nil)
           // media pair splits (VERDICT r12 task 4) — decode vs scan, the
           // q71interp/q71scan discipline: a losing media pair is then
           // attributable from the artifact (per-session decode saved vs
@@ -1285,10 +1281,19 @@ object Bench {
     val atlasFrag: Option[String] = atlasT.map { case (cs, _) =>
       s""""atlas_cell_levels_per_sec":${r1(cs)}"""
     }
-    val apFrag: Option[String] =
-      if (atlasScale.isEmpty) None
-      else Some(atlasScale.map { case (k, v) => stageKV(k, v) }
+    def apFragOf(full: Boolean): Option[String] = {
+      // the compact form applies the same forensics filter as the other
+      // stage frags (band / wall1 / effmin1 / implicit-clean flags stay
+      // in BENCH_FULL) — this block is last-priority on the line, so
+      // every spare char decides whether it lands at all
+      val ts = atlasScale.filter(t => full ||
+        !(t._1 == "band" || t._1 == "wall1" || t._1 == "effmin1" ||
+          implicitClean(t)))
+      if (ts.isEmpty) None
+      else Some(ts.map { case (k, v) => stageKV(k, v) }
         .mkString("\"atlas_profiles\":{", ",", "}"))
+    }
+    val apFrag: Option[String] = apFragOf(full = true)
     val fallbackFrag: Option[String] =
       fallbackSec.map(dt => s""""atlas_fallback_sec":${r2(dt)}""")
     val coresFrag: Option[String] =
@@ -1328,7 +1333,7 @@ object Bench {
     Seq("calib" -> Some(calibFragCompact), "scale10" -> scale10FragOf(false),
       "interp" -> interpFragCompact,
       "stores" -> storesFrag(StoresHeadline, full = false),
-      "atlas" -> atlasFrag, "atlas_profiles" -> apFrag,
+      "atlas" -> atlasFrag, "atlas_profiles" -> apFragOf(full = false),
       "fallback" -> fallbackFrag, "cores" -> coresFrag,
       "counts" -> countsFrag)
       .collect { case (name, Some(b)) => (name, b) }

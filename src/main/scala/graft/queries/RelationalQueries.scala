@@ -599,18 +599,26 @@ object RelationalQueries extends QueryModule {
   private val zorderMemo =
     scala.collection.concurrent.TrieMap.empty[String, (String, Long, Long, Long)]
 
+  /** Forget ONLY the checkpoint-backed memo (the trade-pair frame) —
+    * the hook for mid-suite barriers that unpersist the block manager
+    * wholesale: an unpersisted localCheckpoint has truncated lineage
+    * and cannot be recomputed, so the memo must be dropped or it serves
+    * a dead frame; the DISK-backed q129 layout memo, by contrast,
+    * survives an unpersist untouched and must stay warm there (deleting
+    * its dirs is forceCold's job, not a barrier's). */
+  private[graft] def releaseCheckpointMemos(s: SparkSession): Unit =
+    tradePairsMemo.invalidate(s)
+
   /** Clear q129's per-session layout memo and reclaim its written dirs,
     * and forget the memoized trade-pair checkpoint — the bench's
-    * forceCold hook (a cold rep must pay the rewrite; an unpersisted
-    * localCheckpoint has truncated lineage, so a cleared block manager
-    * makes the memo's frame unservable and it must be forgotten). */
+    * forceCold hook (a cold rep must pay the rewrite). */
   private[graft] def invalidateSessionMemos(s: SparkSession): Unit = {
     zorderMemo.values.foreach { case (dir, _, _, _) =>
       graft.TempDirs.deleteRec(
         new java.io.File(dir).getParentFile.getAbsolutePath)
     }
     zorderMemo.clear()
-    tradePairsMemo.invalidate(s)
+    releaseCheckpointMemos(s)
   }
 
   private def eventsNormalized(s: SparkSession, d: String): DataFrame =
@@ -683,6 +691,32 @@ object RelationalQueries extends QueryModule {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_bounds")
   }
 
+  /** The store's frozen curve (mn0, g0) — from the write-once `_curve`
+    * sidecar, MIGRATING a pre-split store on first touch: stores landed
+    * before round 13 carried mn0/g0 inside `_bounds`, and running any
+    * sync or reconcile against one without migrating first would either
+    * fail (missing `_curve`) or — worse — let the live-bounds rewrite
+    * destroy the only copy of parameters that cannot be rederived from
+    * data. The migration copies them into `_curve` BEFORE anything
+    * touches `_bounds`, making old stores syncable and reconcile-safe. */
+  private def curveOf(s: SparkSession, path: String): (Long, Long) = {
+    val curvePath = s"$path/_curve"
+    val fs = new org.apache.hadoop.fs.Path(curvePath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(curvePath))) {
+      val old = s.read.parquet(s"$path/_bounds")
+      require(old.columns.contains("mn0"),
+        s"$path has neither a _curve sidecar nor legacy mn0/g0 in _bounds" +
+          " — the frozen curve is unrecoverable")
+      import s.implicits._
+      val r = old.head
+      Seq((r.getAs[Long]("mn0"), r.getAs[Long]("g0"))).toDF("mn0", "g0")
+        .coalesce(1).write.mode("overwrite").parquet(curvePath)
+    }
+    val c = s.read.parquet(curvePath).head
+    (c.getAs[Long]("mn0"), c.getAs[Long]("g0"))
+  }
+
   /** Sync an events batch into a landed Z-store: new rows (anti-joined
     * on event_id against the landed layout — one column-pruned scan, so
     * a blind re-run never double-appends) are z-coded by the FROZEN
@@ -700,8 +734,13 @@ object RelationalQueries extends QueryModule {
     * rebuilds the live bounds from the landed files. */
   private[graft] def appendEventsZStore(s: SparkSession, batch: DataFrame,
                                         path: String): Unit = {
-    val c = s.read.parquet(s"$path/_curve").head
-    val (mn0, g0) = (c.getAs[Long]("mn0"), c.getAs[Long]("g0"))
+    // guarded like the bucketed appends: the anti-join below reads the
+    // landed layout, and a half-swapped directory (crashed compactor)
+    // would make already-landed event_ids look missing — the sync must
+    // fail fast, not double-append
+    graft.sources.Stores.assertNotCompacting(s,
+      new org.apache.hadoop.fs.Path(path))
+    val (mn0, g0) = curveOf(s, path)
     val b = s.read.parquet(s"$path/_bounds").head
     val fresh = batch
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
@@ -739,8 +778,7 @@ object RelationalQueries extends QueryModule {
     * commit-marker protocol; concurrent scans fail fast on the
     * `_compact_lock`. Returns the number of files replaced. */
   private[graft] def compactEventsZStore(s: SparkSession, path: String): Int = {
-    val c = s.read.parquet(s"$path/_curve").head
-    val (mn0, g0) = (c.getAs[Long]("mn0"), c.getAs[Long]("g0"))
+    val (mn0, g0) = curveOf(s, path)
     graft.sources.Stores.rewriteDir(s, path) { (df, tmp) =>
       Layout.writeZOrdered(df, zCodeOf(mn0, g0), tmp,
         partitions = 8, maxRecordsPerFile = 2048)
@@ -754,6 +792,7 @@ object RelationalQueries extends QueryModule {
     * `_bounds` mid-overwrite leaves the store fully recoverable). */
   private[graft] def reconcileEventsZBounds(s: SparkSession,
                                             path: String): Unit = {
+    curveOf(s, path) // migrate a pre-split store BEFORE touching _bounds
     val r = s.read.parquet(path).agg(min(col("ts_us")), max(col("ts_us")),
       max(col("user_id"))).head
     writeBounds(s, path, r.getLong(0), r.getLong(1), r.getLong(2))

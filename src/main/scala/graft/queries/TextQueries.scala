@@ -462,15 +462,19 @@ object TextQueries extends QueryModule {
     // spark.graft.nearBloom=on|off forces a branch. Both branches are
     // bit-equal by the no-false-negatives argument above — BandStoreSpec
     // runs its probe pins (and parity) with the probe forced ON.
-    val nCorpus = graft.operators.Joins.memoCount(s"$d/documents!corpus",
-      docs(s, d).filter(!isBatch))
-    val nBatch = math.max(1L, graft.operators.Joins.memoCount(
-      s"$d/documents!batch", docs(s, d).filter(isBatch)))
     val probeOn = s.conf.get("spark.graft.nearBloom", "auto") match {
       case "on"  => true
       case "off" => false
-      case _ => nCorpus >=
-        s.conf.get("spark.graft.nearBloomMinRatio", "32").toLong * nBatch
+      case _ =>
+        // the two sizing counts run ONLY on the auto branch — a session
+        // that pins the branch must not pay counting jobs for a
+        // decision it has already made
+        val nCorpus = graft.operators.Joins.memoCount(
+          s"$d/documents!corpus", docs(s, d).filter(!isBatch))
+        val nBatch = math.max(1L, graft.operators.Joins.memoCount(
+          s"$d/documents!batch", docs(s, d).filter(isBatch)))
+        nCorpus >=
+          s.conf.get("spark.graft.nearBloomMinRatio", "32").toLong * nBatch
     }
     // bBands is checkpointed ONLY on the probed branch, where it feeds
     // TWO consumers (the Bloom build's eager job + the candidate join) —

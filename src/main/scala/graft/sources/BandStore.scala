@@ -51,8 +51,11 @@ object BandStore {
   def appendBatch(docsBatch: DataFrame, table: String, buckets: Int): Unit = {
     val s = docsBatch.sparkSession
     import org.apache.spark.sql.functions.col
+    // guarded landed read (the DocStore.appendBatch rationale): a
+    // half-swapped directory must fail the sync, not double-append
     val fresh = docsBatch.join(
-      s.table(table).select(col("doc_id")), Seq("doc_id"), "left_anti")
+      Stores.guardedTable(s, table).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
       .localCheckpoint()
     Stores.appendBucketed(bandFrame(fresh), table, buckets, Seq("band", "key"))
     graft.operators.Graph.release(fresh)

@@ -76,9 +76,14 @@ object DocStore {
   def appendBatch(docsBatch: DataFrame, table: String, buckets: Int): Unit = {
     val s = docsBatch.sparkSession
     // checkpointed: severs the landed-table read from the append writing
-    // into the same table, and the anti-join runs once, not per-consumer
+    // into the same table, and the anti-join runs once, not per-consumer.
+    // The landed read goes through the compaction guard: a retried sync
+    // against a crashed compactor's half-swapped directory would see its
+    // in-flight bucket's doc_ids as missing and silently re-append them
+    // — permanent duplicates once the rollback restores the old files.
     val fresh = docsBatch.join(
-      s.table(table).select(col("doc_id")), Seq("doc_id"), "left_anti")
+      Stores.guardedTable(s, table).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
       .localCheckpoint()
     Stores.appendBucketed(fingerprint(fresh), table, buckets, Seq("fp"))
     graft.operators.Graph.release(fresh)

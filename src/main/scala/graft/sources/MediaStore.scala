@@ -73,8 +73,11 @@ object MediaStore {
                          (build: DataFrame => DataFrame): Unit = {
     val s = mediaBatch.sparkSession
     import org.apache.spark.sql.functions.col
+    // guarded landed read (the DocStore.appendBatch rationale): a
+    // half-swapped directory must fail the sync, not double-append
     val fresh = mediaBatch.join(
-      s.table(table).select(col("doc_id")), Seq("doc_id"), "left_anti")
+      Stores.guardedTable(s, table).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
       .localCheckpoint()
     Stores.appendBucketed(build(fresh), table, buckets, Seq("doc_id"))
     graft.operators.Graph.release(fresh)

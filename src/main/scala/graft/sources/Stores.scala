@@ -76,10 +76,24 @@ object Stores {
     s.table(table)
   }
 
-  private def withLock(fs: FileSystem, dir: Path)(body: => Unit): Unit = {
+  /** Hold the reader lock across `body`'s swap windows. On SUCCESS the
+    * lock releases; on a THROW the directories are SETTLED
+    * ([[recoverCompaction]] rolls any open window back or forward)
+    * before the lock releases — a thrown swap (transient FS error, OOM)
+    * must not expose a half-swapped listing the moment the lock drops,
+    * which would be exactly the silent partial scan the lock exists to
+    * prevent. Only JVM death leaves the lock behind, and then readers
+    * fail fast until the next compaction call settles and releases. */
+  private def withLock(fs: FileSystem, dir: Path,
+                       settleDirs: => Seq[Path])(body: => Unit): Unit = {
     val lock = new Path(dir, CompactLock)
     fs.create(lock, true).close()
-    try body finally fs.delete(lock, false)
+    try { body; fs.delete(lock, false) }
+    catch { case t: Throwable =>
+      try settleDirs.foreach(recoverCompaction(fs, _))
+      finally fs.delete(lock, false)
+      throw t
+    }
   }
 
   /** Drop a lock a CRASHED compactor left behind — called once the
@@ -202,7 +216,7 @@ object Stores {
       .groupBy(f => bucketIdOf(f.getPath.getName))
       .filter { case (b, fls) => b >= 0 && fls.size > maxFilesPerBucket }
 
-    if (oversized.nonEmpty) withLock(fs, dir) {
+    if (oversized.nonEmpty) withLock(fs, dir, Seq(dir)) {
       oversized.foreach { case (bucket, files) =>
         // one merged file, re-sorted on the bucket cols (restoring the
         // property the appends dropped), named with the bucket-id suffix
@@ -244,7 +258,7 @@ object Stores {
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
     if (files.isEmpty) return 0
     val tmp = new Path(dir, "_compact_tmp_rewrite")
-    withLock(fs, dir) {
+    withLock(fs, dir, Seq(dir)) {
       write(s.read.parquet(files.map(_.getPath.toString): _*), tmp.toString)
       // only the rewritten DATA files take part in the swap
       val newParts = fs.listStatus(tmp)
@@ -292,7 +306,7 @@ object Stores {
     // the path-based loaders (VecStore.load) via assertNotCompacting
     parts.foreach(p => touched |= recoverCompaction(fs, p.getPath))
     dropStaleLock(fs, rootP)
-    withLock(fs, rootP) {
+    withLock(fs, rootP, parts.map(_.getPath).toSeq) {
       parts.foreach { p =>
         val files = fs.listStatus(p.getPath).toSeq
           .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))

@@ -372,6 +372,73 @@ class StoreAppendSpec extends SparkSuite {
     } finally graft.TempDirs.deleteRec(tmp.toString)
   }
 
+  test("rewriteDir: a THROWN rewrite settles the directory and releases the lock") {
+    import graft.queries.{RelationalQueries => RQ}
+    import graft.sources.Stores
+    // a transient failure inside the swap body must not leave either a
+    // half-swapped listing or a stuck lock behind — the reader contract
+    // holds across thrown exceptions, not just clean runs
+    val tmp = graft.TempDirs.create("graft-rewritethrow")
+    val store = tmp.resolve("ez").toString
+    RQ.landEventsZStore(spark, d, store)
+    val want = spark.read.parquet(store).count()
+    try {
+      intercept[RuntimeException] {
+        Stores.rewriteDir(spark, store) { (_, _) =>
+          throw new RuntimeException("injected rewrite failure")
+        }
+      }
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(store, "_compact_lock")),
+        "a thrown rewrite left the reader lock behind")
+      assert(spark.read.parquet(store).count() == want,
+        "a thrown rewrite changed the directory's content")
+      // and a guarded reader works immediately (no stale window)
+      spark.conf.set("spark.graft.eventsZStore", s"$d=$store")
+      try assert(SparkEntry.queries("q129_zorder_scan")(spark, d)
+        .collect().nonEmpty)
+      finally spark.conf.unset("spark.graft.eventsZStore")
+    } finally graft.TempDirs.deleteRec(tmp.toString)
+  }
+
+  test("pre-split Z-store (mn0/g0 in _bounds, no _curve) migrates on first touch") {
+    import graft.queries.{RelationalQueries => RQ}
+    import spark.implicits._
+    val tmp = graft.TempDirs.create("graft-zmigrate")
+    val store = tmp.resolve("ez").toString
+    val isBatch = col("event_id") % 4 === 3
+    val want = SparkEntry.queries("q129_zorder_scan")(spark, d).collect().toSeq
+    RQ.landEventsZStore(spark, d, store, !isBatch)
+    // rewrite the sidecars into the PRE-round-13 single-file format:
+    // mn0/g0 live inside _bounds, no _curve exists
+    val c = spark.read.parquet(s"$store/_curve").head
+    val (mn0, g0) = (c.getAs[Long]("mn0"), c.getAs[Long]("g0"))
+    val b = spark.read.parquet(s"$store/_bounds").head
+    Seq((b.getAs[Long]("mn"), b.getAs[Long]("mx"), b.getAs[Long]("umax"),
+      mn0, g0)).toDF("mn", "mx", "umax", "mn0", "g0")
+      .coalesce(1).write.mode("overwrite").parquet(s"$store/_bounds")
+    graft.TempDirs.deleteRec(s"$store/_curve")
+    try {
+      // a sync against the legacy store must migrate, not fail — and
+      // must encode with the ORIGINAL frozen curve
+      RQ.appendEventsZStore(spark,
+        Tables.events(spark, d).filter(isBatch), store)
+      val migrated = spark.read.parquet(s"$store/_curve").head
+      assert(migrated.getAs[Long]("mn0") == mn0 &&
+        migrated.getAs[Long]("g0") == g0,
+        "migration must carry the original frozen curve into _curve")
+      // reconcile (which rewrites _bounds to the live-only schema) must
+      // never destroy the curve — the exact hazard the migration closes
+      RQ.reconcileEventsZBounds(spark, store)
+      assert(spark.read.parquet(s"$store/_curve").head == migrated)
+      spark.conf.set("spark.graft.eventsZStore", s"$d=$store")
+      try assert(SparkEntry.queries("q129_zorder_scan")(spark, d)
+        .collect().toSeq == want,
+        "the migrated, synced, reconciled store must answer exactly")
+      finally spark.conf.unset("spark.graft.eventsZStore")
+    } finally graft.TempDirs.deleteRec(tmp.toString)
+  }
+
   test("compaction window: guarded readers fail fast on the lock, release after") {
     import graft.sources.Stores
     val tmp = graft.TempDirs.create("graft-lock")
