@@ -509,11 +509,14 @@ object Bench {
     // carry measured 10× walls + counts like every other family (the
     // fixtures keep cluster size ~constant as the corpus grows, so the
     // ratio measures the PLAN, not a fixture artifact)
+    // q134 joined in round 14: the anchor-join substring dedup is the
+    // family member whose candidate volume depends on CROSS-document
+    // duplicate structure — exactly what the perturbed replicas model
     val Scale10Queries = Seq("q36_ngram_jaccard", "q38_dedup_clusters",
       "q41_ann_lsh", "q43_embedding_neardup",
       "q67_semantic_clusters", "q97_sparse_cosine", "q102_hybrid_rank",
       "q118_image_neardup", "q122_ivf_ingest", "q125_video_neardup",
-      "q128_bloom_ingest")
+      "q128_bloom_ingest", "q134_substring_dedup")
     /** One quick effective-cores reading (no storage/load) — the
       * gang-probe anchor sampled INSIDE the post-loop stage windows via
       * [[stagePass]]: the main loop's calib samples stop at its "end",

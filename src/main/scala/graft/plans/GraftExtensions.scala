@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{BloomProbeExpr, CharHashExpr, DotPackedExpr,
-  HaversineArgExpr, NormalizeExpr, ZOrderExpr}
+import graft.functions.{BloomProbeExpr, CanonicalUrlExpr, CharHashExpr,
+  DotPackedExpr, HaversineArgExpr, NormalizeExpr, ZOrderExpr}
 
 /** Engine extension point, registered via
   * `spark.sql.extensions=graft.plans.GraftExtensions` (GraftSession does
@@ -33,5 +33,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(ZOrderExpr.registryEntry3)
     e.injectFunction(BloomProbeExpr.registryEntry)
     e.injectFunction(DotPackedExpr.registryEntry)
+    e.injectFunction(CanonicalUrlExpr.registryEntry)
   }
 }

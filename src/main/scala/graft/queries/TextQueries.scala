@@ -2580,6 +2580,7 @@ object TextQueries extends QueryModule {
       : Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_ngram_jaccard" -> (jaccardCandidates(_, _)),
     "q38_dedup_clusters" -> (minhashPairs(_, _)),
+    "q134_substring_dedup" -> (substringCandidates(_, _)),
     "q97_sparse_cosine" -> (sparseDots(_, _)),
     "q102_hybrid_rank" -> (hybridCosDots(_, _)),
     "q128_bloom_ingest" -> (bloomSurvivors(_, _)))
@@ -2819,7 +2820,356 @@ object TextQueries extends QueryModule {
        |FROM mixed ORDER BY 1, 2""".stripMargin
   }
 
+  // ---- q134: suffix-anchored exact substring dedup -----------------------
+  // The dedup family's blind spot, closed (VERDICT r13 task 3): q30 keys
+  // whole documents, q68 keys 16-token spans on a FIXED grid — a verbatim
+  // duplicated passage at an UNALIGNED offset (doc A at token 0, doc B at
+  // token 5) matches neither. This is the public
+  // deduplicate-text-datasets shape re-expressed relationally:
+  //
+  //  1. ANCHORS — the k-token window hash at EVERY token offset (k = 8),
+  //     so alignment never matters; the md5 anchor is then SAMPLED
+  //     content-defined (first hex nibble ∈ {0,4,8,c}, a fixed 1-in-4 —
+  //     both copies of a passage sample the SAME windows regardless of
+  //     offset, the winnowing property a positional sample lacks);
+  //  2. CANDIDATES — a self-equi-join on the anchor hash under q97's
+  //     df-cap discipline (anchors in > 16 docs are boilerplate and carry
+  //     no alignment signal; dropping them bounds per-key fan-out at
+  //     df², so the join can never go quadratic on a stopword-grade
+  //     window), collapsed to DISTINCT (doc_a, doc_b, delta) — one row
+  //     per proposed alignment, however many anchors proposed it;
+  //  3. IN-ROW EXTENSION — [[graft.functions.SharedRunExpr]] walks each
+  //     candidate's aligned token overlap once (codegen'd kernel) and
+  //     returns the maximal shared run exactly, so hash collisions and
+  //     sampling can propose false candidates but never a false run.
+  //
+  // Recall bound (documented, deterministic): a shared run of L tokens
+  // carries L−7 anchors and is found iff ≥1 samples in; the fixture's
+  // duplicated passages all do, and at the 16-token report threshold the
+  // content-random miss rate is (3/4)^9 ≈ 7.5% of MARGINAL runs — the
+  // standard winnowing trade against a 4× smaller join.
+  //
+  // Scale shape: the anchor exchange is hash-partitioned on a 32-char
+  // md5 (well-distributed; the df cap bounds every key), candidates are
+  // one row per alignment (two doc_id-keyed joins fetch token arrays),
+  // and the extension is a single compiled pass per candidate. No
+  // all-pairs shape exists at any stage; the scale10 rehearsal carries
+  // its wall + candidate count (q134cand).
+  private val SubAnchorK = 8
+  private val SubMinSpan = 16
+  private val SubDfCap = 16
+
+  /** Sampled anchors (doc_id, pos, h): the md5 of each k-token window,
+    * kept when the first hex nibble is 0/4/8/c (content-defined 1-in-4). */
+  private def substringAnchors(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), T.tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") >= SubAnchorK)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), col("n") - SubAnchorK)).as("pos"))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        md5(concat_ws(" ",
+          slice(col("t"), col("pos") + 1, lit(SubAnchorK)))).as("h"))
+      .filter(substring(col("h"), 1, 1).isin("0", "4", "8", "c"))
+
+  /** Candidate alignments — DISTINCT (doc_a, doc_b, delta) from the
+    * df-capped anchor self-join. Split out so the bench's scale10 stage
+    * publishes its row count beside the wall (the q43cand discipline). */
+  private[graft] def substringCandidates(s: SparkSession, d: String): DataFrame = {
+    val anch = substringAnchors(s, d)
+    // df cap rides the same h-partitioned exchange the join reuses
+    val keep = anch.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("adf"))
+      .filter(col("adf") <= SubDfCap)
+      .select(col("h"))
+    val kept = anch.join(keep, Seq("h"))
+    kept.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
+      .join(kept.select(col("h"), col("doc_id").as("doc_b"),
+        col("pos").as("pos_b")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("pos_a") - col("pos_b")).as("delta"))
+      .distinct()
+  }
+
+  private def q134(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d).select(col("doc_id"), T.tokens(col("text")).as("t"))
+    import graft.functions.SharedRunExpr
+    val packed = substringCandidates(s, d)
+      .join(toks.select(col("doc_id").as("doc_a"), col("t").as("ta")),
+        Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("t").as("tb")),
+        Seq("doc_b"))
+      .withColumn("packed",
+        SharedRunExpr.sharedRun(col("ta"), col("tb"), col("delta")))
+    packed
+      .select(col("doc_a"), col("doc_b"),
+        SharedRunExpr.bestStart(col("packed")).as("start_a"),
+        (SharedRunExpr.bestStart(col("packed")) - col("delta")).as("start_b"),
+        SharedRunExpr.bestSpan(col("packed")).as("span_tokens"),
+        SharedRunExpr.nMatched(col("packed")).as("n_matched"))
+      .filter(col("span_tokens") >= SubMinSpan)
+      .orderBy("doc_a", "doc_b", "start_a", "start_b")
+  }
+
+  private val q134Sql = {
+    val toks = T.sqlTokens("text")
+    s"""WITH t AS (SELECT doc_id, $toks AS t, len($toks) AS n FROM documents),
+       |a AS (
+       |  SELECT doc_id, CAST(p AS BIGINT) AS pos,
+       |    md5(array_to_string(list_slice(t, p + 1, p + $SubAnchorK), ' ')) AS h
+       |  FROM t, unnest(generate_series(0, n - $SubAnchorK)) u(p)
+       |  WHERE n >= $SubAnchorK),
+       |sa AS (SELECT * FROM a WHERE substr(h, 1, 1) IN ('0', '4', '8', 'c')),
+       |keep AS (
+       |  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS adf
+       |                 FROM sa GROUP BY 1)
+       |  WHERE adf <= $SubDfCap),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.pos - y.pos AS delta
+       |  FROM sa x JOIN keep USING (h) JOIN sa y USING (h)
+       |  WHERE x.doc_id < y.doc_id),
+       |m AS (
+       |  SELECT c.doc_a, c.doc_b, c.delta, CAST(i AS BIGINT) AS i
+       |  FROM cand c
+       |  JOIN t ta ON ta.doc_id = c.doc_a
+       |  JOIN t tb ON tb.doc_id = c.doc_b,
+       |  unnest(generate_series(greatest(0, c.delta),
+       |                         least(ta.n, tb.n + c.delta) - 1)) g(i)
+       |  WHERE ta.t[i + 1] = tb.t[i - c.delta + 1]),
+       |r AS (
+       |  SELECT doc_a, doc_b, delta, i,
+       |    i - row_number() OVER (PARTITION BY doc_a, doc_b, delta
+       |                           ORDER BY i) AS grp
+       |  FROM m),
+       |runs AS (
+       |  SELECT doc_a, doc_b, delta, min(i) AS start_a, count(*) AS span
+       |  FROM r GROUP BY 1, 2, 3, grp),
+       |tot AS (SELECT doc_a, doc_b, delta, count(*) AS n_matched
+       |        FROM m GROUP BY 1, 2, 3),
+       |best AS (
+       |  SELECT doc_a, doc_b, delta, start_a, span,
+       |    row_number() OVER (PARTITION BY doc_a, doc_b, delta
+       |                       ORDER BY span DESC, start_a) AS rk
+       |  FROM runs)
+       |SELECT b.doc_a, b.doc_b, b.start_a,
+       |  b.start_a - b.delta AS start_b, b.span AS span_tokens,
+       |  tot.n_matched
+       |FROM best b JOIN tot USING (doc_a, doc_b, delta)
+       |WHERE b.rk = 1 AND b.span >= $SubMinSpan
+       |ORDER BY 1, 2, 3, 4""".stripMargin
+  }
+
+  // ---- q135: DSIR-style importance resampling -----------------------------
+  // q88 mixes BETWEEN sources by tag; this selects WITHIN a corpus toward
+  // a TARGET distribution — the public Data Selection via Importance
+  // Resampling recipe: hashed n-gram features, target/source
+  // likelihood-ratio weights, weighted sampling. The target is the
+  // lang='en' subset (q89's trusted-reference stand-in).
+  //
+  // Determinism (the q89 discipline end to end): features are hashed
+  // bigrams (the canonical charHash, mod 64 buckets); each bucket's
+  // log-ratio ln(p_target/p_source) under add-½ smoothing is micro-
+  // rounded ONCE and clamped to ±4 (bounded importance weights, the
+  // published recipe's stabilization), so per-doc weights are exact
+  // integer sums; selection is the q48/q56 MINSTD per-mille hash against
+  // a rate derived from the PER-BIGRAM average weight by pure integer
+  // arithmetic (shift-then-divide keeps every division non-negative —
+  // Spark `div` truncates toward zero, DuckDB `//` floors, and they only
+  // agree on non-negative operands).
+  //
+  // Scale shape: wordcount aggregations (bucket counts are 64 rows —
+  // broadcast back), one narrow rescan for scoring, no shuffle wider
+  // than the per-doc weight aggregation. The bucket table is CONSTANT
+  // size at any corpus scale — that is DSIR's point: the target model
+  // rides along as a broadcast, never a join against the target corpus.
+  private val DsirBuckets = 64
+  private val DsirClampU = 4000000L // ±4.0 in micro units
+  private val DsirShiftU = 4000000L
+  // rate 500‰ at average log-ratio 0; ±0.05 average spans the full range
+  private val DsirRateDiv = 100L
+  private val DsirRateBias = DsirShiftU - 500L * DsirRateDiv
+
+  private def q135(s: SparkSession, d: String): DataFrame = {
+    val withT = docs(s, d)
+      .select(col("doc_id"), col("lang"), T.tokens(col("text")).as("t"))
+    val bg = withT
+      .select(col("doc_id"), col("lang"),
+        explode(bigramsOf(col("t"))).as("bgr"))
+      // the codegen'd kernel, bit-identical to the HOF spec hash and the
+      // oracle's sqlCharHash (CharHashExpr's contract)
+      .withColumn("b", pmod(
+        graft.functions.CharHashExpr.charHashNative(col("bgr")),
+        lit(DsirBuckets.toLong)))
+      .select(col("doc_id"), col("lang"), col("b"))
+    val cs = bg.groupBy(col("b"))
+      .agg(count(lit(1)).as("c_src"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt"))
+    val tots = cs.agg(sum(col("c_src")).as("ts"), sum(col("c_tgt")).as("tt"))
+    val lr = cs.crossJoin(broadcast(tots))
+      .withColumn("lr_u",
+        greatest(lit(-DsirClampU), least(lit(DsirClampU),
+          FP.micro(log((col("c_tgt") + lit(0.5)) /
+              (col("tt") + lit(0.5 * DsirBuckets))) -
+            log((col("c_src") + lit(0.5)) /
+              (col("ts") + lit(0.5 * DsirBuckets)))))))
+      .select(col("b"), col("lr_u"))
+    val w = bg.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bg"), sum(col("lr_u")).as("w_u"))
+    withT.select(col("doc_id"))
+      .join(w, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bg"), lit(0L)).as("n_bg"),
+        coalesce(col("w_u"), lit(0L)).as("w_u"))
+      .withColumn("rate_pm",
+        when(col("n_bg") === 0, lit(500L)).otherwise(
+          expr(s"least(1000, greatest(0, (w_u + n_bg * $DsirShiftU) " +
+            s"div n_bg - $DsirRateBias) div $DsirRateDiv)").cast(LongType)))
+      .withColumn("sel",
+        when(col("doc_id") * 48271L % 2147483647L % 1000L < col("rate_pm"),
+          1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  private val q135Sql = {
+    val toks = T.sqlTokens("text")
+    s"""WITH t AS (SELECT doc_id, lang, $toks AS t FROM documents),
+       |bg AS (
+       |  SELECT doc_id, lang, ${T.sqlCharHash("bgr")} % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(list_transform(range(1, len(t)),
+       |            i -> t[i] || ' ' || t[i+1])) AS bgr
+       |        FROM t)),
+       |cs AS (
+       |  SELECT b, count(*) AS c_src,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS c_tgt
+       |  FROM bg GROUP BY 1),
+       |tots AS (SELECT CAST(sum(c_src) AS BIGINT) AS ts,
+       |  CAST(sum(c_tgt) AS BIGINT) AS tt FROM cs),
+       |lr AS (
+       |  SELECT b, greatest(-$DsirClampU, least($DsirClampU,
+       |    ${FP.sqlMicro(
+            s"ln((c_tgt + 0.5) / (tt + ${0.5 * DsirBuckets})) - " +
+              s"ln((c_src + 0.5) / (ts + ${0.5 * DsirBuckets}))")})) AS lr_u
+       |  FROM cs CROSS JOIN tots),
+       |w AS (
+       |  SELECT bg.doc_id, count(*) AS n_bg,
+       |    CAST(sum(lr.lr_u) AS BIGINT) AS w_u
+       |  FROM bg JOIN lr USING (b) GROUP BY 1),
+       |scored AS (
+       |  SELECT d.doc_id, coalesce(w.n_bg, 0) AS n_bg,
+       |    coalesce(w.w_u, 0) AS w_u
+       |  FROM documents d LEFT JOIN w USING (doc_id)),
+       |rated AS (
+       |  SELECT doc_id, n_bg, w_u,
+       |    CASE WHEN n_bg = 0 THEN 500
+       |         ELSE least(1000, greatest(0,
+       |           (w_u + n_bg * $DsirShiftU) // n_bg - $DsirRateBias)
+       |           // $DsirRateDiv)
+       |    END AS rate_pm
+       |  FROM scored)
+       |SELECT doc_id, n_bg, w_u, rate_pm,
+       |  CASE WHEN doc_id * 48271 % 2147483647 % 1000 < rate_pm
+       |       THEN 1 ELSE 0 END AS sel
+       |FROM rated ORDER BY 1""".stripMargin
+  }
+
+  // ---- q136: cross-snapshot URL dedup (crawl canonicalization) -----------
+  // The corpus-merge operator (q86) keys on CONTENT fingerprints; real
+  // crawl curation first collapses by canonicalized URL across snapshots,
+  // keeping the newest fetch — re-fetches of one page differ in scheme,
+  // host case, `www.`, tracking params and fragments long before their
+  // bytes are compared. The canonicalizer is the codegen'd
+  // [[graft.functions.CanonicalUrlExpr]] (SQL: `canonical_url`); the
+  // snapshot rows here are derived deterministically from the documents
+  // table (doc_id div 3 = the page, the three members carrying the
+  // variant axes), so both engines construct bit-identical inputs.
+  //
+  // Scale shape: one narrow scan + ONE exchange on the canonical key
+  // (the groupBy) — canonicalization is scan-side arithmetic, newest-
+  // fetch is a max monoid, nothing rescans or self-joins.
+  private def q136(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.CanonicalUrlExpr
+    val u = docs(s, d).select(col("doc_id"))
+      .withColumn("base_id", expr("doc_id div 3"))
+      .withColumn("url", concat(
+        when(col("doc_id") % 2 === 0, lit("http://")).otherwise(lit("https://")),
+        when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 1,
+          upper(concat(lit("site"), col("base_id") % 50, lit(".example.com"))))
+          .otherwise(concat(lit("site"), col("base_id") % 50, lit(".example.com"))),
+        concat(lit("/doc/"), col("base_id")),
+        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 1,
+          concat(lit("?utm_source=feed&id="), col("base_id") % 7))
+          .when(col("doc_id") % 3 === 2,
+            concat(lit("?id="), col("base_id") % 7, lit("&gclid=g"),
+              col("doc_id") % 5))
+          .otherwise(concat(lit("?id="), col("base_id") % 7)),
+        when(col("doc_id") % 3 === 2,
+          concat(lit("#sec"), col("doc_id") % 4)).otherwise(lit(""))))
+    u.groupBy(CanonicalUrlExpr.canonicalUrl(col("url")).as("curl"))
+      .agg(count(lit(1)).as("n_snapshots"), max(col("doc_id")).as("keep_id"))
+      .orderBy("curl")
+  }
+
+  private val q136Sql =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END)
+      |    || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+      |    || (CASE WHEN doc_id % 2 = 1
+      |          THEN upper('site' || (doc_id // 3) % 50 || '.example.com')
+      |          ELSE 'site' || (doc_id // 3) % 50 || '.example.com' END)
+      |    || '/doc/' || doc_id // 3
+      |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+      |    || (CASE WHEN doc_id % 3 = 1
+      |          THEN '?utm_source=feed&id=' || (doc_id // 3) % 7
+      |          WHEN doc_id % 3 = 2
+      |          THEN '?id=' || (doc_id // 3) % 7 || '&gclid=g' || doc_id % 5
+      |          ELSE '?id=' || (doc_id // 3) % 7 END)
+      |    || (CASE WHEN doc_id % 3 = 2 THEN '#sec' || doc_id % 4 ELSE '' END)
+      |      AS url
+      |  FROM documents),
+      |c0 AS (SELECT doc_id,
+      |    regexp_replace(regexp_replace(url, '^https?://', ''),
+      |                   '#.*$', '') AS s1 FROM u),
+      |c1 AS (SELECT *,
+      |    CASE WHEN position('/' IN s1) > 0
+      |         THEN substr(s1, 1, position('/' IN s1) - 1) ELSE s1 END
+      |      AS rawhost,
+      |    CASE WHEN position('/' IN s1) > 0
+      |         THEN substr(s1, position('/' IN s1)) ELSE '' END AS tail
+      |  FROM c0),
+      |c2 AS (SELECT *,
+      |    regexp_replace(lower(rawhost), '^www\.', '') AS host,
+      |    CASE WHEN position('?' IN tail) > 0
+      |         THEN substr(tail, 1, position('?' IN tail) - 1) ELSE tail END
+      |      AS path0,
+      |    CASE WHEN position('?' IN tail) > 0
+      |         THEN substr(tail, position('?' IN tail) + 1) ELSE '' END AS qs
+      |  FROM c1),
+      |c3 AS (SELECT *,
+      |    regexp_replace(path0, '/$', '') AS path,
+      |    array_to_string(list_filter(string_split(qs, '&'),
+      |      p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'gclid')
+      |                OR starts_with(p, 'fbclid'))), '&') AS q2
+      |  FROM c2),
+      |canon AS (SELECT doc_id,
+      |    host || path || (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END)
+      |      AS curl
+      |  FROM c3)
+      |SELECT curl, count(*) AS n_snapshots, max(doc_id) AS keep_id
+      |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "q134_substring_dedup" -> QueryDef(q134, Some(q134Sql)),
+    "q135_dsir_resample" -> QueryDef(q135, Some(q135Sql)),
+    "q136_url_dedup" -> QueryDef(q136, Some(q136Sql)),
     "q98_curation_pipeline" -> QueryDef(q98, Some(q98Sql)),
     "q97_sparse_cosine" -> QueryDef(q97, Some(q97Sql)),
     "q95_bpe_train" -> QueryDef(q95, Some(FixtureOracle.sql("q95_bpe_train"))),
