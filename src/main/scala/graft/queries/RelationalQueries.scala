@@ -682,6 +682,10 @@ object RelationalQueries extends QueryModule {
     Seq((mn, granuleOf(mn, mx, umax))).toDF("mn0", "g0")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_curve")
     writeBounds(s, path, mn, mx, umax)
+    // snapshot manifest (VERDICT r13 task 6): guarded readers resolve
+    // this file list instead of the directory listing, so a read issued
+    // inside a later compaction window sees a complete OLD snapshot
+    graft.sources.Stores.publishManifest(s, path)
   }
 
   private def writeBounds(s: SparkSession, path: String, mn: Long, mx: Long,
@@ -758,6 +762,11 @@ object RelationalQueries extends QueryModule {
         math.max(b.getAs[Long]("mx"), r.getLong(1)),
         math.max(b.getAs[Long]("umax"), r.getLong(2)))
     graft.operators.Graph.release(fresh)
+    // the sync is now the newest snapshot: readers resolving the
+    // manifest must see the appended files (a crash landing files but
+    // not this manifest serves the pre-sync snapshot — stale but
+    // complete — and the idempotent re-run repairs it)
+    graft.sources.Stores.publishManifest(s, path)
     // drop any cached file listing for the path: a consumer that read
     // the store before this sync must see the appended files
     s.catalog.refreshByPath(path)
@@ -805,28 +814,38 @@ object RelationalQueries extends QueryModule {
     * the aggregated q129 plan wraps in AdaptiveSparkPlanExec, whose
     * leaf-less shape hides the scan metric). */
   private[graft] def q129RectangleScan(s: SparkSession, d: String): DataFrame = {
-    val (dir, mn, mx, umax) =
+    val (dir, mn, mx, umax, snapshot) =
       s.conf.get("spark.graft.eventsZStore", "").split("=", 2) match {
         case Array(cd, path) if cd == d =>
-          // fail fast inside a compaction window (the loader-family
-          // guard applied to this path-wired consumer)
-          graft.sources.Stores.assertNotCompacting(s,
-            new org.apache.hadoop.fs.Path(path))
+          // snapshot read (VERDICT r13 task 6): resolve the newest
+          // manifest's explicit file list, so a read issued inside a
+          // compaction window scans a COMPLETE pre-swap snapshot (the
+          // old files persist under the compactor's tmp until the new
+          // manifest commits) instead of failing fast — availability
+          // the lock contract couldn't give. A pre-manifest store
+          // (None) keeps the fail-fast guard unchanged.
+          val files = graft.sources.Stores.snapshotFiles(s, path)
+          if (files.isEmpty)
+            graft.sources.Stores.assertNotCompacting(s,
+              new org.apache.hadoop.fs.Path(path))
           val b = s.read.parquet(s"$path/_bounds").head
           (path, b.getAs[Long]("mn"), b.getAs[Long]("mx"),
-            b.getAs[Long]("umax"))
-        case _ => zorderMemo.getOrElseUpdate(d, {
-          val out = graft.TempDirs.create("graft-zorder")
-            .resolve("events").toString
-          val (mn, mx, umax) = rewriteZOrdered(s, d, out)
-          (out, mn, mx, umax)
-        })
+            b.getAs[Long]("umax"), files)
+        case _ =>
+          val (o, a, b, c) = zorderMemo.getOrElseUpdate(d, {
+            val out = graft.TempDirs.create("graft-zorder")
+              .resolve("events").toString
+            val (mn, mx, umax) = rewriteZOrdered(s, d, out)
+            (out, mn, mx, umax)
+          })
+          (o, a, b, c, None)
       }
     val t1 = mn + (mx - mn) / 4
     val t2 = mn + (mx - mn) / 2
     // user band = [umax/5, 2·umax/5): derived, so the rectangle is
     // non-degenerate at every scale factor (sf0.001 has 15 users)
-    s.read.parquet(dir)
+    snapshot.map(fl => s.read.parquet(fl: _*))
+      .getOrElse(s.read.parquet(dir))
       .filter(col("ts_us") >= t1 && col("ts_us") < t2 &&
         col("user_id") >= umax / 5 && col("user_id") < (2 * umax) / 5)
   }

@@ -468,7 +468,15 @@ object TextQueries extends QueryModule {
       case _ =>
         // the two sizing counts run ONLY on the auto branch — a session
         // that pins the branch must not pay counting jobs for a
-        // decision it has already made
+        // decision it has already made.
+        // memoCount is PROCESS-LIFETIME, keyed by path (r13 advice):
+        // fine under this repo's immutable-path contract (a testdata dir
+        // never grows), but a long-lived session ingesting into a FIXED
+        // corpus path would keep serving the landing-time ratio and
+        // never re-engage the Bloom past the crossover — a deployment
+        // with growing stores should key the memo on store generation
+        // (the manifest version, Stores.latestManifest) or pin the
+        // branch with spark.graft.nearBloom=on
         val nCorpus = graft.operators.Joins.memoCount(
           s"$d/documents!corpus", docs(s, d).filter(!isBatch))
         val nBatch = math.max(1L, graft.operators.Joins.memoCount(
@@ -2457,7 +2465,10 @@ object TextQueries extends QueryModule {
     id % SparseProbeMod === 0 && id < SparseProbeMod * SparseProbeMax
   private def sqlSparseProbePred(id: String): String =
     s"$id % $SparseProbeMod = 0 AND $id < ${SparseProbeMod * SparseProbeMax}"
-  private val SparseDfCapPct = 90
+  // q97's stopword cap — ONE constant with the TermStore norms sidecar's
+  // landing cap, so the at-rest norms are by construction the ones this
+  // query would compute (a drift would silently serve wrong cosines)
+  private val SparseDfCapPct = graft.sources.TermStore.NormsCapPct
 
   /** The materialized forward index (doc_id, term, tf) — THE shared base
     * of the sparse-retrieval arms (q97 cosine, q102 hybrid fusion). It is
@@ -2667,10 +2678,27 @@ object TextQueries extends QueryModule {
       .agg(sum(col("qu") * col("u")).as("dot_u"))
   }
 
+  /** q97's per-doc squared norms: the `<table>_norms` sidecar when the
+    * session's TermStore carries it (landed under the SAME cap constant,
+    * [[graft.sources.TermStore.NormsCapPct]] — VERDICT r13 task 5: this
+    * was the one subtree that still re-aggregated the full postings per
+    * session on the store path, q97fwd's 0.56 s residual); recomputed
+    * from the weights when not. Identical integers by construction —
+    * the sidecar is [[graft.sources.TermStore.docNorms]], the same
+    * µ-rounded expression over the same landed postings. */
+  private def sparseNorms(s: SparkSession, d: String,
+                          weights: DataFrame): DataFrame =
+    termStoreTable(s, d) match {
+      case Some(t) if s.catalog.tableExists(s"${t}_norms") =>
+        s.table(s"${t}_norms")
+      case _ =>
+        weights.groupBy(col("doc_id"))
+          .agg(sum(col("u") * col("u")).as("nrm2_u"))
+    }
+
   private def q97(s: SparkSession, d: String): DataFrame = {
     val weights = sparseWeights(s, d)
-    val norms = weights.groupBy(col("doc_id"))
-      .agg(sum(col("u") * col("u")).as("nrm2_u"))
+    val norms = sparseNorms(s, d, weights)
     val dots = sparseDots(s, d)
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_u").desc, col("doc_id"))

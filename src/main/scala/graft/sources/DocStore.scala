@@ -38,20 +38,30 @@ object DocStore {
     * computing a raw fingerprint against a store that landed normalized
     * keys silently misses every mixed-form exact duplicate (the ASCII
     * fixtures can't see the drift; DocStoreSpec's mixed-form case can).
-    * The DuckDB oracles mirror via [[sqlFp]], which bakes the DEFAULT
-    * (nfc on): flipping the conf is a store-compatibility knob, not an
-    * oracle-checked configuration. */
+    * The DuckDB oracles mirror via [[sqlFp]]. */
   def fpExpr(s: SparkSession, text: Column): Column = {
     val nfcOn = s.conf.get("spark.graft.docStore.nfc", "true").toBoolean
     TextFns.contentFingerprint(
       if (nfcOn) NormalizeExpr.nfcNormalize(text) else text)
   }
 
-  /** DuckDB twin of [[fpExpr]] at the default (nfc on) — DuckDB's
-    * `nfc_normalize` is the engine-side [[NormalizeExpr]]'s oracle twin,
-    * the q131 pairing. */
-  def sqlFp(e: String): String =
-    TextFns.sqlContentFingerprint(s"nfc_normalize($e)")
+  /** DuckDB twin of [[fpExpr]] — DuckDB's `nfc_normalize` is the
+    * engine-side [[NormalizeExpr]]'s oracle twin, the q131 pairing.
+    *
+    * Consults the SAME conf as [[fpExpr]] (r13 advice: this used to bake
+    * nfc unconditionally, so a session using the documented legacy-store
+    * opt-out failed every fingerprint-family oracle instead of getting a
+    * matching raw-key oracle), read from the active session at CALL
+    * time. Oracle SQL strings are built once per JVM when a module's
+    * registry first evaluates — so the opt-out must be set before the
+    * registry is touched, the same session-wide granularity the
+    * store-compatibility knob has always had. */
+  def sqlFp(e: String): String = {
+    val nfcOn = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .forall(_.conf.get("spark.graft.docStore.nfc", "true").toBoolean)
+    TextFns.sqlContentFingerprint(if (nfcOn) s"nfc_normalize($e)" else e)
+  }
 
   /** documents + `fp` content fingerprint ([[fpExpr]]). */
   def fingerprint(docs: DataFrame): DataFrame =

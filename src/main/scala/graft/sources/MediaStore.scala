@@ -74,13 +74,20 @@ object MediaStore {
     val s = mediaBatch.sparkSession
     import org.apache.spark.sql.functions.col
     // guarded landed read (the DocStore.appendBatch rationale): a
-    // half-swapped directory must fail the sync, not double-append
-    val fresh = mediaBatch.join(
+    // half-swapped directory must fail the sync, not double-append.
+    // The checkpoint (which severs the landed-table read from the append
+    // writing into the same table) sits AFTER the decode, on the hash
+    // frame — ~16 B/row — not before it (r13 advice): a pre-decode
+    // checkpoint pinned the batch's raw image/audio/video BYTES in the
+    // block manager for the whole sync, exactly the memory pressure a
+    // 100 TB media batch cannot afford, to sever a read the post-decode
+    // frame severs just as well. The decode has ONE consumer either way.
+    val hashed = build(mediaBatch.join(
       Stores.guardedTable(s, table).select(col("doc_id")),
-      Seq("doc_id"), "left_anti")
+      Seq("doc_id"), "left_anti"))
       .localCheckpoint()
-    Stores.appendBucketed(build(fresh), table, buckets, Seq("doc_id"))
-    graft.operators.Graph.release(fresh)
+    Stores.appendBucketed(hashed, table, buckets, Seq("doc_id"))
+    graft.operators.Graph.release(hashed)
   }
 
   /** Sync an image batch into an existing `_img`/`_imgx` table. */

@@ -16,6 +16,97 @@ object Stores {
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
+  // ---- snapshot manifests (VERDICT r13 task 6) ---------------------------
+  // `_manifest_v<N>`: a text file naming the directory's LIVE data files,
+  // written ATOMICALLY (tmp + rename) after every mutation of a
+  // manifest-managed directory. Guarded readers resolve the NEWEST
+  // manifest and hand Spark that explicit file list instead of a
+  // directory listing — so a reader concurrent with a compaction swap
+  // sees a complete OLD snapshot (the files still exist, inside the
+  // compactor's tmp/replaced dirs, until the NEW manifest commits)
+  // rather than a half-swapped listing or the old fail-fast exception.
+  // This is the one version of snapshot isolation a directory store can
+  // give without a log-structured table format: one writer, versioned
+  // file lists, readers pinned to the version current at plan time.
+  // Directories without a manifest keep the lock-based fail-fast
+  // contract ([[assertNotCompacting]]) unchanged.
+
+  private val ManifestPrefix = "_manifest_v"
+
+  private def manifestVersion(name: String): Int =
+    try name.stripPrefix(ManifestPrefix).toInt catch { case _: Throwable => -1 }
+
+  /** The newest manifest under `dir`, as (version, file names). */
+  private[graft] def latestManifest(fs: FileSystem,
+                                    dir: Path): Option[(Int, Seq[String])] = {
+    if (!fs.exists(dir)) return None
+    val ms = fs.listStatus(dir)
+      .filter(f => f.isFile && f.getPath.getName.startsWith(ManifestPrefix))
+      .map(f => (manifestVersion(f.getPath.getName), f.getPath))
+      .filter(_._1 >= 0)
+    if (ms.isEmpty) None
+    else {
+      val (v, p) = ms.maxBy(_._1)
+      val in = fs.open(p)
+      val body = try {
+        val bs = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bs.write(buf, 0, n); n = in.read(buf) }
+        bs.toString("UTF-8")
+      } finally in.close()
+      Some((v, body.split("\n").toSeq.filter(_.nonEmpty)))
+    }
+  }
+
+  /** Write `_manifest_v<N+1>` naming `files` (atomic: tmp + rename), and
+    * prune manifests older than the previous version — the previous one
+    * is RETAINED so a reader that resolved it a moment ago still names
+    * files that exist (data files of superseded versions live until the
+    * next compaction's tmp cleanup). Returns the new version. */
+  private[graft] def writeManifest(fs: FileSystem, dir: Path,
+                                   files: Seq[String]): Int = {
+    val next = latestManifest(fs, dir).map(_._1).getOrElse(0) + 1
+    val tmp = new Path(dir, s"$ManifestPrefix$next.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.rename(tmp, new Path(dir, s"$ManifestPrefix$next"))
+    fs.listStatus(dir)
+      .filter(f => f.isFile && f.getPath.getName.startsWith(ManifestPrefix))
+      .filter { f =>
+        val v = manifestVersion(f.getPath.getName)
+        v >= 0 && v < next - 1
+      }
+      .foreach(f => fs.delete(f.getPath, false))
+    next
+  }
+
+  /** Publish a manifest of the CURRENT top-level `part-*` files — called
+    * by manifest-managed stores after every land/append/compaction. */
+  def publishManifest(s: SparkSession, root: String): Unit = {
+    val dir = new Path(root)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(dir)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(_.getPath.getName).toSeq.sorted
+    writeManifest(fs, dir, files)
+  }
+
+  /** The newest manifest's explicit file list, ready for a scan. Under
+    * the manifest-as-commit swap ([[rewriteDir]]) every named file lives
+    * in the directory for the whole window the manifest is current —
+    * new files join before the commit rename, superseded ones leave only
+    * after — so resolution is direct (Spark cannot read files inside
+    * `_`-hidden staging dirs anyway). Returns None when the directory
+    * carries no manifest: callers fall back to the lock-based fail-fast
+    * contract ([[assertNotCompacting]]). */
+  def snapshotFiles(s: SparkSession, root: String): Option[Seq[String]] = {
+    val dir = new Path(root)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    latestManifest(fs, dir).map(_._2.map(n => new Path(dir, n).toString))
+  }
+
   /** Append an ingest batch into an existing bucketed store — the
     * incremental-maintenance path the layout family needs at 100 TB: a
     * sync writes O(batch), never re-lands the corpus (the q115/q116
@@ -29,11 +120,20 @@ object Stores {
     * AND the no-exchange plan on an appended store). Compact with
     * [[compactBuckets]] when file counts warrant. */
   def appendBucketed(df: DataFrame, table: String, buckets: Int,
-                     cols: Seq[String]): Unit =
+                     cols: Seq[String]): Unit = {
+    // action-time lock check (r13 advice: guardedTable's check is
+    // plan-time only — lazy frames built before a compaction window
+    // opened could otherwise land an append INSIDE the window, adding
+    // files the compactor's listing never saw)
+    assertNotCompacting(df.sparkSession, new Path(
+      df.sparkSession.sessionState.catalog.getTableMetadata(
+        df.sparkSession.sessionState.sqlParser.parseTableIdentifier(table))
+        .location))
     df.write.mode("append").format("parquet")
       .bucketBy(buckets, cols.head, cols.tail: _*)
       .sortBy(cols.head, cols.tail: _*)
       .saveAsTable(table)
+  }
 
   /** Marker a compactor holds while its swap windows are open. Readers
     * that resolve a store through the family's loaders check it and FAIL
@@ -124,6 +224,23 @@ object Stores {
   private def recoverCompaction(fs: FileSystem, dir: Path): Boolean = {
     val leftovers = fs.listStatus(dir).filter(st => st.isDirectory &&
       st.getPath.getName.startsWith("_compact_tmp_"))
+    // MANIFEST-managed dirs (the events Z-store) settle by the
+    // manifest-as-commit rule: the newest `_manifest_v<N>` IS the truth —
+    // drop the staging tmp and any data file the manifest does not name.
+    // One rule covers both crash sides: pre-commit (manifest = old list;
+    // moved-in new strays deleted, old set intact) and post-commit
+    // (manifest = new list; superseded old files finish leaving).
+    if (leftovers.nonEmpty) latestManifest(fs, dir) match {
+      case Some((_, names)) =>
+        val live = names.toSet
+        leftovers.foreach(st => fs.delete(st.getPath, true))
+        fs.listStatus(dir)
+          .filter(f => f.isFile && f.getPath.getName.startsWith("part-") &&
+            !live(f.getPath.getName))
+          .foreach(f => fs.delete(f.getPath, false))
+        return true
+      case None => // fall through to the marker protocol below
+    }
     leftovers.foreach { st =>
       val parts = fs.listStatus(st.getPath)
         .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
@@ -258,20 +375,41 @@ object Stores {
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
     if (files.isEmpty) return 0
     val tmp = new Path(dir, "_compact_tmp_rewrite")
+    val manifested = latestManifest(fs, dir).isDefined
     withLock(fs, dir, Seq(dir)) {
       write(s.read.parquet(files.map(_.getPath.toString): _*), tmp.toString)
       // only the rewritten DATA files take part in the swap
       val newParts = fs.listStatus(tmp)
         .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
       require(newParts.nonEmpty, s"rewrite wrote no data files under $tmp")
-      val replaced = new Path(tmp, "replaced")
-      fs.mkdirs(replaced)
-      files.foreach(f =>
-        fs.rename(f.getPath, new Path(replaced, f.getPath.getName)))
-      fs.create(new Path(tmp, "_commit"), true).close()
-      newParts.foreach(f =>
-        fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
-      fs.delete(tmp, true)
+      if (manifested) {
+        // MANIFEST-AS-COMMIT swap (VERDICT r13 task 6): the new files
+        // join the directory FIRST — a snapshot reader resolving the
+        // still-current old manifest sees exactly the old set, all of
+        // it still in place — then the manifest rename commits the new
+        // snapshot atomically, and only then do the superseded files
+        // leave. A read issued anywhere in the window resolves ONE
+        // complete version; the residual race is a reader that fetched
+        // the old list and reaches its files only after this vacuum —
+        // the standard lakehouse plan-vs-scan gap, bounded to the swap
+        // instant (fresh job names can never collide with the old set).
+        newParts.foreach(f =>
+          fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
+        writeManifest(fs, dir, newParts.map(_.getPath.getName).toSeq.sorted)
+        files.foreach(f => fs.delete(f.getPath, false))
+        fs.delete(tmp, true)
+      } else {
+        // marker protocol for manifest-less dirs: old files out first,
+        // `_commit` marks roll-forward, new files in
+        val replaced = new Path(tmp, "replaced")
+        fs.mkdirs(replaced)
+        files.foreach(f =>
+          fs.rename(f.getPath, new Path(replaced, f.getPath.getName)))
+        fs.create(new Path(tmp, "_commit"), true).close()
+        newParts.foreach(f =>
+          fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
+        fs.delete(tmp, true)
+      }
     }
     s.catalog.refreshByPath(root)
     files.size

@@ -29,15 +29,50 @@ object TermStore {
       .filter(length(col("w")) > 0)
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
 
+  /** The df cap the `_norms` sidecar is landed under — q97's stopword
+    * cap. ONE constant shared with the query (TextQueries references it)
+    * so the sidecar can only ever hold the norms the consumer expects;
+    * a consumer running a different cap must recompute. */
+  val NormsCapPct = 90
+
+  /** q97's per-document squared TF-IDF norm under the df cap — the
+    * sidecar construction, shared by landing, append and reconcile so
+    * the at-rest norms can never drift from the in-query expression
+    * (`u = µ(tf·ln(N/df))`, nrm2_u = Σu², all exact integers). */
+  def docNorms(fi: DataFrame, dfreq: DataFrame, nDocs: DataFrame): DataFrame =
+    fi.join(dfreq, Seq("w"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("dfreq") * 100 <= col("n_docs") * NormsCapPct)
+      .select(col("doc_id"),
+        graft.functions.FP.micro(
+          col("tf") * log(col("n_docs") / col("dfreq"))).as("u"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("u") * col("u")).as("nrm2_u"))
+
   /** Land the forward index bucketed (and sorted) by doc_id, plus the
-    * df-stats SIDECARS `<table>_df` (w, dfreq) and `<table>_meta`
-    * (n_docs) — Lucene's discipline: document frequency belongs IN the
-    * index. Without the sidecars every sparse-retrieval consumer subtree
-    * that needs idf re-aggregates the whole posting list (the store
-    * path's q97 plan references the index from ~12 subtrees, three of
-    * them full dfreq recomputes); with them, idf is a vocabulary-sized
-    * scan landed once per ingest. `buckets` sizes the parallelism of
-    * every later retrieval pass over the store. */
+    * SIDECARS — Lucene's discipline: per-segment statistics belong IN
+    * the index:
+    *
+    *  - `<table>_df` (w, dfreq) and `<table>_meta` (n_docs): without
+    *    them every sparse-retrieval consumer subtree that needs idf
+    *    re-aggregates the whole posting list (the store path's q97 plan
+    *    references the index from ~12 subtrees, three of them full dfreq
+    *    recomputes); with them, idf is a vocabulary-sized scan landed
+    *    once per ingest.
+    *  - `<table>_norms` (doc_id, nrm2_u): the per-document squared
+    *    TF-IDF norm under [[NormsCapPct]] — the one q97 subtree that
+    *    still re-aggregated the full postings per session (VERDICT r13
+    *    task 5: the store pair lost with `q97fwd` 0.56 s of residual
+    *    forward-index work). Norms depend on GLOBAL df, so they are not
+    *    an append monoid — each sync rebuilds them from the landed
+    *    postings + merged df, an index-sized job (orders below the
+    *    corpus re-tokenize it replaces).
+    *  - `<table>_docs` (doc_id): the landed-document LEDGER. Postings
+    *    cannot witness a token-EMPTY document, so before this sidecar a
+    *    re-run or overlapping batch of empty docs inflated `n_docs` on
+    *    every retry; the anti-join and the reconcile count now see them.
+    *
+    * `buckets` sizes the parallelism of every later retrieval pass. */
   def saveBucketed(docs: DataFrame, table: String, buckets: Int,
                    path: Option[String] = None): Unit = {
     val fi = forwardIndex(docs)
@@ -51,9 +86,13 @@ object TermStore {
     // (doc_id, w) aggregation a second time per ingest — the landed
     // index is orders smaller than the text it was built from, and a
     // vocabulary count over it is a column-pruned bucketed scan
-    val landed = docs.sparkSession.table(table)
+    val s = docs.sparkSession
+    val landed = s.table(table)
     land(landed.groupBy(col("w")).agg(count(lit(1)).as("dfreq")), "_df")
     land(docs.agg(count(lit(1)).as("n_docs")), "_meta")
+    land(docs.select(col("doc_id")), "_docs")
+    land(docNorms(landed, s.table(s"${table}_df"), s.table(s"${table}_meta")),
+      "_norms")
   }
 
   /** Per-ingest increment: index the BATCH only, append its postings
@@ -78,21 +117,28 @@ object TermStore {
     * postings — the ground truth — making crash recovery exact
     * (StoreAppendSpec simulates the crash and pins full-land parity).
     *
-    * Token-EMPTY docs caveat (the [[reconcileSidecars]] caveat, which
-    * starts HERE): an empty doc lands no postings, so the landed index
-    * cannot witness it and the anti-join cannot drop it on a re-run —
-    * each re-run (or overlapping batch) of such a doc inflates the
-    * `n_docs` sidecar again. Exact recovery for corpora with empty docs
-    * therefore needs an external doc-count ledger passed to
-    * [[reconcileSidecars]] as `totalDocs`; without empty docs (every
-    * fixture corpus; most tokenized corpora after quality filtering)
-    * the recovery is exact as stated. */
+    * Token-EMPTY docs (CLOSED — the round-13 advice item): an empty doc
+    * lands no postings, so the index alone cannot witness it; the
+    * `_docs` ledger sidecar does — the anti-join unions both witnesses,
+    * so a re-run or overlapping batch of empty docs no longer inflates
+    * `n_docs`, and [[reconcileSidecars]]'s union count stays exact with
+    * no external ledger. `totalDocs` remains only for PRE-ledger stores. */
   def appendBatch(docsBatch: DataFrame, table: String, buckets: Int): Unit = {
     val s = docsBatch.sparkSession
     // re-run safety: drop batch docs a prior (possibly crashed) sync of
-    // the same batch already landed
-    val docsNew = docsBatch.join(
-      s.table(table).select(col("doc_id")), Seq("doc_id"), "left_anti")
+    // the same batch already landed. The witness set is the UNION of the
+    // landed postings' doc_ids and the `_docs` ledger (absent on a
+    // pre-ledger store): postings alone cannot witness a token-EMPTY doc
+    // — the n_docs inflation this closes — and the ledger alone cannot
+    // witness a crash that landed postings but not the ledger row;
+    // together every half-landed shape is dropped exactly once.
+    val hasLedger = s.catalog.tableExists(s"${table}_docs")
+    val seen =
+      if (hasLedger)
+        s.table(table).select(col("doc_id"))
+          .unionByName(s.table(s"${table}_docs"))
+      else s.table(table).select(col("doc_id"))
+    val docsNew = docsBatch.join(seen, Seq("doc_id"), "left_anti")
       .localCheckpoint()
     // checkpointed so the postings append and the dfreq merge below read
     // ONE materialization — an unmaterialized plan would re-run the
@@ -100,6 +146,12 @@ object TermStore {
     // frame make the appended postings and the sidecar disagree)
     val bfi = forwardIndex(docsNew).localCheckpoint()
     Stores.appendBucketed(bfi, table, buckets, Seq("doc_id"))
+    // ledger append AFTER the postings commit: a crash between the two
+    // leaves the batch witnessed by the postings (re-run still safe) and
+    // [[reconcileSidecars]] counts the UNION, so recovery stays exact
+    if (hasLedger)
+      docsNew.select(col("doc_id")).write.mode("append").format("parquet")
+        .saveAsTable(s"${table}_docs")
     val mergedDf = s.table(s"${table}_df")
       .unionByName(bfi.groupBy(col("w")).agg(count(lit(1)).as("dfreq")))
       .groupBy(col("w")).agg(sum(col("dfreq")).as("dfreq"))
@@ -120,28 +172,51 @@ object TermStore {
     }
     rewrite(mergedDf, s"${table}_df")
     rewrite(mergedMeta, s"${table}_meta")
+    // norms depend on GLOBAL df, so they are no append monoid: rebuild
+    // from the landed postings + the just-merged sidecars — an
+    // index-sized job (the index is orders below the corpus it serves),
+    // the once-per-ingest price that buys every session its norms scan
+    if (s.catalog.tableExists(s"${table}_norms"))
+      rewrite(docNorms(s.table(table), s.table(s"${table}_df"),
+        s.table(s"${table}_meta")), s"${table}_norms")
     // the writes above were the checkpoints' only consumers
     Seq(docsNew, bfi, mergedDf, mergedMeta)
       .foreach(graft.operators.Graph.release)
   }
 
-  /** Crash recovery for [[appendBatch]]'s sidecar window: rebuild both
-    * sidecars from the LANDED postings — the ground truth the append
-    * committed atomically. `dfreq` is always exact (a vocabulary-sized
-    * agg over a column-pruned bucketed scan). `n_docs` counts distinct
-    * indexed doc_ids, exact whenever every corpus doc has ≥1 token; a
-    * corpus with token-EMPTY docs should pass its true count as
-    * `totalDocs` (the ingest ledger knows it — empty docs land no
-    * postings, so the index cannot witness them). */
+  /** Crash recovery for [[appendBatch]]'s sidecar window: rebuild every
+    * sidecar from the LANDED postings + the `_docs` ledger — the ground
+    * truths the appends committed atomically. `dfreq` and the norms are
+    * always exact (index-sized aggs over column-pruned bucketed scans).
+    * `n_docs` counts distinct doc_ids over postings ∪ ledger — exact
+    * INCLUDING token-EMPTY docs (which land no postings but do land a
+    * ledger row); the ledger itself is repaired first (ids a crash left
+    * postings-only are re-inserted), so the two witnesses re-converge.
+    * `totalDocs` remains as an external override for pre-ledger stores
+    * whose empty-doc count only the ingest pipeline knows. */
   def reconcileSidecars(s: SparkSession, table: String,
                         totalDocs: Option[Long] = None): Unit = {
     val landed = s.table(table)
+    val hasLedger = s.catalog.tableExists(s"${table}_docs")
+    if (hasLedger) {
+      // repair the ledger: postings-witnessed ids a crash kept out of it
+      val missing = landed.select(col("doc_id")).distinct()
+        .join(s.table(s"${table}_docs"), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      missing.write.mode("append").format("parquet")
+        .saveAsTable(s"${table}_docs")
+      graft.operators.Graph.release(missing)
+    }
     val df = landed.groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
       .localCheckpoint()
     val meta = totalDocs match {
       case Some(n) => s.range(1).select(lit(n).as("n_docs"))
-      case None => landed.agg(
-        count_distinct(col("doc_id")).as("n_docs")).localCheckpoint()
+      case None =>
+        val ids = if (hasLedger)
+          landed.select(col("doc_id"))
+            .unionByName(s.table(s"${table}_docs"))
+        else landed.select(col("doc_id"))
+        ids.agg(count_distinct(col("doc_id")).as("n_docs")).localCheckpoint()
     }
     def rewrite(d: DataFrame, t: String): Unit = {
       val m = s.sessionState.catalog.getTableMetadata(
@@ -153,13 +228,17 @@ object TermStore {
     }
     rewrite(df, s"${table}_df")
     rewrite(meta, s"${table}_meta")
+    if (s.catalog.tableExists(s"${table}_norms"))
+      rewrite(docNorms(landed, s.table(s"${table}_df"),
+        s.table(s"${table}_meta")), s"${table}_norms")
     Seq(df, meta).foreach(graft.operators.Graph.release)
   }
 
   /** The sidecar-bearing tables of [[saveBucketed]] — one list so every
     * teardown (spec, bench, probes) drops exactly what landing created. */
   def tablesOf(table: String): Seq[String] =
-    Seq(table, s"${table}_df", s"${table}_meta")
+    Seq(table, s"${table}_df", s"${table}_meta", s"${table}_docs",
+      s"${table}_norms")
 
   /** Loads through [[Stores.guardedTable]]: fails fast inside a
     * compaction window instead of scanning a half-swapped store. */

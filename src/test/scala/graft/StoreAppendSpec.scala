@@ -67,6 +67,8 @@ class StoreAppendSpec extends SparkSuite {
       def side(t: String) = (
         spark.table(s"${t}_df").collect().map(_.toSeq).toSet,
         spark.table(s"${t}_meta").collect().map(_.toSeq).toSet,
+        spark.table(s"${t}_docs").collect().map(_.toSeq).toSet,
+        spark.table(s"${t}_norms").collect().map(_.toSeq).toSet,
         spark.table(t).collect().map(_.toSeq).toSet)
       assert(side("terms_app") == side("terms_full"),
         "appended index + merged sidecars must equal the full re-land")
@@ -109,6 +111,35 @@ class StoreAppendSpec extends SparkSuite {
         "reconciled n_docs differs from the full re-land")
     } finally (TermStore.tablesOf("terms_rec") ++
       TermStore.tablesOf("terms_recfull"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("TermStore: token-EMPTY docs never inflate n_docs (the _docs ledger)") {
+    import graft.sources.TermStore
+    import spark.implicits._
+    val tmp = graft.TempDirs.create("graft-termempty")
+    val base = Seq((0L, "alpha beta gamma"), (1L, "beta gamma delta"))
+    val emptyBatch = Seq((10L, " "), (11L, "solo token here"))
+    def mk(rows: Seq[(Long, String)]) = rows
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    TermStore.saveBucketed(mk(base), "terms_empty", buckets = 4,
+      path = Some(tmp.resolve("e").toString))
+    try {
+      def nDocs = spark.table("terms_empty_meta").head().getLong(0)
+      assert(nDocs == 2L)
+      TermStore.appendBatch(mk(emptyBatch), "terms_empty", buckets = 4)
+      assert(nDocs == 4L, "first sync must count the empty doc once")
+      // the r13 advice bug: a BLIND re-run of a batch holding a token-
+      // EMPTY doc re-counted it every retry (postings can't witness it);
+      // the _docs ledger witnesses it now
+      TermStore.appendBatch(mk(emptyBatch), "terms_empty", buckets = 4)
+      TermStore.appendBatch(mk(emptyBatch), "terms_empty", buckets = 4)
+      assert(nDocs == 4L, s"re-runs inflated n_docs to $nDocs")
+      // and ground-truth reconciliation agrees WITHOUT an external count
+      TermStore.reconcileSidecars(spark, "terms_empty")
+      assert(nDocs == 4L, s"reconcile lost the empty doc: $nDocs")
+    } finally TermStore.tablesOf("terms_empty")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
@@ -307,7 +338,7 @@ class StoreAppendSpec extends SparkSuite {
     }
   }
 
-  test("compactEventsZStore: frozen-curve re-sort; parity; idempotent; crash recovery both sides of the marker") {
+  test("compactEventsZStore: frozen-curve re-sort; parity; idempotent; crash recovery (manifest rule + marker protocol)") {
     import graft.queries.{RelationalQueries => RQ}
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val want = SparkEntry.queries("q129_zorder_scan")(spark, d).collect().toSeq
@@ -346,29 +377,42 @@ class StoreAppendSpec extends SparkSuite {
       // idempotence: a second full rewrite is bit-equal again
       RQ.compactEventsZStore(spark, store)
       assert(q129() == want, "re-compaction changed the answer")
-      // crash BEFORE the marker: merged files sit in the tmp, one real
-      // file already moved to replaced/ — recovery must roll BACK
+      // crash BEFORE the manifest commit (the manifested store's swap is
+      // manifest-as-commit — see the snapshot-manifest tests for the
+      // post-commit side): a new file already joined the dir, strays
+      // still in the tmp, manifest unrenamed — recovery must roll BACK
+      // by the manifest rule (drop tmp + every un-manifested data file)
       val f1 = dataFiles().head
       val crashA = Paths.get(store, "_compact_tmp_rewrite")
-      Files.createDirectories(crashA.resolve("replaced"))
-      Files.copy(f1.toPath, crashA.resolve("part-merged.parquet"),
+      Files.createDirectories(crashA)
+      Files.copy(f1.toPath, crashA.resolve("part-straystage.parquet"),
         StandardCopyOption.COPY_ATTRIBUTES)
-      Files.move(f1.toPath, crashA.resolve("replaced").resolve(f1.getName))
+      Files.copy(f1.toPath, Paths.get(store, "part-movedin.parquet"),
+        StandardCopyOption.COPY_ATTRIBUTES)
       RQ.compactEventsZStore(spark, store)
-      assert(q129() == want, "pre-marker crash recovery lost rows")
-      // crash AFTER the marker: a new file still sits in the tmp root
-      // with _commit present — recovery must roll FORWARD
-      val f2 = dataFiles().head
-      val crashB = Paths.get(store, "_compact_tmp_rewrite")
-      Files.createDirectories(crashB)
-      Files.move(f2.toPath, crashB.resolve(f2.getName))
-      Files.createFile(crashB.resolve("_commit"))
-      RQ.compactEventsZStore(spark, store)
-      assert(q129() == want, "post-marker crash recovery lost rows")
+      assert(q129() == want, "pre-commit crash recovery broke parity")
       assert(!Files.exists(Paths.get(store, "_compact_tmp_rewrite")),
         "recovery left the tmp behind")
       assert(!Files.exists(Paths.get(store, "_compact_lock")),
         "compaction left the reader lock behind")
+      // the marker protocol still governs manifest-LESS dirs: same
+      // pre/post-marker states on a plain rewriteDir-managed directory
+      val plain = tmp.resolve("plain").toString
+      spark.range(100).selectExpr("id", "id * 2 AS v").coalesce(2)
+        .write.parquet(plain)
+      val pf = new java.io.File(plain).listFiles.toSeq
+        .filter(f => f.isFile && f.getName.startsWith("part-")).head
+      val crashB = Paths.get(plain, "_compact_tmp_rewrite")
+      Files.createDirectories(crashB.resolve("replaced"))
+      Files.copy(pf.toPath, crashB.resolve("part-merged.parquet"),
+        StandardCopyOption.COPY_ATTRIBUTES)
+      Files.move(pf.toPath, crashB.resolve("replaced").resolve(pf.getName))
+      // no _commit → roll BACK: the moved-out file returns, staging drops
+      graft.sources.Stores.rewriteDir(spark, plain) { (df, out) =>
+        df.coalesce(1).write.parquet(out)
+      }
+      assert(spark.read.parquet(plain).count() == 100,
+        "marker-protocol rollback lost rows on a manifest-less dir")
     } finally graft.TempDirs.deleteRec(tmp.toString)
   }
 
@@ -453,14 +497,25 @@ class StoreAppendSpec extends SparkSuite {
         BandStore.loadBucketed(spark, "bands_lock")
       }
       assert(e.getMessage.contains("compaction window"))
-      // the conf-wired Z-store consumer checks the same lock
+      // the conf-wired Z-store consumer: a MANIFESTED store reads its
+      // snapshot right through the lock (task 6 lifted fail-fast there);
+      // strip the manifests to simulate a pre-manifest store and the
+      // same lock fails the read fast, as before
       val ezDir = tmp.resolve("ez").toString
       graft.queries.RelationalQueries.landEventsZStore(spark, d, ezDir)
       java.nio.file.Files.createFile(
         java.nio.file.Paths.get(ezDir, "_compact_lock"))
       spark.conf.set("spark.graft.eventsZStore", s"$d=$ezDir")
-      try intercept[IllegalStateException] {
-        SparkEntry.queries("q129_zorder_scan")(spark, d).collect()
+      try {
+        assert(SparkEntry.queries("q129_zorder_scan")(spark, d).count() > 0,
+          "a manifested store must serve its snapshot through the lock")
+        java.nio.file.Files.list(java.nio.file.Paths.get(ezDir)).toArray
+          .map(_.toString)
+          .filter(_.split("/").last.startsWith("_manifest_v"))
+          .foreach(p => java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
+        intercept[IllegalStateException] {
+          SparkEntry.queries("q129_zorder_scan")(spark, d).collect()
+        }
       } finally spark.conf.unset("spark.graft.eventsZStore")
       java.nio.file.Files.delete(lock)
       assert(BandStore.loadBucketed(spark, "bands_lock").count() > 0,
@@ -477,6 +532,92 @@ class StoreAppendSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS bands_lock")
       graft.TempDirs.deleteRec(tmp.toString)
     }
+  }
+
+  test("snapshot manifest: a guarded read ISSUED mid-window sees the full pre-compaction rows") {
+    // VERDICT r13 task 6 — the availability upgrade over fail-fast: the
+    // events Z-store publishes `_manifest_v<N>` on land/append/compact,
+    // and the conf-wired reader resolves the newest manifest's files to
+    // wherever they currently live (dir, or the compactor's tmp/replaced
+    // mid-swap) — so a read concurrent with a swap returns the complete
+    // OLD snapshot instead of throwing on the lock.
+    import org.apache.hadoop.fs.Path
+    import graft.queries.RelationalQueries
+    val tmp = graft.TempDirs.create("graft-snapread")
+    val store = tmp.resolve("events").toString
+    RelationalQueries.landEventsZStore(spark, d, store)
+    spark.conf.set("spark.graft.eventsZStore", s"$d=$store")
+    try {
+      val want = SparkEntry.queries("q129_zorder_scan")(spark, d)
+        .collect().toSeq
+      assert(want.nonEmpty)
+      // open a swap window BY HAND at its most hostile point under the
+      // manifest-as-commit protocol: a NEW (here: duplicate) data file
+      // already moved into the directory, the manifest not yet renamed,
+      // the lock held — a directory listing would double-count rows, the
+      // old fail-fast contract would throw; the snapshot read does
+      // neither, because the still-current manifest names exactly the
+      // old file set
+      val dir = new Path(store)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new Path(dir, "_compact_tmp_rewrite"))
+      val first = fs.listStatus(dir)
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        .head.getPath
+      org.apache.hadoop.fs.FileUtil.copy(fs, first, fs,
+        new Path(dir, "part-stray-" + first.getName), false,
+        spark.sparkContext.hadoopConfiguration)
+      fs.create(new Path(dir, "_compact_lock"), true).close()
+      spark.catalog.refreshByPath(store)
+      val got = SparkEntry.queries("q129_zorder_scan")(spark, d)
+        .collect().toSeq
+      assert(got == want,
+        "mid-window guarded read must return the full pre-compaction rows")
+      // settle the window through the real compactor (the manifest rule
+      // drops the un-manifested stray), then rewrite; reads stay identical
+      RelationalQueries.compactEventsZStore(spark, store)
+      assert(SparkEntry.queries("q129_zorder_scan")(spark, d)
+        .collect().toSeq == want)
+    } finally {
+      spark.conf.unset("spark.graft.eventsZStore")
+    }
+  }
+
+  test("snapshot manifest: appends advance it; recovery republishes after a marker crash") {
+    import org.apache.hadoop.fs.Path
+    import graft.queries.RelationalQueries
+    val tmp = graft.TempDirs.create("graft-snapadv")
+    val store = tmp.resolve("events").toString
+    RelationalQueries.landEventsZStore(spark, d, store,
+      col("event_id") % 2 === 0)
+    val dir = new Path(store)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def snapCount = spark.read.parquet(
+      graft.sources.Stores.snapshotFiles(spark, store).get: _*).count()
+    val n0 = snapCount
+    RelationalQueries.appendEventsZStore(spark,
+      graft.Tables.events(spark, d).filter(col("event_id") % 2 === 1), store)
+    assert(snapCount > n0, "the sync must advance the snapshot manifest")
+    val nAll = snapCount
+    // crash just AFTER the manifest-commit rename, mid-vacuum: the new
+    // manifest names a strict subset (the "rewrite output"), superseded
+    // files still sit in the directory, the staging tmp and the lock
+    // remain — the settlement must finish the vacuum by the manifest
+    // rule (delete tmp + every data file the manifest does not name)
+    val tmpDir = new Path(dir, "_compact_tmp_rewrite")
+    fs.mkdirs(tmpDir)
+    val parts = fs.listStatus(dir)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    assert(parts.length > 1)
+    graft.sources.Stores.writeManifest(fs, dir,
+      Seq(parts.head.getPath.getName))
+    fs.create(new Path(dir, "_compact_lock"), true).close()
+    // the next compaction call settles, then rewrites the survivor
+    RelationalQueries.compactEventsZStore(spark, store)
+    val files = graft.sources.Stores.snapshotFiles(spark, store).get
+    assert(files.nonEmpty, "recovery must leave a resolvable manifest")
+    assert(snapCount < nAll,
+      "settlement keeps only the committed snapshot's rows")
   }
 
   test("MediaStore append ≡ full land: all six modality tables, consumers, no decode") {

@@ -80,6 +80,20 @@ class TermStoreSpec extends SparkSuite {
               s"doc_id exchange fed by raw postings, not an aggregate:\n$ln\n$below")
           }
         }
+        // the norms subtree must come from the at-rest sidecar, not a
+        // per-session re-aggregation of the postings (VERDICT r13
+        // task 5: q97fwd's 0.56 s residual on the store path)
+        assert(p.contains("terms_q97_norms"),
+          s"q97 must serve norms from the _norms sidecar:\n$p")
+        // sidecar values ≡ the in-query norms expression (same µ-rounded
+        // integers over the same landed postings, by construction)
+        val landed = TermStore.loadBucketed(spark, "terms_q97")
+        val wantNorms = TermStore.docNorms(landed,
+          spark.table("terms_q97_df"), spark.table("terms_q97_meta"))
+          .as[(Long, Long)].collect().sorted.toSeq
+        val gotNorms = spark.table("terms_q97_norms")
+          .as[(Long, Long)].collect().sorted.toSeq
+        assert(gotNorms == wantNorms && gotNorms.nonEmpty)
         assert(SparkEntry.queries("q102_hybrid_rank")(spark, d).collect().toSeq
           == want102, "q102 over the store must equal the recompute path")
       } finally spark.conf.unset("spark.graft.termStore")
