@@ -28,6 +28,7 @@ object GraftSession {
   def local(): SparkSession = {
     val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    registerUdafs(s)
     s
   }
 
@@ -35,6 +36,41 @@ object GraftSession {
     * build their own sessions per the driver contract). */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set(NanosAsLong, "true")
+    registerUdafs(spark)
     spark
   }
+
+  private val udafDone =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Register the atlas aggregation kernels as SQL UDAFs (VERDICT r13
+    * task 7): `haversine_arg` + the spatial rewrite already let a
+    * SQL-only user FIND the (cell, profile) pairs — these let them
+    * AGGREGATE the packed profiles too, closing the SQL-only q71 path
+    * (AtlasSqlSpec pins it against the DataFrame climTS):
+    *
+    *  - `profile_mean_packed(w, prof)` → struct(CT[64], SR[64]) — the
+    *    fixed-point weighted cell mean (A1, [[graft.argo.Atlas]]);
+    *  - `eape_mean_packed_r14 / _t25 (w, prof, aux, cell)` → EAPE[64] —
+    *    the pass-2 EAPE mean (A2/A3).
+    *
+    * `spark.udf.register` is session-scoped (UDAFs have no
+    * `injectFunction` path), so every entry point routes through here;
+    * the weak-map guard keeps the per-query `tune` calls from
+    * re-building the Aggregator encoders each time. */
+  def registerUdafs(spark: SparkSession): Unit =
+    if (udafDone.put(spark, java.lang.Boolean.TRUE) == null) {
+      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+      import org.apache.spark.sql.functions.udaf
+      spark.udf.register("profile_mean_packed",
+        udaf(new graft.argo.Atlas.ProfileMeanPacked2,
+          ExpressionEncoder[(Double, Array[Byte])]()))
+      spark.udf.register("eape_mean_packed_r14",
+        udaf(new graft.argo.Atlas.EapeMeanPacked("R14"),
+          ExpressionEncoder[(Double, Array[Byte], Array[Byte], Array[Byte])]()))
+      spark.udf.register("eape_mean_packed_t25",
+        udaf(new graft.argo.Atlas.EapeMeanPacked("T25"),
+          ExpressionEncoder[(Double, Array[Byte], Array[Byte], Array[Byte])]()))
+    }
 }

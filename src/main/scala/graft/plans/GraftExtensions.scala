@@ -19,8 +19,11 @@ import graft.functions.{BloomProbeExpr, CanonicalUrlExpr, CharHashExpr,
   *    the spatial rewrite reachable from
   *    `spark.sql("... WHERE haversine_arg(a,b,c,d) < 0.01")`),
   *    `nfc_normalize`, `char_hash`, `zorder2`/`zorder3`,
-  *    `bloom_might_contain`, `dot_packed` (SqlFunctionsSpec pins each
-  *    against its Column-API twin).
+  *    `bloom_might_contain`, `dot_packed`, `canonical_url`
+  *    (SqlFunctionsSpec / UrlDedupSpec pin each against its Column-API
+  *    twin). The atlas AGGREGATION kernels are SQL-visible too, via
+  *    session registration ([[graft.GraftSession.registerUdafs]] —
+  *    UDAFs have no injectFunction path).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
