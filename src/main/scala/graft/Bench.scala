@@ -153,6 +153,64 @@ object Bench {
     if (es.isEmpty) fallback else es(es.size / 2)
   }
 
+  /** Per-QUERY relative band for the scale10 stage (VERDICT r13 task 1):
+    * the window-level effmin verdict is too coarse for multi-second
+    * queries — r13's closing window read CLEAN (effmin 0.82× band) while
+    * q43/q67 ran ~35% over their proven-clean walls, leaving the round's
+    * longest queries unattributable. Each scale query therefore carries
+    * a band = its best KNOWN clean wall (the SCALING.md exoneration runs
+    * / cleanest committed artifacts); a member finishing above
+    * [[Scale10BandRatio]] × band re-runs ONCE (the query, not the
+    * stage), and one that stays over publishes its own `<q>slow` marker
+    * so the artifact names the exact slow member. Bands are maintained
+    * like BASELINE numbers: update when a faster clean wall is measured
+    * AT THIS SF (sf0.1 blowup, 32 cores); they gate nothing at other
+    * scales ([[queryOverBand]] is a no-op without a band). */
+  private[graft] val Scale10Bands: Map[String, Double] = Map(
+    "q36" -> 6.55, "q38" -> 5.21, "q41" -> 2.37, "q43" -> 7.90,
+    "q67" -> 8.53, "q97" -> 2.06, "q102" -> 3.44, "q118" -> 0.65,
+    "q122" -> 2.24, "q125" -> 2.64, "q128" -> 0.58, "q134" -> 6.68)
+
+  private[graft] val Scale10BandRatio = 1.25
+
+  /** True when a scale10 wall exceeds its per-query band — the trigger
+    * for the single-query re-run and, if it persists, the `<q>slow`
+    * marker. No band (band ≤ 0) → never flags. */
+  private[graft] def queryOverBand(wall: Double, band: Double,
+                                   ratio: Double = Scale10BandRatio): Boolean =
+    band > 0 && wall > ratio * band
+
+  /** Main-loop per-query outlier verdict (VERDICT r13 task 2): r13
+    * published q119 at 0.93 s against 0.10 at the same HEAD — a 13×
+    * phantom — because both reps AND the 0.4 s second-chance re-run all
+    * landed inside one sustained burst. Each query's published wall is
+    * therefore checked against the PREVIOUS round's artifact
+    * (BENCH_FULL.json, in-repo) and a >3× outlier gets one more
+    * deferred run AFTER the post-loop stages — minutes of decorrelation
+    * the in-loop retries cannot buy — with the re-run names published
+    * under `rerun`. The absolute floor keeps sub-0.3 s jitter (a 0.05 →
+    * 0.16 s wiggle) from buying re-runs that prove nothing. */
+  private[graft] def mainOutlier(wall: Double, prevWall: Double,
+                                 ratio: Double = 3.0,
+                                 floor: Double = 0.3): Boolean =
+    prevWall > 0 && wall > ratio * prevWall && wall > floor
+
+  /** The previous round's per-query walls from an artifact line —
+    * `"queries":{"q01":0.35,…}` — guarded by the sf tag so a bench at a
+    * different scale never compares against sf0.1 numbers. */
+  private[graft] def parsePrevWalls(artifact: String,
+                                    sfDir: String): Map[String, Double] =
+    if (!artifact.contains(s""""sf":"$sfDir"""")) Map.empty
+    else """"queries":\{([^}]*)\}""".r.findFirstMatchIn(artifact)
+      .map(_.group(1).split(",").toSeq.flatMap { kv =>
+        kv.split(":") match {
+          case Array(k, v) =>
+            try Some(k.replace("\"", "") -> v.toDouble)
+            catch { case _: Throwable => None }
+          case _ => None
+        }
+      }.toMap).getOrElse(Map.empty)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -412,6 +470,42 @@ object Bench {
       contended = isContended(c2)
     }
     val results2 = resultsM
+    // Per-query band re-runs (VERDICT r13 task 2): each published wall
+    // checked against the PREVIOUS round's artifact — available in-repo
+    // as BENCH_FULL.json — and >3× outliers (above a 0.3 s floor) get
+    // ONE more run here at suite end, after the in-loop reps and the
+    // 0.4 s second-chance pass have both had their turn; the re-run
+    // names are published under `rerun` so a reader sees exactly which
+    // walls needed a third look. r13's phantom 13× (q119 0.93 vs 0.10)
+    // sat entirely inside one sustained burst that swallowed every
+    // in-loop retry — the previous artifact is the one anchor a
+    // same-session burst cannot touch.
+    val prevWalls: Map[String, Double] = try {
+      parsePrevWalls(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_FULL.json")),
+        java.nio.charset.StandardCharsets.UTF_8), sfDir)
+    } catch { case _: Throwable => Map.empty }
+    val bandReruns = scala.collection.mutable.ArrayBuffer[String]()
+    val resultsFinal = results2.map { case (name, best) =>
+      val short = name.takeWhile(_ != '_')
+      val prev = prevWalls.getOrElse(short, -1.0)
+      if (!best.exists { case (dt, _) => mainOutlier(dt, prev) })
+        name -> best
+      else {
+        bandReruns += short
+        val t0 = System.nanoTime()
+        val rows = try SparkEntry.queries(name)(spark, sfDir).count()
+          catch { case _: Throwable => -1L }
+        val dt2 = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name%-24s $dt2%8.2f s (band re-run; " +
+          f"prev round $prev%.2f s)")
+        // only a SUCCESSFUL faster run may improve the published wall
+        if (rows >= 0 && best.forall(dt2 < _._1)) name -> Some((dt2, rows))
+        else name -> best
+      }
+    }
+    if (bandReruns.nonEmpty)
+      System.err.println(s"[bench] band re-runs: ${bandReruns.sorted.mkString(", ")}")
     // ONE compact JSON line, printed LAST: the driver keeps only the final
     // ~2000 chars of stdout (BENCH_r03 measured tail=2000), and sbt appends
     // a ~70-char "[success]" line after us. Full query names alone are
@@ -437,12 +531,12 @@ object Bench {
         if (t.endsWith(".")) t.dropRight(1) else t
       } else s
     }
-    val qs = results2.toSeq.sortBy(_._1)
+    val qs = resultsFinal.toSeq.sortBy(_._1)
       .collect { case (k, Some((v, _))) => s"\"" + k.takeWhile(_ != '_') + "\":" + r2t(v) }
       .mkString("{", ",", "}")
     // failed queries are OMITTED from "queries" (no bogus seconds) and
     // named here so the driver-parsed line itself shows the breakage
-    val failed = results2.toSeq.sortBy(_._1)
+    val failed = resultsFinal.toSeq.sortBy(_._1)
       .collect { case (k, None) => s"\"" + k.takeWhile(_ != '_') + "\"" }
     // fail CLOSED on the headline: a failed query must never make the
     // published total SMALLER than a healthy run's (dropping its seconds
@@ -450,13 +544,13 @@ object Bench {
     // "value" across runs and ignores the new "failed" key), so each
     // failure bills a penalty far above any real query's time
     val FailPenaltySec = 3600.0
-    val total = results2.values.flatten.map(_._1).sum + FailPenaltySec * failed.size
+    val total = resultsFinal.values.flatten.map(_._1).sum + FailPenaltySec * failed.size
     // Per-stage throughput, so the BASELINE.md comparison is mechanical:
     // the reference publishes pipeline throughput (profiles interpolated
     // per second per core), not per-query seconds. q70's row count IS the
     // number of interpolated profiles; q71's is atlas (cell, level) rows.
     def tput(q: String): Option[(Double, Long)] =
-      results2.get(q).flatten.collect { case (dt, rows) if dt > 0 && rows > 0 =>
+      resultsFinal.get(q).flatten.collect { case (dt, rows) if dt > 0 && rows > 0 =>
         (rows / dt, rows)
       }
     // Scale probe: the atlas pair join's NON-broadcast branch — the plan a
@@ -726,13 +820,20 @@ object Bench {
           // main-suite number (fully decorrelated) is the tell.
           val Scale10AlarmRatio = 12.0
           val secondPass = firstPass.map { case (name, dt, n) =>
-            val mainDt = results2.get(name).flatten.map(_._1)
+            val mainDt = resultsFinal.get(name).flatten.map(_._1)
             // all-reps-failed gets the decorrelated retry too (the main
             // loop's rule at its second-chance pass): a transient
             // condition that cleared since must not bill the 3600 s
-            // fail-closed penalty without one more look
+            // fail-closed penalty without one more look.
+            // PER-QUERY band alarm (VERDICT r13 task 1): a member over
+            // 1.25× its best known clean wall re-runs alone — the r13
+            // gap was a window the effmin verdict called clean while
+            // q43/q67 ran 1.35× their bands, under the 12× main-ratio
+            // line by two orders
+            val band = Scale10Bands.getOrElse(name.takeWhile(_ != '_'), -1.0)
             val alarm = n < 0 ||
-              mainDt.exists(m => dt > Scale10AlarmRatio * m)
+              mainDt.exists(m => dt > Scale10AlarmRatio * m) ||
+              queryOverBand(dt, band)
             if (!alarm) (name, dt, n)
             else {
               val (dt2, n2) = one(name)
@@ -747,9 +848,20 @@ object Bench {
             }
           }
           // a failed scale10 query bills the same closed-fail penalty as
-          // the main suite so breakage can't read as a speedup
-          secondPass.map { case (name, dt, n) =>
-            name.takeWhile(_ != '_') -> (if (n >= 0) dt else FailPenaltySec)
+          // the main suite so breakage can't read as a speedup.
+          // A member STILL over its band after the re-run publishes its
+          // own `<q>slow` marker (fired-verdict-only, the stdout-budget
+          // discipline) — the artifact then NAMES the slow member
+          // instead of certifying the window by effmin alone.
+          secondPass.flatMap { case (name, dt, n) =>
+            val q = name.takeWhile(_ != '_')
+            val slowKey =
+              if (n >= 0 && queryOverBand(dt, Scale10Bands.getOrElse(q, -1.0))) {
+                System.err.println(f"[bench] scale10 $q STILL over its " +
+                  f"band ${Scale10Bands(q)}%.2f s after re-run — flagged ${q}slow")
+                Seq(s"${q}slow" -> 1.0)
+              } else Nil
+            Seq(q -> (if (n >= 0) dt else FailPenaltySec)) ++ slowKey
           } ++ s10Counts
         } finally {
           priorBits match {
@@ -1234,7 +1346,7 @@ object Bench {
     // blocks ~100 chars of headroom, and "6.9" is the same number)
     def stageKV(k: String, v: Double): String =
       if (k.endsWith("cand") || k.endsWith("out") || k.startsWith("cont") ||
-          k == "slow")
+          k.endsWith("slow")) // incl. the per-query q43slow-style markers
         s"\"$k\":${v.toLong}"
       else s"\"$k\":${r2t(v)}"
     // the stdout (walls-only) form also drops the …candsec attribution
@@ -1247,12 +1359,17 @@ object Bench {
     // artifact always carries both explicitly.
     val implicitClean = (t: (String, Double)) =>
       (t._1 == "cont" || t._1 == "slow") && t._2 == 0.0
+    // effmin joined the stdout-dropped forensics INPUTS in round 14: the
+    // verdict's OUTPUTS are the cont/slow flags (and since r14 the
+    // per-query qNNslow markers), effmin is what they were computed FROM
+    // — and its ~14 chars/block were exactly what evicted the stores
+    // headline once the r14 queries joined the map
     def scale10FragOf(withCounts: Boolean): Option[String] =
       scale10.filter(t => withCounts ||
         !(t._1.endsWith("cand") || t._1.endsWith("out") ||
           t._1.endsWith("candsec") ||
           t._1 == "wall1" || t._1 == "effmin1" || t._1 == "band" ||
-          implicitClean(t))) match {
+          t._1 == "effmin" || implicitClean(t))) match {
         case Seq() => None
         case ts => Some(ts.map { case (k, v) => stageKV(k, v) }
           .mkString("\"scale10\":{", ",", "}"))
@@ -1274,7 +1391,7 @@ object Bench {
     // where stores detail is read from; at 129 queries the base line
     // leaves no room for more than one pair
     val StoresHeadline = Set("q129_cold", "q129",
-      "wall", "effmin", "cont", "slow")
+      "wall", "cont", "slow")
     def storesFrag(keys: String => Boolean, full: Boolean): Option[String] =
       storeTimes.filter(t => keys(t._1) && (full || !implicitClean(t))) match {
         case Seq() => None
@@ -1309,8 +1426,14 @@ object Bench {
       }
     val failedPart =
       if (failed.isEmpty) "" else failed.mkString(""","failed":[""", ",", "]")
+    // fired-verdict-only (the stdout-budget discipline): the key appears
+    // exactly when a wall needed its previous-artifact band re-run
+    val rerunPart =
+      if (bandReruns.isEmpty) ""
+      else bandReruns.sorted.map("\"" + _ + "\"")
+        .mkString(""","rerun":[""", ",", "]")
     def lineOf(blocks: Seq[String]): String =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs$failedPart,"stages":${blocks.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs$failedPart$rerunPart,"stages":${blocks.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     val fullLine = lineOf(Seq(Some(calibFragFull), scale10FragOf(true),
       interpFrag, storesFrag(_ => true, full = true), atlasFrag, apFrag,
       fallbackFrag,

@@ -32,4 +32,52 @@ class BenchVerdictSpec extends AnyFunSuite {
     // even count: the upper median (a stable, documented choice)
     assert(Bench.calibBand(Seq(20.0, 24.0), 32.0) == 24.0)
   }
+
+  test("per-query scale10 band: the r13 gap trips, clean walls do not") {
+    // the exact r13 numbers the task names: q43 published 11.0 in a
+    // CLEAN-verdict window against its proven-clean 7.90 — the window
+    // effmin missed it, the per-query band must not
+    val q43Band = Bench.Scale10Bands("q43")
+    assert(q43Band == 7.90)
+    assert(Bench.queryOverBand(11.0, q43Band),
+      "r13's q43 wall must flag against its clean band")
+    // q67's 9.84 sat at 1.15× its band — under the 1.25× re-run trigger
+    // by design (the flag is for walls the clean band can't explain, not
+    // for every window's noise); the Done thresholds stay unflagged
+    assert(!Bench.queryOverBand(9.84, Bench.Scale10Bands("q67")))
+    assert(!Bench.queryOverBand(9.5, q43Band))
+    assert(!Bench.queryOverBand(9.0, Bench.Scale10Bands("q67")))
+    // boundary at exactly ratio × band: strictly-over flags
+    assert(!Bench.queryOverBand(Bench.Scale10BandRatio * q43Band, q43Band))
+    assert(Bench.queryOverBand(Bench.Scale10BandRatio * q43Band + 1e-9, q43Band))
+    // a query with no band never flags (new members before their first
+    // clean measurement)
+    assert(!Bench.queryOverBand(100.0, -1.0))
+  }
+
+  test("main-loop outlier: r13's phantom walls trip, normal drift does not") {
+    // the four r13 phantoms, against their previous-artifact walls
+    assert(Bench.mainOutlier(0.93, 0.10)) // q119, 13×
+    assert(Bench.mainOutlier(1.64, 0.27)) // q120
+    assert(Bench.mainOutlier(1.13, 0.21)) // q80
+    assert(Bench.mainOutlier(1.65, 0.31)) // q82
+    // ordinary round-to-round drift stays quiet
+    assert(!Bench.mainOutlier(1.20, 1.00))
+    assert(!Bench.mainOutlier(2.83, 2.65))
+    // sub-floor jitter on cheap queries never buys a re-run
+    assert(!Bench.mainOutlier(0.16, 0.05))
+    // no previous wall (new query / first round at this sf) → quiet
+    assert(!Bench.mainOutlier(5.0, -1.0))
+    assert(!Bench.mainOutlier(5.0, 0.0))
+  }
+
+  test("previous-artifact parse: short-key walls, sf-guarded") {
+    val art = """{"metric":"total","value":62.45,"unit":"sec","queries":{"q01":0.35,"q119":0.1,"q43":7.9},"stages":{"calib":{"effmin":24.0}},"sf":"/root/testdata/sf0.1"}"""
+    val w = Bench.parsePrevWalls(art, "/root/testdata/sf0.1")
+    assert(w == Map("q01" -> 0.35, "q119" -> 0.1, "q43" -> 7.9))
+    // a different sf must not anchor anything
+    assert(Bench.parsePrevWalls(art, "/root/testdata/sf0.01").isEmpty)
+    // garbage never throws — no artifact, no bands
+    assert(Bench.parsePrevWalls("not json", "/x").isEmpty)
+  }
 }
