@@ -470,42 +470,6 @@ object Bench {
       contended = isContended(c2)
     }
     val results2 = resultsM
-    // Per-query band re-runs (VERDICT r13 task 2): each published wall
-    // checked against the PREVIOUS round's artifact — available in-repo
-    // as BENCH_FULL.json — and >3× outliers (above a 0.3 s floor) get
-    // ONE more run here at suite end, after the in-loop reps and the
-    // 0.4 s second-chance pass have both had their turn; the re-run
-    // names are published under `rerun` so a reader sees exactly which
-    // walls needed a third look. r13's phantom 13× (q119 0.93 vs 0.10)
-    // sat entirely inside one sustained burst that swallowed every
-    // in-loop retry — the previous artifact is the one anchor a
-    // same-session burst cannot touch.
-    val prevWalls: Map[String, Double] = try {
-      parsePrevWalls(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("BENCH_FULL.json")),
-        java.nio.charset.StandardCharsets.UTF_8), sfDir)
-    } catch { case _: Throwable => Map.empty }
-    val bandReruns = scala.collection.mutable.ArrayBuffer[String]()
-    val resultsFinal = results2.map { case (name, best) =>
-      val short = name.takeWhile(_ != '_')
-      val prev = prevWalls.getOrElse(short, -1.0)
-      if (!best.exists { case (dt, _) => mainOutlier(dt, prev) })
-        name -> best
-      else {
-        bandReruns += short
-        val t0 = System.nanoTime()
-        val rows = try SparkEntry.queries(name)(spark, sfDir).count()
-          catch { case _: Throwable => -1L }
-        val dt2 = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name%-24s $dt2%8.2f s (band re-run; " +
-          f"prev round $prev%.2f s)")
-        // only a SUCCESSFUL faster run may improve the published wall
-        if (rows >= 0 && best.forall(dt2 < _._1)) name -> Some((dt2, rows))
-        else name -> best
-      }
-    }
-    if (bandReruns.nonEmpty)
-      System.err.println(s"[bench] band re-runs: ${bandReruns.sorted.mkString(", ")}")
     // ONE compact JSON line, printed LAST: the driver keeps only the final
     // ~2000 chars of stdout (BENCH_r03 measured tail=2000), and sbt appends
     // a ~70-char "[success]" line after us. Full query names alone are
@@ -531,28 +495,15 @@ object Bench {
         if (t.endsWith(".")) t.dropRight(1) else t
       } else s
     }
-    val qs = resultsFinal.toSeq.sortBy(_._1)
-      .collect { case (k, Some((v, _))) => s"\"" + k.takeWhile(_ != '_') + "\":" + r2t(v) }
-      .mkString("{", ",", "}")
-    // failed queries are OMITTED from "queries" (no bogus seconds) and
-    // named here so the driver-parsed line itself shows the breakage
-    val failed = resultsFinal.toSeq.sortBy(_._1)
-      .collect { case (k, None) => s"\"" + k.takeWhile(_ != '_') + "\"" }
     // fail CLOSED on the headline: a failed query must never make the
     // published total SMALLER than a healthy run's (dropping its seconds
     // would record the breakage as a speedup in any parser that compares
     // "value" across runs and ignores the new "failed" key), so each
     // failure bills a penalty far above any real query's time
+    // (defined before the stage closures — the scale10/stores bodies
+    // bill it for their own failures; the headline totals are assembled
+    // AFTER the band re-runs below)
     val FailPenaltySec = 3600.0
-    val total = resultsFinal.values.flatten.map(_._1).sum + FailPenaltySec * failed.size
-    // Per-stage throughput, so the BASELINE.md comparison is mechanical:
-    // the reference publishes pipeline throughput (profiles interpolated
-    // per second per core), not per-query seconds. q70's row count IS the
-    // number of interpolated profiles; q71's is atlas (cell, level) rows.
-    def tput(q: String): Option[(Double, Long)] =
-      resultsFinal.get(q).flatten.collect { case (dt, rows) if dt > 0 && rows > 0 =>
-        (rows / dt, rows)
-      }
     // Scale probe: the atlas pair join's NON-broadcast branch — the plan a
     // global 1/4° grid runs (the exploded grid side exceeds any broadcast
     // budget and falls back to a shuffle hash join on bin keys). The cap
@@ -820,7 +771,7 @@ object Bench {
           // main-suite number (fully decorrelated) is the tell.
           val Scale10AlarmRatio = 12.0
           val secondPass = firstPass.map { case (name, dt, n) =>
-            val mainDt = resultsFinal.get(name).flatten.map(_._1)
+            val mainDt = results2.get(name).flatten.map(_._1)
             // all-reps-failed gets the decorrelated retry too (the main
             // loop's rule at its second-chance pass): a transient
             // condition that cleared since must not bill the 3600 s
@@ -829,8 +780,13 @@ object Bench {
             // 1.25× its best known clean wall re-runs alone — the r13
             // gap was a window the effmin verdict called clean while
             // q43/q67 ran 1.35× their bands, under the 12× main-ratio
-            // line by two orders
-            val band = Scale10Bands.getOrElse(name.takeWhile(_ != '_'), -1.0)
+            // line by two orders. Bands are CALIBRATED at sf0.1 / 32
+            // cores and gate nothing elsewhere (a 4-core dev run would
+            // flag every member against 32-core walls)
+            val band =
+              if (sfDir.endsWith("sf0.1") && nThreads == 32)
+                Scale10Bands.getOrElse(name.takeWhile(_ != '_'), -1.0)
+              else -1.0
             val alarm = n < 0 ||
               mainDt.exists(m => dt > Scale10AlarmRatio * m) ||
               queryOverBand(dt, band)
@@ -855,10 +811,15 @@ object Bench {
           // instead of certifying the window by effmin alone.
           secondPass.flatMap { case (name, dt, n) =>
             val q = name.takeWhile(_ != '_')
+            // same sf/core calibration guard as the alarm above
+            val band =
+              if (sfDir.endsWith("sf0.1") && nThreads == 32)
+                Scale10Bands.getOrElse(q, -1.0)
+              else -1.0
             val slowKey =
-              if (n >= 0 && queryOverBand(dt, Scale10Bands.getOrElse(q, -1.0))) {
+              if (n >= 0 && queryOverBand(dt, band)) {
                 System.err.println(f"[bench] scale10 $q STILL over its " +
-                  f"band ${Scale10Bands(q)}%.2f s after re-run — flagged ${q}slow")
+                  f"band $band%.2f s after re-run — flagged ${q}slow")
                 Seq(s"${q}slow" -> 1.0)
               } else Nil
             Seq(q -> (if (n >= 0) dt else FailPenaltySec)) ++ slowKey
@@ -1270,6 +1231,58 @@ object Bench {
           s"${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
         Nil
       } }
+    // Per-query band re-runs (VERDICT r13 task 2), placed HERE — after
+    // the post-loop stages — deliberately: each published wall is
+    // checked against the PREVIOUS round's artifact (BENCH_FULL.json,
+    // in-repo) and >3× outliers (above a 0.3 s floor) get ONE more run
+    // a full scale10+atlas+stores pipeline later than their in-loop
+    // reps and 0.4 s second-chance runs — minutes of decorrelation no
+    // within-loop retry can buy (r13's phantom 13×, q119 0.93 vs 0.10,
+    // sat entirely inside one burst that swallowed every in-loop
+    // retry). Re-run names publish under `rerun`. The previous artifact
+    // is the one anchor a same-session burst cannot touch.
+    val prevWalls: Map[String, Double] = try {
+      parsePrevWalls(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_FULL.json")),
+        java.nio.charset.StandardCharsets.UTF_8), sfDir)
+    } catch { case _: Throwable => Map.empty }
+    val bandReruns = scala.collection.mutable.ArrayBuffer[String]()
+    val resultsFinal = results2.map { case (name, best) =>
+      val short = name.takeWhile(_ != '_')
+      val prev = prevWalls.getOrElse(short, -1.0)
+      if (!best.exists { case (dt, _) => mainOutlier(dt, prev) })
+        name -> best
+      else {
+        bandReruns += short
+        val t0 = System.nanoTime()
+        val rows = try SparkEntry.queries(name)(spark, sfDir).count()
+          catch { case _: Throwable => -1L }
+        val dt2 = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name%-24s $dt2%8.2f s (band re-run; " +
+          f"prev round $prev%.2f s)")
+        // only a SUCCESSFUL faster run may improve the published wall
+        if (rows >= 0 && best.forall(dt2 < _._1)) name -> Some((dt2, rows))
+        else name -> best
+      }
+    }
+    if (bandReruns.nonEmpty)
+      System.err.println(s"[bench] band re-runs: ${bandReruns.sorted.mkString(", ")}")
+    val qs = resultsFinal.toSeq.sortBy(_._1)
+      .collect { case (k, Some((v, _))) => s"\"" + k.takeWhile(_ != '_') + "\":" + r2t(v) }
+      .mkString("{", ",", "}")
+    // failed queries are OMITTED from "queries" (no bogus seconds) and
+    // named here so the driver-parsed line itself shows the breakage
+    val failed = resultsFinal.toSeq.sortBy(_._1)
+      .collect { case (k, None) => s"\"" + k.takeWhile(_ != '_') + "\"" }
+    val total = resultsFinal.values.flatten.map(_._1).sum + FailPenaltySec * failed.size
+    // Per-stage throughput, so the BASELINE.md comparison is mechanical:
+    // the reference publishes pipeline throughput (profiles interpolated
+    // per second per core), not per-query seconds. q70's row count IS the
+    // number of interpolated profiles; q71's is atlas (cell, level) rows.
+    def tput(q: String): Option[(Double, Long)] =
+      resultsFinal.get(q).flatten.collect { case (dt, rows) if dt > 0 && rows > 0 =>
+        (rows / dt, rows)
+      }
     val nCores = cpus.toDouble
     def r1(x: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, x)
     // Stage blocks, rendered once each. TWO artifacts are built from

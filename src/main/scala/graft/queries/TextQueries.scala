@@ -2888,7 +2888,16 @@ object TextQueries extends QueryModule {
   private val SubDfCap = 16
 
   /** Sampled anchors (doc_id, pos, h): the md5 of each k-token window,
-    * kept when the first hex nibble is 0/4/8/c (content-defined 1-in-4). */
+    * kept when the first hex nibble is 0/4/8/c (content-defined 1-in-4),
+    * then deduped to each hash's FIRST position per document. The
+    * per-doc dedup is the intra-document twin of the df cap: without it
+    * a spam/machine-generated document repeating one window m times
+    * contributes m positions under ONE join key, and two such documents
+    * blow the self-join up m² — the df cap (which counts DOCUMENTS)
+    * cannot see it. First-occurrence anchors bound every (h, doc) cell
+    * at one row, so per-key fan-out is ≤ df² ≤ 256 ROWS, period; a
+    * repeated window's other alignments are recovered by the in-row
+    * extension whenever any other anchor proposes their delta. */
   private def substringAnchors(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(col("doc_id"), T.tokens(col("text")).as("t"))
@@ -2900,15 +2909,19 @@ object TextQueries extends QueryModule {
         md5(concat_ws(" ",
           slice(col("t"), col("pos") + 1, lit(SubAnchorK)))).as("h"))
       .filter(substring(col("h"), 1, 1).isin("0", "4", "8", "c"))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(min(col("pos")).as("pos"))
 
   /** Candidate alignments — DISTINCT (doc_a, doc_b, delta) from the
     * df-capped anchor self-join. Split out so the bench's scale10 stage
     * publishes its row count beside the wall (the q43cand discipline). */
   private[graft] def substringCandidates(s: SparkSession, d: String): DataFrame = {
     val anch = substringAnchors(s, d)
-    // df cap rides the same h-partitioned exchange the join reuses
+    // df cap rides the same h-partitioned exchange the join reuses;
+    // anchors are already one row per (doc, h), so a plain count IS the
+    // distinct-document count
     val keep = anch.groupBy(col("h"))
-      .agg(count_distinct(col("doc_id")).as("adf"))
+      .agg(count(lit(1)).as("adf"))
       .filter(col("adf") <= SubDfCap)
       .select(col("h"))
     val kept = anch.join(keep, Seq("h"))
@@ -2949,10 +2962,12 @@ object TextQueries extends QueryModule {
        |    md5(array_to_string(list_slice(t, p + 1, p + $SubAnchorK), ' ')) AS h
        |  FROM t, unnest(generate_series(0, n - $SubAnchorK)) u(p)
        |  WHERE n >= $SubAnchorK),
-       |sa AS (SELECT * FROM a WHERE substr(h, 1, 1) IN ('0', '4', '8', 'c')),
+       |sa AS (
+       |  SELECT doc_id, h, min(pos) AS pos
+       |  FROM a WHERE substr(h, 1, 1) IN ('0', '4', '8', 'c')
+       |  GROUP BY 1, 2),
        |keep AS (
-       |  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS adf
-       |                 FROM sa GROUP BY 1)
+       |  SELECT h FROM (SELECT h, count(*) AS adf FROM sa GROUP BY 1)
        |  WHERE adf <= $SubDfCap),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,

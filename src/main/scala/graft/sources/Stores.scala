@@ -71,7 +71,11 @@ object Stores {
     val out = fs.create(tmp, true)
     try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    fs.rename(tmp, new Path(dir, s"$ManifestPrefix$next"))
+    // the rename IS the commit: HDFS-style FileSystems signal failure by
+    // returning false, not throwing — treating that as success would let
+    // rewriteDir vacuum files the still-current OLD manifest names
+    require(fs.rename(tmp, new Path(dir, s"$ManifestPrefix$next")),
+      s"manifest commit rename failed for $ManifestPrefix$next under $dir")
     fs.listStatus(dir)
       .filter(f => f.isFile && f.getPath.getName.startsWith(ManifestPrefix))
       .filter { f =>
@@ -394,7 +398,8 @@ object Stores {
         // the standard lakehouse plan-vs-scan gap, bounded to the swap
         // instant (fresh job names can never collide with the old set).
         newParts.foreach(f =>
-          fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
+          require(fs.rename(f.getPath, new Path(dir, f.getPath.getName)),
+            s"move-in rename failed for ${f.getPath} — aborting pre-commit"))
         writeManifest(fs, dir, newParts.map(_.getPath.getName).toSeq.sorted)
         files.foreach(f => fs.delete(f.getPath, false))
         fs.delete(tmp, true)

@@ -199,13 +199,24 @@ object TermStore {
     val landed = s.table(table)
     val hasLedger = s.catalog.tableExists(s"${table}_docs")
     if (hasLedger) {
-      // repair the ledger: postings-witnessed ids a crash kept out of it
-      val missing = landed.select(col("doc_id")).distinct()
-        .join(s.table(s"${table}_docs"), Seq("doc_id"), "left_anti")
-        .localCheckpoint()
-      missing.write.mode("append").format("parquet")
+      // repair AND compact the ledger in one rewrite: the union restores
+      // postings-witnessed ids a crash kept out of it, and the overwrite
+      // collapses the one-file-set-per-sync growth appendBatch accrues
+      // (the ledger has no bucket structure for compactBuckets to
+      // address, so reconcile IS its maintenance point — call it
+      // periodically on long-lived stores, like the compactors)
+      val full = landed.select(col("doc_id"))
+        .unionByName(s.table(s"${table}_docs"))
+        .distinct()
+        .localCheckpoint() // severs the self-read before the overwrite
+      val m = s.sessionState.catalog.getTableMetadata(
+        s.sessionState.sqlParser.parseTableIdentifier(s"${table}_docs"))
+      val w = full.write.mode("overwrite").format("parquet")
+      (if (m.tableType ==
+          org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL)
+        w.option("path", m.location.toString) else w)
         .saveAsTable(s"${table}_docs")
-      graft.operators.Graph.release(missing)
+      graft.operators.Graph.release(full)
     }
     val df = landed.groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
       .localCheckpoint()

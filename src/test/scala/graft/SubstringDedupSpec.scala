@@ -99,6 +99,31 @@ class SubstringDedupSpec extends SparkSuite {
     assert(expr.eval(InternalRow(null, arr("a"), 0L)) == null)
   }
 
+  test("intra-document repetition collapses to first-occurrence anchors") {
+    // the spam shape the df cap cannot see: TWO documents (df = 2, well
+    // under the cap) each repeating one 8-token window many times — the
+    // per-(doc, hash) first-occurrence dedup must keep the join at one
+    // row per (doc, hash), and the extension still finds the shared run
+    val d = TempDirs.create("graft-subspam").toString
+    val unit = (0 until 8).map(i => s"s$i").mkString(" ")
+    val spam = Seq.fill(50)(unit).mkString(" ") // 400 tokens, 1 window ×393
+    Seq((1L, spam), (2L, spam))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // candidate alignments stay bounded: one row per (doc, hash) means
+    // at most df² = 4 join rows per sampled hash — never 393²
+    val cand = graft.queries.TextQueries.substringCandidates(spark, d)
+      .collect()
+    assert(cand.length <= 16,
+      s"repetition must not multiply candidates: ${cand.length}")
+    // and the full shared text is still recovered at delta 0
+    val out = SparkEntry.queries("q134_substring_dedup")(spark, d)
+      .select($"doc_a", $"doc_b", $"start_a", $"span_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.contains((1L, 2L, 0L, 400L)), s"got $out")
+  }
+
   test("anchor df cap drops boilerplate-grade anchors") {
     // 20 docs all sharing one 30-token boilerplate passage: every anchor
     // of it lives in 20 > 16 docs, so NO candidate forms — the cap keeps
