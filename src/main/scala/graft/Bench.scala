@@ -169,7 +169,7 @@ object Bench {
   private[graft] val Scale10Bands: Map[String, Double] = Map(
     "q36" -> 6.55, "q38" -> 5.21, "q41" -> 2.37, "q43" -> 7.90,
     "q67" -> 8.53, "q97" -> 2.06, "q102" -> 3.44, "q118" -> 0.65,
-    "q122" -> 2.24, "q125" -> 2.64, "q128" -> 0.58, "q134" -> 6.68)
+    "q122" -> 2.24, "q125" -> 2.64, "q128" -> 0.58, "q134" -> 5.97)
 
   private[graft] val Scale10BandRatio = 1.25
 
