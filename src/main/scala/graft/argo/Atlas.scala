@@ -206,8 +206,17 @@ class Atlas(
     explodeLevels(cells, Seq("CT_m" -> "CT", "SR_m" -> "SR"))
 
   /** A2 (R14) / A3 (T25): two chained aggregations sharing one pair set.
-    * @param algo "R14" or "T25" */
-  def climEAPE(s: SparkSession, profiles: DataFrame, algo: String = "R14"): DataFrame = {
+    * @param algo "R14" or "T25"
+    * @param tsCells optional precomputed pass-1 cell means — [[Atlas.aggTS]]
+    *   over THIS atlas's pairs on THESE profiles (the caller's contract).
+    *   The reference computes the per-cell stats once and every EAPE pass
+    *   reuses them (atlas.py:289-306, the kdx/coef/N reuse); a caller
+    *   serving several EAPE queries from one session passes its memoized
+    *   cell frame here so pass 1 is not re-aggregated per algo. Values are
+    *   identical by construction: the aggregation is fixed-point and
+    *   partition-invariant. */
+  def climEAPE(s: SparkSession, profiles: DataFrame, algo: String = "R14",
+               tsCells: Option[DataFrame] = None): DataFrame = {
     require(algo == "R14" || algo == "T25", s"unknown EAPE algo $algo")
     // Per-profile precompute, BEFORE the ~(cells-in-radius)× pair fan-out:
     // the parcel density ρ(sr,ct,PREF) (both algos) and the gammat
@@ -250,8 +259,9 @@ class Atlas(
     // never reads the aux payload, so it gets the BARE pairs — the per-
     // profile kernel precompute (64 rho evals for R14, 64 gammat
     // bisections for T25) then runs exactly once, in pass-2, instead of
-    // being re-executed by both aggregation passes.
-    val prTS = pairs(s, prof)
+    // being re-executed by both aggregation passes. A caller-supplied
+    // tsCells frame replaces pass 1 outright (no bare pair set is built
+    // at all — the fan-out join runs once, in pass 2).
     val pr = pairs(s, prof, aux = Some(auxCol))
     try {
       val eosB = eos
@@ -266,7 +276,7 @@ class Atlas(
         Pref.indices.map { k =>
           Seawater.gammatAnalytic(sr(k), ct(k), eosB)._1.toFloat
         })
-      val means0 = Atlas.aggTS(prTS)
+      val means0 = tsCells.getOrElse(Atlas.aggTS(pairs(s, prof)))
       val means = algo match {
         case "R14" =>
           val m = means0.withColumn("RHO", rhoUdf(col("SR_m"), col("CT_m")))

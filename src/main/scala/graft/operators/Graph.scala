@@ -229,12 +229,37 @@ object Graph {
     * @return (id, r) with r the final rank in micro-units; initial rank
     *         is 1e6 per node, per-node base is 1000·(1000−dampingPm)
     */
-  def pageRank(edges: DataFrame, iters: Int, dampingPm: Int = 850): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int, dampingPm: Int = 850,
+               allowDriverFastPath: Boolean = true): DataFrame = {
     // materialize the caller's edge pipeline ONCE (the connectedComponents
     // discipline): deg/nodes/e below each launch their own jobs, and an
     // unmaterialized `edges` (a join → distinct → union in q130) would
     // re-execute per derivation
     val es = edges.localCheckpoint()
+    // Size-conditional driver fast path — the [[connectedComponents]]
+    // discipline applied to the second iterative operator: a rank graph
+    // under the broadcast row cap is 5 integer passes over an in-memory
+    // edge array (microseconds), while the distributed loop pays
+    // (join + groupBy + left-join + checkpoint) × iters of orchestration
+    // for it — measured ~2 s per query at sf0.1 on a ~0.5M-edge graph.
+    // Every step below is the SAME truncating integer arithmetic as the
+    // loop, and integer sums are order-free, so the fast path computes the
+    // identical unique result (PageRankSpec pins driver ≡ distributed on
+    // both graph shapes). Vertices are edge-endpoints by construction
+    // (PageRank has no isolated-vertex contract — nodes are derived FROM
+    // the edge list in both paths). q133 pins the loop off this path so
+    // the distributed dangling branch keeps its oracle-verified row
+    // (the q38/q67 branch-coverage discipline); q130 takes the adaptive
+    // default. The cap is the shared Joins one (spark.graft.
+    // broadcastMaxRows): past it — any graph that could strain the
+    // driver — the distributed loop below runs unchanged.
+    val idsAreLong = es.schema.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (allowDriverFastPath && idsAreLong && es.count() <= Joins.maxRows(es)) {
+      val out = driverPageRank(es, iters, dampingPm)
+      release(es)
+      return out
+    }
     val deg = es.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
     val nodes = es.select(col("src").as("id"))
       .union(es.select(col("dst").as("id"))).distinct()
@@ -286,5 +311,77 @@ object Graph {
     release(nodes)
     release(dangling)
     ranks
+  }
+
+  /** Small-graph PageRank: the distributed loop's exact integer recurrence
+    * over a collected (capped — see caller) edge array. Contributions,
+    * dangling redistribution and the min-id remainder follow the loop's
+    * arithmetic operation for operation, so the result is bit-identical —
+    * integer sums are associative, so neither path depends on iteration
+    * order. Primitive arrays throughout: no per-edge boxing at the 2M cap. */
+  private def driverPageRank(es: DataFrame, iters: Int,
+                             dampingPm: Int): DataFrame = {
+    val rows = es.collect()
+    val m = rows.length
+    val src = new Array[Int](m)
+    val dst = new Array[Int](m)
+    // dense node indexing in first-seen order; ids kept for the output
+    val idx = scala.collection.mutable.LongMap.empty[Int]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def nodeOf(x: Long): Int = idx.getOrElse(x, {
+      val i = ids.length
+      idx(x) = i
+      ids += x
+      i
+    })
+    var i = 0
+    while (i < m) {
+      val r = rows(i)
+      src(i) = nodeOf(r.getLong(0))
+      dst(i) = nodeOf(r.getLong(1))
+      i += 1
+    }
+    val n = ids.length
+    val outDeg = new Array[Long](n)
+    i = 0
+    while (i < m) { outDeg(src(i)) += 1L; i += 1 }
+    var hasDangling = false
+    var minId = Long.MaxValue
+    var j = 0
+    while (j < n) {
+      if (outDeg(j) == 0L) hasDangling = true
+      if (ids(j) < minId) minId = ids(j)
+      j += 1
+    }
+    val base = 1000L * (1000 - dampingPm)
+    var ranks = Array.fill(n)(1000000L)
+    var it = 0
+    while (it < iters) {
+      // damped dangling mass, split evenly; remainder to the min-id node
+      // (sum FIRST, one truncating damp — the loop and oracle's order)
+      var dmass = 0L
+      if (hasDangling) {
+        var k = 0
+        while (k < n) { if (outDeg(k) == 0L) dmass += ranks(k); k += 1 }
+        dmass = dmass * dampingPm / 1000L
+      }
+      val share = if (hasDangling) dmass / n else 0L
+      val rem = if (hasDangling) dmass % n else 0L
+      val next = Array.fill(n)(base + share)
+      if (hasDangling) {
+        var k = 0
+        while (k < n) { if (ids(k) == minId) next(k) += rem; k += 1 }
+      }
+      var e = 0
+      while (e < m) {
+        next(dst(e)) += ranks(src(e)) * dampingPm / 1000L / outDeg(src(e))
+        e += 1
+      }
+      ranks = next
+      it += 1
+    }
+    val s = es.sparkSession
+    import s.implicits._
+    (0 until n).map(k => (ids(k), ranks(k))).toDF("id", "r")
   }
 }

@@ -65,7 +65,7 @@ object ArgoQueries extends QueryModule {
     * every later consumer re-derive the whole subtree per reference
     * instead of re-persisting it once. */
   private[graft] def releaseSessionFrames(s: SparkSession): Unit =
-    Seq(summaryCache, interpCache, climCache).foreach { cache =>
+    Seq(summaryCache, interpCache, cellCache, climCache).foreach { cache =>
       val per = cache.synchronized(Option(cache.get(s)))
       per.foreach { m =>
         m.synchronized {
@@ -137,12 +137,28 @@ object ArgoQueries extends QueryModule {
     * of re-running q71's whole aggregation just to gate the sink. q71
     * itself stays the atlas-throughput measurement: its bare `climTS`
     * plan has no subtree matching this wrapped frame (same structural
-    * bypass as q70 vs the interp store — PlanSpec pins it). */
+    * bypass as q70 vs the interp store — PlanSpec pins it).
+    *
+    * Two layers since round 14: [[tsCellsCached]] is the RAW pass-1 cell
+    * frame (gi/gj/CT_m/SR_m — the reference's per-cell kdx/coef/N stats,
+    * atlas.py:289-306), shared by the EAPE family (q72/q73 pass their
+    * memoized cells into climEAPE so pass 1 aggregates once per session,
+    * not once per algo) AND by the finalized export frame below (q76),
+    * which is just finalizeTS over it. One aggregation now feeds three
+    * registered queries the way the reference's stored atlas feeds its
+    * exports; the frames are fixed-point partition-invariant, so every
+    * consumer sees bit-identical cells. */
+  private val cellCache = new FrameCache
   private val climCache = new FrameCache
+
+  private def tsCellsCached(s: SparkSession, d: String): DataFrame =
+    memo(cellCache, s, d)(
+      graft.argo.Atlas.aggTS(ExportAtlas.pairs(s, pipelineCached(s, d)))
+        .filter(lit(true)).persist())
 
   private def climTSCached(s: SparkSession, d: String): DataFrame =
     memo(climCache, s, d)(
-      ExportAtlas.climTS(s, pipelineCached(s, d)).filter(lit(true)).persist())
+      ExportAtlas.finalizeTS(tsCellsCached(s, d)).filter(lit(true)).persist())
 
   /** Read-only view of the memo for the PlanSpec guard: returns the
     * registered frame or None, NEVER builds — so a test can only see a
@@ -407,7 +423,12 @@ object ArgoQueries extends QueryModule {
   private def eape(algo: String)(s: SparkSession, d: String): DataFrame = {
     val profiles = pipelineCached(s, d)
     val atlas = ExportAtlas
-    atlas.climEAPE(s, profiles, algo = algo)
+    // pass-1 cell means from the session's memoized atlas cells: R14 and
+    // T25 share them (and q76's export frame derives from the same memo),
+    // so the TS aggregation runs once per (session, corpus) instead of
+    // once per EAPE query — the reference's stored per-cell stats reuse
+    atlas.climEAPE(s, profiles, algo = algo,
+      tsCells = Some(tsCellsCached(s, d)))
       .filter(col("SIGSTAR") =!= 0.0f)
   }
 

@@ -956,7 +956,13 @@ object RelationalQueries extends QueryModule {
   private def q133(s: SparkSession, d: String): DataFrame = {
     val edges = tradePairs(s, d)
       .select(col("a").as("src"), col("b").as("dst"))
-    graft.operators.Graph.pageRank(edges, PrIters, PrDampPm)
+    // fast path PINNED OFF (the q38 discipline): at test scale every trade
+    // graph fits the driver cap, so without the pin no oracle row would
+    // exercise the distributed rank loop — and this is the DANGLING shape,
+    // whose per-iteration redistribution is the loop's hardest arithmetic.
+    // q130 keeps the adaptive default, so both branches carry a green row.
+    graft.operators.Graph.pageRank(edges, PrIters, PrDampPm,
+      allowDriverFastPath = false)
       .select(col("id"), col("r").as("rank_u"))
       .orderBy(col("rank_u").desc, col("id"))
       .limit(25)

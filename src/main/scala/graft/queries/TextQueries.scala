@@ -226,8 +226,21 @@ object TextQueries extends QueryModule {
   private def corpusBands(s: SparkSession, d: String): DataFrame =
     bandStoreTable(s, d) match {
       case Some(table) => graft.sources.BandStore.loadBucketed(s, table)
-      case None => minhashBandFrame(docs(s, d).repartition(col("doc_id")))
+      case None =>
+        // memoized per (session, corpus) — the fwdMemo discipline applied
+        // to the MinHash family: q34, q38 and q109 are three registered
+        // queries over the SAME band table (the BandStore is its at-rest
+        // twin), and without the memo each invocation re-tokenizes,
+        // re-shingles and re-minhashes the corpus into its own plan.
+        // ~(docs × bands) rows of (ids + packed signature) — orders
+        // smaller than the text it indexes, the same footprint argument
+        // as the forward index.
+        bandMemo.getOrElseUpdate(s, d)(
+          minhashBandFrame(docs(s, d).repartition(col("doc_id")))
+            .localCheckpoint())
     }
+
+  private val bandMemo = new SessionMemo[DataFrame]
 
   private def q34Body(s: SparkSession, d: String): DataFrame = {
     // Kernels are the compiled twins of the HOF spec in TextFns —
@@ -2576,8 +2589,10 @@ object TextQueries extends QueryModule {
     * stage) MUST call this: a localCheckpoint's lineage is truncated, so
     * an unpersisted one cannot be recomputed and the memo would serve a
     * dead frame forever. */
-  private[graft] def invalidateSessionMemos(s: SparkSession): Unit =
+  private[graft] def invalidateSessionMemos(s: SparkSession): Unit = {
     fwdMemo.invalidate(s)
+    bandMemo.invalidate(s)
+  }
 
   /** Attribution frames for the bench's scale10 stage — one per text
     * member of the rehearsal family, each the intermediate whose row

@@ -42,15 +42,36 @@ class PageRankSpec extends SparkSuite {
   }
 
   test("distributed ranks equal the naive integer reference bit-for-bit") {
-    val got = Graph.pageRank(web.toDF("src", "dst"), iters = 5)
+    // fast path pinned off: this case owns the DISTRIBUTED loop's parity
+    // (every test graph here is under the driver cap)
+    val got = Graph.pageRank(web.toDF("src", "dst"), iters = 5,
+      allowDriverFastPath = false)
       .as[(Long, Long)].collect().toMap
     assert(got == naive(web, 5))
   }
 
+  test("driver fast path ≡ distributed loop on both graph shapes") {
+    // the size-conditional fast path (same integer recurrence on a
+    // collected edge array) must be output-invisible — symmetric
+    // no-dangling AND directed dangling shapes both bit-match the loop
+    for (g <- Seq(web, Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L),
+      (6L, 4L), (7L, 4L), (6L, 1L)))) {
+      val fast = Graph.pageRank(g.toDF("src", "dst"), 5)
+        .as[(Long, Long)].collect().toMap
+      val loop = Graph.pageRank(g.toDF("src", "dst"), 5,
+        allowDriverFastPath = false)
+        .as[(Long, Long)].collect().toMap
+      assert(fast == loop, "fast path diverged from the distributed loop")
+      assert(fast == naive(g, 5), "fast path diverged from the reference")
+    }
+  }
+
   test("partition-invariant: any edge partitioning, identical ranks") {
-    val a = Graph.pageRank(web.toDF("src", "dst").repartition(1), 4)
+    val a = Graph.pageRank(web.toDF("src", "dst").repartition(1), 4,
+      allowDriverFastPath = false)
       .as[(Long, Long)].collect().toMap
-    val b = Graph.pageRank(web.toDF("src", "dst").repartition(7, col("dst")), 4)
+    val b = Graph.pageRank(web.toDF("src", "dst").repartition(7, col("dst")), 4,
+      allowDriverFastPath = false)
       .as[(Long, Long)].collect().toMap
     assert(a == b)
   }
@@ -103,7 +124,8 @@ class PageRankSpec extends SparkSuite {
     // out-edges, and they receive most of the in-links
     val directed = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L),
       (6L, 4L), (7L, 4L), (6L, 1L))
-    val got = Graph.pageRank(directed.toDF("src", "dst"), 5)
+    val got = Graph.pageRank(directed.toDF("src", "dst"), 5,
+      allowDriverFastPath = false)
       .as[(Long, Long)].collect().toMap
     assert(got == naive(directed, 5),
       "distributed dangling handling differs from the naive reference")
@@ -123,7 +145,8 @@ class PageRankSpec extends SparkSuite {
         s"expected ≥ ${n * 1000000L - bound}")
     // and the redistribution is partition-invariant like the rest
     val rep = Graph.pageRank(
-      directed.toDF("src", "dst").repartition(5, col("dst")), 5)
+      directed.toDF("src", "dst").repartition(5, col("dst")), 5,
+      allowDriverFastPath = false)
       .as[(Long, Long)].collect().toMap
     assert(rep == got)
   }

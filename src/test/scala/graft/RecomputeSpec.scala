@@ -104,7 +104,11 @@ class RecomputeSpec extends SparkSuite {
     val edges = pairs.select($"a".as("src"), $"b".as("dst"))
       .unionAll(pairs.select($"b".as("src"), $"a".as("dst")))
     def ranks(e: DataFrame): Seq[(Long, Long)] =
-      graft.operators.Graph.pageRank(e, iters = 5)
+      // fast path pinned off: the retry-safety under test is the
+      // DISTRIBUTED loop's shuffle merge order (the driver path has no
+      // merge order to get wrong)
+      graft.operators.Graph.pageRank(e, iters = 5,
+        allowDriverFastPath = false)
         .as[(Long, Long)].collect().toSeq.sorted
     val want = ranks(edges)
     RecomputeSpec.fired.set(false)
