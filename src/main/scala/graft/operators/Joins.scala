@@ -14,7 +14,7 @@ object Joins {
     * `spark.graft.broadcastMaxRows`. */
   val BroadcastMaxRows = 2000000L
 
-  private[operators] def maxRows(df: DataFrame): Long =
+  private[graft] def maxRows(df: DataFrame): Long =
     df.sparkSession.conf.getOption("spark.graft.broadcastMaxRows")
       .map(_.toLong).getOrElse(BroadcastMaxRows)
 

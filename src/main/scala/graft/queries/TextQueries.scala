@@ -2913,6 +2913,10 @@ object TextQueries extends QueryModule {
     * at one row, so per-key fan-out is ≤ df² ≤ 256 ROWS, period; a
     * repeated window's other alignments are recovered by the in-row
     * extension whenever any other anchor proposes their delta. */
+  /** Measurement access for tools/ProbeScale10 (stage attribution). */
+  private[graft] def substringAnchorsProbe(s: SparkSession, d: String): DataFrame =
+    substringAnchors(s, d)
+
   private def substringAnchors(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(col("doc_id"), T.tokens(col("text")).as("t"))
