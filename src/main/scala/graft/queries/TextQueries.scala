@@ -945,9 +945,22 @@ object TextQueries extends QueryModule {
     * (4 full-corpus hash passes, observed), and shuffles raw text rather
     * than the smaller packed hashes. */
   private def jaccardBase(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
-      .select(col("doc_id"), col("source"), T.shingleHashesPacked(2)(col("text")).as("gs"))
-      .repartition(col("doc_id"))
+    // checkpointed per (session, corpus) — r14: the exchange-reuse
+    // argument above holds for the STREAM subtrees, but every BROADCAST
+    // build side of the four-way consumption re-executes its subtree
+    // single-threaded on the driver (the same disease the q43 candidate
+    // tier measured at ~4 s of its 10× wall). The checkpoint makes all
+    // four consumers read materialized rows; ~(docs × packed shingles),
+    // the same footprint the exchange already carried.
+    jaccardBaseMemo.getOrElseUpdate(s, d)(
+      docs(s, d)
+        .select(col("doc_id"), col("source"),
+          T.shingleHashesPacked(2)(col("text")).as("gs"))
+        .repartition(col("doc_id"))
+        .localCheckpoint())
+
+  private val jaccardBaseMemo = new SessionMemo[DataFrame]
+  private val jaccardBandMemo = new SessionMemo[DataFrame]
 
   /** q36's deduped LSH candidate pairs (src_cand, d1, d2), BEFORE the
     * exact packed-Jaccard scoring — built FROM the shared base so the
@@ -955,14 +968,20 @@ object TextQueries extends QueryModule {
     * bucket differently (the nearDupCandidates discipline: candidate and
     * survivor counts attribute any superlinear scale10 wall from the
     * artifact alone). */
-  private def jaccardCandFrom(base: DataFrame): DataFrame = {
-    val bands = base
+  private def jaccardCandFrom(s: SparkSession, d: String,
+                              base: DataFrame): DataFrame = {
+    // band-id frame checkpointed too (r14): the 32 per-doc minhash
+    // signatures are computed above the base checkpoint, so without this
+    // the broadcast build of the self-join's right side re-runs the
+    // whole signature pass on the driver. Ids only, the q36 discipline.
+    val bands = jaccardBandMemo.getOrElseUpdate(s, d)(base
       .withColumn("sigs", T.minhashSigsPackedK(JaccardBands)(col("gs")))
       .select(col("doc_id"), col("source"),
         explode(array((0 until JaccardBands).map { j =>
           struct(lit(j).as("band"), element_at(col("sigs"), j + 1).as("key"))
         }: _*)).as("bk"))
       .select(col("doc_id"), col("source"), col("bk.band"), col("bk.key"))
+      .localCheckpoint())
     val l = bands.select(col("band"), col("key"), col("source"), col("doc_id").as("d1"))
     val r = bands.select(col("band"), col("key"), col("source"), col("doc_id").as("d2"))
     l.join(r, Seq("band", "key", "source"))
@@ -972,11 +991,11 @@ object TextQueries extends QueryModule {
   }
 
   private[graft] def jaccardCandidates(s: SparkSession, d: String): DataFrame =
-    jaccardCandFrom(jaccardBase(s, d))
+    jaccardCandFrom(s, d, jaccardBase(s, d))
 
   private def q36(s: SparkSession, d: String): DataFrame = {
     val base = jaccardBase(s, d)
-    val cand = jaccardCandFrom(base)
+    val cand = jaccardCandFrom(s, d, base)
     // the payloads keep ALL of base's columns and the output `source`
     // comes from the d1 payload (identical value — the pair is same-source
     // by the band join): pruning `source` out of the payload branch would
@@ -1525,15 +1544,25 @@ object TextQueries extends QueryModule {
   private def hybridPieces(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val tf = forwardIndex(s, d)
     val (dfreq, nDocs) = dfStats(s, d, tf)
-    val weights = joinDfreq(tf, dfreq, nDocs, None)
+    def buildW = joinDfreq(tf, dfreq, nDocs, None)
       .select(col("doc_id"), col("w"),
         FP.micro(col("tf") * log(col("n_docs") / col("dfreq"))).as("u"))
+    // the sparseWeightsMemo discipline for the UNCAPPED weights (r14):
+    // q102 consumes this frame through norms + the dots arm (which builds
+    // its own hybridPieces), so the non-store path re-ran the dfreq
+    // aggregation + two-tier join per subtree; store path stays scan-only
+    val weights =
+      if (termStoreTable(s, d).isEmpty)
+        hybridWeightsMemo.getOrElseUpdate(s, d)(buildW.localCheckpoint())
+      else buildW
     val qw = dfreq.filter(col("w").isInCollection(BmTerms))
       .crossJoin(broadcast(nDocs))
       .select(col("w"),
         FP.micro(log(col("n_docs") / col("dfreq"))).as("qu"))
     (weights, qw)
   }
+
+  private val hybridWeightsMemo = new SessionMemo[DataFrame]
 
   /** q102's cosine-arm scored docs (doc_id, dot) — every document sharing
     * at least one query term, BEFORE the top-50 cut: the frame whose row
@@ -2592,6 +2621,11 @@ object TextQueries extends QueryModule {
   private[graft] def invalidateSessionMemos(s: SparkSession): Unit = {
     fwdMemo.invalidate(s)
     bandMemo.invalidate(s)
+    subAnchorMemo.invalidate(s)
+    jaccardBaseMemo.invalidate(s)
+    jaccardBandMemo.invalidate(s)
+    sparseWeightsMemo.invalidate(s)
+    hybridWeightsMemo.invalidate(s)
   }
 
   /** Attribution frames for the bench's scale10 stage — one per text
@@ -2665,12 +2699,28 @@ object TextQueries extends QueryModule {
     * skew-free — never a vocab-scale broadcast, never a
     * stopword-collapsed term shuffle; the cap rides the dfreq side. */
   private def sparseWeights(s: SparkSession, d: String): DataFrame = {
-    val tf = forwardIndex(s, d)
-    val (dfreq, nDocs) = dfStats(s, d, tf)
-    joinDfreq(tf, dfreq, nDocs, Some(SparseDfCapPct))
-      .select(col("doc_id"), col("w"),
-        FP.micro(col("tf") * log(col("n_docs") / col("dfreq"))).as("u"))
+    def build = {
+      val tf = forwardIndex(s, d)
+      val (dfreq, nDocs) = dfStats(s, d, tf)
+      joinDfreq(tf, dfreq, nDocs, Some(SparseDfCapPct))
+        .select(col("doc_id"), col("w"),
+          FP.micro(col("tf") * log(col("n_docs") / col("dfreq"))).as("u"))
+    }
+    // Non-store path: checkpointed per (session, corpus) — r14. The
+    // weights feed FOUR subtrees per q97 invocation (norms, the dots
+    // stream side, the broadcast probe side, the probe-norms broadcast),
+    // and every BROADCAST build re-executed the dfreq aggregation +
+    // two-tier join single-threaded on the driver (the q43 candidate-tier
+    // disease). Same width class as the fwdMemo checkpoint it derives
+    // from. The STORE path stays scan-only by design (ProbeTermStore2:
+    // scan-only 1.78 s beat every persist form; the df sidecars already
+    // make each consumer's subtree a vocabulary-sized read).
+    if (termStoreTable(s, d).isEmpty)
+      sparseWeightsMemo.getOrElseUpdate(s, d)(build.localCheckpoint())
+    else build
   }
+
+  private val sparseWeightsMemo = new SessionMemo[DataFrame]
 
   /** q97's scored (q_id, doc_id) candidate dots BEFORE the top-k rank —
     * the frame whose row count IS the sparse arm's join fan-out, split
@@ -2917,25 +2967,71 @@ object TextQueries extends QueryModule {
   private[graft] def substringAnchorsProbe(s: SparkSession, d: String): DataFrame =
     substringAnchors(s, d)
 
+  /** Compiled twin of the anchor construction (the genArraysUdf/dotJvm
+    * discipline, r14): ONE pass per document — sliding window string via
+    * a reused builder, MessageDigest MD5, lowercase hex, the 1-in-4
+    * nibble sample, and the per-doc first-position dedup in an in-row
+    * hash map (it is a PER-DOCUMENT property, so no (doc_id, h) exchange
+    * is needed at all). Bit-identical to the expression spec mirrored in
+    * the oracle: the same UTF-8 window bytes ("tok … tok", single
+    * spaces), the same MD5 hex, the same nibble set, min(pos) ≡ first
+    * sampled occurrence under an ascending scan. The interpreted form
+    * (explode → slice → concat_ws → md5 per window) measured 4.7 s of
+    * the 10× rehearsal distributed — and re-ran SINGLE-THREADED on the
+    * driver inside every broadcast build of the anchor self-join. */
+  private val subAnchorsUdf = udf { (toks: Seq[String]) =>
+    val n = toks.length
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.HashSet[String]()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val sb = new java.lang.StringBuilder()
+    val hexDigits = "0123456789abcdef"
+    var pos = 0
+    while (pos + SubAnchorK <= n) {
+      sb.setLength(0)
+      var i = 0
+      while (i < SubAnchorK) {
+        if (i > 0) sb.append(' ')
+        sb.append(toks(pos + i))
+        i += 1
+      }
+      md.reset()
+      val dg = md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (((dg(0) >> 4) & 0x3) == 0) { // first hex nibble ∈ {0,4,8,c}
+        val hx = new Array[Char](32)
+        var j = 0
+        while (j < 16) {
+          hx(2 * j) = hexDigits((dg(j) >> 4) & 0xF)
+          hx(2 * j + 1) = hexDigits(dg(j) & 0xF)
+          j += 1
+        }
+        val h = new String(hx)
+        if (seen.add(h)) out += ((pos.toLong, h))
+      }
+      pos += 1
+    }
+    out.toSeq
+  }
+
   private def substringAnchors(s: SparkSession, d: String): DataFrame =
     docs(s, d)
-      .select(col("doc_id"), T.tokens(col("text")).as("t"))
-      .withColumn("n", size(col("t")))
-      .filter(col("n") >= SubAnchorK)
-      .select(col("doc_id"), col("t"),
-        explode(sequence(lit(0), col("n") - SubAnchorK)).as("pos"))
-      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
-        md5(concat_ws(" ",
-          slice(col("t"), col("pos") + 1, lit(SubAnchorK)))).as("h"))
-      .filter(substring(col("h"), 1, 1).isin("0", "4", "8", "c"))
-      .groupBy(col("doc_id"), col("h"))
-      .agg(min(col("pos")).as("pos"))
+      .select(col("doc_id"), explode(subAnchorsUdf(T.tokens(col("text")))).as("a"))
+      .select(col("doc_id"), col("a._1").as("pos"), col("a._2").as("h"))
 
   /** Candidate alignments — DISTINCT (doc_a, doc_b, delta) from the
     * df-capped anchor self-join. Split out so the bench's scale10 stage
     * publishes its row count beside the wall (the q43cand discipline). */
+  /** The sampled anchor table, checkpointed per (session, corpus) — the
+    * bandMemo discipline: the df-cap aggregation and BOTH sides of the
+    * candidate self-join consume it, and each broadcast build would
+    * otherwise re-run the anchor kernel single-threaded on the driver.
+    * ~40 B/row × (sampled windows), orders smaller than the text. */
+  private val subAnchorMemo = new SessionMemo[DataFrame]
+
   private[graft] def substringCandidates(s: SparkSession, d: String): DataFrame = {
-    val anch = substringAnchors(s, d)
+    val anch = subAnchorMemo.getOrElseUpdate(s, d)(
+      substringAnchors(s, d).localCheckpoint())
     // df cap rides the same h-partitioned exchange the join reuses;
     // anchors are already one row per (doc, h), so a plain count IS the
     // distinct-document count
