@@ -1939,15 +1939,38 @@ object EmbeddingQueries extends QueryModule {
   private val PcaAnnK = 16 // wider than q99's 8: the candidate generator
   private val PcaShortlist = 50 // needs recall, the summary needs compression
 
+  /** Compiled integer dot over two equal-length Long arrays — exact
+    * (integer ops, order-free), null-in → null-out like the HOF spec it
+    * replaces (`aggregate(zip_with(a,b,_*_), 0L, _+_)`). ONE stable
+    * instance so q107 plans stay `sameResult` across builds. */
+  private val Q107Idot: (Column, Column) => Column = {
+    val u = udf((a: Seq[Long], b: Seq[Long]) =>
+      if (a == null || b == null) null
+      else {
+        var acc = 0L
+        var i = 0
+        val n = a.length
+        while (i < n) { acc += a(i) * b(i); i += 1 }
+        java.lang.Long.valueOf(acc)
+      })
+    u(_, _)
+  }
+
   private def q107(s: SparkSession, d: String): DataFrame = {
     val emb = vecs(s, d).select(col("vec_id"), col("embedding"))
     val model = memoModel(d, "pca")(Pca.fit(emb, "embedding", Dim))
+    // compiled twin of the integer reduced-space dot (the dotJvm
+    // discipline): exact Long arithmetic, any order identical — the HOF
+    // form evaluated interpreted per element, ×3 per crossJoin pair
+    val idot = Q107Idot
     val red = Pca.project(emb, model, "embedding", PcaAnnK)
       .select(col("vec_id"), col("pc"))
-    def idot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+      // self-dot hoisted out of the pair fan-out (r14): it is a per-ROW
+      // property, and the crossJoin was re-deriving it per (probe, row)
+      .withColumn("pn2", idot(col("pc"), col("pc")))
     val probesR = red.filter(probePred(col("vec_id")))
-      .select(col("vec_id").as("q_id"), col("pc").as("q_pc"))
+      .select(col("vec_id").as("q_id"), col("pc").as("q_pc"),
+        col("pn2").as("qn2"))
     val wS = Window.partitionBy(col("q_id"))
       .orderBy(col("rcos_n").desc, col("vec_id"))
     val shortlist = red.crossJoin(broadcast(probesR))
@@ -1955,8 +1978,8 @@ object EmbeddingQueries extends QueryModule {
       // reduced-space cosine from exact integer dots; nullif keeps an
       // all-zero projection (a vector at the mean) from dividing by zero
       .withColumn("rcos_n", FP.nano(idot(col("q_pc"), col("pc")).cast("double") /
-        nullif(sqrt(idot(col("q_pc"), col("q_pc")).cast("double")) *
-          sqrt(idot(col("pc"), col("pc")).cast("double")), lit(0.0))))
+        nullif(sqrt(col("qn2").cast("double")) *
+          sqrt(col("pn2").cast("double")), lit(0.0))))
       .withColumn("srank", row_number().over(wS))
       .filter(col("srank") <= PcaShortlist)
       .select(col("q_id"), col("vec_id"))

@@ -2411,10 +2411,17 @@ object TextQueries extends QueryModule {
 
   private def q112(s: SparkSession, d: String): DataFrame = {
     val (_, _, _, quality) = qualityPieces
+    // checkpointed per invocation (r14): the selection reads this narrow
+    // frame through TWO branches (full buckets; the boundary window), and
+    // each branch otherwise re-tokenizes and re-scores the corpus — at
+    // 100 TB a second full tokenize pass costs far more than keeping
+    // ~32 B/doc materialized for the query's lifetime (the forwardIndex
+    // footprint argument).
     val t = docs(s, d).select(col("doc_id"),
       coalesce(FP.micro(quality), lit(-QBucketStep)).as("q_u"),
       size(T.tokens(col("text"))).cast(LongType).as("tok"))
       .withColumn("qb", expr(s"q_u div $QBucketStep"))
+      .localCheckpoint()
     // the histogram is a DRIVER-HELD MODEL (the centroid/threshold
     // discipline): ≤ ~1200 rows bounded by the quality VALUE RANGE, not
     // by the corpus — the collect is fixed-size by construction. The
