@@ -309,6 +309,7 @@ object Bench {
           .foreach(_.unpersist(blocking = true))
         graft.queries.TextQueries.invalidateSessionMemos(spark)
         graft.queries.EmbeddingQueries.invalidateSessionMemos(spark)
+        graft.queries.KernelQueries.invalidateSessionMemos(spark)
         // checkpoint-backed ONLY: the q129 layout memo is disk-backed
         // and survives the unpersist — dropping it here would bill the
         // next rep a full rewrite the barrier did not make necessary
@@ -674,6 +675,7 @@ object Bench {
         // forget them or they would serve dead frames to any later consumer
         graft.queries.TextQueries.invalidateSessionMemos(spark)
         graft.queries.EmbeddingQueries.invalidateSessionMemos(spark)
+        graft.queries.KernelQueries.invalidateSessionMemos(spark)
         graft.queries.RelationalQueries.releaseCheckpointMemos(spark)
         graft.queries.ArgoQueries.releaseSessionFrames(spark)
         System.gc()
@@ -938,6 +940,7 @@ object Bench {
             .foreach(_.unpersist(blocking = false))
           graft.queries.TextQueries.invalidateSessionMemos(spark)
           graft.queries.EmbeddingQueries.invalidateSessionMemos(spark)
+        graft.queries.KernelQueries.invalidateSessionMemos(spark)
           graft.queries.RelationalQueries.invalidateSessionMemos(spark)
           graft.queries.ArgoQueries.releaseSessionFrames(spark)
           System.gc()

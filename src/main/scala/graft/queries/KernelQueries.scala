@@ -59,8 +59,22 @@ object KernelQueries extends QueryModule {
     Seq(g, z, p, s)
   })
 
-  /** (orderkey, xs, ys) profiles: collect → intra-row filter → gate. */
+  /** (orderkey, xs, ys) profiles: collect → intra-row filter → gate.
+    * Checkpointed per (session, corpus) — r14, the fwdMemo discipline:
+    * four registered kernel queries (q60/q61/q63/q64) consume this one
+    * frame, and each invocation otherwise re-runs the collect shuffle +
+    * array filters. ~100 B/profile. */
   private def profiles(s: SparkSession, d: String): DataFrame =
+    profilesMemo.getOrElseUpdate(s, d)(buildProfiles(s, d).localCheckpoint())
+
+  private val profilesMemo = new SessionMemo[DataFrame]
+
+  /** Truncated-lineage contract, same as the TextQueries twin: callers
+    * that unpersist the session's blocks wholesale must invalidate. */
+  private[graft] def invalidateSessionMemos(s: SparkSession): Unit =
+    profilesMemo.invalidate(s)
+
+  private def buildProfiles(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_list(struct(
