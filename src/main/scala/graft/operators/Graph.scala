@@ -272,7 +272,7 @@ object Graph {
     // (src, dst, out_deg) clustered by src once — every pass joins the
     // rank vector against this layout without moving the edges again
     val e = es.join(deg, Seq("src"))
-      .repartition(col("src")).localCheckpoint()
+      .transform(graft.operators.Joins.keyRepartition(_, col("src"))).localCheckpoint()
     release(es) // e and dangling carry everything the loop needs
     val hasDangling = dangling.limit(1).count() > 0
     val nNodes = if (hasDangling) nodes.count() else 0L

@@ -18,6 +18,23 @@ object Joins {
     df.sparkSession.conf.getOption("spark.graft.broadcastMaxRows")
       .map(_.toLong).getOrElse(BroadcastMaxRows)
 
+  /** Key-repartition with the partition COUNT pinned to the session's
+    * shuffle parallelism. A bare `repartition(col)` plans as
+    * REPARTITION_BY_COL, whose exchange AQE is free to coalesce by input
+    * BYTES — correct for data-sized stages, blind to compute FAN-OUT:
+    * measured at the 10× rehearsal, the near-dup candidate enumeration
+    * (2 MB of band ids in, 3.7M pairs out) collapsed onto ONE task, and
+    * every kernel-feeding checkpoint (forward index, band frames) landed
+    * 1–8 partitions wide on a 32-core session. The explicit count keeps
+    * fan-out stages at the session's configured width at any scale
+    * (deployments size `spark.sql.shuffle.partitions`; AQE still
+    * coalesces every downstream data-sized exchange), and downstream
+    * joins/aggregations on the same key still reuse the layout — the
+    * shuffle side they meet uses the same conf count. */
+  def keyRepartition(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, cols: _*)
+
   private val counts = scala.collection.concurrent.TrieMap.empty[String, Long]
 
   /** Row count for a join-strategy decision, memoized per stable key (e.g.

@@ -96,7 +96,7 @@ object EmbeddingQueries extends QueryModule {
     vecs(s, d).select(
       col("vec_id"),
       col("embedding").cast("array<double>").as("vec"))
-      .repartition(col("vec_id"))
+      .transform(graft.operators.Joins.keyRepartition(_, col("vec_id")))
       .select(col("vec_id"), V.packVec(col("vec")).as("pv"),
         V.norm(col("vec")).as("nrm"))
 
@@ -268,7 +268,7 @@ object EmbeddingQueries extends QueryModule {
     def payload(df: DataFrame): DataFrame =
       df.select(col("vec_id"), V.packVec(col("vec")).as("pv"),
         V.norm(col("vec")).as("nrm"))
-    val b = bandedIds(raw.repartition(col("vec_id")))
+    val b = bandedIds(graft.operators.Joins.keyRepartition(raw, col("vec_id")))
     // multiprobe: each probe band row also visits its b one-bit-flipped
     // neighbor buckets (flip 0 = the original). The fan-out multiplies
     // only the BROADCAST side (probes × tables × (b+1) rows); by this
@@ -460,7 +460,7 @@ object EmbeddingQueries extends QueryModule {
     // one linear pass). The build side skips it: under the broadcast cap
     // its rows go straight to the driver, and past the cap blockJoin's
     // salted join re-shuffles on (bucket, salt) anyway.
-    val l = bandedIds.repartition(col("vec_id"))
+    val l = graft.operators.Joins.keyRepartition(bandedIds, col("vec_id"))
       .select(col("bucket"), col("tbl"), col("vec_id").as("d1"))
     val r = bandedIds.select(col("bucket"), col("tbl"), col("vec_id").as("d2"))
     // With few coarse buckets a shuffle join would collapse onto
@@ -603,7 +603,7 @@ object EmbeddingQueries extends QueryModule {
     val b = vecs(s, d).select(
       col("label"), col("vec_id"),
       col("embedding").cast("array<double>").as("vec"))
-      .repartition(col("label"))
+      .transform(graft.operators.Joins.keyRepartition(_, col("label")))
       .select(col("label"), col("vec_id"), V.packVec(col("vec")).as("pv"),
         col("vec"), V.norm(col("vec")).as("nrm"))
     val cents = vecs(s, d)
@@ -736,7 +736,7 @@ object EmbeddingQueries extends QueryModule {
       .filter(col("c_rank") === 1)
       .select(col("label"), col("vec_id"), col("vec"), col("pv"),
         col("nrm"), col("src"))
-    val idx = st.unionByName(dl).repartition(col("label"))
+    val idx = graft.operators.Joins.keyRepartition(st.unionByName(dl), col("label"))
     // probes route through the SAME frozen centroids (q44's shape)
     val probes = st.filter(probePred(col("vec_id"))).select(
       col("vec_id").as("q_id"), col("vec").as("q_vec"),
@@ -857,7 +857,7 @@ object EmbeddingQueries extends QueryModule {
       .filter(col("lang") === FilterLang)
       .select(col("doc_id").as("vec_id"))
     val b = full.join(eligible, Seq("vec_id"))
-      .repartition(col("label"))
+      .transform(graft.operators.Joins.keyRepartition(_, col("label")))
       .select(col("label"), col("vec_id"), V.packVec(col("vec")).as("pv"),
         V.norm(col("vec")).as("nrm"))
     // centroids over the FULL corpus — one index for every predicate
@@ -1341,7 +1341,7 @@ object EmbeddingQueries extends QueryModule {
         graft.sources.VecStore.load(s, path)
           .select(col("cell"), col("vec_id"), col("embedding"))
       case None => KMeans.withCell(corpus, model, "embedding")
-        .repartition(col("cell"))
+        .transform(graft.operators.Joins.keyRepartition(_, col("cell")))
     }
     val b = withCells
       .withColumn("vec", col("embedding").cast("array<double>"))
@@ -1402,7 +1402,7 @@ object EmbeddingQueries extends QueryModule {
       out.toSeq
     })
     val b = emb.select(col("vec_id"), col("embedding"))
-      .repartition(col("vec_id"))
+      .transform(graft.operators.Joins.keyRepartition(_, col("vec_id")))
       .withColumn("dqv", dequant(col("embedding")))
       .select(col("vec_id"), V.packVec(col("dqv")).as("pv"),
         V.norm(col("dqv")).as("nrm"))
@@ -1562,7 +1562,7 @@ object EmbeddingQueries extends QueryModule {
       }
       sum
     })
-    val b = emb.repartition(col("vec_id"))
+    val b = graft.operators.Joins.keyRepartition(emb, col("vec_id"))
       .select(col("vec_id"), encode(col("embedding")).as("code"))
     val probes = emb.filter(probePred(col("vec_id")))
       .select(col("vec_id").as("q_id"), tableUdf(col("embedding")).as("q_tab"))
@@ -1615,7 +1615,7 @@ object EmbeddingQueries extends QueryModule {
       while (i < Dim) { r(i) = sub(i) - cent(i); i += 1 }
       (cell, r)
     })
-    (if (reshuffle) emb.repartition(col("vec_id")) else emb)
+    (if (reshuffle) graft.operators.Joins.keyRepartition(emb, col("vec_id")) else emb)
       .withColumn("cr", residUdf(col("embedding")))
       .select(col("vec_id"), col("cr._1").as("cell"), col("cr._2").as("resid"))
   }

@@ -490,7 +490,7 @@ object StreamMultimodalQueries extends QueryModule {
                           barrier: Boolean): DataFrame =
     mediaStoreTable(s, d, "img").getOrElse {
       val ph = Media.imagePHash(neardupImageMedia(s, d))
-      if (barrier) ph.repartition(col("doc_id")) else ph
+      if (barrier) graft.operators.Joins.keyRepartition(ph, col("doc_id")) else ph
     }
 
   /** Audio envelope hashes for q123/q124 — the audio twin of
@@ -502,7 +502,7 @@ object StreamMultimodalQueries extends QueryModule {
       .getOrElse {
         val ph = Media.audioEnvelope64(neardupAudioMedia(s, d))
           .select(col("doc_id"), col("ph_hi"), col("ph_lo"))
-        if (barrier) ph.repartition(col("doc_id")) else ph
+        if (barrier) graft.operators.Joins.keyRepartition(ph, col("doc_id")) else ph
       }
 
   /** Per-frame video hashes for q125/q126/q127 — the video member
@@ -513,7 +513,7 @@ object StreamMultimodalQueries extends QueryModule {
                           barrier: Boolean): DataFrame =
     mediaStoreTable(s, d, if (flips) "vidf" else "vid").getOrElse {
       val fh = Media.videoFrameHashes(neardupVideoMedia(s, d, flips))
-      if (barrier) fh.repartition(col("doc_id")) else fh
+      if (barrier) graft.operators.Joins.keyRepartition(fh, col("doc_id")) else fh
     }
 
   private def q118(s: SparkSession, d: String): DataFrame = {
@@ -1322,10 +1322,11 @@ object StreamMultimodalQueries extends QueryModule {
   private[graft] val scale10Candidates
       : Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_image_neardup" -> ((s, d) => chunkCandidates(Media.phashChunks(
-      Media.imagePHash(neardupImageMedia(s, d)).repartition(col("doc_id"))))),
+      graft.operators.Joins.keyRepartition(
+        Media.imagePHash(neardupImageMedia(s, d)), col("doc_id"))))),
     "q125_video_neardup" -> ((s, d) => videoSharedExact(
       Media.videoFrameHashes(neardupVideoMedia(s, d))
-        .repartition(col("doc_id")))))
+        .transform(graft.operators.Joins.keyRepartition(_, col("doc_id"))))))
 
   def defs: Map[String, QueryDef] = Map(
     "q121_audio_fingerprint_dedup" -> QueryDef(q121, Some(q121Sql)),

@@ -236,7 +236,8 @@ object TextQueries extends QueryModule {
         // smaller than the text it indexes, the same footprint argument
         // as the forward index.
         bandMemo.getOrElseUpdate(s, d)(
-          minhashBandFrame(docs(s, d).repartition(col("doc_id")))
+          minhashBandFrame(graft.operators.Joins.keyRepartition(
+            docs(s, d), col("doc_id")))
             .localCheckpoint())
     }
 
@@ -452,7 +453,7 @@ object TextQueries extends QueryModule {
     // near tier, only for batch docs the exact tier did not resolve.
     val survivors = exact.filter(col("exact_id").isNull).select("doc_id")
     val bBandsPlain = minhashBandFrame(
-      batch.join(survivors, Seq("doc_id")).repartition(col("doc_id")))
+      graft.operators.Joins.keyRepartition(batch.join(survivors, Seq("doc_id")), col("doc_id")))
       .select(col("band"), col("key"), col("doc_id").as("bd"), col("hs").as("bhs"))
     // the q128 runtime filter applied to the NEAR tier: the batch's few
     // (band, key) buckets build one OR-merged Bloom (a tiny job over the
@@ -679,7 +680,7 @@ object TextQueries extends QueryModule {
   private def q132(s: SparkSession, d: String): DataFrame = {
     val isProbe = (id: Column) =>
       id % RecallProbeMod === 0 && id < RecallProbeMod * RecallProbeMax
-    val base = docs(s, d).repartition(col("doc_id"))
+    val base = graft.operators.Joins.keyRepartition(docs(s, d), col("doc_id"))
       .select(col("doc_id"), T.shingleHashesPacked(3)(col("text")).as("hs"))
       .filter(length(col("hs")) > 0) // degenerate docs have no shingles
     val probes = base.filter(isProbe(col("doc_id")))
@@ -873,10 +874,10 @@ object TextQueries extends QueryModule {
     // Exchange before the kernels (see q34); fingerprint computed once per
     // document, then a second barrier before the 4-way chunk fan-out.
     val sigs = docs(s, d)
-      .repartition(col("doc_id"))
+      .transform(graft.operators.Joins.keyRepartition(_, col("doc_id")))
       .select(col("doc_id"),
         T.simhashPacked(T.shingleHashesPacked(3)(col("text"))).as("sig"))
-      .repartition(col("doc_id"))
+      .transform(graft.operators.Joins.keyRepartition(_, col("doc_id")))
     val chunks = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until T.SimHashChunks).map { c =>
         struct(lit(c).as("c"), T.simhashChunk(col("sig"), c).as("v"))
@@ -956,7 +957,7 @@ object TextQueries extends QueryModule {
       docs(s, d)
         .select(col("doc_id"), col("source"),
           T.shingleHashesPacked(2)(col("text")).as("gs"))
-        .repartition(col("doc_id"))
+        .transform(graft.operators.Joins.keyRepartition(_, col("doc_id")))
         .localCheckpoint())
 
   private val jaccardBaseMemo = new SessionMemo[DataFrame]
@@ -2577,7 +2578,7 @@ object TextQueries extends QueryModule {
         // its index artifacts once per session too)
         fwdMemo.getOrElseUpdate(s, d)(
           graft.sources.TermStore.forwardIndex(docs(s, d))
-            .repartition(col("doc_id"))
+            .transform(graft.operators.Joins.keyRepartition(_, col("doc_id")))
             .localCheckpoint())
     }
   }

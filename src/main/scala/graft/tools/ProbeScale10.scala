@@ -27,6 +27,20 @@ object ProbeScale10 {
     }
     def count(df: org.apache.spark.sql.DataFrame): Long = df.count()
 
+    if (which == "parts") {
+      // how many partitions do the checkpointed/fan-out frames ACTUALLY
+      // carry after AQE's coalescing of REPARTITION_BY_COL exchanges?
+      val bands = graft.queries.EmbeddingQueries.nearDupCandidates(spark, dir)
+      println("[s10] q43 cand rdd partitions: " + bands.rdd.getNumPartitions)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .repartition(col("doc_id")).localCheckpoint()
+      println("[s10] repartition(col) checkpoint partitions: " +
+        docs.rdd.getNumPartitions)
+      val docsN = spark.read.parquet(s"$dir/documents.parquet")
+        .repartition(32, col("doc_id")).localCheckpoint()
+      println("[s10] repartition(32, col) checkpoint partitions: " +
+        docsN.rdd.getNumPartitions)
+    }
     if (which == "all" || which == "q43") {
       // replicate the banding inline to time sub-pieces (scratch only)
       val bits = 8
