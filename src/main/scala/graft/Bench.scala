@@ -167,9 +167,14 @@ object Bench {
     * AT THIS SF (sf0.1 blowup, 32 cores); they gate nothing at other
     * scales ([[queryOverBand]] is a no-op without a band). */
   private[graft] val Scale10Bands: Map[String, Double] = Map(
-    "q36" -> 6.55, "q38" -> 5.21, "q41" -> 2.37, "q43" -> 7.90,
-    "q67" -> 8.53, "q97" -> 2.06, "q102" -> 3.44, "q118" -> 0.65,
-    "q122" -> 2.24, "q125" -> 2.64, "q128" -> 0.58, "q134" -> 5.97)
+    // r14 optimization round: clean-verdict walls after the fan-out
+    // partition fix + checkpointed candidate frames (see
+    // OPTIMIZATION_r14.md; previous bands: q36 6.55, q38 5.21, q41 2.37,
+    // q43 7.90, q67 8.53, q97 2.06, q102 3.44, q118 0.65, q122 2.24,
+    // q125 2.64, q128 0.58, q134 5.97)
+    "q36" -> 2.46, "q38" -> 2.76, "q41" -> 1.74, "q43" -> 0.64,
+    "q67" -> 1.00, "q97" -> 1.04, "q102" -> 2.62, "q118" -> 0.56,
+    "q122" -> 1.75, "q125" -> 1.19, "q128" -> 0.31, "q134" -> 1.26)
 
   private[graft] val Scale10BandRatio = 1.25
 

@@ -1449,10 +1449,14 @@ object TextQueries extends QueryModule {
     val base = docs(s, d)
       .select(col("doc_id"), T.tokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
+    // narrow (doc_id, dl, tf_*) checkpointed per invocation (r14): the
+    // corpus-stats agg and the scored stream both consume it, and each
+    // otherwise re-tokenizes the corpus — ~40 B/doc materialized vs a
+    // second full tokenize pass
     val withTf = BmTerms.foldLeft(base) { (df, t) =>
       df.withColumn(s"tf_$t",
         size(filter(col("toks"), w => w === t)).cast("double"))
-    }
+    }.drop("toks").localCheckpoint()
     val stats = withTf.agg(
       count(lit(1)).cast("double").as("n_docs"),
       (sum(col("dl")).as("sum_dl") +:
