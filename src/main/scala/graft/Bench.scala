@@ -178,12 +178,26 @@ object Bench {
 
   private[graft] val Scale10BandRatio = 1.25
 
+  /** Absolute excess floor for [[queryOverBand]] — the [[mainOutlier]]
+    * floor's scale10 twin, needed once the r14 optimization round pulled
+    * most members under ~2 s: at a 0.31 s band, 1.25× is 80 ms of
+    * jitter, and an average (not contended, not stage-slow) window
+    * flagged NINE members whose combined excess was under 2 s — noise
+    * flags that cost re-runs and read as regressions. A real per-query
+    * regression of the kind the flag exists for (r13's q43: 11.0 vs its
+    * 7.90 band, 3.1 s of excess) clears any sub-second floor trivially;
+    * sub-second members cannot accumulate half a second of excess from
+    * scheduler jitter. */
+  private[graft] val Scale10BandFloorSec = 0.5
+
   /** True when a scale10 wall exceeds its per-query band — the trigger
     * for the single-query re-run and, if it persists, the `<q>slow`
-    * marker. No band (band ≤ 0) → never flags. */
+    * marker. No band (band ≤ 0) → never flags; an over-ratio wall whose
+    * absolute excess is under [[Scale10BandFloorSec]] doesn't either. */
   private[graft] def queryOverBand(wall: Double, band: Double,
-                                   ratio: Double = Scale10BandRatio): Boolean =
-    band > 0 && wall > ratio * band
+                                   ratio: Double = Scale10BandRatio,
+                                   floor: Double = Scale10BandFloorSec): Boolean =
+    band > 0 && wall > ratio * band && wall - band > floor
 
   /** Main-loop per-query outlier verdict (VERDICT r13 task 2): r13
     * published q119 at 0.93 s against 0.10 at the same HEAD — a 13×

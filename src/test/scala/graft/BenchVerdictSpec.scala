@@ -57,6 +57,13 @@ class BenchVerdictSpec extends AnyFunSuite {
     // a query with no band never flags (new members before their first
     // clean measurement)
     assert(!Bench.queryOverBand(100.0, -1.0))
+    // the absolute excess floor (r14): sub-second members over ratio on
+    // jitter alone must not flag — 0.39 vs a 0.31 band is 80 ms of
+    // excess; a genuinely regressed small member (band + >0.5 s) still
+    // does, as does any r13-style multi-second gap
+    assert(!Bench.queryOverBand(0.39, 0.31))
+    assert(Bench.queryOverBand(0.95, 0.31))
+    assert(Bench.queryOverBand(11.0, 7.90))
   }
 
   test("main-loop outlier: r13's phantom walls trip, normal drift does not") {
