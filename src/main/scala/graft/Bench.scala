@@ -329,6 +329,7 @@ object Bench {
         graft.queries.TextQueries.invalidateSessionMemos(spark)
         graft.queries.EmbeddingQueries.invalidateSessionMemos(spark)
         graft.queries.KernelQueries.invalidateSessionMemos(spark)
+        graft.queries.GeoQueries.invalidateSessionMemos(spark)
         // checkpoint-backed ONLY: the q129 layout memo is disk-backed
         // and survives the unpersist — dropping it here would bill the
         // next rep a full rewrite the barrier did not make necessary
@@ -695,6 +696,7 @@ object Bench {
         graft.queries.TextQueries.invalidateSessionMemos(spark)
         graft.queries.EmbeddingQueries.invalidateSessionMemos(spark)
         graft.queries.KernelQueries.invalidateSessionMemos(spark)
+        graft.queries.GeoQueries.invalidateSessionMemos(spark)
         graft.queries.RelationalQueries.releaseCheckpointMemos(spark)
         graft.queries.ArgoQueries.releaseSessionFrames(spark)
         System.gc()
@@ -959,7 +961,8 @@ object Bench {
             .foreach(_.unpersist(blocking = false))
           graft.queries.TextQueries.invalidateSessionMemos(spark)
           graft.queries.EmbeddingQueries.invalidateSessionMemos(spark)
-        graft.queries.KernelQueries.invalidateSessionMemos(spark)
+          graft.queries.KernelQueries.invalidateSessionMemos(spark)
+          graft.queries.GeoQueries.invalidateSessionMemos(spark)
           graft.queries.RelationalQueries.invalidateSessionMemos(spark)
           graft.queries.ArgoQueries.releaseSessionFrames(spark)
           System.gc()

@@ -21,8 +21,18 @@ object VecFns {
       s"list_transform(range(1, ${n + 1}), i -> " +
       s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
 
-  /** L2 norm. */
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  /** L2 norm — compiled sum-of-squares kernel ([[VecSumSqExpr]], r15):
+    * the HOF form `sqrt(dot(a, a))` evaluated one interpreted lambda per
+    * ELEMENT on every corpus-wide scan (norm is computed per row in every
+    * ANN/near-dup payload projection). Bit-identical: the same
+    * left-to-right double fold over the same widened elements — the HOF
+    * remains the executable spec, VecFnsSpec pins native ≡ HOF. */
+  def norm(a: Column): Column = sqrt(sumSq(a))
+
+  /** Compiled Σx² over an array<float>/array<double> column — the
+    * validity-gate / norm kernel. Same fold (and NULL-element semantics)
+    * as `aggregate(cast(a as array<double>), 0.0, (acc, x) -> acc + x*x)`. */
+  def sumSq(a: Column): Column = VecSumSqExpr.sumSqNative(a)
 
   def sqlNorm(a: String, n: Int): String = s"sqrt(${sqlDot(a, a, n)})"
 

@@ -7,6 +7,12 @@ import org.apache.spark.sql.functions._
 /** Iterative graph primitives for the dedup family. */
 object Graph {
 
+  /** Estimated IN-MEMORY bytes per collected edge for the driver fast
+    * paths: two boxed longs + Row overhead + the union-find / dense-index
+    * map entries built from them — what the byte-aware cap
+    * ([[Joins.maxRowsSized]]) multiplies the edge count by. */
+  private[graft] val EdgeRowBytes = 64L
+
   /** Drop a superseded localCheckpoint's storage blocks. Only call on a
     * frame that will never be scanned again — its lineage is truncated,
     * so the blocks cannot be recomputed. Without this, every propagation
@@ -85,7 +91,11 @@ object Graph {
     // (non-long ids) on the loop, whose joins are type-generic.
     val idsAreLong = (es.schema ++ vertices.schema).forall(_.dataType ==
       org.apache.spark.sql.types.LongType)
-    if (allowDriverFastPath && idsAreLong && es.count() <= Joins.maxRows(es)) {
+    // BYTE-AWARE cap (r15): rows × estimated in-memory row width (two
+    // boxed longs + Row + union-find map-entry overhead) against the
+    // shared byte budget, min'd with the row cap — see Joins.maxRowsSized
+    if (allowDriverFastPath && idsAreLong &&
+        es.count() <= Joins.maxRowsSized(es, Graph.EdgeRowBytes)) {
       val out = driverComponents(es, vertices)
       release(es)
       return out
@@ -255,7 +265,9 @@ object Graph {
     // driver — the distributed loop below runs unchanged.
     val idsAreLong = es.schema.forall(_.dataType ==
       org.apache.spark.sql.types.LongType)
-    if (allowDriverFastPath && idsAreLong && es.count() <= Joins.maxRows(es)) {
+    // same byte-aware cap as connectedComponents (r15)
+    if (allowDriverFastPath && idsAreLong &&
+        es.count() <= Joins.maxRowsSized(es, Graph.EdgeRowBytes)) {
       val out = driverPageRank(es, iters, dampingPm)
       release(es)
       return out
@@ -281,25 +293,32 @@ object Graph {
     var ranks = nodes.withColumn("r", lit(1000000L)).localCheckpoint()
     val base = 1000L * (1000 - dampingPm)
     for (_ <- 1 to iters) {
-      // damped dangling mass, split evenly; remainder to the min-id node
-      // (sum FIRST, one truncating damp — the oracle mirrors the order)
-      val dmass = if (!hasDangling) 0L else
-        ranks.join(dangling, Seq("id"), "left_semi")
-          .agg(coalesce(sum(col("r")), lit(0L))).head.getLong(0) *
-          dampingPm / 1000L
-      val share = if (hasDangling) dmass / nNodes else 0L
-      val rem = if (hasDangling) dmass % nNodes else 0L
       val contrib = e.join(ranks, e("src") === ranks("id"))
         .select(col("dst").as("id"),
           expr(s"r * $dampingPm div 1000 div out_deg").as("c"))
       val summed = nodes
         .join(contrib.groupBy(col("id")).agg(sum(col("c")).as("s")),
           Seq("id"), "left")
-      val next = (if (hasDangling)
-        summed.select(col("id"),
-          (lit(base + share) + coalesce(col("s"), lit(0L)) +
-            when(col("id") === lit(minId), lit(rem)).otherwise(lit(0L))).as("r"))
-      else
+      // damped dangling mass, split evenly; remainder to the min-id node
+      // (sum FIRST, one truncating damp — the oracle mirrors the order).
+      // FOLDED into the iteration plan as a cross-joined 1-row aggregate
+      // (r15, VERDICT r14 item 5): the per-iteration `.head` collect was
+      // a synchronous driver job per pass — iters extra job round-trips
+      // on the only multi-second distributed loop. The broadcast
+      // nested-loop join against one row replays the IDENTICAL integer
+      // arithmetic inside the plan (truncating `div`, non-negative `%`),
+      // so ranks are bit-identical (PageRankSpec pins the ladder).
+      val next = (if (hasDangling) {
+        val dm = ranks.join(dangling, Seq("id"), "left_semi")
+          .agg(expr(s"coalesce(sum(r), CAST(0 AS BIGINT)) * $dampingPm " +
+            "div 1000").as("__dmass"))
+          .select(expr(s"__dmass div $nNodes").as("__share"),
+            expr(s"__dmass % $nNodes").as("__rem"))
+        summed.crossJoin(broadcast(dm)).select(col("id"),
+          (lit(base) + col("__share") + coalesce(col("s"), lit(0L)) +
+            when(col("id") === lit(minId), col("__rem")).otherwise(lit(0L)))
+            .as("r"))
+      } else
         summed.select(col("id"),
           (lit(base) + coalesce(col("s"), lit(0L))).as("r")))
         .localCheckpoint()
@@ -321,7 +340,11 @@ object Graph {
     * order. Primitive arrays throughout: no per-edge boxing at the 2M cap. */
   private def driverPageRank(es: DataFrame, iters: Int,
                              dampingPm: Int): DataFrame = {
-    val rows = es.collect()
+    // bind src/dst BY NAME like the distributed loop does (r14 advice):
+    // the fast-path guard only checks that all columns are Long, so a
+    // frame with an extra Long column or (dst, src) order would
+    // otherwise silently rank the transposed graph
+    val rows = es.select(col("src"), col("dst")).collect()
     val m = rows.length
     val src = new Array[Int](m)
     val dst = new Array[Int](m)

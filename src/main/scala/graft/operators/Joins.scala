@@ -18,6 +18,25 @@ object Joins {
     df.sparkSession.conf.getOption("spark.graft.broadcastMaxRows")
       .map(_.toLong).getOrElse(BroadcastMaxRows)
 
+  /** Byte budget for a driver-held model (r15, VERDICT r14 item 2): the
+    * row cap guards ROWS while the risk is BYTES — a 2M-row cap admits a
+    * ~1 GB (vec_id → 512 B packed vector) map where it admits a 32 MB
+    * edge list. Same magnitude class as a generous
+    * `spark.sql.autoBroadcastJoinThreshold`; overridable per session via
+    * `spark.graft.broadcastMaxBytes`. */
+  val BroadcastMaxBytes = 256L * 1024 * 1024
+
+  private[graft] def maxBytes(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("spark.graft.broadcastMaxBytes")
+      .map(_.toLong).getOrElse(BroadcastMaxBytes)
+
+  /** Row cap for a driver model whose rows are ~`rowBytes` wide
+    * (estimated IN-MEMORY width, payload + per-entry overhead): the
+    * shared row cap and the byte budget, whichever binds first. Past it
+    * the caller's distributed path runs unchanged. */
+  def maxRowsSized(df: DataFrame, rowBytes: Long): Long =
+    math.min(maxRows(df), maxBytes(df) / math.max(1L, rowBytes))
+
   /** Key-repartition with the partition COUNT pinned to the session's
     * shuffle parallelism. A bare `repartition(col)` plans as
     * REPARTITION_BY_COL, whose exchange AQE is free to coalesce by input

@@ -89,8 +89,13 @@ object EmbeddingQueries extends QueryModule {
   private def vecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
-      .filter(aggregate(col("embedding").cast("array<double>"), lit(0.0),
-        (a, x) => a + x * x) > 0.0)
+      // compiled Σx² (r15): the HOF form
+      // `aggregate(cast(embedding as array<double>), 0.0, (a,x) -> a+x*x)`
+      // evaluated an interpreted lambda per element on EVERY embedding
+      // scan in the family; V.sumSq is the bit-identical codegen kernel
+      // (same fold, same NULL-element → NULL → filtered semantics —
+      // VecFnsSpec pins the equivalence, EdgeVecsSpec the dirty corpus)
+      .filter(V.sumSq(col("embedding")) > 0.0)
 
   private def base(s: SparkSession, d: String): DataFrame =
     vecs(s, d).select(
@@ -371,6 +376,11 @@ object EmbeddingQueries extends QueryModule {
   private val NearDupTables = 4
   private val NearDupThreshNano = 350000000L // cosine ≥ 0.35
 
+  /** Estimated IN-MEMORY bytes per pv-model row: 8·Dim packed doubles +
+    * the boxed key, tuple, norm and HashMap-entry overhead — the width
+    * the byte-aware cap multiplies rows by (guide §3.2/§5). */
+  private val PvModelRowBytes = 8L * Dim + 64L
+
   /** DEDUPED candidate pairs (d1 < d2) from the multi-table LSH blocks,
     * BEFORE exact scoring — split out so the bench's scale10 stage can
     * publish the candidate count next to the surviving-pair count (the
@@ -472,19 +482,25 @@ object EmbeddingQueries extends QueryModule {
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
     // Scoring is size-conditional like the join above (r14). A corpus
-    // under the broadcast cap scores through a DRIVER MODEL — the q69
-    // codebook discipline: (vec_id → packed vector, norm) rides the task
-    // binary, and each candidate row pays two in-memory lookups plus the
-    // compiled dot instead of dragging two 512 B payloads through a pair
-    // of joins (the 10× rehearsal measured those joins at ~4.6 s of pure
-    // row-materialization for 3.7M candidates — cut to a narrow map).
+    // under the driver-model cap scores through a DRIVER MODEL — the q69
+    // codebook discipline: (vec_id → packed vector, norm) ships as a
+    // Spark BROADCAST, and each candidate row pays two in-memory lookups
+    // plus the compiled dot instead of dragging two 512 B payloads
+    // through a pair of joins (the 10× rehearsal measured those joins at
+    // ~4.6 s of pure row-materialization for 3.7M candidates — cut to a
+    // narrow map). The cap is BYTE-AWARE (r15): rows × in-memory row
+    // width (packed vector + norm + map-entry overhead) against the
+    // shared byte budget — the row cap alone admitted a ~1 GB map at its
+    // 2M default. The model itself is session-scoped ([[pvModelMemo]]):
+    // raw corpus payload, rebuilt from parquet after every bench barrier,
+    // never the JVM-wide trained-model memo it used to hide in.
     // Bit-identity: the SAME packed bytes (V.packVec), the SAME fold
     // (DotPackedExpr.dot — the codegen kernel the join path calls), the
     // same (n1·n2) product order and FP.nano rounding; NearDupScoreSpec
     // pins map ≡ join path. Past the cap — the 100 TB corpus — the join
     // path below runs unchanged.
-    val pairs = if (nVecs <= Joins.maxRows(cand)) {
-      val pv = memoModel(d, "neardup-pv") {
+    val pairs = if (nVecs <= Joins.maxRowsSized(cand, PvModelRowBytes)) {
+      val pv = pvModelMemo.getOrElseUpdate(s, s"$d#pv") {
         val model = base
           .select(col("vec_id"), V.packVec(col("vec")).as("pv"),
             V.norm(col("vec")).as("nrm"))
@@ -493,10 +509,11 @@ object EmbeddingQueries extends QueryModule {
           model.length * 2)
         model.foreach(r => m.put(r.getLong(0),
           (r.getAs[Array[Byte]](1), r.getDouble(2))))
-        m
+        s.sparkContext.broadcast(m)
       }
       val cosUdf = udf((a: Long, b: Long) => {
-        val x = pv.get(a); val y = pv.get(b)
+        val m = pv.value
+        val x = m.get(a); val y = m.get(b)
         graft.functions.DotPackedExpr.dot(x._1, y._1) / (x._2 * y._2)
       })
       cand.select(col("d1"), col("d2"),
@@ -970,12 +987,33 @@ object EmbeddingQueries extends QueryModule {
     * contract as mmrShortMemo: wholesale unpersists must invalidate. */
   private val vecBandMemo = new SessionMemo[DataFrame]
 
+  /** q69's checkpointed PQ codes frame, per (session, corpus) — the
+    * encode pass under frozen codebooks; same contract as vecBandMemo. */
+  private val pqCodeMemo = new SessionMemo[DataFrame]
+
+  /** The near-dup scoring model — (vec_id → packed vector, norm) held in
+    * a Spark BROADCAST per (session, corpus): session-scoped raw corpus
+    * payload, NOT a trained model, so it must not live in the JVM-wide
+    * [[modelMemo]] (r15, VERDICT r14 item 6 + advice: the modelMemo copy
+    * both survived the bench's cold barriers — making stores-stage "cold"
+    * q43 warm on the scoring side — and rode every scoring task's closure
+    * as a never-evicted ~corpus-sized HashMap). A broadcast ships once
+    * per executor instead of per task closure; invalidation at the
+    * session barriers drops the reference and the ContextCleaner reaps
+    * the blocks (the barrier's System.gc already exists for exactly
+    * that). */
+  private val pvModelMemo =
+    new SessionMemo[org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[Long, (Array[Byte], Double)]]]
+
   /** Forget this session's memoized shortlist checkpoints (the
     * TextQueries.invalidateSessionMemos twin — a truncated-lineage
     * checkpoint whose blocks were unpersisted cannot be recomputed). */
   private[graft] def invalidateSessionMemos(s: SparkSession): Unit = {
     mmrShortMemo.invalidate(s)
     vecBandMemo.invalidate(s)
+    pqCodeMemo.invalidate(s)
+    pvModelMemo.invalidate(s)
   }
 
   /** Attribution frames for the bench's scale10 stage (the q43cand/q43out
@@ -1562,8 +1600,17 @@ object EmbeddingQueries extends QueryModule {
       }
       sum
     })
-    val b = graft.operators.Joins.keyRepartition(emb, col("vec_id"))
-      .select(col("vec_id"), encode(col("embedding")).as("code"))
+    // the CODES frame checkpointed per (session, corpus) — r15, closing
+    // the r14 "not yet optimized" item: the codebook was memoized but the
+    // per-vector encode (8 nearest-centroid searches per row) re-ran per
+    // invocation, ~half of q69's wall. 8 B + id per row, orders smaller
+    // than the vectors it encodes; the VecStore PQ sidecar is the at-rest
+    // twin (q78 measures it). Invalidated at the bench's state barriers
+    // like every session memo.
+    val b = pqCodeMemo.getOrElseUpdate(s, s"$d#pq")(
+      graft.operators.Joins.keyRepartition(emb, col("vec_id"))
+        .select(col("vec_id"), encode(col("embedding")).as("code"))
+        .localCheckpoint())
     val probes = emb.filter(probePred(col("vec_id")))
       .select(col("vec_id").as("q_id"), tableUdf(col("embedding")).as("q_tab"))
     val w = Window.partitionBy(col("q_id"))

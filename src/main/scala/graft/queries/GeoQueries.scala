@@ -98,29 +98,50 @@ object GeoQueries extends QueryModule {
   private val sqlLand = "(ci * 31 + cj * 17) % 5 = 0"
 
   // ---- the binned neighborhood join (J1) ---------------------------------
-  /** (cell × profile) pairs within Radius, with fixed-point contributions.
-    * Profiles get one bin; sea cells explode to 9 neighbor bins. */
-  private def pairs(s: SparkSession, d: String): DataFrame = {
-    val p = profiles(s, d).select(col("pk"), col("lon"), col("lat"), col("x"),
-      floor((col("lon") + 180.0) / Reso).cast("int").as("bi"),
-      floor((col("lat") + 90.0) / Reso).cast("int").as("bj"))
-    val cells = grid(s).filter(!landExpr(col("ci"), col("cj")))
-    val exploded = cells
-      .select(col("ci"), col("cj"), col("clon"), col("clat"),
-        explode(array((-1 to 1).flatMap(di => (-1 to 1).map(dj =>
-          struct(((col("ci") + di + NLon) % NLon).as("bi"),
-            (col("cj") + dj).as("bj")))): _*)).as("nb"))
-      .select(col("ci"), col("cj"), col("clon"), col("clat"),
-        col("nb.bi"), col("nb.bj"))
-    val dlon = col("lon") - col("clon")
-    val dlat = col("lat") - col("clat")
-    val d2 = dlat * dlat + (dlon * cosDeg(col("clat"))) * (dlon * cosDeg(col("clat")))
-    p.join(broadcast(exploded), Seq("bi", "bj"))
-      .withColumn("d2", d2)
-      .filter(col("d2") <= Radius2)
-      .withColumn("w_u", FP.micro(lit(1.0) / (lit(1.0) + col("d2"))))
-      .withColumn("wx_u", FP.micro(col("x") / (lit(1.0) + col("d2"))))
-  }
+  /** (cell × profile) pairs within Radius, with fixed-point contributions,
+    * projected to the NARROW columns the aggregations consume and
+    * checkpointed per (session, corpus) — r15, VERDICT r14 item 7: q51
+    * consumes this frame TWICE (the pass-1 means under a broadcast build
+    * — which re-executed the whole binned join on the driver — and the
+    * pass-2 anomaly stream), and q50/q77 rebuild the identical frame per
+    * invocation. ~44 B/row × O(profiles) (each profile meets only its
+    * 3×3-bin cells within radius), the same width class as the lexical
+    * band memos; MEMORY_AND_DISK checkpoint storage spills rather than
+    * OOMs at scale. Invalidated at the bench's state barriers like every
+    * session memo. */
+  private def pairs(s: SparkSession, d: String): DataFrame =
+    pairsMemo.getOrElseUpdate(s, d) {
+      val p = profiles(s, d).select(col("pk"), col("lon"), col("lat"), col("x"),
+        floor((col("lon") + 180.0) / Reso).cast("int").as("bi"),
+        floor((col("lat") + 90.0) / Reso).cast("int").as("bj"))
+      val cells = grid(s).filter(!landExpr(col("ci"), col("cj")))
+      val exploded = cells
+        .select(col("ci"), col("cj"), col("clon"), col("clat"),
+          explode(array((-1 to 1).flatMap(di => (-1 to 1).map(dj =>
+            struct(((col("ci") + di + NLon) % NLon).as("bi"),
+              (col("cj") + dj).as("bj")))): _*)).as("nb"))
+        .select(col("ci"), col("cj"), col("clon"), col("clat"),
+          col("nb.bi"), col("nb.bj"))
+      val dlon = col("lon") - col("clon")
+      val dlat = col("lat") - col("clat")
+      val d2 = dlat * dlat + (dlon * cosDeg(col("clat"))) * (dlon * cosDeg(col("clat")))
+      p.join(broadcast(exploded), Seq("bi", "bj"))
+        .withColumn("d2", d2)
+        .filter(col("d2") <= Radius2)
+        .withColumn("w_u", FP.micro(lit(1.0) / (lit(1.0) + col("d2"))))
+        .withColumn("wx_u", FP.micro(col("x") / (lit(1.0) + col("d2"))))
+        .select(col("ci"), col("cj"), col("x"), col("d2"),
+          col("w_u"), col("wx_u"))
+        .localCheckpoint()
+    }
+
+  private val pairsMemo = new SessionMemo[DataFrame]
+
+  /** Forget this session's checkpointed pair frame (the
+    * TextQueries.invalidateSessionMemos twin — wholesale unpersists
+    * destroy the truncated-lineage blocks, so the memo must forget). */
+  private[graft] def invalidateSessionMemos(s: SparkSession): Unit =
+    pairsMemo.invalidate(s)
 
   private val sqlPairs =
     s"""prof AS (

@@ -969,8 +969,12 @@ object TextQueries extends QueryModule {
     * bucket differently (the nearDupCandidates discipline: candidate and
     * survivor counts attribute any superlinear scale10 wall from the
     * artifact alone). */
-  private def jaccardCandFrom(s: SparkSession, d: String,
-                              base: DataFrame): DataFrame = {
+  private def jaccardCandFrom(s: SparkSession, d: String): DataFrame = {
+    // base derived HERE, not taken as a parameter (r14 advice): the band
+    // memo below is keyed only by (session, corpus), so a caller passing
+    // any OTHER base would silently receive bands built from
+    // jaccardBase(s, d) — deriving it closes the latent wrong-result trap
+    val base = jaccardBase(s, d)
     // band-id frame checkpointed too (r14): the 32 per-doc minhash
     // signatures are computed above the base checkpoint, so without this
     // the broadcast build of the self-join's right side re-runs the
@@ -992,11 +996,11 @@ object TextQueries extends QueryModule {
   }
 
   private[graft] def jaccardCandidates(s: SparkSession, d: String): DataFrame =
-    jaccardCandFrom(s, d, jaccardBase(s, d))
+    jaccardCandFrom(s, d)
 
   private def q36(s: SparkSession, d: String): DataFrame = {
     val base = jaccardBase(s, d)
-    val cand = jaccardCandFrom(s, d, base)
+    val cand = jaccardCandFrom(s, d)
     // the payloads keep ALL of base's columns and the output `source`
     // comes from the d1 payload (identical value — the pair is same-source
     // by the band join): pruning `source` out of the payload branch would
@@ -1581,8 +1585,22 @@ object TextQueries extends QueryModule {
   }
 
   private def q102(s: SparkSession, d: String): DataFrame = {
-    val bm = q65(s, d).select(col("doc_id"), col("rnk").as("bm25_rnk"))
-    val (weights, qw) = hybridPieces(s, d)
+    // The two arms' eager materializations OVERLAP (r15, guide §2.6):
+    // each arm pins a localCheckpoint during CONSTRUCTION (q65's
+    // per-invocation tf frame; the shared hybrid-weights memo), and
+    // built sequentially the driver ran them as serialized jobs — the
+    // r14 scaling block measured q102 at ratio 0.94 (8 vs 32 cores),
+    // i.e. neither arm alone fills the session. Two driver threads
+    // submit both; FIFO scheduling back-fills one arm's stage tails
+    // with the other's tasks. Plans and results are unchanged — only
+    // WHEN the two checkpoints materialize moves.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fBm = Future(q65(s, d).select(col("doc_id"), col("rnk").as("bm25_rnk")))
+    val fPieces = Future(hybridPieces(s, d))
+    val bm = Await.result(fBm, Duration.Inf)
+    val (weights, qw) = Await.result(fPieces, Duration.Inf)
     val norms = weights.groupBy(col("doc_id"))
       .agg(sum(col("u").cast("decimal(38,0)") * col("u")).as("nrm2"))
     val qn = qw.agg(sum(col("qu").cast("decimal(38,0)") * col("qu")).as("qn2"))
@@ -2992,6 +3010,12 @@ object TextQueries extends QueryModule {
     * the 10× rehearsal distributed — and re-ran SINGLE-THREADED on the
     * driver inside every broadcast build of the anchor self-join. */
   private val subAnchorsUdf = udf { (toks: Seq[String]) =>
+    // null/short guard (r14 advice): T.tokens of a NULL text is a NULL
+    // array, and the expression pipeline this kernel replaced silently
+    // skipped such docs (size(null) = -1 < SubAnchorK) — the UDF must
+    // keep that contract instead of NPEing on the first dirty document
+    if (toks == null) Seq.empty[(Long, String)]
+    else {
     val n = toks.length
     val md = java.security.MessageDigest.getInstance("MD5")
     val seen = new java.util.HashSet[String]()
@@ -3024,6 +3048,7 @@ object TextQueries extends QueryModule {
       pos += 1
     }
     out.toSeq
+    }
   }
 
   private def substringAnchors(s: SparkSession, d: String): DataFrame =

@@ -27,4 +27,27 @@ class NearDupScoreSpec extends SparkSuite {
       "scoring branches diverged — the cap must be output-invisible")
     assert(fast.nonEmpty, "degenerate fixture: no near-dup pairs at all")
   }
+
+  test("BYTE budget alone forces the distributed branch, output-invariant (r15)") {
+    // the r15 byte-aware cap (Joins.maxRowsSized): a corpus whose
+    // rows × estimated width exceed spark.graft.broadcastMaxBytes must
+    // take the join/salt path even when the ROW cap would admit it —
+    // this corpus is 4,000 rows against the 2M row cap, so pinning the
+    // byte budget to 1 exercises exactly the byte term
+    val d = "/root/testdata/sf0.001"
+    import spark.implicits._
+    def pairs(): Seq[(Long, Long, Long)] =
+      graft.queries.EmbeddingQueries.nearDupPairs(spark, d)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+    val fast = pairs()
+    val prior = spark.conf.getOption("spark.graft.broadcastMaxBytes")
+    spark.conf.set("spark.graft.broadcastMaxBytes", "1")
+    val overByte = try pairs()
+    finally prior match {
+      case Some(v) => spark.conf.set("spark.graft.broadcastMaxBytes", v)
+      case None => spark.conf.unset("spark.graft.broadcastMaxBytes")
+    }
+    assert(fast == overByte,
+      "byte-capped distributed branch diverged from the driver-model path")
+  }
 }

@@ -66,6 +66,25 @@ class PageRankSpec extends SparkSuite {
     }
   }
 
+  test("BYTE budget alone forces the distributed loop, output-invariant (r15)") {
+    // the r15 byte-aware fast-path cap (Joins.maxRowsSized with
+    // Graph.EdgeRowBytes): a graph whose edges × estimated width exceed
+    // spark.graft.broadcastMaxBytes must run the loop even under the row
+    // cap — pin the budget to 1 and the ranks must not move a bit
+    val fast = Graph.pageRank(web.toDF("src", "dst"), 5)
+      .as[(Long, Long)].collect().toMap
+    val prior = spark.conf.getOption("spark.graft.broadcastMaxBytes")
+    spark.conf.set("spark.graft.broadcastMaxBytes", "1")
+    val overByte = try Graph.pageRank(web.toDF("src", "dst"), 5)
+      .as[(Long, Long)].collect().toMap
+    finally prior match {
+      case Some(v) => spark.conf.set("spark.graft.broadcastMaxBytes", v)
+      case None => spark.conf.unset("spark.graft.broadcastMaxBytes")
+    }
+    assert(fast == overByte,
+      "byte-capped loop diverged from the driver fast path")
+  }
+
   test("partition-invariant: any edge partitioning, identical ranks") {
     val a = Graph.pageRank(web.toDF("src", "dst").repartition(1), 4,
       allowDriverFastPath = false)

@@ -50,6 +50,27 @@ class SubstringDedupSpec extends SparkSuite {
     assert(out == Seq((1L, 2L, 0L, 5L, 40L, 40L)))
   }
 
+  test("q134 IGNORES null-text documents instead of crashing (r14 advice)") {
+    // T.tokens of a NULL text is a NULL array; the expression pipeline
+    // the compiled anchor kernel replaced silently skipped such docs
+    // (size(null) = -1 < k) and the kernel must keep that contract —
+    // same pair set as the clean corpus, no NPE on the dirty one
+    val d = TempDirs.create("graft-subdedup-null").toString
+    val texts = Seq(
+      (1L, passage.mkString(" ")),
+      (2L, ((0 until 5).map(i => s"f$i") ++ passage).mkString(" ")),
+      (4L, null.asInstanceOf[String]), // the dirty document
+      (5L, "tiny")) // sub-anchor-length: the in-kernel short guard
+    texts.map { case (id, t) =>
+      (id, t, "en", "web", if (t == null) 0L else t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("q134_substring_dedup")(spark, d)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L)),
+      s"null/short docs must be invisible to the anchor join: $out")
+  }
+
   test("SharedRunExpr: exact runs, tie-break, and overlap bounds") {
     def run(a: Seq[String], b: Seq[String], delta: Long): (Long, Long, Long) = {
       val packed = Seq((a, b, delta)).toDF("a", "b", "d")

@@ -79,6 +79,58 @@ class VecFnsSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("native sumSq ≡ HOF aggregate fold, bit-exact, incl. null/NaN elements") {
+    // the executable spec the gate/norm kernel replaced (r15): widen to
+    // double, left-to-right acc + x*x — every case must match bit-for-bit,
+    // and a NULL element must fold the whole sum to NULL (the dirty-corpus
+    // gate semantics EdgeVecsSpec sweeps end to end)
+    def hof(c: org.apache.spark.sql.Column) =
+      aggregate(c.cast("array<double>"), lit(0.0), (a, x) => a + x * x)
+    val rows = Seq(
+      Some(Seq[java.lang.Double](1.5, -2.25, 3.0e-7, 1e18)),
+      Some(Seq[java.lang.Double](0.0, -0.0)),
+      Some(Seq[java.lang.Double](Double.NaN, 1.0)),
+      Some(Seq[java.lang.Double](1.0, null, 2.0)), // null element → NULL sum
+      Some(Seq.tabulate(64)(i => java.lang.Double.valueOf(math.sin(i.toDouble)))),
+      Option.empty[Seq[java.lang.Double]]) // null array → NULL
+      .toDF("a")
+    val got = rows.select(V.sumSq(col("a")).as("native"), hof(col("a")).as("spec"))
+      .collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1), s"null disagreement: $r")
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)), s"$r bitwise")
+    }
+    // float arrays widen exactly — same fold as cast-to-double-first
+    val fRows = Seq(Seq(1.5f, -2.25f, 3.0e-7f, 0.1f)).toDF("a")
+    val f = fRows.select(V.sumSq(col("a")).as("native"), hof(col("a")).as("spec"))
+      .as[(Double, Double)].collect().head
+    assert(java.lang.Double.doubleToRawLongBits(f._1) ===
+      java.lang.Double.doubleToRawLongBits(f._2))
+  }
+
+  test("generated sumSq code really executes (no silent interpreted fallback)") {
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val n = 8
+      def a = array((0 until n).map(i => (col("id") * (i + 1)).cast("double") / 7.0d): _*)
+      val native = spark.range(0, 64, 1, 4).select(V.sumSq(a).as("s"))
+      val span = native.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w.toString
+      }
+      assert(span.exists(_.contains("vec_sum_sq")),
+        s"vec_sum_sq not inside a codegen span:\n${native.queryExecution.executedPlan}")
+      val hof = spark.range(0, 64, 1, 4)
+        .select(aggregate(a, lit(0.0), (acc, x) => acc + x * x).as("s"))
+      native.as[Double].collect().zip(hof.as[Double].collect()).foreach { case (nv, h) =>
+        assert(java.lang.Double.doubleToRawLongBits(nv) ===
+          java.lang.Double.doubleToRawLongBits(h), s"$nv != $h bitwise")
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("generated packed-Jaccard code really executes, and mismatched dims throw") {
     import graft.functions.{TextFns => T, JaccardMicroPackedExpr => J}
     val prev = spark.conf.get("spark.sql.codegen.fallback")
