@@ -64,8 +64,17 @@ object VecFns {
     (1 to n).filter(i => s(i - 1) > 0)
   }
 
-  /** Projection of the vector onto pseudo-random hyperplane `p`. */
-  def planeProj(vec: Column, p: Int, n: Int): Column = {
+  /** Projection of the vector onto pseudo-random hyperplane `p` —
+    * compiled kernel ([[PlaneProjExpr]], r15): the HOF form below ran an
+    * interpreted lambda per element × plane × row on every LSH band
+    * build. Bit-identical (same left-to-right double fold over the same
+    * sign literals); [[planeProjHof]] remains the executable spec,
+    * VecFnsSpec pins native ≡ HOF. */
+  def planeProj(vec: Column, p: Int, n: Int): Column =
+    PlaneProjExpr.planeProjNative(vec, planeSignsJvm(p, n))
+
+  /** The HOF executable spec of [[planeProj]] (kept for the spec pin). */
+  private[graft] def planeProjHof(vec: Column, p: Int, n: Int): Column = {
     val signs = lit(planeSignsJvm(p, n).toArray)
     aggregate(sequence(lit(1), lit(n)), lit(0.0),
       (acc, i) => acc + element_at(vec, i) * element_at(signs, i))

@@ -131,6 +131,45 @@ class VecFnsSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("native planeProj ≡ HOF spec, bit-exact, and really compiles (r15)") {
+    // equivalence on stored rows (interpreted eval path), incl. a null
+    // element folding the projection to NULL
+    val rows = Seq(
+      Some(Seq[java.lang.Double](1.5, -2.25, 3.0e-7, 1e12, 0.25, -8.5, 2.0, 0.125)),
+      Some(Seq[java.lang.Double](1.0, null, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0)),
+      Option.empty[Seq[java.lang.Double]])
+      .toDF("a")
+    for (p <- 0 until 4) {
+      val got = rows.select(V.planeProj(col("a"), p, 8).as("native"),
+        V.planeProjHof(col("a"), p, 8).as("spec")).collect()
+      got.foreach { r =>
+        assert(r.isNullAt(0) === r.isNullAt(1), s"plane $p null disagreement: $r")
+        if (!r.isNullAt(0))
+          assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+            java.lang.Double.doubleToRawLongBits(r.getDouble(1)), s"plane $p: $r")
+      }
+    }
+    // codegen path with the fallback off — a Janino reject must be loud
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      def a = array((0 until 8).map(i =>
+        (col("id") * (i + 1)).cast("double") / 3.0d): _*)
+      val native = spark.range(0, 64, 1, 4)
+        .select(V.planeProj(a, 1, 8).as("s"))
+      val span = native.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w.toString
+      }
+      assert(span.exists(_.contains("plane_proj")),
+        s"plane_proj not inside a codegen span:\n${native.queryExecution.executedPlan}")
+      val hof = spark.range(0, 64, 1, 4).select(V.planeProjHof(a, 1, 8).as("s"))
+      native.as[Double].collect().zip(hof.as[Double].collect()).foreach { case (nv, h) =>
+        assert(java.lang.Double.doubleToRawLongBits(nv) ===
+          java.lang.Double.doubleToRawLongBits(h), s"$nv != $h bitwise")
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("generated packed-Jaccard code really executes, and mismatched dims throw") {
     import graft.functions.{TextFns => T, JaccardMicroPackedExpr => J}
     val prev = spark.conf.get("spark.sql.codegen.fallback")
