@@ -366,12 +366,18 @@ class PlanSpec extends SparkSuite {
       s"chunking must not aggregate:\n$p")
   }
 
-  test("q77: colormap raster joins only broadcasts; cells aggregate partially") {
+  test("q77: colormap raster reads the checkpointed pairs; cells aggregate partially") {
     val p = plan("q77_atlas_colormap")
-    // two joins feed the raster: profile×grid (broadcast hash on bins) and
-    // cells×min/max-stats (broadcast nested loop of ONE row). Neither may
-    // shuffle the fact side; the colormap lerp itself is pure projection.
-    assert(p.contains("BroadcastHashJoin"), s"grid side should broadcast:\n$p")
+    // r15: the binned profile×grid broadcast join runs ONCE inside the
+    // shared pairs checkpoint (GeoQueries.pairsMemo — q50/q51/q77 each
+    // re-built it, and q51's broadcast build re-ran it on the driver), so
+    // q77's own plan must read the materialized rows, never re-scan
+    // orders.parquet; the cells×min/max-stats join stays a 1-row
+    // broadcast nested loop, and nothing may shuffle the fact side.
+    assert(p.contains("Scan ExistingRDD"),
+      s"q77 must read the checkpointed pairs frame:\n$p")
+    assert(!p.contains("orders.parquet"),
+      s"q77 must not re-run the binned join off the raw profiles:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"1-row stats side should broadcast-nested-loop (it has no equi-key):\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
